@@ -1,0 +1,325 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.catalog.Q.t
+
+/** Aggregations, windows, scalar-function pipelines and batch-temporal
+  * (SCD / snapshot-diff) operators from SURVEY.md §2.4–§2.9.
+  *
+  *  A2  multi distinct-count after left join -> a2_nation_summary
+  *  A5  collect_set                          -> a5_collect_names
+  *  A6  sliced ordered collect               -> a6_first_orders
+  *  A7  funnel / two-level agg               -> a7_funnel
+  *  A8  rate across two aggregations         -> a8_campaign_rates
+  *  A12 deterministic dedup                  -> a12_dedup_first
+  *  A13 content hash of canonical row        -> a13_row_hash
+  *  W1  arg-max per key                      -> w1_latest_event
+  *  W2  top-n within group                   -> w2_top3_per_cust
+  *  W3  SCD2 validity intervals (lead)       -> w3_scd2_intervals
+  *  W4  running total                        -> w4_running_total
+  *  F1/F2/F7/F8 string cleaning              -> f_scalar_clean
+  *  F4/F5 lenient casts                      -> f_safe_cast
+  *  F11 interval arithmetic / date parts     -> f_date_parts
+  *  F18 CASE/conditional                     -> f_case_tiers
+  *  get_json_object on string props          -> f_json_extract
+  *  T1  snapshot diff classification         -> t1_snapshot_diff
+  *  T8  point-in-time (as-of) state          -> t8_asof_state
+  */
+object AggWindowCatalog {
+
+  private val tsFmtSpark = "yyyy-MM-dd HH:mm:ss"
+
+  val all: Seq[Q] = Seq(
+    Q("a2_nation_summary",
+      (s, d) => t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("n_name")
+        .agg(countDistinct(col("c_custkey")).as("n_customers"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_value"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name, count(DISTINCT c_custkey) AS n_customers,
+             count(DISTINCT o_orderkey) AS n_orders,
+             round(coalesce(sum(o_totalprice), 0.0), 2) AS total_value
+             FROM customer JOIN nation ON c_nationkey = n_nationkey
+             LEFT JOIN orders ON c_custkey = o_custkey
+             GROUP BY n_name ORDER BY n_name""")),
+
+    Q("a5_collect_names",
+      (s, d) => t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(array_join(sort_array(collect_set(col("s_name"))), "|").as("supplier_names"),
+          count(lit(1)).as("n_suppliers"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name, string_agg(DISTINCT s_name, '|' ORDER BY s_name) AS supplier_names,
+             count(*) AS n_suppliers
+             FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             GROUP BY n_name ORDER BY n_name""")),
+
+    Q("a6_first_orders",
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(array_join(
+          slice(sort_array(collect_list(date_format(col("o_orderdate"), "yyyy-MM-dd"))), 1, 3),
+          "|").as("first3_orderdates"))
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey,
+             array_to_string(list_slice(list_sort(list(strftime(o_orderdate, '%Y-%m-%d'))), 1, 3), '|')
+               AS first3_orderdates
+             FROM orders GROUP BY o_custkey ORDER BY o_custkey""")),
+
+    Q("a7_funnel",
+      (s, d) => {
+        val per = t(s, d, "customer")
+          .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"), col("c_mktsegment"))
+          .agg(sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+            sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"))
+        per.groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"),
+            sum("n_o").as("open_orders"),
+            sum("n_f").as("filled_orders"),
+            round(sum(when(col("n_f") > 0, 1).otherwise(0)) * lit(100.0) / count(lit(1)), 4)
+              .as("conversion_pct"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_customers,
+             CAST(sum(n_o) AS BIGINT) AS open_orders,
+             CAST(sum(n_f) AS BIGINT) AS filled_orders,
+             round(sum(CASE WHEN n_f > 0 THEN 1 ELSE 0 END) * 100.0 / count(*), 4) AS conversion_pct
+             FROM (
+               SELECT c_custkey, c_mktsegment,
+                 CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+                 CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f
+               FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+               GROUP BY c_custkey, c_mktsegment)
+             GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    Q("a8_campaign_rates",
+      (s, d) => {
+        val ev = t(s, d, "events").withColumn("bucket", col("user_id") % 20)
+        val opens = ev.filter(col("event_type") === "view")
+          .groupBy("bucket").agg(count(lit(1)).as("opens"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy("bucket").agg(count(lit(1)).as("clicks"))
+        opens.join(clicks, Seq("bucket"), "inner")
+          .filter(col("opens") > 0)
+          .select(col("bucket"), col("opens"), col("clicks"),
+            round(col("clicks") * lit(100.0) / col("opens"), 4).as("click_rate_pct"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT o.bucket AS bucket, o.opens AS opens, c.clicks AS clicks,
+             round(c.clicks * 100.0 / o.opens, 4) AS click_rate_pct
+             FROM (SELECT user_id % 20 AS bucket, count(*) AS opens FROM events
+                   WHERE event_type = 'view' GROUP BY 1) o
+             JOIN (SELECT user_id % 20 AS bucket, count(*) AS clicks FROM events
+                   WHERE event_type = 'click' GROUP BY 1) c
+               ON o.bucket = c.bucket
+             WHERE o.opens > 0 ORDER BY bucket""")),
+
+    Q("a12_dedup_first",
+      (s, d) => {
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        t(s, d, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("event_id"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT user_id, event_type, event_id FROM (
+               SELECT user_id, event_type, event_id,
+                 row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+               FROM events)
+             WHERE rn = 1 ORDER BY user_id, event_type""")),
+
+    Q("a13_row_hash",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_orderkey") < 500)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          md5(concat_ws("|",
+            col("l_orderkey").cast("string"), col("l_linenumber").cast("string"),
+            col("l_returnflag"), col("l_linestatus"))).as("row_hash"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+                 l_returnflag, l_linestatus)) AS row_hash
+             FROM lineitem WHERE l_orderkey < 500
+             ORDER BY l_orderkey, l_linenumber""")),
+
+    Q("w1_latest_event",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+        t(s, d, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            date_format(col("ts"), tsFmtSpark).as("last_ts"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+             FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                   FROM events)
+             WHERE rn = 1 ORDER BY user_id""")),
+
+    Q("w2_top3_per_cust",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        t(s, d, "orders")
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("o_custkey"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy("o_custkey", "rnk")
+      },
+      Some("""SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+               SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+               FROM orders)
+             WHERE rnk <= 3 ORDER BY o_custkey, rnk""")),
+
+    Q("w3_scd2_intervals",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        t(s, d, "events")
+          .filter(col("user_id") < 50)
+          .withColumn("next_ts", lead(col("ts"), 1).over(w))
+          .select(col("user_id"), col("event_id"),
+            date_format(col("ts"), tsFmtSpark).as("valid_from"),
+            coalesce(date_format(col("next_ts"), tsFmtSpark), lit("9999-12-31 00:00:00"))
+              .as("valid_to"))
+          .orderBy("user_id", "valid_from", "event_id")
+      },
+      Some("""SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+             coalesce(strftime(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                      '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00') AS valid_to
+             FROM events WHERE user_id < 50
+             ORDER BY user_id, valid_from, event_id""")),
+
+    Q("w4_running_total",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "events")
+          .filter(col("user_id") < 30)
+          .select(col("user_id"), col("event_id"),
+            round(sum(col("value")).over(w), 2).as("running_value"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+             FROM events WHERE user_id < 30
+             ORDER BY user_id, event_id""")),
+
+    Q("f_scalar_clean",
+      (s, d) => t(s, d, "customer")
+        .select(col("c_custkey"),
+          lower(trim(col("c_name"))).as("name_lc"),
+          regexp_replace(col("c_name"), "^Customer#0*", "").as("cust_num"),
+          concat_ws("-", col("c_mktsegment"), substring(col("c_name"), 1, 8)).as("seg_label"),
+          org.apache.spark.sql.functions.right(col("c_name"), lit(3)).as("name_tail"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, lower(trim(c_name)) AS name_lc,
+             regexp_replace(c_name, '^Customer#0*', '') AS cust_num,
+             concat_ws('-', c_mktsegment, substring(c_name, 1, 8)) AS seg_label,
+             right(c_name, 3) AS name_tail
+             FROM customer ORDER BY c_custkey""")),
+
+    Q("f_json_extract",
+      (s, d) => t(s, d, "events")
+        .groupBy("event_type")
+        .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             count(*) AS n
+             FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    Q("f_safe_cast",
+      (s, d) => t(s, d, "events")
+        .select(col("event_type"),
+          coalesce(expr("try_cast(regexp_extract(props, '([0-9]+)', 1) AS long)"), lit(0L))
+            .as("k_safe"),
+          coalesce(expr("try_cast(event_type AS long)"), lit(0L)).as("garbage_safe"))
+        .groupBy("event_type")
+        .agg(sum("k_safe").as("sum_k_safe"), sum("garbage_safe").as("sum_garbage"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             CAST(sum(coalesce(TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT), 0)) AS BIGINT) AS sum_k_safe,
+             CAST(sum(coalesce(TRY_CAST(event_type AS BIGINT), 0)) AS BIGINT) AS sum_garbage
+             FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    Q("f_date_parts",
+      (s, d) => t(s, d, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("month_value"))
+        .orderBy("order_month"),
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS order_month, count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS month_value
+             FROM orders GROUP BY 1 ORDER BY order_month""")),
+
+    Q("f_case_tiers",
+      (s, d) => t(s, d, "orders")
+        .select(when(col("o_totalprice") < 100000.0, "small")
+          .when(col("o_totalprice") < 300000.0, "mid")
+          .otherwise("big").as("tier"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("tier"),
+      Some("""SELECT CASE WHEN o_totalprice < 100000.0 THEN 'small'
+                          WHEN o_totalprice < 300000.0 THEN 'mid'
+                          ELSE 'big' END AS tier, count(*) AS n
+             FROM orders GROUP BY 1 ORDER BY tier""")),
+
+    Q("t1_snapshot_diff",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val old = o.filter(col("o_orderdate") < lit("1999-01-01"))
+          .select(col("o_orderkey").as("old_key"), col("o_totalprice").as("old_price"))
+        val nw = o.filter(col("o_orderdate") >= lit("1996-01-01"))
+          .select(col("o_orderkey").as("new_key"),
+            when(col("o_orderstatus") === "O", round(col("o_totalprice") * 1.05, 2))
+              .otherwise(col("o_totalprice")).as("new_price"))
+        old.join(nw, col("old_key") === col("new_key"), "full_outer")
+          .select(when(col("old_key").isNull, "new")
+            .when(col("new_key").isNull, "deleted")
+            .when(col("old_price") =!= col("new_price"), "updated")
+            .otherwise("unchanged").as("change_type"))
+          .groupBy("change_type")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("change_type")
+      },
+      Some("""SELECT change_type, count(*) AS n FROM (
+               SELECT CASE WHEN o.old_key IS NULL THEN 'new'
+                           WHEN n.new_key IS NULL THEN 'deleted'
+                           WHEN o.old_price <> n.new_price THEN 'updated'
+                           ELSE 'unchanged' END AS change_type
+               FROM (SELECT o_orderkey AS old_key, o_totalprice AS old_price FROM orders
+                     WHERE o_orderdate < TIMESTAMP '1999-01-01') o
+               FULL OUTER JOIN (SELECT o_orderkey AS new_key,
+                     CASE WHEN o_orderstatus = 'O' THEN round(o_totalprice * 1.05, 2)
+                          ELSE o_totalprice END AS new_price FROM orders
+                     WHERE o_orderdate >= TIMESTAMP '1996-01-01') n
+                 ON o.old_key = n.new_key)
+             GROUP BY change_type ORDER BY change_type""")),
+
+    Q("t8_asof_state",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+        t(s, d, "events")
+          .filter(col("ts") <= lit("2024-01-15 00:00:00"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), col("event_type"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id, event_type FROM (
+               SELECT user_id, event_id, event_type,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+             WHERE rn = 1 ORDER BY user_id"""))
+  )
+}

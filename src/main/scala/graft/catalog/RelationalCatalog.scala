@@ -1,0 +1,285 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Q.t
+
+/** Scans, filters and joins from SURVEY.md §2.1–§2.3, re-expressed on the
+  * driver's synthetic tables.
+  *
+  * Operator coverage (reference file:line cited in SURVEY.md):
+  *  S1/S8  scan+project+filter        -> s1_scan_prune
+  *  S5/U2  dual-scan union            -> s5_union_scans
+  *  P4–P10 predicate shapes           -> p_predicates, p7_time_range
+  *  P11    HAVING                     -> p11_having
+  *  J1     FK equi-join               -> j1_orders_per_nation
+  *  J2     broadcast dim join         -> j2_broadcast_dim
+  *  J3     left outer join            -> j3_left_join_count
+  *  J4     semi-join (EXISTS)         -> j4_semi_exists
+  *  J5     anti-join (NOT EXISTS)     -> j5_anti_no_big_p
+  *  J6     existence validation       -> j6_validate_edges
+  *  J7     prioritized match cascade  -> j7_match_cascade
+  *  J8     multi-hop join             -> j8_multihop_region
+  *  J9     range (as-of style) join   -> j9_range_join
+  *  O2     global top-k               -> o2_topk_customers
+  *  U1     heterogeneous union        -> u1_union_hetero
+  *  U3     EXCEPT                     -> u3_except_keys
+  */
+object RelationalCatalog {
+
+  val all: Seq[Q] = Seq(
+    Q("q1_pricing_summary",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") < lit("2000-01-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_discount), 4) AS avg_disc,
+             count(*) AS count_order
+             FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01'
+             GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")),
+
+    Q("s1_scan_prune",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_quantity") >= 45 && col("l_shipdate") >= lit("1998-01-01"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             WHERE l_quantity >= 45 AND l_shipdate >= TIMESTAMP '1998-01-01'
+             ORDER BY l_orderkey, l_linenumber""")),
+
+    Q("s5_union_scans",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        o.filter(col("o_orderstatus") === "O").select(col("o_orderkey"), col("o_orderstatus"))
+          .unionByName(
+            o.filter(col("o_orderstatus") === "F").select(col("o_orderkey"), col("o_orderstatus")))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O'
+             UNION ALL
+             SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+             ORDER BY o_orderkey""")),
+
+    Q("p_predicates",
+      (s, d) => t(s, d, "customer")
+        .filter(col("c_name").contains("1")
+          && col("c_acctbal") > 100.0
+          && col("c_mktsegment").isin("BUILDING", "MACHINERY")
+          && col("c_nationkey").isNotNull)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+             WHERE c_name LIKE '%1%' AND c_acctbal > 100.0
+               AND c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_nationkey IS NOT NULL
+             ORDER BY c_custkey""")),
+
+    Q("p7_time_range",
+      (s, d) => t(s, d, "events")
+        .filter(col("ts") >= lit("2024-01-10 00:00:00") && col("ts") < lit("2024-01-20 00:00:00"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+             strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+             FROM events
+             WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+             GROUP BY event_type ORDER BY event_type""")),
+
+    Q("p11_having",
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 14)
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, count(*) AS n_orders FROM orders
+             GROUP BY o_custkey HAVING count(*) >= 14 ORDER BY o_custkey""")),
+
+    Q("j1_orders_per_nation",
+      (s, d) => t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total_value"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_value
+             FROM orders JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+             GROUP BY n_name ORDER BY n_name""")),
+
+    Q("j2_broadcast_dim",
+      (s, d) => t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name", "s_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("n_name", "s_name"),
+      Some("""SELECT n_name, s_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+             GROUP BY n_name, s_name ORDER BY n_name, s_name""")),
+
+    Q("j3_left_join_count",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_spent"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+             round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
+             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    Q("j4_semi_exists",
+      (s, d) => {
+        val big = t(s, d, "orders").filter(col("o_totalprice") > 450000.0)
+        t(s, d, "customer")
+          .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             WHERE EXISTS (SELECT 1 FROM orders
+               WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+             ORDER BY c_custkey""")),
+
+    Q("j5_anti_no_big_p",
+      (s, d) => {
+        val bigP = t(s, d, "orders")
+          .filter(col("o_orderstatus") === "P" && col("o_totalprice") > 300000.0)
+        t(s, d, "customer")
+          .join(bigP, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             WHERE NOT EXISTS (SELECT 1 FROM orders
+               WHERE o_custkey = c_custkey AND o_orderstatus = 'P' AND o_totalprice > 300000.0)
+             ORDER BY c_custkey""")),
+
+    Q("j6_validate_edges",
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "orders").select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(t(s, d, "part").filter(col("p_size") > 40).select("p_partkey"),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(*) AS n FROM lineitem
+             WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+               AND EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey AND p_size > 40)
+             GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    Q("j7_match_cascade",
+      (s, d) => {
+        val ev = t(s, d, "events").select("event_id", "user_id")
+        val c1 = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("k1"))
+        val c2 = t(s, d, "customer").filter(col("c_mktsegment") === "AUTOMOBILE")
+          .select(col("c_custkey").as("k2"))
+        val m1 = ev.join(broadcast(c1), col("user_id") === col("k1"), "inner")
+          .select(col("event_id"), lit("primary").as("method"))
+        val rest = ev.join(broadcast(c1), col("user_id") === col("k1"), "left_anti")
+        val m2 = rest.join(broadcast(c2), col("user_id") === col("k2"), "inner")
+          .select(col("event_id"), lit("fallback").as("method"))
+        val m3 = rest.join(broadcast(c2), col("user_id") === col("k2"), "left_anti")
+          .select(col("event_id"), lit("unmatched").as("method"))
+        m1.unionByName(m2).unionByName(m3)
+          .groupBy("method").agg(count(lit(1)).as("n")).orderBy("method")
+      },
+      Some("""SELECT method, count(*) AS n FROM (
+               SELECT e.event_id,
+                 CASE WHEN c1.c_custkey IS NOT NULL THEN 'primary'
+                      WHEN c2.c_custkey IS NOT NULL THEN 'fallback'
+                      ELSE 'unmatched' END AS method
+               FROM events e
+               LEFT JOIN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') c1
+                 ON e.user_id = c1.c_custkey
+               LEFT JOIN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE') c2
+                 ON e.user_id = c2.c_custkey)
+             GROUP BY method ORDER BY method""")),
+
+    Q("j8_multihop_region",
+      (s, d) => t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_customers"), round(avg("c_acctbal"), 4).as("avg_balance"))
+        .orderBy("r_name"),
+      Some("""SELECT r_name, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_balance
+             FROM customer JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             GROUP BY r_name ORDER BY r_name""")),
+
+    Q("j9_range_join",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val p = ev.filter(col("event_type") === "purchase").alias("p")
+        val v = ev.filter(col("event_type").isin("view", "click")).alias("v")
+        p.join(v,
+            col("p.user_id") === col("v.user_id") &&
+              col("v.ts") >= col("p.ts") - expr("INTERVAL 24 HOURS") &&
+              col("v.ts") < col("p.ts"),
+            "left")
+          .groupBy(col("p.event_id").as("event_id"))
+          .agg(count(col("v.event_id")).as("prior_touches"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id AS event_id, count(v.event_id) AS prior_touches
+             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             LEFT JOIN (SELECT * FROM events WHERE event_type IN ('view', 'click')) v
+               ON p.user_id = v.user_id
+              AND v.ts >= p.ts - INTERVAL 24 HOUR AND v.ts < p.ts
+             GROUP BY p.event_id ORDER BY event_id""")),
+
+    Q("o2_topk_customers",
+      (s, d) => t(s, d, "customer")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        .limit(10)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")),
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+             ORDER BY c_acctbal DESC, c_custkey LIMIT 10""")),
+
+    Q("u1_union_hetero",
+      (s, d) => t(s, d, "customer")
+        .select(lit("customer").as("entity_type"), col("c_custkey").as("id"),
+          col("c_name").as("name"), col("c_nationkey").as("nationkey"))
+        .unionByName(t(s, d, "supplier")
+          .select(lit("supplier").as("entity_type"), col("s_suppkey").as("id"),
+            col("s_name").as("name"), col("s_nationkey").as("nationkey")))
+        .orderBy("entity_type", "id"),
+      Some("""SELECT 'customer' AS entity_type, c_custkey AS id, c_name AS name, c_nationkey AS nationkey FROM customer
+             UNION ALL
+             SELECT 'supplier' AS entity_type, s_suppkey AS id, s_name AS name, s_nationkey AS nationkey FROM supplier
+             ORDER BY entity_type, id""")),
+
+    Q("u3_except_keys",
+      (s, d) => t(s, d, "orders").select(col("o_custkey").as("custkey")).distinct()
+        .except(t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("custkey")))
+        .orderBy("custkey"),
+      Some("""SELECT DISTINCT o_custkey AS custkey FROM orders
+             EXCEPT
+             SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             ORDER BY custkey"""))
+  )
+}

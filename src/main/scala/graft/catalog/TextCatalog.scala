@@ -1,0 +1,255 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+import graft.catalog.Q.t
+
+/** Training-data-pipeline text operators over the `documents` table:
+  * exact/near dedup, fingerprinting, language ID, quality scoring,
+  * token statistics (builder-prompt M6 scope; SURVEY.md §7.2 M6).
+  *
+  * All operators are pure Column pipelines (no UDFs): shingling is
+  * `sequence` + `transform`/`explode`, hashing is md5 (identical hex on
+  * both engines), so every one of them carries a DuckDB oracle.
+  */
+object TextCatalog {
+
+  /** Normalized text: lower, trim, collapse whitespace — shared by all ops. */
+  private val sparkNorm = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+  private val duckNorm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  private val enW = "'the','a','of','and','to','in','is'"
+  private val deW = "'der','die','das','und','ist','nicht'"
+  private val frW = "'le','la','les','et','est','dans'"
+  private val esW = "'el','los','las','es','y','por'"
+
+  val all: Seq[Q] = Seq(
+
+    Q("x_exact_dedup",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), md5(expr(sparkNorm)).as("h"))
+        .groupBy("h")
+        .agg(count(lit(1)).as("n_copies"), min("doc_id").as("canonical_doc"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_distinct_docs"),
+          sum(when(col("n_copies") > 1, 1).otherwise(0)).as("n_dup_groups"),
+          sum(col("n_copies") - 1).as("n_redundant_docs")),
+      Some(s"""SELECT count(*) AS n_distinct_docs,
+              CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+              CAST(sum(n_copies - 1) AS BIGINT) AS n_redundant_docs
+              FROM (SELECT md5($duckNorm) AS h, count(*) AS n_copies,
+                    min(doc_id) AS canonical_doc FROM documents GROUP BY 1)""")),
+
+    Q("x_token_stats",
+      (s, d) => t(s, d, "documents")
+        .withColumn("norm", expr(sparkNorm))
+        .select(col("doc_id"),
+          expr("size(split(norm, ' '))").as("n_tokens"),
+          octet_length(col("text")).as("n_bytes"),
+          round(expr("length(replace(norm, ' ', '')) * 1.0 / size(split(norm, ' '))"), 4)
+            .as("avg_token_len"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, len(string_split(norm, ' ')) AS n_tokens,
+              octet_length(encode(text)) AS n_bytes,
+              round(length(replace(norm, ' ', '')) * 1.0 / len(string_split(norm, ' ')), 4)
+                AS avg_token_len
+              FROM (SELECT doc_id, text, $duckNorm AS norm FROM documents)
+              ORDER BY doc_id""")),
+
+    Q("x_quality_score",
+      (s, d) => t(s, d, "documents")
+        .withColumn("norm", expr(sparkNorm))
+        .withColumn("toks", expr("split(norm, ' ')"))
+        .withColumn("n_tokens", expr("size(toks)"))
+        .withColumn("n_stop", expr(s"size(filter(toks, t -> t IN ($enW)))"))
+        .withColumn("n_alpha", expr("length(regexp_replace(norm, '[^a-z]', ''))"))
+        .select(col("doc_id"),
+          round(col("n_stop") * 1.0 / col("n_tokens"), 4).as("stopword_ratio"),
+          round(col("n_alpha") * 1.0 / expr("length(norm)"), 4).as("alpha_ratio"),
+          round(col("n_stop") * 1.0 / col("n_tokens") * 0.5
+            + col("n_alpha") * 1.0 / expr("length(norm)") * 0.3
+            + least(lit(1.0), col("n_tokens") / 100.0) * 0.2, 4).as("quality"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              round(n_stop * 1.0 / n_tokens, 4) AS stopword_ratio,
+              round(n_alpha * 1.0 / n_chars, 4) AS alpha_ratio,
+              round(n_stop * 1.0 / n_tokens * 0.5 + n_alpha * 1.0 / n_chars * 0.3
+                    + least(1.0, n_tokens / 100.0) * 0.2, 4) AS quality
+              FROM (SELECT doc_id,
+                      len(list_filter(string_split(norm, ' '), t -> t IN ($enW))) AS n_stop,
+                      len(string_split(norm, ' ')) AS n_tokens,
+                      length(regexp_replace(norm, '[^a-z]', '', 'g')) AS n_alpha,
+                      length(norm) AS n_chars
+                    FROM (SELECT doc_id, $duckNorm AS norm FROM documents))
+              ORDER BY doc_id""")),
+
+    Q("x_langid",
+      (s, d) => t(s, d, "documents")
+        .withColumn("toks", expr(s"split($sparkNorm, ' ')"))
+        .withColumn("s_en", expr(s"size(filter(toks, t -> t IN ($enW)))"))
+        .withColumn("s_de", expr(s"size(filter(toks, t -> t IN ($deW)))"))
+        .withColumn("s_fr", expr(s"size(filter(toks, t -> t IN ($frW)))"))
+        .withColumn("s_es", expr(s"size(filter(toks, t -> t IN ($esW)))"))
+        .withColumn("s_zh", expr("length(regexp_replace(text, '[\\\\x00-\\\\x7f]', ''))"))
+        .withColumn("predicted_lang",
+          expr("""CASE WHEN s_zh > 0 THEN 'zh'
+                       WHEN s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+                       WHEN s_fr > s_en AND s_fr >= s_es THEN 'fr'
+                       WHEN s_es > s_en THEN 'es'
+                       ELSE 'en' END"""))
+        .groupBy("lang", "predicted_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted_lang"),
+      Some(s"""SELECT lang, predicted_lang, count(*) AS n FROM (
+                SELECT lang,
+                  CASE WHEN s_zh > 0 THEN 'zh'
+                       WHEN s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+                       WHEN s_fr > s_en AND s_fr >= s_es THEN 'fr'
+                       WHEN s_es > s_en THEN 'es'
+                       ELSE 'en' END AS predicted_lang
+                FROM (SELECT lang,
+                        len(list_filter(toks, t -> t IN ($enW))) AS s_en,
+                        len(list_filter(toks, t -> t IN ($deW))) AS s_de,
+                        len(list_filter(toks, t -> t IN ($frW))) AS s_fr,
+                        len(list_filter(toks, t -> t IN ($esW))) AS s_es,
+                        length(regexp_replace(text, '[\\x00-\\x7f]', '', 'g')) AS s_zh
+                      FROM (SELECT lang, text, string_split($duckNorm, ' ') AS toks
+                            FROM documents)))
+              GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang""")),
+
+    Q("x_fingerprint",
+      (s, d) => t(s, d, "documents")
+        .withColumn("norm", expr(sparkNorm))
+        .select(col("doc_id"),
+          expr("array_min(transform(sequence(1, greatest(length(norm) - 4, 1)),"
+            + " i -> md5(substring(norm, i, 5))))").as("fingerprint"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, min(md5(substring(norm, CAST(i AS INT), 5))) AS fingerprint
+              FROM (SELECT doc_id, $duckNorm AS norm FROM documents),
+                   UNNEST(range(1, greatest(length(norm) - 4, 1) + 1)) AS t(i)
+              GROUP BY doc_id ORDER BY doc_id""")),
+
+    Q("x_ngram_jaccard",
+      (s, d) => {
+        val docs = t(s, d, "documents").withColumn("norm", expr(sparkNorm))
+        val sh = docs
+          .select(col("doc_id"), col("source"),
+            explode(expr("transform(sequence(1, greatest(length(norm) - 3, 1)),"
+              + " i -> substring(norm, i, 4))")).as("sh"))
+          .distinct()
+        val card = sh.groupBy("doc_id").agg(count(lit(1)).as("card"))
+        val a = sh.select(col("doc_id").as("doc_a"), col("source").as("src_a"), col("sh"))
+        val b = sh.select(col("doc_id").as("doc_b"), col("source").as("src_b"), col("sh"))
+        val inter = a.join(b,
+            col("sh") === b("sh") && col("src_a") === col("src_b") && col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(card.select(col("doc_id").as("doc_a"), col("card").as("card_a")), "doc_a")
+          .join(card.select(col("doc_id").as("doc_b"), col("card").as("card_b")), "doc_b")
+          .withColumn("jaccard",
+            round(col("inter") * 1.0 / (col("card_a") + col("card_b") - col("inter")), 4))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH sh AS (
+                SELECT DISTINCT doc_id, source, substring(norm, CAST(i AS INT), 4) AS sh
+                FROM (SELECT doc_id, source, $duckNorm AS norm FROM documents),
+                     UNNEST(range(1, greatest(length(norm) - 3, 1) + 1)) AS t(i)),
+              card AS (SELECT doc_id, count(*) AS card FROM sh GROUP BY doc_id),
+              inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM sh a JOIN sh b
+                  ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+              SELECT doc_a, doc_b,
+                round(inter * 1.0 / (ca.card + cb.card - inter), 4) AS jaccard
+              FROM inter
+              JOIN card ca ON ca.doc_id = doc_a
+              JOIN card cb ON cb.doc_id = doc_b
+              WHERE round(inter * 1.0 / (ca.card + cb.card - inter), 4) >= 0.5
+              ORDER BY doc_a, doc_b""")),
+
+    Q("x_minhash_lsh",
+      (s, d) => {
+        val docs = t(s, d, "documents").withColumn("norm", expr(sparkNorm))
+        val sh = docs
+          .select(col("doc_id"),
+            explode(expr("transform(sequence(1, greatest(length(norm) - 4, 1)),"
+              + " i -> substring(norm, i, 5))")).as("sh"))
+          .distinct()
+        val mh = sh
+          .select(col("doc_id"), col("sh"), explode(expr("sequence(0, 7)")).as("j"))
+          .groupBy("doc_id", "j")
+          .agg(min(md5(concat(col("j").cast("string"), lit(":"), col("sh")))).as("m"))
+        val bands = mh
+          .withColumn("band", expr("CAST(floor(j / 2) AS INT)"))
+          .groupBy("doc_id", "band")
+          .agg(md5(concat(
+            max(when(col("j") % 2 === 0, col("m"))),
+            max(when(col("j") % 2 === 1, col("m"))))).as("band_sig"))
+        val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
+        val r = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_sig"))
+        l.join(r, Seq("band", "band_sig")).filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("n_shared_bands"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH sh AS (
+                SELECT DISTINCT doc_id, substring(norm, CAST(i AS INT), 5) AS sh
+                FROM (SELECT doc_id, $duckNorm AS norm FROM documents),
+                     UNNEST(range(1, greatest(length(norm) - 4, 1) + 1)) AS t(i)),
+              mh AS (
+                SELECT doc_id, CAST(j AS INT) AS j,
+                  min(md5(CAST(j AS VARCHAR) || ':' || sh)) AS m
+                FROM sh, UNNEST(range(0, 8)) AS u(j)
+                GROUP BY 1, 2),
+              bands AS (
+                SELECT doc_id, CAST(floor(j / 2) AS INT) AS band,
+                  md5(max(CASE WHEN j % 2 = 0 THEN m END)
+                      || max(CASE WHEN j % 2 = 1 THEN m END)) AS band_sig
+                FROM mh GROUP BY 1, 2)
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 ORDER BY doc_a, doc_b""")),
+
+    Q("x_simhash",
+      (s, d) => {
+        val docs = t(s, d, "documents").withColumn("norm", expr(sparkNorm))
+        val toks = docs
+          .select(col("doc_id"), explode(expr("array_distinct(split(norm, ' '))")).as("tok"))
+          .withColumn("h", md5(col("tok")))
+        val bits = toks
+          .select(col("doc_id"), col("h"), explode(expr("sequence(0, 31)")).as("bitpos"))
+          .withColumn("p", expr("CAST(floor(bitpos / 4) AS INT)"))
+          .withColumn("b", expr("bitpos % 4"))
+          .withColumn("digit", expr("instr('0123456789abcdef', substring(h, p + 1, 1)) - 1"))
+          .withColumn("contrib", expr("CASE WHEN CAST(floor(digit / pow(2, b)) AS INT) % 2 = 1"
+            + " THEN 1 ELSE -1 END"))
+        bits.groupBy("doc_id", "bitpos")
+          .agg(sum("contrib").as("s"))
+          .groupBy("doc_id")
+          .agg(sum(expr("CASE WHEN s > 0 THEN CAST(pow(2, bitpos) AS BIGINT) ELSE 0 END"))
+            .as("simhash"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (
+                SELECT DISTINCT doc_id, tok FROM (
+                  SELECT doc_id, unnest(string_split(norm, ' ')) AS tok
+                  FROM (SELECT doc_id, $duckNorm AS norm FROM documents))),
+              bits AS (
+                SELECT doc_id, CAST(bp AS INT) AS bitpos,
+                  CASE WHEN CAST(floor((strpos('0123456789abcdef',
+                         substring(md5(tok), CAST(floor(bp / 4) AS INT) + 1, 1)) - 1)
+                         / pow(2, bp % 4)) AS INT) % 2 = 1
+                       THEN 1 ELSE -1 END AS contrib
+                FROM toks, UNNEST(range(0, 32)) AS u(bp)),
+              sums AS (SELECT doc_id, bitpos, CAST(sum(contrib) AS BIGINT) AS s
+                       FROM bits GROUP BY 1, 2)
+              SELECT doc_id,
+                CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, bitpos) AS BIGINT) ELSE 0 END) AS BIGINT)
+                  AS simhash
+              FROM sums GROUP BY doc_id ORDER BY doc_id"""))
+  )
+}

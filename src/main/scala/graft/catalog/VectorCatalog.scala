@@ -1,0 +1,148 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.catalog.Q.t
+
+/** Similarity search over the `embeddings` table (64-dim float vectors)
+  * and the multimodal binary-column stub (builder-prompt M6 scope).
+  *
+  * Dot products are computed as `aggregate(zip_with(...))` over
+  * double-cast arrays — a sequential left fold, which matches DuckDB's
+  * list_dot_product accumulation order, so cosine values agree to the
+  * last ulp and are rounded to 4dp for the oracle compare.
+  */
+object VectorCatalog {
+
+  /** cos(qv, cv) as a SQL expression over two double-array columns. */
+  private def cosExpr(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0D, (acc, v) -> acc + v)"
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  private val duckCos =
+    "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+
+  /** Sign-of-first-8-dims LSH bucket (deterministic hyperplane family). */
+  private def bucketExpr(v: String, elemFn: String): String =
+    (1 to 8).map(j => s"(CASE WHEN $elemFn($v, $j) > 0 THEN ${1 << (j - 1)} ELSE 0 END)")
+      .mkString("CAST(", " + ", " AS BIGINT)")
+
+  val all: Seq[Q] = Seq(
+
+    Q("v_cosine_topk",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS double))").as("v"))
+        val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val c = e.filter(col("vec_id") >= 5).select(col("vec_id").as("c_id"), col("v").as("cv"))
+        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
+        q.crossJoin(c)
+          .withColumn("cos", expr(cosExpr("qv", "cv")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("rn"), col("c_id").as("neighbor_id"),
+            round(col("cos"), 4).as("cosine"))
+          .orderBy("q_id", "rn")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+              c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id >= 5),
+              sim AS (SELECT q_id, c_id, $duckCos AS cos FROM q, c)
+              SELECT q_id, rn, c_id AS neighbor_id, round(cos, 4) AS cosine
+              FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+                    FROM sim)
+              WHERE rn <= 3 ORDER BY q_id, rn""")),
+
+    Q("v_lsh_buckets",
+      (s, d) => t(s, d, "embeddings")
+        .select(expr(bucketExpr("embedding", "element_at")).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_vecs"))
+        .orderBy("bucket"),
+      Some(s"""SELECT ${bucketExpr("embedding", "list_extract")} AS bucket, count(*) AS n_vecs
+              FROM embeddings GROUP BY 1 ORDER BY bucket""")),
+
+    Q("v_lsh_ann",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS double))").as("v"),
+            expr(bucketExpr("embedding", "element_at")).as("bucket"))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+        val c = e.select(col("vec_id").as("c_id"), col("v").as("cv"),
+          col("bucket").as("c_bucket"))
+        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
+        q.join(c, col("bucket") === col("c_bucket") && col("q_id") =!= col("c_id"))
+          .withColumn("cos", expr(cosExpr("qv", "cv")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("q_id"), col("bucket"), col("c_id").as("neighbor_id"),
+            round(col("cos"), 4).as("cosine"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      ${bucketExpr("embedding", "list_extract")} AS bucket FROM embeddings),
+              q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM e WHERE vec_id < 10),
+              c AS (SELECT vec_id AS c_id, v AS cv, bucket AS c_bucket FROM e),
+              sim AS (SELECT q_id, bucket, c_id, $duckCos AS cos
+                      FROM q JOIN c ON bucket = c_bucket AND q_id <> c_id)
+              SELECT q_id, bucket, c_id AS neighbor_id, round(cos, 4) AS cosine
+              FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+                    FROM sim)
+              WHERE rn = 1 ORDER BY q_id""")),
+
+    Q("v_knn_label",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            expr("transform(embedding, x -> CAST(x AS double))").as("v"))
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("label").as("actual_label"), col("v").as("qv"))
+        val c = e.filter(col("vec_id") >= 20)
+          .select(col("vec_id").as("c_id"), col("label").as("c_label"), col("v").as("cv"))
+        val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
+        val top5 = q.crossJoin(c)
+          .withColumn("cos", expr(cosExpr("qv", "cv")))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 5)
+        val wMaj = Window.partitionBy("q_id").orderBy(col("votes").desc, col("c_label").asc)
+        top5.groupBy("q_id", "actual_label", "c_label")
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("mrn", row_number().over(wMaj))
+          .filter(col("mrn") === 1)
+          .select(col("q_id"), col("actual_label"), col("c_label").as("predicted_label"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              q AS (SELECT vec_id AS q_id, label AS actual_label, v AS qv FROM e WHERE vec_id < 20),
+              c AS (SELECT vec_id AS c_id, label AS c_label, v AS cv FROM e WHERE vec_id >= 20),
+              sim AS (SELECT q_id, actual_label, c_id, c_label, $duckCos AS cos FROM q, c),
+              top5 AS (SELECT * FROM (SELECT *, row_number() OVER
+                         (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM sim)
+                       WHERE rn <= 5),
+              votes AS (SELECT q_id, actual_label, c_label, count(*) AS votes
+                        FROM top5 GROUP BY 1, 2, 3)
+              SELECT q_id, actual_label, c_label AS predicted_label
+              FROM (SELECT *, row_number() OVER
+                      (PARTITION BY q_id ORDER BY votes DESC, c_label) AS mrn FROM votes)
+              WHERE mrn = 1 ORDER BY q_id""")),
+
+    Q("mm_decode_meta",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).as("n_bytes"),
+          (lit(64) + octet_length(col("text")) % 513).as("width"),
+          (lit(64) + (octet_length(col("text")) * 7) % 513).as("height"),
+          (lit(1) + octet_length(col("text")) % 16).as("n_frames"),
+          lower(hex(expr("encode(substring(text, 1, 8), 'UTF-8')"))).as("header_hex"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             64 + octet_length(encode(text)) % 513 AS width,
+             64 + (octet_length(encode(text)) * 7) % 513 AS height,
+             1 + octet_length(encode(text)) % 16 AS n_frames,
+             lower(hex(encode(substr(text, 1, 8)))) AS header_hex
+             FROM documents ORDER BY doc_id"""))
+  )
+}
