@@ -45,7 +45,8 @@ object TextCatalog {
         .select(col("doc_id"),
           expr("size(split(norm, ' '))").as("n_tokens"),
           octet_length(col("text")).as("n_bytes"),
-          round(expr("length(replace(norm, ' ', '')) * 1.0 / size(split(norm, ' '))"), 4)
+          // NB: inside expr() strings "1.0" parses as DECIMAL — use 1.0D
+          round(expr("length(replace(norm, ' ', '')) * 1.0D / size(split(norm, ' '))"), 4)
             .as("avg_token_len"))
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id, len(string_split(norm, ' ')) AS n_tokens,
@@ -137,10 +138,10 @@ object TextCatalog {
               + " i -> substring(norm, i, 4))")).as("sh"))
           .distinct()
         val card = sh.groupBy("doc_id").agg(count(lit(1)).as("card"))
-        val a = sh.select(col("doc_id").as("doc_a"), col("source").as("src_a"), col("sh"))
-        val b = sh.select(col("doc_id").as("doc_b"), col("source").as("src_b"), col("sh"))
+        val a = sh.select(col("doc_id").as("doc_a"), col("source").as("src_a"), col("sh").as("sh_a"))
+        val b = sh.select(col("doc_id").as("doc_b"), col("source").as("src_b"), col("sh").as("sh_b"))
         val inter = a.join(b,
-            col("sh") === b("sh") && col("src_a") === col("src_b") && col("doc_a") < col("doc_b"))
+            col("sh_a") === col("sh_b") && col("src_a") === col("src_b") && col("doc_a") < col("doc_b"))
           .groupBy("doc_a", "doc_b")
           .agg(count(lit(1)).as("inter"))
         inter

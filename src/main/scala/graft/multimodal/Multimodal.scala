@@ -1,0 +1,96 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for a training-data pipeline (builder-prompt
+  * M6): media as opaque `binary` columns with typed metadata.
+  *
+  * The decode/feature-extract step is a STUB by design — the image/audio
+  * codecs are not in this container — but everything Spark-side is real:
+  * the schema, the partitioning contract, the batch shape, and the
+  * deterministic fake decoder (a pure Catalyst expression over the bytes)
+  * that stands where a codec UDF would plug in. On a real cluster the
+  * `fakeDecode` column is swapped for an Arrow-batched UDF with the same
+  * output schema and nothing else changes.
+  */
+object Multimodal {
+
+  /** Canonical media-table schema: one row per asset. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("asset_id", StringType, nullable = false),
+    StructField("media_type", StringType),   // image | audio | video
+    StructField("content", BinaryType),      // opaque payload
+    StructField("meta", StructType(Seq(
+      StructField("source_uri", StringType),
+      StructField("mime", StringType),
+      StructField("n_bytes", LongType))))
+  ))
+
+  /** Decoded-metadata schema the (stubbed) decoder must produce — the
+    * stable contract between ingestion and feature extraction. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("header_hex", StringType)))
+
+  /** Build a media table from any table with a text/binary payload column
+    * (used in tests with `documents.text` as a stand-in payload). */
+  def asMediaTable(df: DataFrame, idCol: String, payload: Column,
+      mediaType: String): DataFrame =
+    df.select(
+      col(idCol).cast("string").as("asset_id"),
+      lit(mediaType).as("media_type"),
+      payload.cast("binary").as("content"),
+      struct(
+        concat(lit("synthetic://"), col(idCol)).as("source_uri"),
+        lit("application/octet-stream").as("mime"),
+        octet_length(payload.cast("binary")).cast("long").as("n_bytes")).as("meta"))
+
+  /** Deterministic fake decode — byte-derived pseudo-metadata. A real
+    * deployment replaces this single Column with a codec UDF returning
+    * [[decodedSchema]]; callers are unchanged. */
+  def fakeDecode(content: Column): Column = {
+    val n = octet_length(content)
+    struct(
+      (lit(64) + n % 513).cast("int").as("width"),
+      (lit(64) + (n * 7) % 513).cast("int").as("height"),
+      (lit(1) + n % 16).cast("int").as("n_frames"),
+      lower(hex(expr(s"substring(${contentName(content)}, 1, 8)"))).as("header_hex"))
+  }
+
+  // fakeDecode needs the payload's column name for the binary substring;
+  // callers pass col("content") so this resolves statically.
+  private def contentName(c: Column): String = c.toString
+
+  /** Frame sampling for "video": cut the payload into fixed-size frame
+    * chunks and keep every k-th — the batch shape (explode + substring)
+    * a real frame sampler has. */
+  def sampleFrames(media: DataFrame, frameBytes: Int, everyK: Int): DataFrame =
+    media
+      .withColumn("n_frames",
+        greatest((octet_length(col("content")) / frameBytes).cast("int"), lit(1)))
+      .select(col("asset_id"),
+        explode(expr(s"sequence(0, n_frames - 1)")).as("frame_no"),
+        col("content"))
+      .filter(col("frame_no") % everyK === 0)
+      .select(col("asset_id"), col("frame_no"),
+        expr(s"substring(content, frame_no * $frameBytes + 1, $frameBytes)").as("frame_bytes"))
+
+  /** "Feature extraction": deterministic 8-dim byte-histogram features per
+    * asset — the aggregation shape (explode bytes → groupBy) real feature
+    * extraction has, minus the codec. */
+  def byteHistogramFeatures(media: DataFrame, dims: Int = 8): DataFrame =
+    media
+      .select(col("asset_id"),
+        explode(expr("sequence(1, least(octet_length(content), 256))")).as("i"),
+        col("content"))
+      .select(col("asset_id"),
+        (expr("ascii(substring(cast(content AS string), i, 1))") % dims).as("bucket"))
+      .groupBy("asset_id")
+      .pivot("bucket", (0 until dims).map(_.toString))
+      .count()
+      .na.fill(0L)
+}

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.expressions.Window
+
+/** Structured-Streaming face of the engine (SURVEY.md §2.9 optional note):
+  * the reference's "temporal" capability is snapshot-diff micro-batching,
+  * which maps 1:1 onto `foreachBatch`; live event feeds (opens/clicks,
+  * the T5 append-only streams) map onto watermarked windowed aggs.
+  *
+  * Nothing here is required for reference parity — it is the idiomatic
+  * Spark path for running the same SCD logic incremental-on-arrival.
+  */
+object IncrementalPipeline {
+
+  /** Watermarked tumbling-window event counts (the shape a live
+    * opens/clicks feed would use; T5/T6). */
+  def windowedEventCounts(events: DataFrame, watermark: String = "10 minutes",
+      win: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Run the batch SCD step per micro-batch: each arriving snapshot slice
+    * is applied to the state directory (plain parquet current/history
+    * tables — the storage the batch loader uses too). */
+  def scdSink(incomingStream: DataFrame, stateDir: String,
+      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    incomingStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val currentPath = s"$stateDir/current"
+        val loadTs = current_timestamp()
+        val current =
+          if (fileExists(spark, currentPath)) spark.read.parquet(currentPath)
+          else batch.limit(0)
+        val result = graft.temporal.ScdLoader.applyScd(current, batch, loadTs)
+        // Two-phase write: stage, then swap (plain-parquet stand-in for a
+        // transactional MERGE target).
+        result.current.write.mode("overwrite").parquet(s"$stateDir/current_next")
+        result.historyAppend.write.mode("append").parquet(s"$stateDir/history")
+        swap(spark, s"$stateDir/current_next", currentPath)
+        ()
+      }
+
+  /** Deduplicate a stream per key keeping the earliest event, with state
+    * bounded by the watermark — the streaming face of A12. */
+  def streamingDedup(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  private def fileExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def swap(spark: SparkSession, from: String, to: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(from)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val toPath = new org.apache.hadoop.fs.Path(to)
+    if (fs.exists(toPath)) fs.delete(toPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(from), toPath)
+    ()
+  }
+}

@@ -1,0 +1,63 @@
+package graft.temporal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Clean
+
+/** Hash-diff change detection (SURVEY.md T1/J10/J11;
+  * reference utils/change_detector.py:22-244).
+  *
+  * The reference fetches the whole DB into driver memory and diffs dicts
+  * row by row; here both snapshots stay distributed and the diff is one
+  * full-outer shuffle join on the entity key — the shape that survives
+  * 100 TB (key-partitioned, no driver materialization).
+  */
+object ChangeDetector {
+
+  /** Classify an incoming snapshot against current state on `hubspot_id`:
+    * new / updated (hash differs) / unchanged / deleted (missing from the
+    * incoming snapshot). Both inputs must carry `snapshot_hash`
+    * (Clean.snapshotHash over their stable columns). */
+  def compareSnapshots(current: DataFrame, incoming: DataFrame): DataFrame = {
+    val cur = current.select(col("hubspot_id").as("cur_id"),
+      col("snapshot_hash").as("cur_hash"),
+      coalesce(col("is_deleted"), lit(false)).as("cur_deleted"))
+    val inc = incoming.select(col("hubspot_id").as("inc_id"),
+      col("snapshot_hash").as("inc_hash"))
+    cur.join(inc, col("cur_id") === col("inc_id"), "full_outer")
+      .select(
+        coalesce(col("inc_id"), col("cur_id")).as("hubspot_id"),
+        when(col("cur_id").isNull, "new")
+          .when(col("inc_id").isNull && !col("cur_deleted"), "deleted")
+          .when(col("inc_id").isNull && col("cur_deleted"), "already_deleted")
+          .when(col("cur_deleted"), "resurrected")
+          .when(col("cur_hash") =!= col("inc_hash"), "updated")
+          .otherwise("unchanged").as("change_type"))
+  }
+
+  /** Per-class counts (change_detector.py:120-127). */
+  def changeStats(classified: DataFrame): DataFrame =
+    classified.groupBy("change_type").agg(count(lit(1)).as("n")).orderBy("change_type")
+
+  /** Edge-set diff on (src, rel_type, dst) — added/removed, immutable event
+    * edges excluded (T4/J11; change_detector.py:153-244,
+    * config/settings.py:76-86). */
+  def diffEdges(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val key = Seq("rel_type", "src_type", "src_id", "dst_type", "dst_id")
+    def trackable(df: DataFrame) =
+      df.filter(!col("rel_type").isin(graft.model.CrmSchema.ImmutableEdgeTypes.toSeq: _*))
+        .select(key.map(col): _*).distinct()
+    val added = trackable(incoming).except(trackable(existing))
+      .withColumn("change_type", lit("added"))
+    val removed = trackable(existing).except(trackable(incoming))
+      .withColumn("change_type", lit("removed"))
+    added.unionByName(removed)
+  }
+
+  /** Recompute snapshot hashes for a node table whose stable columns are
+    * everything except the SCD bookkeeping set. */
+  def rehash(nodes: DataFrame): DataFrame = {
+    val stable = nodes.columns.filterNot(Clean.TemporalCols)
+    nodes.withColumn("snapshot_hash", Clean.snapshotHash(stable.toSeq))
+  }
+}

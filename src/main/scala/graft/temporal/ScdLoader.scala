@@ -1,0 +1,92 @@
+package graft.temporal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SCD Type-4 maintenance: current table + full-history table + CDC log
+  * (SURVEY.md T1–T5/W3; reference loaders/temporal_loader.py:53-462).
+  *
+  * Pure DataFrame → DataFrame semantics, storage-agnostic: callers persist
+  * the three outputs (current / history / relationship changes) however
+  * they like (plain parquet overwrite at reference scale; key-bucketed
+  * MERGE at 100 TB — the join keys are already the bucket keys).
+  */
+object ScdLoader {
+
+  /** Result of one SCD load step. */
+  final case class ScdResult(current: DataFrame, historyAppend: DataFrame,
+      changes: DataFrame)
+
+  /** Apply one incoming snapshot to current state.
+    *
+    *  - new rows       -> inserted as current (valid_from = loadTs)
+    *  - updated rows   -> old version appended to history with
+    *                      valid_to = loadTs (T2); new version is current
+    *  - unchanged rows -> carried over untouched (idempotence: re-loading
+    *                      the same snapshot MUST produce zero changes —
+    *                      the reference's #1 invariant,
+    *                      docs/TESTING_QUICK_REFERENCE.md:17-35)
+    *  - missing rows   -> soft delete (T3): snapshot to history, then
+    *                      is_deleted = true, is_current = false
+    *
+    * Both inputs carry the 5 SCD columns; `incoming` is a fresh transform
+    * output (is_current = true, is_deleted = false, valid_to = null).
+    */
+  def applyScd(current: DataFrame, incoming: DataFrame, loadTs: Column): ScdResult = {
+    val classified = ChangeDetector.compareSnapshots(current, incoming)
+      .withColumnRenamed("hubspot_id", "cls_id")
+
+    def cls(df: DataFrame) =
+      df.join(classified, df("hubspot_id") === col("cls_id"), "left")
+        .drop("cls_id")
+
+    val curCls = cls(current)
+    val incCls = cls(incoming)
+
+    // History gains the superseded version of updated/resurrected rows and
+    // a terminal snapshot of freshly deleted rows.
+    val historyAppend = curCls
+      .filter(col("change_type").isin("updated", "resurrected", "deleted"))
+      .withColumn("valid_to", loadTs)
+      .withColumn("is_current", lit(false))
+      .drop("change_type")
+
+    // New current state.
+    val carried = curCls.filter(col("change_type") === "unchanged" ||
+      col("change_type") === "already_deleted").drop("change_type")
+    val replaced = incCls
+      .filter(col("change_type").isin("new", "updated", "resurrected"))
+      .withColumn("valid_from", loadTs)
+      .drop("change_type")
+    val softDeleted = curCls.filter(col("change_type") === "deleted")
+      .withColumn("is_deleted", lit(true))
+      .withColumn("is_current", lit(false))
+      .withColumn("valid_to", loadTs)
+      .drop("change_type")
+
+    val newCurrent = carried.unionByName(replaced).unionByName(softDeleted)
+    ScdResult(newCurrent, historyAppend,
+      classified.withColumnRenamed("cls_id", "hubspot_id"))
+  }
+
+  /** Relationship CDC: diff trackable edges and produce
+    * HUBSPOT_RelationshipChange rows (T4; temporal_loader.py:401-462). */
+  def edgeChanges(existing: DataFrame, incoming: DataFrame, loadTs: Column): DataFrame =
+    ChangeDetector.diffEdges(existing, incoming)
+      .select(col("change_type"),
+        col("src_type").as("from_entity_type"), col("src_id").as("from_entity_id"),
+        col("dst_type").as("to_entity_type"), col("dst_id").as("to_entity_id"),
+        col("rel_type").as("relationship_type"),
+        loadTs.as("changed_at"))
+
+  /** W3 — rebuild SCD2-style validity intervals for a full history table
+    * in one batch: valid_to = lead(valid_from) per entity (the canonical
+    * windowed backfill; scripts/initialize_temporal_data.py:40-202). */
+  def rebuildIntervals(history: DataFrame): DataFrame = {
+    val w = Window.partitionBy("hubspot_id").orderBy(col("valid_from").asc)
+    history
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+}

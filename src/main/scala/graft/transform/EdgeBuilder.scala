@@ -1,0 +1,154 @@
+package graft.transform
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Clean._
+
+/** Builds the single edge table for all 15 relationship types
+  * (SURVEY.md §1.4; reference transformers/graph_transformer.py +
+  * loaders/neo4j_loader.py).
+  *
+  * Edges whose source is only known by email (PERFORMED, SUBMITTED_BY)
+  * carry `src_email`; [[resolveEmailEdges]] turns them into id-keyed
+  * edges with one broadcast hash join against the contact table — the
+  * reference's dict build+probe (graph_transformer.py:501-507) IS a
+  * broadcast hash join (SURVEY.md J2).
+  */
+object EdgeBuilder {
+
+  private val nullStr = lit(null).cast("string")
+  private val nullProps = lit(null).cast("map<string,string>")
+
+  private def edge(relType: String, srcType: String, srcId: Column,
+      dstType: String, dstId: Column, srcEmail: Column = nullStr,
+      props: Column = nullProps): Seq[Column] = Seq(
+    lit(relType).as("rel_type"), lit(srcType).as("src_type"), srcId.as("src_id"),
+    srcEmail.as("src_email"), lit(dstType).as("dst_type"), dstId.as("dst_id"),
+    props.as("props"))
+
+  private def assoc(raw: DataFrame, key: String): DataFrame =
+    raw.select(col("id"),
+      explode(col("associations").getItem(key)).as("a"))
+      .select(col("id"), col("a").getField("id").as("other_id"))
+      .filter(col("other_id").isNotNull)
+
+  /** (Contact)-[:WORKS_AT]->(Company) via FK (graph_transformer.py:140-150). */
+  def worksAt(contactsRaw: DataFrame): DataFrame =
+    contactsRaw
+      .select(col("id"), col("properties").getItem("associatedcompanyid").as("cid"))
+      .filter(col("cid").isNotNull)
+      .select(edge("WORKS_AT", "HUBSPOT_Contact", col("id"),
+        "HUBSPOT_Company", col("cid")): _*)
+
+  /** (X)-[:OWNED_BY]->(User) via hubspot_owner_id
+    * (graph_transformer.py:128-138, 212-222, 252-262). */
+  def ownedBy(nodes: DataFrame, srcType: String): DataFrame =
+    nodes.filter(col("owner_id").isNotNull)
+      .select(edge("OWNED_BY", srcType, col("hubspot_id"),
+        "HUBSPOT_User", col("owner_id")): _*)
+
+  /** (Contact)-[:ASSOCIATED_WITH]->(Deal) — emitted from BOTH the contact
+    * and the deal association arrays, deduped (graph_transformer.py:155-165,
+    * 276-286; MERGE-dedup in the reference). */
+  def associatedWith(contactsRaw: DataFrame, dealsRaw: DataFrame): DataFrame = {
+    val fromContacts = assoc(contactsRaw, "deals")
+      .select(edge("ASSOCIATED_WITH", "HUBSPOT_Contact", col("id"),
+        "HUBSPOT_Deal", col("other_id")): _*)
+    val fromDeals = assoc(dealsRaw, "contacts")
+      .select(edge("ASSOCIATED_WITH", "HUBSPOT_Contact", col("other_id"),
+        "HUBSPOT_Deal", col("id")): _*)
+    fromContacts.unionByName(fromDeals).dropDuplicates("src_id", "dst_id")
+  }
+
+  /** (Deal)-[:BELONGS_TO]->(Company) (graph_transformer.py:264-275). */
+  def belongsTo(dealsRaw: DataFrame): DataFrame =
+    assoc(dealsRaw, "companies")
+      .select(edge("BELONGS_TO", "HUBSPOT_Deal", col("id"),
+        "HUBSPOT_Company", col("other_id")): _*)
+
+  /** (Activity)-[:INVOLVES]->(Contact|Company), (Activity)-[:RELATED_TO]->(Deal)
+    * (graph_transformer.py:334-368). */
+  def activityEdges(engagementsRaw: DataFrame): DataFrame = {
+    val inv1 = assoc(engagementsRaw, "contacts")
+      .select(edge("INVOLVES", "HUBSPOT_Activity", col("id"),
+        "HUBSPOT_Contact", col("other_id")): _*)
+    val inv2 = assoc(engagementsRaw, "companies")
+      .select(edge("INVOLVES", "HUBSPOT_Activity", col("id"),
+        "HUBSPOT_Company", col("other_id")): _*)
+    val rel = assoc(engagementsRaw, "deals")
+      .select(edge("RELATED_TO", "HUBSPOT_Activity", col("id"),
+        "HUBSPOT_Deal", col("other_id")): _*)
+    inv1.unionByName(inv2).unionByName(rel)
+  }
+
+  /** (Contact)-[:PERFORMED]->(Email{Open,Click}Event) keyed by email
+    * (graph_transformer.py:410-418, 444-452). */
+  def performed(eventNodes: DataFrame, dstType: String): DataFrame =
+    eventNodes.select(edge("PERFORMED", "HUBSPOT_Contact", nullStr,
+      dstType, col("hubspot_id"), srcEmail = col("recipient_email")): _*)
+
+  /** (Email*Event)-[:FOR_CAMPAIGN]->(EmailCampaign)
+    * (graph_transformer.py:420-428, 454-462). */
+  def forCampaign(eventNodes: DataFrame, srcType: String): DataFrame =
+    eventNodes.filter(col("campaign_id").isNotNull)
+      .select(edge("FOR_CAMPAIGN", srcType, col("hubspot_id"),
+        "HUBSPOT_EmailCampaign", col("campaign_id")): _*)
+
+  /** (EmailClickEvent)-[:CLICKED_URL]->(WebPage) (graph_transformer.py:464-475). */
+  def clickedUrl(clickNodes: DataFrame): DataFrame =
+    clickNodes.filter(col("clicked_url").isNotNull)
+      .select(edge("CLICKED_URL", "HUBSPOT_EmailClickEvent", col("hubspot_id"),
+        "HUBSPOT_WebPage", col("clicked_url")): _*)
+
+  /** (FormSubmission)-[:SUBMITTED_BY]->(Contact) by normalized email
+    * (graph_transformer.py:501-558). */
+  def submittedBy(formNodes: DataFrame): DataFrame =
+    // dst contact is resolved by email: the resolver reads src_email
+    formNodes.select(edge("SUBMITTED_BY", "HUBSPOT_FormSubmission", col("hubspot_id"),
+      "HUBSPOT_Contact", nullStr, srcEmail = col("email")): _*)
+
+  /** (FormSubmission)-[:ON_PAGE]->(WebPage) (graph_transformer.py:562-574). */
+  def onPage(formNodes: DataFrame): DataFrame =
+    formNodes.filter(col("page_url").isNotNull)
+      .select(edge("ON_PAGE", "HUBSPOT_FormSubmission", col("hubspot_id"),
+        "HUBSPOT_WebPage", col("page_url")): _*)
+
+  /** (Contact)-[:VISITED]->(WebPage) — legacy last-visit edge with props
+    * (graph_transformer.py:167-180). */
+  def visited(contactNodes: DataFrame): DataFrame =
+    contactNodes.filter(col("first_page_seen").isNotNull)
+      .select(edge("VISITED", "HUBSPOT_Contact", col("hubspot_id"),
+        "HUBSPOT_WebPage", col("first_page_seen"),
+        props = map(lit("source"), coalesce(col("source"), lit("unknown")))): _*)
+
+  /** J2 — resolve email-keyed edges to contact ids with one broadcast hash
+    * join (replaces the reference's driver-side dict probe). PERFORMED uses
+    * the email as the SOURCE contact; SUBMITTED_BY as the DESTINATION. */
+  def resolveEmailEdges(edges: DataFrame, contactNodes: DataFrame): DataFrame = {
+    val emailToId = broadcast(
+      contactNodes.filter(col("email").isNotNull)
+        .groupBy(col("email").as("c_email"))
+        .agg(min("hubspot_id").as("c_id")))
+    val keyed = edges.filter(col("src_email").isNotNull)
+      .join(emailToId, col("src_email") === col("c_email"), "inner")
+    val performedResolved = keyed.filter(col("rel_type") === "PERFORMED")
+      .withColumn("src_id", col("c_id"))
+    val submittedResolved = keyed.filter(col("rel_type") === "SUBMITTED_BY")
+      .withColumn("dst_id", col("c_id"))
+    val untouched = edges.filter(col("src_email").isNull)
+    performedResolved.unionByName(submittedResolved)
+      .select(edges.columns.map(col): _*)
+      .unionByName(untouched)
+  }
+
+  /** J6 — keep only edges whose endpoints exist (bulk existence probe,
+    * temporal_loader.py:268-311): two semi-joins against the node-id union. */
+  def validate(edges: DataFrame, nodeIds: DataFrame): DataFrame = {
+    val ids = nodeIds.select(col("node_type"), col("hubspot_id"))
+    edges
+      .join(ids.withColumnRenamed("node_type", "src_type")
+        .withColumnRenamed("hubspot_id", "src_id"), Seq("src_type", "src_id"), "left_semi")
+      .join(ids.withColumnRenamed("node_type", "dst_type")
+        .withColumnRenamed("hubspot_id", "dst_id"), Seq("dst_type", "dst_id"), "left_semi")
+  }
+}
