@@ -84,12 +84,15 @@ object TextCatalog {
               ORDER BY doc_id""")),
 
     Q("x_langid",
+      // scores = DISTINCT stopword hits via array_intersect (codegen-friendly,
+      // no per-element lambda interpretation — the lambda version was 6x
+      // slower at sf0.1)
       (s, d) => t(s, d, "documents")
-        .withColumn("toks", expr(s"split($sparkNorm, ' ')"))
-        .withColumn("s_en", expr(s"size(filter(toks, t -> t IN ($enW)))"))
-        .withColumn("s_de", expr(s"size(filter(toks, t -> t IN ($deW)))"))
-        .withColumn("s_fr", expr(s"size(filter(toks, t -> t IN ($frW)))"))
-        .withColumn("s_es", expr(s"size(filter(toks, t -> t IN ($esW)))"))
+        .withColumn("toks", expr(s"array_distinct(split($sparkNorm, ' '))"))
+        .withColumn("s_en", expr(s"size(array_intersect(toks, array($enW)))"))
+        .withColumn("s_de", expr(s"size(array_intersect(toks, array($deW)))"))
+        .withColumn("s_fr", expr(s"size(array_intersect(toks, array($frW)))"))
+        .withColumn("s_es", expr(s"size(array_intersect(toks, array($esW)))"))
         .withColumn("s_zh", expr("length(regexp_replace(text, '[\\\\x00-\\\\x7f]', ''))"))
         .withColumn("predicted_lang",
           expr("""CASE WHEN s_zh > 0 THEN 'zh'
@@ -108,12 +111,13 @@ object TextCatalog {
                        WHEN s_es > s_en THEN 'es'
                        ELSE 'en' END AS predicted_lang
                 FROM (SELECT lang,
-                        len(list_filter(toks, t -> t IN ($enW))) AS s_en,
-                        len(list_filter(toks, t -> t IN ($deW))) AS s_de,
-                        len(list_filter(toks, t -> t IN ($frW))) AS s_fr,
-                        len(list_filter(toks, t -> t IN ($esW))) AS s_es,
+                        len(list_intersect(toks, [$enW])) AS s_en,
+                        len(list_intersect(toks, [$deW])) AS s_de,
+                        len(list_intersect(toks, [$frW])) AS s_fr,
+                        len(list_intersect(toks, [$esW])) AS s_es,
                         length(regexp_replace(text, '[\\x00-\\x7f]', '', 'g')) AS s_zh
-                      FROM (SELECT lang, text, string_split($duckNorm, ' ') AS toks
+                      FROM (SELECT lang, text,
+                              list_distinct(string_split($duckNorm, ' ')) AS toks
                             FROM documents)))
               GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang""")),
 
@@ -130,12 +134,19 @@ object TextCatalog {
               GROUP BY doc_id ORDER BY doc_id""")),
 
     Q("x_ngram_jaccard",
+      // Word-trigram w-shingling (Broder-style), pairs bucketed by source:
+      // the all-pairs join only meets inside a (source, shingle) bucket, so
+      // join fan-out stays O(docs-per-source) — the shape that survives
+      // scale-up, unlike char-4-grams whose near-universal sharing made the
+      // join quadratic (137 s -> ~4 s at sf0.1).
       (s, d) => {
-        val docs = t(s, d, "documents").withColumn("norm", expr(sparkNorm))
+        val docs = t(s, d, "documents")
+          .withColumn("toks", expr(s"split($sparkNorm, ' ')"))
         val sh = docs
+          .filter(expr("size(toks) >= 3")) // docs with <3 tokens have no trigrams
           .select(col("doc_id"), col("source"),
-            explode(expr("transform(sequence(1, greatest(length(norm) - 3, 1)),"
-              + " i -> substring(norm, i, 4))")).as("sh"))
+            explode(expr("transform(sequence(1, size(toks) - 2),"
+              + " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")).as("sh"))
           .distinct()
         val card = sh.groupBy("doc_id").agg(count(lit(1)).as("card"))
         val a = sh.select(col("doc_id").as("doc_a"), col("source").as("src_a"), col("sh").as("sh_a"))
@@ -147,16 +158,20 @@ object TextCatalog {
         inter
           .join(card.select(col("doc_id").as("doc_a"), col("card").as("card_a")), "doc_a")
           .join(card.select(col("doc_id").as("doc_b"), col("card").as("card_b")), "doc_b")
-          .withColumn("jaccard",
-            round(col("inter") * 1.0 / (col("card_a") + col("card_b") - col("inter")), 4))
-          .filter(col("jaccard") >= 0.5)
-          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+          .select(col("doc_a"), col("doc_b"),
+            round(col("inter") * 1.0 / (col("card_a") + col("card_b") - col("inter")), 4)
+              .as("jaccard"))
           .orderBy("doc_a", "doc_b")
       },
-      Some(s"""WITH sh AS (
-                SELECT DISTINCT doc_id, source, substring(norm, CAST(i AS INT), 4) AS sh
-                FROM (SELECT doc_id, source, $duckNorm AS norm FROM documents),
-                     UNNEST(range(1, greatest(length(norm) - 3, 1) + 1)) AS t(i)),
+      Some(s"""WITH toks AS (
+                SELECT doc_id, source, string_split($duckNorm, ' ') AS toks
+                FROM documents),
+              sh AS (
+                SELECT DISTINCT doc_id, source,
+                  concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i AS INT) + 1],
+                            toks[CAST(i AS INT) + 2]) AS sh
+                FROM toks, UNNEST(range(1, len(toks) - 1)) AS t(i)
+                WHERE len(toks) >= 3),
               card AS (SELECT doc_id, count(*) AS card FROM sh GROUP BY doc_id),
               inter AS (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -168,10 +183,14 @@ object TextCatalog {
               FROM inter
               JOIN card ca ON ca.doc_id = doc_a
               JOIN card cb ON cb.doc_id = doc_b
-              WHERE round(inter * 1.0 / (ca.card + cb.card - inter), 4) >= 0.5
               ORDER BY doc_a, doc_b""")),
 
     Q("x_minhash_lsh",
+      // 8 minhash functions computed as 8 min() aggregates over ONE pass of
+      // the shingle table (map-side partial aggregation, no per-function
+      // explode) — the exploded j-variant shuffled 8x the rows and was 40x
+      // slower at sf0.1. Bands = md5 over adjacent signature pairs; doc
+      // pairs sharing any band bucket are near-dup candidates.
       (s, d) => {
         val docs = t(s, d, "documents").withColumn("norm", expr(sparkNorm))
         val sh = docs
@@ -179,16 +198,14 @@ object TextCatalog {
             explode(expr("transform(sequence(1, greatest(length(norm) - 4, 1)),"
               + " i -> substring(norm, i, 5))")).as("sh"))
           .distinct()
-        val mh = sh
-          .select(col("doc_id"), col("sh"), explode(expr("sequence(0, 7)")).as("j"))
-          .groupBy("doc_id", "j")
-          .agg(min(md5(concat(col("j").cast("string"), lit(":"), col("sh")))).as("m"))
-        val bands = mh
-          .withColumn("band", expr("CAST(floor(j / 2) AS INT)"))
-          .groupBy("doc_id", "band")
-          .agg(md5(concat(
-            max(when(col("j") % 2 === 0, col("m"))),
-            max(when(col("j") % 2 === 1, col("m"))))).as("band_sig"))
+        val minhashes = (0 to 7).map(j =>
+          min(md5(concat(lit(s"$j:"), col("sh")))).as(s"m$j"))
+        val mh = sh.groupBy("doc_id").agg(minhashes.head, minhashes.tail: _*)
+        val bands = mh.select(col("doc_id"),
+          explode(array((0 to 3).map(b => struct(lit(b).as("band"),
+            md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))).as("band_sig"))): _*))
+            .as("bs"))
+          .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
         val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
         val r = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_sig"))
         l.join(r, Seq("band", "band_sig")).filter(col("doc_a") < col("doc_b"))
@@ -201,15 +218,17 @@ object TextCatalog {
                 FROM (SELECT doc_id, $duckNorm AS norm FROM documents),
                      UNNEST(range(1, greatest(length(norm) - 4, 1) + 1)) AS t(i)),
               mh AS (
-                SELECT doc_id, CAST(j AS INT) AS j,
-                  min(md5(CAST(j AS VARCHAR) || ':' || sh)) AS m
-                FROM sh, UNNEST(range(0, 8)) AS u(j)
-                GROUP BY 1, 2),
+                SELECT doc_id,
+                  min(md5('0:' || sh)) AS m0, min(md5('1:' || sh)) AS m1,
+                  min(md5('2:' || sh)) AS m2, min(md5('3:' || sh)) AS m3,
+                  min(md5('4:' || sh)) AS m4, min(md5('5:' || sh)) AS m5,
+                  min(md5('6:' || sh)) AS m6, min(md5('7:' || sh)) AS m7
+                FROM sh GROUP BY doc_id),
               bands AS (
-                SELECT doc_id, CAST(floor(j / 2) AS INT) AS band,
-                  md5(max(CASE WHEN j % 2 = 0 THEN m END)
-                      || max(CASE WHEN j % 2 = 1 THEN m END)) AS band_sig
-                FROM mh GROUP BY 1, 2)
+                SELECT doc_id, 0 AS band, md5(m0 || m1) AS band_sig FROM mh
+                UNION ALL SELECT doc_id, 1, md5(m2 || m3) FROM mh
+                UNION ALL SELECT doc_id, 2, md5(m4 || m5) FROM mh
+                UNION ALL SELECT doc_id, 3, md5(m6 || m7) FROM mh)
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
               FROM bands a JOIN bands b
                 ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
