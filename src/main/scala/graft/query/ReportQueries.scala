@@ -31,8 +31,11 @@ object ReportQueries {
     * joins then DISTINCT counts (reporting/queries.py:122-141,
     * query_ownership.py:82-103). */
   def allOwnersSummary(g: GraphTables): DataFrame = {
-    val u = broadcast(g.users.select(col("hubspot_id").as("owner_key"),
-      ownerName.as("owner_name"), col("email").as("owner_email")))
+    // users must be the PRESERVED side of the left joins (owners with zero
+    // entities stay in the report), so it cannot be the broadcast build
+    // side; the entity sides shuffle on owner_id instead (tiny key space).
+    val u = g.users.select(col("hubspot_id").as("owner_key"),
+      ownerName.as("owner_name"), col("email").as("owner_email"))
     u.join(g.contacts.select(col("hubspot_id").as("c_id"), col("owner_id").as("c_own")),
         col("c_own") === col("owner_key"), "left")
       .join(g.companies.select(col("hubspot_id").as("co_id"), col("owner_id").as("co_own")),
@@ -78,7 +81,9 @@ object ReportQueries {
   def campaignPerformance(g: GraphTables): DataFrame = {
     val opens = g.opens.groupBy(col("campaign_id")).agg(count(lit(1)).as("n_opens"))
     val clicks = g.clicks.groupBy(col("campaign_id")).agg(count(lit(1)).as("n_clicks"))
-    broadcast(g.campaigns.select(col("hubspot_id").as("campaign_id"), col("name")))
+    // campaigns is the preserved side of the left joins (campaigns with
+    // zero opens stay in the report) — not broadcastable as build side
+    g.campaigns.select(col("hubspot_id").as("campaign_id"), col("name"))
       .join(opens, Seq("campaign_id"), "left")
       .join(clicks, Seq("campaign_id"), "left")
       .withColumn("n_opens", coalesce(col("n_opens"), lit(0L)))

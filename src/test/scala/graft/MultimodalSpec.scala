@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+/** Multimodal binary-column plumbing (stubbed decode, real Spark shapes). */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val media = Multimodal.asMediaTable(
+    graft.catalog.Q.t(spark, "/root/testdata/sf0.001", "documents"),
+    "doc_id", col("text"), "video").cache()
+
+  test("media table matches the canonical schema") {
+    // compare names + types; nullability flags differ between literal-built
+    // and declared schemas and carry no contract weight here
+    def shape(s: org.apache.spark.sql.types.StructType): Seq[(String, String)] =
+      s.fields.map(f => f.name -> f.dataType.simpleString).toSeq
+    assert(shape(media.schema) == shape(Multimodal.mediaSchema))
+    assert(media.count() == 500)
+    assert(media.filter(col("meta.n_bytes") <= 0).count() == 0)
+  }
+
+  test("fake decode produces the decoded-metadata contract") {
+    val dec = media.select(col("asset_id"), Multimodal.fakeDecode(col("content")).as("d"))
+      .select(col("asset_id"), col("d.*"))
+    assert(dec.schema.fieldNames.toSeq == Seq("asset_id", "width", "height", "n_frames", "header_hex"))
+    val r = dec.orderBy("asset_id").limit(1).collect()(0)
+    assert(r.getInt(1) >= 64 && r.getInt(1) < 64 + 513)
+    assert(r.getString(4).nonEmpty)
+  }
+
+  test("frame sampling cuts payload into every-k-th fixed-size chunks") {
+    val frames = Multimodal.sampleFrames(media.limit(10), frameBytes = 100, everyK = 2)
+    val r = frames.groupBy("asset_id").count().collect()
+    assert(r.nonEmpty)
+    // every kept frame index is even
+    assert(frames.filter(col("frame_no") % 2 =!= 0).count() == 0)
+    // frames are at most frameBytes long
+    assert(frames.filter(octet_length(col("frame_bytes")) > 100).count() == 0)
+  }
+
+  test("byte-histogram features: one row per asset, dims columns, counts sum to sample size") {
+    val feats = Multimodal.byteHistogramFeatures(media.limit(20), dims = 8)
+    assert(feats.count() == 20)
+    assert(feats.columns.length == 9) // asset_id + 8 buckets
+  }
+}
