@@ -306,6 +306,18 @@ object AggWindowCatalog {
                  ON o.old_key = n.new_key)
              GROUP BY change_type ORDER BY change_type""")),
 
+    Q("a_approx_distinct",
+      // Scale extension: HLL++ sketch vs exact distinct. No oracle — the
+      // sketch estimate is engine-specific; the driver records a rows-only
+      // check. At 100 TB this replaces the exact distinct's full shuffle
+      // with a fixed-size mergeable sketch per partition.
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_exact"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("n_approx"))
+        .orderBy("l_returnflag"),
+      None),
+
     Q("t8_asof_state",
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)

@@ -17,6 +17,50 @@ object TextCatalog {
   private val sparkNorm = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
   private val duckNorm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
+  /** 32-bit SimHash per doc (md5-nibble majority over distinct tokens),
+    * carried with `source` so near-dup pairing can bucket by it. */
+  private def simhashTable(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = t(s, d, "documents").withColumn("norm", expr(sparkNorm))
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        explode(expr("array_distinct(split(norm, ' '))")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    toks
+      .select(col("doc_id"), col("source"), col("h"),
+        explode(expr("sequence(0, 31)")).as("bitpos"))
+      .withColumn("p", expr("CAST(floor(bitpos / 4) AS INT)"))
+      .withColumn("b", expr("bitpos % 4"))
+      .withColumn("digit", expr("instr('0123456789abcdef', substring(h, p + 1, 1)) - 1"))
+      .withColumn("contrib", expr("CASE WHEN CAST(floor(digit / pow(2, b)) AS INT) % 2 = 1"
+        + " THEN 1 ELSE -1 END"))
+      .groupBy("doc_id", "source", "bitpos")
+      .agg(sum("contrib").as("s"))
+      .groupBy("doc_id", "source")
+      .agg(sum(expr("CASE WHEN s > 0 THEN CAST(pow(2, bitpos) AS BIGINT) ELSE 0 END"))
+        .as("simhash"))
+  }
+
+  /** DuckDB twin of [[simhashTable]], shared by the two simhash oracles. */
+  private def duckSimhashCte: String =
+    s"""toks AS (
+         SELECT DISTINCT doc_id, source, tok FROM (
+           SELECT doc_id, source, unnest(string_split(norm, ' ')) AS tok
+           FROM (SELECT doc_id, source, $duckNorm AS norm FROM documents))),
+       bits AS (
+         SELECT doc_id, source, CAST(bp AS INT) AS bitpos,
+           CASE WHEN CAST(floor((strpos('0123456789abcdef',
+                  substring(md5(tok), CAST(floor(bp / 4) AS INT) + 1, 1)) - 1)
+                  / pow(2, bp % 4)) AS INT) % 2 = 1
+                THEN 1 ELSE -1 END AS contrib
+         FROM toks, UNNEST(range(0, 32)) AS u(bp)),
+       sums AS (SELECT doc_id, source, bitpos, CAST(sum(contrib) AS BIGINT) AS s
+                FROM bits GROUP BY 1, 2, 3),
+       sims AS (
+         SELECT doc_id, source,
+           CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, bitpos) AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS simhash
+         FROM sums GROUP BY 1, 2)"""
+
   private val enW = "'the','a','of','and','to','in','is'"
   private val deW = "'der','die','das','und','ist','nicht'"
   private val frW = "'le','la','les','et','est','dans'"
@@ -235,41 +279,31 @@ object TextCatalog {
               GROUP BY 1, 2 ORDER BY doc_a, doc_b""")),
 
     Q("x_simhash",
+      (s, d) => simhashTable(s, d).select("doc_id", "simhash").orderBy("doc_id"),
+      Some(s"WITH $duckSimhashCte SELECT doc_id, simhash FROM sims ORDER BY doc_id")),
+
+    Q("x_simhash_neardup",
+      // Near-dup candidates: doc pairs in the same source bucket whose
+      // 32-bit SimHash signatures are within hamming distance 8 — the
+      // distance is ONE codegen'd expression, bit_count(a ^ b) (no UDF).
       (s, d) => {
-        val docs = t(s, d, "documents").withColumn("norm", expr(sparkNorm))
-        val toks = docs
-          .select(col("doc_id"), explode(expr("array_distinct(split(norm, ' '))")).as("tok"))
-          .withColumn("h", md5(col("tok")))
-        val bits = toks
-          .select(col("doc_id"), col("h"), explode(expr("sequence(0, 31)")).as("bitpos"))
-          .withColumn("p", expr("CAST(floor(bitpos / 4) AS INT)"))
-          .withColumn("b", expr("bitpos % 4"))
-          .withColumn("digit", expr("instr('0123456789abcdef', substring(h, p + 1, 1)) - 1"))
-          .withColumn("contrib", expr("CASE WHEN CAST(floor(digit / pow(2, b)) AS INT) % 2 = 1"
-            + " THEN 1 ELSE -1 END"))
-        bits.groupBy("doc_id", "bitpos")
-          .agg(sum("contrib").as("s"))
-          .groupBy("doc_id")
-          .agg(sum(expr("CASE WHEN s > 0 THEN CAST(pow(2, bitpos) AS BIGINT) ELSE 0 END"))
-            .as("simhash"))
-          .orderBy("doc_id")
+        val sims = simhashTable(s, d)
+        val a = sims.select(col("doc_id").as("doc_a"), col("source").as("src_a"),
+          col("simhash").as("sim_a"))
+        val b = sims.select(col("doc_id").as("doc_b"), col("source").as("src_b"),
+          col("simhash").as("sim_b"))
+        a.join(b, col("src_a") === col("src_b") && col("doc_a") < col("doc_b"))
+          .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+          .filter(col("hamming") <= 8)
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+          .orderBy("doc_a", "doc_b")
       },
-      Some(s"""WITH toks AS (
-                SELECT DISTINCT doc_id, tok FROM (
-                  SELECT doc_id, unnest(string_split(norm, ' ')) AS tok
-                  FROM (SELECT doc_id, $duckNorm AS norm FROM documents))),
-              bits AS (
-                SELECT doc_id, CAST(bp AS INT) AS bitpos,
-                  CASE WHEN CAST(floor((strpos('0123456789abcdef',
-                         substring(md5(tok), CAST(floor(bp / 4) AS INT) + 1, 1)) - 1)
-                         / pow(2, bp % 4)) AS INT) % 2 = 1
-                       THEN 1 ELSE -1 END AS contrib
-                FROM toks, UNNEST(range(0, 32)) AS u(bp)),
-              sums AS (SELECT doc_id, bitpos, CAST(sum(contrib) AS BIGINT) AS s
-                       FROM bits GROUP BY 1, 2)
-              SELECT doc_id,
-                CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, bitpos) AS BIGINT) ELSE 0 END) AS BIGINT)
-                  AS simhash
-              FROM sums GROUP BY doc_id ORDER BY doc_id"""))
+      Some(s"""WITH $duckSimhashCte
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                bit_count(xor(a.simhash, b.simhash)) AS hamming
+              FROM sims a JOIN sims b
+                ON a.source = b.source AND a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+              ORDER BY doc_a, doc_b"""))
   )
 }
