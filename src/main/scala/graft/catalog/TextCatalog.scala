@@ -166,12 +166,18 @@ object TextCatalog {
               GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang""")),
 
     Q("x_fingerprint",
-      (s, d) => t(s, d, "documents")
-        .withColumn("norm", expr(sparkNorm))
-        .select(col("doc_id"),
-          expr("array_min(transform(sequence(1, greatest(length(norm) - 4, 1)),"
-            + " i -> md5(substring(norm, i, 5))))").as("fingerprint"))
-        .orderBy("doc_id"),
+      // char_ngrams is the native graft.functions.CharNGrams expression
+      // (codegen'd fused loop); for documents >= 5 chars it matches the
+      // declarative sequence+substring form the oracle uses.
+      (s, d) => {
+        graft.functions.CharNGrams.register(s)
+        t(s, d, "documents")
+          .withColumn("norm", expr(sparkNorm))
+          .select(col("doc_id"),
+            expr("array_min(transform(char_ngrams(norm, 5), g -> md5(g)))")
+              .as("fingerprint"))
+          .orderBy("doc_id")
+      },
       Some(s"""SELECT doc_id, min(md5(substring(norm, CAST(i AS INT), 5))) AS fingerprint
               FROM (SELECT doc_id, $duckNorm AS norm FROM documents),
                    UNNEST(range(1, greatest(length(norm) - 4, 1) + 1)) AS t(i)
@@ -236,11 +242,10 @@ object TextCatalog {
       // slower at sf0.1. Bands = md5 over adjacent signature pairs; doc
       // pairs sharing any band bucket are near-dup candidates.
       (s, d) => {
+        graft.functions.CharNGrams.register(s)
         val docs = t(s, d, "documents").withColumn("norm", expr(sparkNorm))
         val sh = docs
-          .select(col("doc_id"),
-            explode(expr("transform(sequence(1, greatest(length(norm) - 4, 1)),"
-              + " i -> substring(norm, i, 5))")).as("sh"))
+          .select(col("doc_id"), explode(expr("char_ngrams(norm, 5)")).as("sh"))
           .distinct()
         val minhashes = (0 to 7).map(j =>
           min(md5(concat(lit(s"$j:"), col("sh")))).as(s"m$j"))
