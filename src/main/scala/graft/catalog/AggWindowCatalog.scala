@@ -318,6 +318,116 @@ object AggWindowCatalog {
         .orderBy("l_returnflag"),
       None),
 
+    Q("t4_edge_diff",
+      // J11/A14 — edge-set diff via EXCEPT both ways, classified and
+      // counted: (custkey -> orderpriority) "edges" in two date windows.
+      (s, d) => {
+        val o = t(s, d, "orders")
+        def edgesIn(lo: String, hi: String) = o
+          .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+          .select(col("o_custkey"), col("o_orderpriority")).distinct()
+        val before = edgesIn("1995-01-01", "1998-01-01")
+        val after = edgesIn("1996-01-01", "1999-01-01")
+        val added = after.except(before).withColumn("change_type", lit("added"))
+        val removed = before.except(after).withColumn("change_type", lit("removed"))
+        added.unionByName(removed)
+          .groupBy("change_type", "o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("change_type", "o_orderpriority")
+      },
+      Some("""WITH before AS (SELECT DISTINCT o_custkey, o_orderpriority FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'),
+              after AS (SELECT DISTINCT o_custkey, o_orderpriority FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'),
+              diff AS (
+                SELECT *, 'added' AS change_type FROM (SELECT * FROM after EXCEPT SELECT * FROM before)
+                UNION ALL
+                SELECT *, 'removed' AS change_type FROM (SELECT * FROM before EXCEPT SELECT * FROM after))
+              SELECT change_type, o_orderpriority, count(*) AS n FROM diff
+              GROUP BY 1, 2 ORDER BY change_type, o_orderpriority""")),
+
+    Q("f15_field_diff",
+      // F15/T8 — field-level version diff as exploded (field, old, new)
+      // rows; the reference does this in driver Python
+      // (query_temporal.py:230-239), here it is a struct-unpivot
+      // projection over the full-outer pair.
+      (s, d) => {
+        val o = t(s, d, "orders")
+        // double -> DECIMAL(18,2) -> string: deterministic rendering on
+        // both engines (raw double -> string differs in ~0.1% of rows)
+        val old = o.filter(col("o_orderdate") < lit("1999-01-01"))
+          .select(col("o_orderkey"),
+            col("o_orderstatus").as("old_status"),
+            col("o_orderpriority").as("old_priority"),
+            col("o_totalprice").cast("decimal(18,2)").cast("string").as("old_price"))
+        val nw = o.filter(col("o_orderdate") < lit("1999-01-01"))
+          .select(col("o_orderkey"),
+            when(col("o_totalprice") > 400000.0, "ESCALATED")
+              .otherwise(col("o_orderstatus")).as("new_status"),
+            col("o_orderpriority").as("new_priority"),
+            // additive change: x + 1000 keeps exact 2dp semantics — a
+            // multiplicative bump lands on .005 round-half boundaries
+            // where Spark (HALF_UP) and DuckDB disagree on ~0.1% of rows
+            when(col("o_orderstatus") === "O", col("o_totalprice") + 1000.0)
+              .otherwise(col("o_totalprice"))
+              .cast("decimal(18,2)").cast("string").as("new_price"))
+        old.join(nw, Seq("o_orderkey"))
+          .select(col("o_orderkey"), explode(array(
+            struct(lit("status").as("field"), col("old_status").as("old_value"),
+              col("new_status").as("new_value")),
+            struct(lit("priority").as("field"), col("old_priority").as("old_value"),
+              col("new_priority").as("new_value")),
+            struct(lit("price").as("field"), col("old_price").as("old_value"),
+              col("new_price").as("new_value")))).as("d"))
+          .select(col("o_orderkey"), col("d.field").as("field"),
+            col("d.old_value").as("old_value"), col("d.new_value").as("new_value"))
+          .filter(!(col("old_value") <=> col("new_value")))
+          .orderBy("o_orderkey", "field")
+      },
+      Some("""WITH old AS (SELECT o_orderkey, o_orderstatus AS old_status,
+                     o_orderpriority AS old_priority,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS old_price
+                   FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'),
+              nw AS (SELECT o_orderkey,
+                     CASE WHEN o_totalprice > 400000.0 THEN 'ESCALATED'
+                          ELSE o_orderstatus END AS new_status,
+                     o_orderpriority AS new_priority,
+                     CAST(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 1000.0
+                          ELSE o_totalprice END AS DECIMAL(18,2)) AS VARCHAR) AS new_price
+                   FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'),
+              diffs AS (
+                SELECT o.o_orderkey, 'status' AS field, old_status AS old_value, new_status AS new_value
+                FROM old o JOIN nw n ON o.o_orderkey = n.o_orderkey
+                UNION ALL
+                SELECT o.o_orderkey, 'priority', old_priority, new_priority
+                FROM old o JOIN nw n ON o.o_orderkey = n.o_orderkey
+                UNION ALL
+                SELECT o.o_orderkey, 'price', old_price, new_price
+                FROM old o JOIN nw n ON o.o_orderkey = n.o_orderkey)
+              SELECT o_orderkey, field, old_value, new_value FROM diffs
+              WHERE old_value IS DISTINCT FROM new_value
+              ORDER BY o_orderkey, field""")),
+
+    Q("perf_salted_agg",
+      // Skew-safe two-phase aggregation: a synthetic hot key (every
+      // user_id < 50 collapses onto key 0) is salted 8 ways for the
+      // partial aggregate, then the salt is folded out. Results are
+      // IDENTICAL to the plain groupBy the oracle runs — only the
+      // shuffle profile changes (no reducer gets the whole hot key).
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .withColumn("k", when(col("user_id") < 50, 0L).otherwise(col("user_id")))
+          .withColumn("salt", col("event_id") % 8)
+        ev.groupBy("k", "salt")
+          .agg(count(lit(1)).as("pn"), sum("value").as("pv"))
+          .groupBy("k")
+          .agg(sum("pn").as("n"), round(sum("pv"), 2).as("total_value"))
+          .orderBy("k")
+      },
+      Some("""SELECT CASE WHEN user_id < 50 THEN 0 ELSE user_id END AS k,
+             count(*) AS n, round(sum(value), 2) AS total_value
+             FROM events GROUP BY 1 ORDER BY k""")),
+
     Q("t8_asof_state",
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
