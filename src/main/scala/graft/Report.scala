@@ -9,6 +9,10 @@ import graft.query.{ReportQueries => RQ}
   *
   * Usage:
   *   runMain graft.Report <rawDir> (--all-owners | --find-owner NAME |
+  *     --owner NAME [--entity contacts|companies|deals|summary] |
+  *     --recent-forms [--days N] | --recent-email [--days N] |
+  *     --recent-activity NAME [--days N] | --engagement-history EMAIL |
+  *     --ownership [USER_EMAIL] |
   *     --lifecycle-stages | --industries | --funnel | --campaigns |
   *     --top-companies N | --no-company | --engaged | --combined)
   *     [--format table|csv|json] [--out PATH]
@@ -19,7 +23,7 @@ object Report {
     val rawDir = args.headOption.getOrElse(sys.error("usage: Report <rawDir> <flag>"))
     val flags = args.drop(1).toSeq
     def flagValue(name: String): Option[String] =
-      flags.sliding(2).collectFirst { case Seq(`name`, v) => v }
+      flags.sliding(2).collectFirst { case Seq(`name`, v) if !v.startsWith("--") => v }
     val format = flagValue("--format").getOrElse("table")
     val out = flagValue("--out")
 
@@ -43,9 +47,34 @@ object Report {
       read("email_events", CrmSchema.emailEvents),
       read("form_submissions", CrmSchema.formSubmissions))
 
+    import graft.query.{OwnershipQueries => OQ}
+    // F19: the reporting "now" is captured once per invocation, not per row.
+    val asOf = org.apache.spark.sql.functions.lit(
+      new java.sql.Timestamp(System.currentTimeMillis()))
+    def days = flagValue("--days").map(_.toInt).getOrElse(30)
+
     val result: DataFrame = flags.headOption match {
       case Some("--all-owners") => RQ.allOwnersSummary(g)
       case Some("--find-owner") => RQ.findOwner(g, flagValue("--find-owner").get)
+      case Some("--owner") =>
+        val name = flagValue("--owner").get
+        flagValue("--entity").getOrElse("summary") match {
+          case "contacts" => RQ.contactsByOwner(g, name)
+          case "companies" => RQ.companiesByOwner(g, name)
+          case "deals" => RQ.dealsByOwner(g, name)
+          case _ => RQ.ownerSummary(g, name)
+        }
+      case Some("--recent-forms") => RQ.recentFormSubmissions(g, asOf, days)
+      case Some("--recent-email") => RQ.recentEmailActivity(g, asOf, days)
+      case Some("--recent-activity") =>
+        RQ.contactsWithRecentActivity(g, flagValue("--recent-activity").get, asOf, days)
+      case Some("--engagement-history") =>
+        RQ.contactEngagementHistory(g, flagValue("--engagement-history").get)
+      case Some("--ownership") =>
+        flagValue("--ownership") match {
+          case Some(email) => OQ.userOwnership(g, email)
+          case None => OQ.allOwnerships(g)
+        }
       case Some("--lifecycle-stages") => RQ.contactsByLifecycle(g)
       case Some("--industries") => RQ.companiesByIndustry(g)
       case Some("--funnel") => RQ.conversionFunnel(g)

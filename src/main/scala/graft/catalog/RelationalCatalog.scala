@@ -251,6 +251,35 @@ object RelationalCatalog {
               AND v.ts >= p.ts - INTERVAL 24 HOUR AND v.ts < p.ts
              GROUP BY p.event_id ORDER BY event_id""")),
 
+    Q("j9_optional_range",
+      // The OPTIONAL-MATCH-with-range shape of the reference's
+      // clicks-before-submission report (DATA_MODEL.md:597-609): the range
+      // predicate lives INSIDE the left-join condition, so purchases whose
+      // user clicked only OUTSIDE the 1-hour window survive with
+      // n_prior_clicks = 0 and an empty id list — the row-preservation
+      // semantics the round-1 post-filter variant got wrong.
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val p = ev.filter(col("event_type") === "purchase").alias("p")
+        val v = ev.filter(col("event_type") === "click").alias("v")
+        p.join(v,
+            col("p.user_id") === col("v.user_id") &&
+              col("v.ts") < col("p.ts") &&
+              col("v.ts") >= col("p.ts") - expr("INTERVAL 1 HOURS"),
+            "left")
+          .groupBy(col("p.event_id").as("event_id"))
+          .agg(count(col("v.event_id")).as("n_prior_clicks"),
+            array_join(sort_array(collect_set(col("v.event_id"))), "|").as("prior_click_ids"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id AS event_id, count(v.event_id) AS n_prior_clicks,
+             coalesce(string_agg(DISTINCT v.event_id, '|' ORDER BY v.event_id), '') AS prior_click_ids
+             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') v
+               ON p.user_id = v.user_id
+              AND v.ts < p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+             GROUP BY p.event_id ORDER BY event_id""")),
+
     Q("o2_topk_customers",
       (s, d) => t(s, d, "customer")
         .orderBy(col("c_acctbal").desc, col("c_custkey").asc)

@@ -1,5 +1,6 @@
 package graft.catalog
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.catalog.Q.t
 
@@ -17,27 +18,50 @@ object TextCatalog {
   private val sparkNorm = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
   private val duckNorm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
-  /** 32-bit SimHash per doc (md5-nibble majority over distinct tokens),
-    * carried with `source` so near-dup pairing can bucket by it. */
+  /** Spread the documents table across the full cluster BEFORE the per-doc
+    * heavy compute (shingling, hashing). The explicit partition count
+    * matters: a column-only `repartition(col)` is an AQE-coalescible
+    * shuffle, and the doc table is tiny BEFORE the ~300x shingle explode —
+    * AQE sees a 3 MB shuffle, coalesces it to ONE partition, and the whole
+    * operator runs on one core (a measured 59 s single task at sf0.1).
+    * With the count pinned to defaultParallelism AQE keeps every slot
+    * busy; combined with the merge-hinted self-joins below, x_minhash_lsh
+    * drops to ~4 s warm at sf0.1 on local[32]. */
+  private def spread(df: org.apache.spark.sql.DataFrame) =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+
+  /** 63-bit SimHash per doc (md5-nibble majority over distinct tokens),
+    * carried with `source` so near-dup pairing can bucket by it.
+    *
+    * 63 bits (not 32): wide enough that the 9-band pigeonhole pairing in
+    * `x_simhash_neardup` gets 7-bit bands (128 buckets each) instead of
+    * 2-bit ones — the band buckets stay small at scale. 63 = 9 * 7 also
+    * keeps `pow(2, bitpos)` inside signed-BIGINT range (2^62 max). */
   private def simhashTable(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val docs = t(s, d, "documents").withColumn("norm", expr(sparkNorm))
+    // repartition: the documents table is a single small parquet split at
+    // test SF, and the per-doc compute below is the expensive part — spread
+    // it across the cluster instead of one scan task.
+    val docs = spread(t(s, d, "documents")).withColumn("norm", expr(sparkNorm))
     val toks = docs
       .select(col("doc_id"), col("source"),
         explode(expr("array_distinct(split(norm, ' '))")).as("tok"))
       .withColumn("h", md5(col("tok")))
-    toks
-      .select(col("doc_id"), col("source"), col("h"),
-        explode(expr("sequence(0, 31)")).as("bitpos"))
-      .withColumn("p", expr("CAST(floor(bitpos / 4) AS INT)"))
-      .withColumn("b", expr("bitpos % 4"))
-      .withColumn("digit", expr("instr('0123456789abcdef', substring(h, p + 1, 1)) - 1"))
-      .withColumn("contrib", expr("CASE WHEN CAST(floor(digit / pow(2, b)) AS INT) % 2 = 1"
-        + " THEN 1 ELSE -1 END"))
-      .groupBy("doc_id", "source", "bitpos")
-      .agg(sum("contrib").as("s"))
-      .groupBy("doc_id", "source")
-      .agg(sum(expr("CASE WHEN s > 0 THEN CAST(pow(2, bitpos) AS BIGINT) ELSE 0 END"))
-        .as("simhash"))
+    // One row per (doc, token): project the 16 md5 nibbles once, then take
+    // 63 map-side partial-aggregated bit sums — NOT an explode to 63 rows
+    // per token (the round-1 shape shuffled 63x the token table through
+    // two groupBys; this shuffles the token table zero times and the
+    // 63-column partial aggregate once).
+    val digits = toks.select(Seq(col("doc_id"), col("source")) ++
+      (0 to 15).map(p =>
+        expr(s"instr('0123456789abcdef', substring(h, ${p + 1}, 1)) - 1").as(s"d$p")): _*)
+    val bitSums = (0 until 63).map(j =>
+      sum(expr(s"CASE WHEN (shiftright(d${j / 4}, ${j % 4}) & 1) = 1 THEN 1 ELSE -1 END"))
+        .as(s"s$j"))
+    digits.groupBy("doc_id", "source")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), col("source"),
+        expr((0 until 63).map(j => s"CASE WHEN s$j > 0 THEN ${1L << j}L ELSE 0L END")
+          .mkString("", " + ", "")).as("simhash"))
   }
 
   /** DuckDB twin of [[simhashTable]], shared by the two simhash oracles. */
@@ -52,7 +76,7 @@ object TextCatalog {
                   substring(md5(tok), CAST(floor(bp / 4) AS INT) + 1, 1)) - 1)
                   / pow(2, bp % 4)) AS INT) % 2 = 1
                 THEN 1 ELSE -1 END AS contrib
-         FROM toks, UNNEST(range(0, 32)) AS u(bp)),
+         FROM toks, UNNEST(range(0, 63)) AS u(bp)),
        sums AS (SELECT doc_id, source, bitpos, CAST(sum(contrib) AS BIGINT) AS s
                 FROM bits GROUP BY 1, 2, 3),
        sims AS (
@@ -60,6 +84,37 @@ object TextCatalog {
            CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, bitpos) AS BIGINT) ELSE 0 END) AS BIGINT)
              AS simhash
          FROM sums GROUP BY 1, 2)"""
+
+  /** Stop-shingle document-frequency cap for `x_ngram_jaccard` (measured
+    * max df at sf0.1 is 16, so the cap is pure scale insurance there). */
+  private val MaxShingleDf = 64
+
+  /** LSH band-bucket size cap for `x_minhash_lsh`: buckets above this are
+    * degenerate signatures (boilerplate-dominated docs) whose self-join is
+    * quadratic; `x_minhash_bucket_stats` reports how many were dropped. */
+  private val MaxBucket = 100
+
+  /** DuckDB twin of the minhash signature + band table used by
+    * `x_minhash_lsh` and `x_minhash_bucket_stats`: 16 functions = 4 seeded
+    * md5s x 4 non-overlapping 8-hex slices; 4 bands of 4 concatenated rows. */
+  private def duckMinhashBandsCte: String = {
+    val mins = (for { seed <- 0 to 3; slice <- 0 to 3 } yield
+      s"min(substring(md5('$seed:' || sh), ${slice * 8 + 1}, 8)) AS m${seed * 4 + slice}")
+      .mkString(",\n                  ")
+    val bandRows = (0 to 3).map(b =>
+      s"SELECT doc_id, $b AS band, ${(0 to 3).map(i => s"m${4 * b + i}").mkString(" || ")} AS band_sig FROM mh")
+      .mkString("\n                UNION ALL ")
+    s"""sh AS (
+                SELECT doc_id, substring(norm, CAST(i AS INT), 5) AS sh
+                FROM (SELECT doc_id, $duckNorm AS norm FROM documents),
+                     UNNEST(range(1, greatest(length(norm) - 4, 1) + 1)) AS t(i)),
+              mh AS (
+                SELECT doc_id,
+                  $mins
+                FROM sh GROUP BY doc_id),
+              bands AS (
+                $bandRows)"""
+  }
 
   private val enW = "'the','a','of','and','to','in','is'"
   private val deW = "'der','die','das','und','ist','nicht'"
@@ -186,28 +241,43 @@ object TextCatalog {
     Q("x_ngram_jaccard",
       // Word-trigram w-shingling (Broder-style), pairs bucketed by source:
       // the all-pairs join only meets inside a (source, shingle) bucket, so
-      // join fan-out stays O(docs-per-source) — the shape that survives
+      // join fan-out stays O(docs-per-shingle) — the shape that survives
       // scale-up, unlike char-4-grams whose near-universal sharing made the
       // join quadratic (137 s -> ~4 s at sf0.1).
+      //
+      // Stop-shingle guard: shingles whose document frequency exceeds
+      // MaxShingleDf are template boilerplate; every one of them fans the
+      // join out quadratically (df*(df-1)/2 pairs), so they are dropped
+      // BEFORE the self-join — the classic stop-shingle filter. The df is
+      // a window count over the join key itself, so the window's shuffle
+      // is the same exchange the join needs. Per-doc cardinality is then
+      // a window over kept shingles (replacing two join-backs against a
+      // separate card aggregate — one fewer recomputation of the shingle
+      // subtree). Jaccard is over KEPT shingles on both engines; at the
+      // test SFs max df = 16 so results are identical to the unguarded op.
       (s, d) => {
-        val docs = t(s, d, "documents")
+        val docs = spread(t(s, d, "documents"))
           .withColumn("toks", expr(s"split($sparkNorm, ' ')"))
-        val sh = docs
+        val sh0 = docs
           .filter(expr("size(toks) >= 3")) // docs with <3 tokens have no trigrams
           .select(col("doc_id"), col("source"),
             explode(expr("transform(sequence(1, size(toks) - 2),"
               + " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")).as("sh"))
           .distinct()
-        val card = sh.groupBy("doc_id").agg(count(lit(1)).as("card"))
-        val a = sh.select(col("doc_id").as("doc_a"), col("source").as("src_a"), col("sh").as("sh_a"))
-        val b = sh.select(col("doc_id").as("doc_b"), col("source").as("src_b"), col("sh").as("sh_b"))
-        val inter = a.join(b,
-            col("sh_a") === col("sh_b") && col("src_a") === col("src_b") && col("doc_a") < col("doc_b"))
+        val sh = sh0
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("source", "sh")))
+          .filter(col("df") <= MaxShingleDf)
+          .withColumn("card", count(lit(1)).over(Window.partitionBy("doc_id")))
+        // merge hint: see x_minhash_lsh — a broadcast of either side would
+        // re-run the whole shingling pipeline as a separate job.
+        val a = sh.select(col("doc_id").as("doc_a"), col("source").as("src"),
+          col("sh"), col("card").as("card_a")).hint("merge")
+        val b = sh.select(col("doc_id").as("doc_b"), col("source").as("src"),
+          col("sh"), col("card").as("card_b")).hint("merge")
+        a.join(b, Seq("src", "sh")).filter(col("doc_a") < col("doc_b"))
           .groupBy("doc_a", "doc_b")
-          .agg(count(lit(1)).as("inter"))
-        inter
-          .join(card.select(col("doc_id").as("doc_a"), col("card").as("card_a")), "doc_a")
-          .join(card.select(col("doc_id").as("doc_b"), col("card").as("card_b")), "doc_b")
+          .agg(count(lit(1)).as("inter"),
+            min("card_a").as("card_a"), min("card_b").as("card_b"))
           .select(col("doc_a"), col("doc_b"),
             round(col("inter") * 1.0 / (col("card_a") + col("card_b") - col("inter")), 4)
               .as("jaccard"))
@@ -216,72 +286,131 @@ object TextCatalog {
       Some(s"""WITH toks AS (
                 SELECT doc_id, source, string_split($duckNorm, ' ') AS toks
                 FROM documents),
-              sh AS (
+              sh0 AS (
                 SELECT DISTINCT doc_id, source,
                   concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i AS INT) + 1],
                             toks[CAST(i AS INT) + 2]) AS sh
                 FROM toks, UNNEST(range(1, len(toks) - 1)) AS t(i)
                 WHERE len(toks) >= 3),
-              card AS (SELECT doc_id, count(*) AS card FROM sh GROUP BY doc_id),
+              sh AS (
+                SELECT doc_id, source, sh,
+                  count(*) OVER (PARTITION BY doc_id) AS card
+                FROM (SELECT *, count(*) OVER (PARTITION BY source, sh) AS df FROM sh0)
+                WHERE df <= $MaxShingleDf),
               inter AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+                  min(a.card) AS card_a, min(b.card) AS card_b
                 FROM sh a JOIN sh b
                   ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
                 GROUP BY 1, 2)
               SELECT doc_a, doc_b,
-                round(inter * 1.0 / (ca.card + cb.card - inter), 4) AS jaccard
+                round(inter * 1.0 / (card_a + card_b - inter), 4) AS jaccard
               FROM inter
-              JOIN card ca ON ca.doc_id = doc_a
-              JOIN card cb ON cb.doc_id = doc_b
               ORDER BY doc_a, doc_b""")),
 
     Q("x_minhash_lsh",
-      // 8 minhash functions computed as 8 min() aggregates over ONE pass of
-      // the shingle table (map-side partial aggregation, no per-function
-      // explode) — the exploded j-variant shuffled 8x the rows and was 40x
-      // slower at sf0.1. Bands = md5 over adjacent signature pairs; doc
-      // pairs sharing any band bucket are near-dup candidates.
+      // Broder MinHash + LSH banding, tuned so the op survives its own
+      // bench (round-1 verdict: 295 s of a 372 s bench at 8 hashes / 4
+      // bands of 2 — band collision prob s^2 made buckets huge):
+      //  - 16 minhash functions, 4 bands of 4 rows -> collision prob s^4.
+      //    Measured at sf0.1: max bucket 631 -> 66, join pairs 1.15M -> 20k.
+      //  - the 16 functions are 4 seeded md5s x 4 non-overlapping 8-hex
+      //    (32-bit) slices — 4x less hashing per shingle row; lexicographic
+      //    min over fixed-width hex = numeric min, identical in DuckDB.
+      //  - no shingle distinct(): min() is idempotent under duplicates, and
+      //    the distinct was a full extra shuffle of the doc x 5-gram table.
+      //  - band buckets above MaxBucket are dropped before the self-join
+      //    (degenerate signatures go quadratic); the bucket-size window
+      //    partitions by the join key, so its exchange is reused by the
+      //    join. `x_minhash_bucket_stats` logs what is dropped.
       (s, d) => {
         graft.functions.CharNGrams.register(s)
-        val docs = t(s, d, "documents").withColumn("norm", expr(sparkNorm))
+        val docs = spread(t(s, d, "documents")).withColumn("norm", expr(sparkNorm))
+        // The 4 seeded md5s are materialized in a projection BEFORE the
+        // aggregate: aggregate expressions get no common-subexpression
+        // elimination, so min(substring(md5(..)..)) x16 would hash each
+        // shingle 16 times instead of 4.
         val sh = docs
           .select(col("doc_id"), explode(expr("char_ngrams(norm, 5)")).as("sh"))
-          .distinct()
-        val minhashes = (0 to 7).map(j =>
-          min(md5(concat(lit(s"$j:"), col("sh")))).as(s"m$j"))
+          .select(Seq(col("doc_id")) ++
+            (0 to 3).map(seed => md5(concat(lit(s"$seed:"), col("sh"))).as(s"h$seed")): _*)
+        val minhashes = for { seed <- 0 to 3; slice <- 0 to 3 } yield
+          min(substring(col(s"h$seed"), slice * 8 + 1, 8)).as(s"m${seed * 4 + slice}")
         val mh = sh.groupBy("doc_id").agg(minhashes.head, minhashes.tail: _*)
         val bands = mh.select(col("doc_id"),
           explode(array((0 to 3).map(b => struct(lit(b).as("band"),
-            md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))).as("band_sig"))): _*))
+            concat((0 to 3).map(i => col(s"m${4 * b + i}")): _*).as("band_sig"))): _*))
             .as("bs"))
           .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
-        val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
-        val r = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_sig"))
+        val capped = bands
+          .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "band_sig")))
+          .filter(col("bucket_n") <= MaxBucket)
+        // merge hint: the self-join sides contain the whole shingle+md5
+        // pipeline. Left to AQE, the "small" side becomes a broadcast
+        // subtree — which is a SEPARATE job, so the expensive pipeline runs
+        // twice with no exchange reuse (measured 160 s vs 4 s at sf0.1).
+        // SMJ on (band, band_sig) reuses the window's exchange+sort for
+        // BOTH sides — one heavy stage total — and is the only plan that
+        // exists at 100 TB anyway, where no side fits in a broadcast.
+        val l = capped.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
+          .hint("merge")
+        val r = capped.select(col("doc_id").as("doc_b"), col("band"), col("band_sig"))
+          .hint("merge")
         l.join(r, Seq("band", "band_sig")).filter(col("doc_a") < col("doc_b"))
           .groupBy("doc_a", "doc_b")
           .agg(count(lit(1)).as("n_shared_bands"))
           .orderBy("doc_a", "doc_b")
       },
-      Some(s"""WITH sh AS (
-                SELECT DISTINCT doc_id, substring(norm, CAST(i AS INT), 5) AS sh
-                FROM (SELECT doc_id, $duckNorm AS norm FROM documents),
-                     UNNEST(range(1, greatest(length(norm) - 4, 1) + 1)) AS t(i)),
-              mh AS (
-                SELECT doc_id,
-                  min(md5('0:' || sh)) AS m0, min(md5('1:' || sh)) AS m1,
-                  min(md5('2:' || sh)) AS m2, min(md5('3:' || sh)) AS m3,
-                  min(md5('4:' || sh)) AS m4, min(md5('5:' || sh)) AS m5,
-                  min(md5('6:' || sh)) AS m6, min(md5('7:' || sh)) AS m7
-                FROM sh GROUP BY doc_id),
-              bands AS (
-                SELECT doc_id, 0 AS band, md5(m0 || m1) AS band_sig FROM mh
-                UNION ALL SELECT doc_id, 1, md5(m2 || m3) FROM mh
-                UNION ALL SELECT doc_id, 2, md5(m4 || m5) FROM mh
-                UNION ALL SELECT doc_id, 3, md5(m6 || m7) FROM mh)
+      Some(s"""WITH $duckMinhashBandsCte,
+              capped AS (
+                SELECT doc_id, band, band_sig
+                FROM (SELECT *, count(*) OVER (PARTITION BY band, band_sig) AS bucket_n
+                      FROM bands)
+                WHERE bucket_n <= $MaxBucket)
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
-              FROM bands a JOIN bands b
+              FROM capped a JOIN capped b
                 ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
               GROUP BY 1, 2 ORDER BY doc_a, doc_b""")),
+
+    Q("x_minhash_bucket_stats",
+      // The "log what was dropped" companion to x_minhash_lsh: band-bucket
+      // population, the quadratic pressure (sum of per-bucket pair counts),
+      // and exactly how many buckets/rows the MaxBucket cap removes.
+      (s, d) => {
+        graft.functions.CharNGrams.register(s)
+        val docs = spread(t(s, d, "documents")).withColumn("norm", expr(sparkNorm))
+        // The 4 seeded md5s are materialized in a projection BEFORE the
+        // aggregate: aggregate expressions get no common-subexpression
+        // elimination, so min(substring(md5(..)..)) x16 would hash each
+        // shingle 16 times instead of 4.
+        val sh = docs
+          .select(col("doc_id"), explode(expr("char_ngrams(norm, 5)")).as("sh"))
+          .select(Seq(col("doc_id")) ++
+            (0 to 3).map(seed => md5(concat(lit(s"$seed:"), col("sh"))).as(s"h$seed")): _*)
+        val minhashes = for { seed <- 0 to 3; slice <- 0 to 3 } yield
+          min(substring(col(s"h$seed"), slice * 8 + 1, 8)).as(s"m${seed * 4 + slice}")
+        val mh = sh.groupBy("doc_id").agg(minhashes.head, minhashes.tail: _*)
+        val bands = mh.select(col("doc_id"),
+          explode(array((0 to 3).map(b => struct(lit(b).as("band"),
+            concat((0 to 3).map(i => col(s"m${4 * b + i}")): _*).as("band_sig"))): _*))
+            .as("bs"))
+          .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+        bands.groupBy("band", "band_sig").agg(count(lit(1)).as("n"))
+          .groupBy()
+          .agg(count(lit(1)).as("n_buckets"),
+            max("n").as("max_bucket"),
+            sum(expr("n * (n - 1) div 2")).as("join_pairs"),
+            sum(when(col("n") > MaxBucket, 1).otherwise(0)).as("dropped_buckets"),
+            sum(when(col("n") > MaxBucket, col("n")).otherwise(0L)).as("dropped_rows"))
+      },
+      Some(s"""WITH $duckMinhashBandsCte,
+              bs AS (SELECT band, band_sig, count(*) AS n FROM bands GROUP BY 1, 2)
+              SELECT count(*) AS n_buckets,
+                CAST(max(n) AS BIGINT) AS max_bucket,
+                CAST(sum(n * (n - 1) // 2) AS BIGINT) AS join_pairs,
+                CAST(sum(CASE WHEN n > $MaxBucket THEN 1 ELSE 0 END) AS BIGINT) AS dropped_buckets,
+                CAST(sum(CASE WHEN n > $MaxBucket THEN n ELSE 0 END) AS BIGINT) AS dropped_rows
+              FROM bs""")),
 
     Q("x_simhash",
       (s, d) => simhashTable(s, d).select("doc_id", "simhash").orderBy("doc_id"),
@@ -289,18 +418,39 @@ object TextCatalog {
 
     Q("x_simhash_neardup",
       // Near-dup candidates: doc pairs in the same source bucket whose
-      // 32-bit SimHash signatures are within hamming distance 8 — the
+      // 63-bit SimHash signatures are within hamming distance 8 — the
       // distance is ONE codegen'd expression, bit_count(a ^ b) (no UDF).
+      //
+      // Pairing is BANDED, not all-pairs (round-1 verdict: the per-source
+      // all-pairs join is O(n^2/sources)): the 63 bits split into 9 bands
+      // of 7; by pigeonhole, two signatures within hamming 8 differ in at
+      // most 8 bands, so they MUST agree on at least one of the 9 — the
+      // banded join + exact hamming post-filter returns the identical row
+      // set as all-pairs, which is why the DuckDB oracle can stay naive.
+      // Each band key has 128 values, so per-(source, band) buckets stay
+      // small at scale; candidates are deduped before the hamming filter.
       (s, d) => {
         val sims = simhashTable(s, d)
-        val a = sims.select(col("doc_id").as("doc_a"), col("source").as("src_a"),
-          col("simhash").as("sim_a"))
-        val b = sims.select(col("doc_id").as("doc_b"), col("source").as("src_b"),
-          col("simhash").as("sim_b"))
-        a.join(b, col("src_a") === col("src_b") && col("doc_a") < col("doc_b"))
-          .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
-          .filter(col("hamming") <= 8)
-          .select(col("doc_a"), col("doc_b"), col("hamming"))
+        val banded = sims.select(col("doc_id"), col("source"), col("simhash"),
+          explode(expr("transform(sequence(0, 8),"
+            + " i -> struct(i AS band, shiftright(simhash, i * 7) & 127 AS bits))")).as("b"))
+          .select(col("doc_id"), col("source").as("src"), col("simhash"),
+            col("b.band").as("band"), col("b.bits").as("bits"))
+        // merge hint: see x_minhash_lsh — a broadcast of either side would
+        // re-run the whole simhash pipeline as a separate job.
+        val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
+          col("src"), col("band"), col("bits")).hint("merge")
+        val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
+          col("src"), col("band"), col("bits")).hint("merge")
+        // hamming filter BEFORE the dedup: joined candidates stream through
+        // the codegen'd bit_count filter, and distinct() only ever sees the
+        // (small) true near-dup pair set — never the raw candidate fan-out.
+        a.join(b, Seq("src", "band", "bits"))
+          .filter(col("doc_a") < col("doc_b") &&
+            expr("bit_count(sim_a ^ sim_b)") <= 8)
+          .select(col("doc_a"), col("doc_b"),
+            expr("bit_count(sim_a ^ sim_b)").as("hamming"))
+          .distinct()
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH $duckSimhashCte

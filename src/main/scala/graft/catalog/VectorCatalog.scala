@@ -129,6 +129,73 @@ object VectorCatalog {
                       (PARTITION BY q_id ORDER BY votes DESC, c_label) AS mrn FROM votes)
               WHERE mrn = 1 ORDER BY q_id""")),
 
+    Q("v_ivf_ann",
+      // IVF ANN in the driver gate (round-1 verdict #7): same
+      // coarse-quantize -> inverted-lists -> probe-nProbe-cells shape as
+      // graft.operators.Similarity.ivfTopK, but the quantizer is a
+      // deterministic data sample (vec_id < 8 as centroids) instead of
+      // k-means, so the DuckDB oracle can compute the identical cells.
+      // The cell id is the partition key of every downstream join — the
+      // layout that scales to billions of vectors.
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS double))").as("v"))
+        val cent = broadcast(e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("v").as("cent")))
+        val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id").asc)
+        val assigned = e.crossJoin(cent)
+          .withColumn("ccos", expr(cosExpr("v", "cent")))
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+        val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 18)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val wProbe = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("cent_id").asc)
+        val probes = q.crossJoin(cent)
+          .withColumn("pcos", expr(cosExpr("qv", "cent")))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= 2)
+          .select(col("q_id"), col("qv"), col("cent_id").as("cell"))
+        val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
+        probes.join(assigned.select(col("vec_id").as("c_id"), col("v").as("cv"),
+            col("cell")), Seq("cell"))
+          .filter(col("q_id") =!= col("c_id"))
+          .withColumn("cos", expr(cosExpr("qv", "cv")))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("rn"), col("c_id").as("neighbor_id"),
+            round(col("cos"), 4).as("cosine"))
+          .orderBy("q_id", "rn")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             cent AS (SELECT vec_id AS cent_id, v AS cent FROM e WHERE vec_id < 8),
+             asg AS (
+               SELECT vec_id, v, cell FROM (
+                 SELECT e.vec_id, e.v, cent_id AS cell, row_number() OVER (
+                     PARTITION BY e.vec_id ORDER BY
+                     list_dot_product(e.v, cent) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent, cent))) DESC,
+                     cent_id) AS rn
+                 FROM e, cent)
+               WHERE rn = 1),
+             q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id >= 8 AND vec_id < 18),
+             probes AS (
+               SELECT q_id, qv, cell FROM (
+                 SELECT q_id, qv, cent_id AS cell, row_number() OVER (
+                     PARTITION BY q_id ORDER BY
+                     list_dot_product(qv, cent) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cent, cent))) DESC,
+                     cent_id) AS rn
+                 FROM q, cent)
+               WHERE rn <= 2),
+             sim AS (
+               SELECT q_id, asg.vec_id AS c_id,
+                 list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+               FROM probes JOIN asg USING (cell)
+               WHERE q_id <> asg.vec_id)
+             SELECT q_id, rn, c_id AS neighbor_id, round(cos, 4) AS cosine
+             FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+                   FROM sim)
+             WHERE rn <= 3 ORDER BY q_id, rn""")),
+
     Q("mm_decode_meta",
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"),

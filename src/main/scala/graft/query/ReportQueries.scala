@@ -21,11 +21,73 @@ object ReportQueries {
 
   private def ownerName: Column = concat_ws(" ", col("first_name"), col("last_name"))
 
+  /** The WHERE every per-owner report shares (reporting/queries.py:20-21). */
+  private def ownerNameFilter(needle: String): Column =
+    col("first_name").contains(needle) || col("last_name").contains(needle)
+
+  /** Matching owners projected to the broadcastable join dimension. */
+  private def matchedOwners(g: GraphTables, needle: String): DataFrame =
+    broadcast(g.users.filter(ownerNameFilter(needle))
+      .select(col("hubspot_id").as("owner_key"), col("email").as("owner_email"),
+        ownerName.as("owner_name")))
+
   /** Owner lookup by name substring (P4; reporting/queries.py:20-21 etc.). */
   def findOwner(g: GraphTables, needle: String): DataFrame =
-    g.users.filter(col("first_name").contains(needle) || col("last_name").contains(needle))
+    g.users.filter(ownerNameFilter(needle))
       .select(col("hubspot_id"), ownerName.as("owner_name"), col("email"), col("active"))
       .orderBy("hubspot_id")
+
+  /** Per-owner contact roster (reporting/queries.py:9-33): J2 broadcast
+    * equi-join, contacts keep their partitioning. */
+  def contactsByOwner(g: GraphTables, needle: String): DataFrame =
+    g.contacts.join(matchedOwners(g, needle), col("owner_id") === col("owner_key"))
+      .select(col("owner_email"), col("owner_name"),
+        col("hubspot_id").as("contact_id"), col("email").as("contact_email"),
+        col("first_name").as("contact_first_name"),
+        col("last_name").as("contact_last_name"),
+        col("job_title"), col("lifecycle_stage"), col("created_date"),
+        col("last_modified"))
+      .orderBy(desc_nulls_last("created_date"), col("contact_id"))
+
+  /** Per-owner company roster (reporting/queries.py:35-64). */
+  def companiesByOwner(g: GraphTables, needle: String): DataFrame =
+    g.companies.join(matchedOwners(g, needle), col("owner_id") === col("owner_key"))
+      .select(col("owner_email"), col("owner_name"),
+        col("hubspot_id").as("company_id"), col("name").as("company_name"),
+        col("domain"), col("industry"), col("employee_count"), col("annual_revenue"),
+        col("city"), col("state"), col("country"), col("created_date"),
+        col("last_modified"))
+      .orderBy(desc_nulls_last("created_date"), col("company_id"))
+
+  /** Per-owner deal roster (reporting/queries.py:66-94). */
+  def dealsByOwner(g: GraphTables, needle: String): DataFrame =
+    g.deals.join(matchedOwners(g, needle), col("owner_id") === col("owner_key"))
+      .select(col("owner_email"), col("owner_name"),
+        col("hubspot_id").as("deal_id"), col("name").as("deal_name"),
+        col("amount"), col("stage"), col("pipeline"), col("close_date"),
+        col("created_date"), col("last_modified"))
+      .orderBy(desc_nulls_last("created_date"), col("deal_id"))
+
+  /** Summary statistics for owners matching a name pattern
+    * (reporting/queries.py:96-119): the allOwnersSummary A2 shape with the
+    * owner filter pushed below the joins, plus the `active` flag. */
+  def ownerSummary(g: GraphTables, needle: String): DataFrame = {
+    val u = g.users.filter(ownerNameFilter(needle))
+      .select(col("hubspot_id").as("owner_key"), ownerName.as("owner_name"),
+        col("email").as("owner_email"), col("active"))
+    u.join(g.contacts.select(col("hubspot_id").as("c_id"), col("owner_id").as("c_own")),
+        col("c_own") === col("owner_key"), "left")
+      .join(g.companies.select(col("hubspot_id").as("co_id"), col("owner_id").as("co_own")),
+        col("co_own") === col("owner_key"), "left")
+      .join(g.deals.select(col("hubspot_id").as("d_id"), col("owner_id").as("d_own")),
+        col("d_own") === col("owner_key"), "left")
+      .groupBy("owner_key", "owner_name", "owner_email", "active")
+      .agg(countDistinct("c_id").as("contacts_owned"),
+        countDistinct("co_id").as("companies_owned"),
+        countDistinct("d_id").as("deals_owned"))
+      .orderBy("owner_key")
+      .drop("owner_key")
+  }
 
   /** Per-owner entity counts + pipeline value — the A2 shape: three left
     * joins then DISTINCT counts (reporting/queries.py:122-141,
@@ -165,20 +227,116 @@ object ReportQueries {
   }
 
   /** J9 — clicks within 7 days before each form submission, per contact
-    * (DATA_MODEL.md:597-609): equi on email + timestamp range. */
+    * (DATA_MODEL.md:597-609): equi on email + timestamp range.
+    *
+    * The range predicate lives INSIDE the left-join condition (the
+    * reference's OPTIONAL MATCH carries it inside the optional pattern):
+    * a form whose contact clicked only OUTSIDE the window must survive
+    * with n_prior_clicks = 0, not vanish. Post-filtering the joined rows
+    * (the round-1 bug) dropped exactly those forms, because every joined
+    * row failed the filter and no null-extended row was left. */
   def clicksBeforeSubmission(g: GraphTables): DataFrame = {
     val f = g.forms.select(col("hubspot_id").as("form_id"), col("email"),
       col("timestamp").as("form_ts"))
-    val c = g.clicks.select(col("recipient_email").as("email"),
+    val c = g.clicks.select(col("recipient_email").as("c_email"),
       col("timestamp").as("click_ts"), col("clicked_url"))
-    f.join(c, Seq("email"), "left")
-      .filter(col("click_ts").isNull ||
-        (col("click_ts") < col("form_ts") &&
-          col("click_ts") >= col("form_ts") - expr("INTERVAL 7 DAYS")))
+    f.join(c,
+        col("email") === col("c_email") &&
+          col("click_ts") < col("form_ts") &&
+          col("click_ts") >= col("form_ts") - expr("INTERVAL 7 DAYS"),
+        "left")
       .groupBy("form_id", "email", "form_ts")
       .agg(count(col("click_ts")).as("n_prior_clicks"),
         sort_array(collect_set(col("clicked_url"))).as("urls"))
       .orderBy("form_id")
+  }
+
+  /** P7+J1 — form submissions in the lookback window, with the submitting
+    * contact (reporting/queries.py:175-195). `asOf` is the caller's batch
+    * timestamp (F19: captured once, never now()-per-row). */
+  def recentFormSubmissions(g: GraphTables, asOf: Column, days: Int = 30): DataFrame =
+    g.forms.filter(col("timestamp") >= asOf - expr(s"INTERVAL $days DAYS"))
+      .select(col("email"), col("form_guid").as("form_id"),
+        col("form_name").as("form_title"), col("timestamp").as("submission_date"))
+      .join(g.contacts.select(col("email"), ownerName.as("contact_name")), Seq("email"))
+      .select(col("email").as("contact_email"), col("contact_name"), col("form_id"),
+        col("form_title"), col("submission_date"))
+      .orderBy(desc("submission_date"), col("form_id"))
+
+  /** P7+U2+J3 — recent opens and clicks with contact + owner
+    * (reporting/queries.py:197-220). */
+  def recentEmailActivity(g: GraphTables, asOf: Column, days: Int = 30): DataFrame = {
+    val events = g.opens
+      .select(col("recipient_email"), col("timestamp"), col("campaign_id"),
+        lit("EmailOpenEvent").as("event_type"))
+      .unionByName(g.clicks.select(col("recipient_email"), col("timestamp"),
+        col("campaign_id"), lit("EmailClickEvent").as("event_type")))
+      .filter(col("timestamp") >= asOf - expr(s"INTERVAL $days DAYS"))
+    g.contacts.select(col("email"), ownerName.as("contact_name"), col("owner_id"))
+      .join(events, col("email") === col("recipient_email"))
+      .join(broadcast(g.users.select(col("hubspot_id").as("owner_id"),
+        ownerName.as("owner_name"))), Seq("owner_id"), "left")
+      .select(col("email").as("contact_email"), col("contact_name"), col("owner_name"),
+        col("event_type"), col("timestamp").as("event_date"), col("campaign_id"))
+      .orderBy(desc("event_date"), col("contact_email"), col("event_type"))
+  }
+
+  /** One owner's contacts with any engagement in the window, ranked by
+    * activity count (reporting/queries.py:222-248). The inner join to the
+    * per-email activity aggregate IS the `activity_count > 0` predicate. */
+  def contactsWithRecentActivity(g: GraphTables, needle: String, asOf: Column,
+      days: Int = 30): DataFrame = {
+    val cutoff = asOf - expr(s"INTERVAL $days DAYS")
+    val activity = g.opens.select(col("recipient_email").as("email"), col("timestamp"))
+      .unionByName(g.clicks.select(col("recipient_email").as("email"), col("timestamp")))
+      .unionByName(g.forms.select(col("email"), col("timestamp")))
+      .filter(col("timestamp") >= cutoff)
+      .groupBy("email").agg(count(lit(1)).as("recent_activities"))
+    g.contacts.join(matchedOwners(g, needle), col("owner_id") === col("owner_key"))
+      .join(activity, Seq("email"))
+      .select(col("owner_email"), col("email").as("contact_email"),
+        ownerName.as("contact_name"), col("lifecycle_stage"), col("recent_activities"))
+      .orderBy(desc("recent_activities"), col("contact_email"))
+  }
+
+  /** One contact's full engagement timeline (reporting/queries.py:250-271):
+    * typed union of the event tables + PERFORMED activities, newest first. */
+  def contactEngagementHistory(g: GraphTables, contactEmail: String): DataFrame = {
+    val c = g.contacts.filter(col("email") === contactEmail)
+      .select(col("hubspot_id").as("contact_id"), col("email").as("contact_email"),
+        ownerName.as("contact_name"))
+    def shaped(df: DataFrame, emailCol: String, engagement: String, entity: String,
+        detail: Column) =
+      df.select(col(emailCol).as("contact_email"),
+        lit(engagement).as("engagement_type"),
+        lit(entity).as("related_entity_type"),
+        col("hubspot_id").as("related_id"), col("timestamp"), detail.as("detail"))
+    // Activities reach contacts through (Activity)-[:INVOLVES]->(Contact);
+    // PERFORMED edges point at email events, already covered by the typed
+    // union below.
+    val performed = g.edges.filter(col("rel_type") === "INVOLVES" &&
+        col("dst_type") === "HUBSPOT_Contact")
+      .select(col("dst_id").as("contact_id2"), col("src_id").as("activity_id"))
+      .join(g.activities.select(col("hubspot_id").as("activity_id"), col("timestamp"),
+        col("type"), col("details")), Seq("activity_id"))
+    val events =
+      shaped(g.opens, "recipient_email", "OPENED", "EmailOpenEvent", col("campaign_id"))
+        .unionByName(shaped(g.clicks, "recipient_email", "CLICKED", "EmailClickEvent",
+          col("clicked_url")))
+        .unionByName(shaped(g.forms, "email", "SUBMITTED", "FormSubmission",
+          col("form_name")))
+    val withActivities = events
+      .join(c, Seq("contact_email"))
+      .select(col("contact_email"), col("contact_name"), col("engagement_type"),
+        col("related_entity_type"), col("related_id"), col("timestamp"), col("detail"))
+      .unionByName(
+        c.join(performed, col("contact_id") === col("contact_id2"))
+          .select(col("contact_email"), col("contact_name"),
+            lit("PERFORMED").as("engagement_type"),
+            col("type").as("related_entity_type"),
+            col("activity_id").as("related_id"), col("timestamp"),
+            col("details").as("detail")))
+    withActivities.orderBy(desc_nulls_last("timestamp"), col("engagement_type"))
   }
 
   /** J8 — 2-hop chain contact → owner (→ SAME_AS person handled by

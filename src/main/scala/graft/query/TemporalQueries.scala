@@ -82,6 +82,15 @@ object TemporalQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy("relationship_type", "change_type")
 
+  /** Complete relationship change history for one entity, on either end
+    * of the edge (query_temporal.py:135-157). */
+  def entityRelationshipHistory(relChanges: DataFrame, entityType: String,
+      entityId: String): DataFrame =
+    relChanges.filter(
+        (col("from_entity_type") === entityType && col("from_entity_id") === entityId) ||
+          (col("to_entity_type") === entityType && col("to_entity_id") === entityId))
+      .orderBy(asc("changed_at"), col("relationship_type"), col("to_entity_id"))
+
   /** Ownership transfer history from the change log
     * (query_temporal.py:159-189). */
   def ownershipChanges(relChanges: DataFrame): DataFrame =

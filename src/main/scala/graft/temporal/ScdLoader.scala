@@ -70,6 +70,20 @@ object ScdLoader {
       classified.withColumnRenamed("cls_id", "hubspot_id"))
   }
 
+  /** HAS_HISTORY edge rows linking each current entity to the history
+    * versions superseded this load (temporal_loader.py:176-183: the
+    * reference CREATEs `(n)-[:HAS_HISTORY]->(h)` per snapshot). History
+    * rows have no surrogate id of their own, so the edge target is the
+    * natural version key `<hubspot_id>@<valid_to>` — a cheap projection of
+    * [[ScdResult.historyAppend]], no extra shuffle. */
+  def hasHistoryEdges(historyAppend: DataFrame): DataFrame =
+    historyAppend.select(
+      col("hubspot_id").as("src_id"),
+      concat(col("hubspot_id"), lit("@"),
+        date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss")).as("dst_id"),
+      lit("HAS_HISTORY").as("rel_type"),
+      col("valid_to").as("superseded_at"))
+
   /** Relationship CDC: diff trackable edges and produce
     * HUBSPOT_RelationshipChange rows (T4; temporal_loader.py:401-462). */
   def edgeChanges(existing: DataFrame, incoming: DataFrame, loadTs: Column): DataFrame =

@@ -84,9 +84,96 @@ class QuerySpec extends AnyFunSuite {
   }
 
   test("clicksBeforeSubmission: J9 range join per contact email") {
-    // alice's click (2024-06-12) is NOT within 7d before her form (2024-01-15)
+    // alice's click (2024-06-12) is NOT within 7d before her form
+    // (2024-01-15): the form must SURVIVE with n_prior_clicks = 0 (the
+    // round-1 post-filter variant dropped it — OPTIONAL MATCH semantics
+    // keep the preserved side, DATA_MODEL.md:599-607).
     val rows = RQ.clicksBeforeSubmission(g).collect()
+    assert(rows.nonEmpty)
     assert(rows.forall(r => r.getLong(r.fieldIndex("n_prior_clicks")) == 0))
+    val aliceForms = rows.filter(r =>
+      r.getString(r.fieldIndex("email")) == "alice@company1.com")
+    assert(aliceForms.length == 1) // planted out-of-window click, row preserved
+    assert(aliceForms(0).getSeq[String](aliceForms(0).fieldIndex("urls")).isEmpty)
+  }
+
+  test("contactsByOwner / companiesByOwner / dealsByOwner: broadcast rosters") {
+    val c = RQ.contactsByOwner(g, "Doe").collect()
+    assert(c.map(_.getString(c(0).fieldIndex("contact_id"))).toSet == Set("c1"))
+    assert(c(0).getString(c(0).fieldIndex("owner_name")) == "John Doe")
+    val co = RQ.companiesByOwner(g, "Doe").collect()
+    assert(co.map(_.getString(co(0).fieldIndex("company_id"))).toSet == Set("co1"))
+    val d = RQ.dealsByOwner(g, "Doe").collect()
+    assert(d.map(_.getString(d(0).fieldIndex("deal_id"))).toSet == Set("d1"))
+    assert(d(0).getDouble(d(0).fieldIndex("amount")) == 50000.0)
+    // substring match spans owners: "o" hits both Doe and Roe
+    assert(RQ.contactsByOwner(g, "o").collect().length == 2) // c1 + c2
+  }
+
+  test("ownerSummary: filtered A2 counts with active flag") {
+    val rows = RQ.ownerSummary(g, "Roe").collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getString(r.fieldIndex("owner_name")) == "Jane Roe")
+    assert(!r.getBoolean(r.fieldIndex("active"))) // archived -> inactive
+    assert(r.getLong(r.fieldIndex("contacts_owned")) == 1) // c2
+    assert(r.getLong(r.fieldIndex("deals_owned")) == 0)
+  }
+
+  test("recentFormSubmissions: window filter + contact join") {
+    // forms are at 2024-01-15/16/17; asOf 2024-02-01 with 30d covers them
+    val asOf = lit(java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    val got = RQ.recentFormSubmissions(g, asOf, 30).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getString(1) != null)) // contact_name resolved
+    // a 1-day window excludes them all
+    assert(RQ.recentFormSubmissions(g, asOf, 1).collect().isEmpty)
+  }
+
+  test("recentEmailActivity: open+click union with owner") {
+    val asOf = lit(java.sql.Timestamp.valueOf("2024-06-13 00:00:00"))
+    val got = RQ.recentEmailActivity(g, asOf, 30).collect()
+    val types = got.map(r => r.getString(r.fieldIndex("event_type"))).toSet
+    assert(types == Set("EmailOpenEvent", "EmailClickEvent"))
+    assert(got.forall(r => r.getString(r.fieldIndex("contact_email")) == "alice@company1.com"))
+    assert(got.forall(r => r.getString(r.fieldIndex("owner_name")) == "John Doe"))
+  }
+
+  test("contactsWithRecentActivity: inner join = activity_count > 0") {
+    val asOf = lit(java.sql.Timestamp.valueOf("2024-06-13 00:00:00"))
+    val got = RQ.contactsWithRecentActivity(g, "Doe", asOf, 30).collect()
+    assert(got.length == 1) // alice: 2 email events in window
+    assert(got(0).getLong(got(0).fieldIndex("recent_activities")) == 2L)
+    // jane's contact bob has no events in the window -> empty, not zero-row
+    assert(RQ.contactsWithRecentActivity(g, "Roe", asOf, 30).collect().isEmpty)
+  }
+
+  test("contactEngagementHistory: typed union timeline, newest first") {
+    val got = RQ.contactEngagementHistory(g, "alice@company1.com").collect()
+    val types = got.map(r => r.getString(r.fieldIndex("engagement_type")))
+    assert(types.contains("OPENED") && types.contains("CLICKED")
+      && types.contains("SUBMITTED") && types.contains("PERFORMED"))
+    val ts = got.map(r => Option(r.getTimestamp(r.fieldIndex("timestamp"))))
+    assert(ts.flatten.sliding(2).forall(p => p.length < 2 || !p(0).before(p(1))))
+  }
+
+  test("ownership lookups: point queries resolve owners") {
+    import graft.query.{OwnershipQueries => OQ}
+    val c = OQ.contactOwner(g, "alice@company1.com").collect()
+    assert(c.length == 1 && c(0).getString(c(0).fieldIndex("owner_email")) == "john.doe@example.com")
+    val co = OQ.companyOwner(g, "Company One").collect()
+    assert(co.length == 1 && co(0).getString(co(0).fieldIndex("owner_first_name")) == "John")
+    val d = OQ.dealOwner(g, "Big").collect()
+    assert(d.length == 1 && d(0).getDouble(d(0).fieldIndex("amount")) == 50000.0)
+    val uo = OQ.userOwnership(g, "john.doe@example.com").collect()
+    assert(uo.length == 1)
+    assert(uo(0).getSeq[String](uo(0).fieldIndex("contacts")) == Seq("alice@company1.com"))
+    assert(uo(0).getDouble(uo(0).fieldIndex("total_deal_value")) == 50000.0)
+    val all = OQ.allOwnerships(g).collect()
+    assert(all.length == 2 && all(0).getString(all(0).fieldIndex("owner")) == "John Doe")
+    assert(OQ.contactsWithOwners(g).count() == 2) // c3 has no owner
+    assert(OQ.companiesWithOwners(g).count() == 1)
+    assert(OQ.dealsWithOwners(g).count() == 1)
   }
 
   test("entity matcher: linkedin first, email fallback, unmatched reported") {

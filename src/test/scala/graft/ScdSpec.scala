@@ -78,6 +78,19 @@ class ScdSpec extends AnyFunSuite {
     assert(r2.historyAppend.count() == 0)
   }
 
+  test("HAS_HISTORY edges: one per superseded version, keyed id@valid_to") {
+    val modified = snap(Seq(
+      ("c1", "Alicia", "lead", "u1"),      // update -> history row
+      ("c2", "Bob", "customer", "u1")))    // unchanged; c3 missing -> delete
+    val r = ScdLoader.applyScd(baseline, modified, t1)
+    val edges = ScdLoader.hasHistoryEdges(r.historyAppend).collect()
+      .map(e => e.getString(e.fieldIndex("src_id")) -> e).toMap
+    assert(edges.keySet == Set("c1", "c3")) // updated + deleted, NOT unchanged c2
+    assert(edges("c1").getString(edges("c1").fieldIndex("dst_id"))
+      == "c1@2024-02-01 00:00:00")
+    assert(edges.values.forall(_.getString(2) == "HAS_HISTORY"))
+  }
+
   test("resurrection: deleted entity reappearing becomes current again") {
     val del = ScdLoader.applyScd(baseline, snap(Seq(
       ("c1", "Alice", "lead", "u1"),
