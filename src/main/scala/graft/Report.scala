@@ -12,7 +12,7 @@ import graft.query.{ReportQueries => RQ}
   *     --owner NAME [--entity contacts|companies|deals|summary] |
   *     --recent-forms [--days N] | --recent-email [--days N] |
   *     --recent-activity NAME [--days N] | --engagement-history EMAIL |
-  *     --ownership [USER_EMAIL] |
+  *     --ownership [USER_EMAIL] | --schema | --rel-types |
   *     --lifecycle-stages | --industries | --funnel | --campaigns |
   *     --top-companies N | --no-company | --engaged | --combined)
   *     [--format table|csv|json] [--out PATH]
@@ -75,6 +75,8 @@ object Report {
           case Some(email) => OQ.userOwnership(g, email)
           case None => OQ.allOwnerships(g)
         }
+      case Some("--schema") => graft.query.Introspect.tableSchemas(g)
+      case Some("--rel-types") => graft.query.Introspect.relationshipTypes(g)
       case Some("--lifecycle-stages") => RQ.contactsByLifecycle(g)
       case Some("--industries") => RQ.companiesByIndustry(g)
       case Some("--funnel") => RQ.conversionFunnel(g)
@@ -87,7 +89,13 @@ object Report {
       case other => sys.error(s"unknown or missing report flag: $other")
     }
 
-    // S13/S14/S15 sinks
+    sink(result, format, out)
+    spark.stop()
+  }
+
+  /** S13/S14/S15 sinks. The coalesce(1) is a REPORT-output choice (one
+    * readable file); bulk data writes elsewhere keep their partitioning. */
+  def sink(result: DataFrame, format: String, out: Option[String]): Unit =
     (format, out) match {
       case ("table", _) => result.show(100, truncate = false)
       case ("csv", Some(p)) =>
@@ -99,6 +107,4 @@ object Report {
       case (f, None) => sys.error(s"--format $f requires --out PATH")
       case (f, _) => sys.error(s"unknown format $f")
     }
-    spark.stop()
-  }
 }

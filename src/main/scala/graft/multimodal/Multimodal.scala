@@ -87,8 +87,12 @@ object Multimodal {
       .select(col("asset_id"),
         explode(expr("sequence(1, least(octet_length(content), 256))")).as("i"),
         col("content"))
+      // byte-level access: substring on BINARY yields the raw byte, read
+      // via hex -> int. (A cast to string + ascii() is lossy on non-UTF-8
+      // media bytes — multi-byte sequences collapse.)
       .select(col("asset_id"),
-        (expr("ascii(substring(cast(content AS string), i, 1))") % dims).as("bucket"))
+        (expr("CAST(conv(hex(substring(content, i, 1)), 16, 10) AS INT)") % dims)
+          .as("bucket"))
       .groupBy("asset_id")
       .pivot("bucket", (0 until dims).map(_.toString))
       .count()

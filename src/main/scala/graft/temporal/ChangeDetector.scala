@@ -41,17 +41,24 @@ object ChangeDetector {
 
   /** Edge-set diff on (src, rel_type, dst) — added/removed, immutable event
     * edges excluded (T4/J11; change_detector.py:153-244,
-    * config/settings.py:76-86). */
+    * config/settings.py:76-86).
+    *
+    * ONE full-outer join on the 5-part edge key instead of two `except`s:
+    * except = distinct + anti-join per direction (4 shuffles of both
+    * inputs); here each side is distinct'd once and the join reuses that
+    * hash partitioning — 2 shuffles total, same row set. */
   def diffEdges(existing: DataFrame, incoming: DataFrame): DataFrame = {
     val key = Seq("rel_type", "src_type", "src_id", "dst_type", "dst_id")
     def trackable(df: DataFrame) =
       df.filter(!col("rel_type").isin(graft.model.CrmSchema.ImmutableEdgeTypes.toSeq: _*))
         .select(key.map(col): _*).distinct()
-    val added = trackable(incoming).except(trackable(existing))
-      .withColumn("change_type", lit("added"))
-    val removed = trackable(existing).except(trackable(incoming))
-      .withColumn("change_type", lit("removed"))
-    added.unionByName(removed)
+    val ex = trackable(existing).withColumn("in_existing", lit(true))
+    val inc = trackable(incoming).withColumn("in_incoming", lit(true))
+    ex.join(inc, key, "full_outer")
+      .filter(col("in_existing").isNull || col("in_incoming").isNull)
+      .select(key.map(col) :+
+        when(col("in_existing").isNull, "added").otherwise("removed")
+          .as("change_type"): _*)
   }
 
   /** Recompute snapshot hashes for a node table whose stable columns are

@@ -176,6 +176,32 @@ class QuerySpec extends AnyFunSuite {
     assert(OQ.dealsWithOwners(g).count() == 1)
   }
 
+  test("schema introspection: table/column rows, edge inventory, coverage") {
+    import graft.query.Introspect
+    val schemas = Introspect.tableSchemas(g).collect()
+    assert(schemas.map(_.getString(0)).toSet.contains("contacts"))
+    assert(schemas.exists(r => r.getString(0) == "contacts"
+      && r.getString(1) == "lifecycle_stage" && r.getString(2) == "string"))
+    val rels = Introspect.relationshipTypes(g).collect()
+    assert(rels.map(_.getString(0)).toSet.contains("OWNED_BY"))
+    assert(rels.forall(_.getLong(3) > 0))
+    val cov = Introspect.columnCoverage(g, "contacts").collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(cov("hubspot_id") == 3 && cov("email") == 2) // c3 has null email
+  }
+
+  test("report sinks: csv and json round-trip (S13/S14)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val result = RQ.contactsByLifecycle(g)
+    Report.sink(result, "csv", Some(s"$dir/out_csv"))
+    Report.sink(result, "json", Some(s"$dir/out_json"))
+    val csvBack = spark.read.option("header", "true").csv(s"$dir/out_csv")
+    assert(csvBack.count() == result.count())
+    assert(csvBack.columns.toSeq == result.columns.toSeq)
+    val jsonBack = spark.read.json(s"$dir/out_json")
+    assert(jsonBack.count() == result.count())
+  }
+
   test("entity matcher: linkedin first, email fallback, unmatched reported") {
     val users = Seq(
       ("u1", "a@x.com", "linkedin.com/in/alice"),

@@ -118,6 +118,27 @@ class ScdSpec extends AnyFunSuite {
     assert(got == Set(("added", "c2"), ("removed", "c1"))) // PERFORMED ignored
   }
 
+  test("entity relationship history: matches either end of the edge") {
+    def edges(rows: (String, String, String)*): DataFrame =
+      rows.toDF("rel_type", "src_id", "dst_id")
+        .withColumn("src_type", lit("HUBSPOT_Contact"))
+        .withColumn("dst_type", lit("HUBSPOT_Deal"))
+    val before = edges(("ASSOCIATED_WITH", "c1", "d1"))
+    val after = edges(("ASSOCIATED_WITH", "c2", "d1"))
+    val changes = ScdLoader.edgeChanges(before, after, t1)
+    // from-side lookup: only c1's removal
+    val c1 = graft.query.TemporalQueries
+      .entityRelationshipHistory(changes, "HUBSPOT_Contact", "c1").collect()
+    assert(c1.length == 1 && c1(0).getString(0) == "removed")
+    // to-side lookup: d1 sees both the removal and the addition
+    val d1 = graft.query.TemporalQueries
+      .entityRelationshipHistory(changes, "HUBSPOT_Deal", "d1").collect()
+    assert(d1.map(_.getString(0)).sorted.toSeq == Seq("added", "removed"))
+    // unrelated entity sees nothing
+    assert(graft.query.TemporalQueries
+      .entityRelationshipHistory(changes, "HUBSPOT_Contact", "c9").count() == 0)
+  }
+
   test("interval rebuild: lead() closes each version (W3)") {
     val hist = Seq(
       ("c1", "2024-01-01 00:00:00"), ("c1", "2024-02-01 00:00:00"),
