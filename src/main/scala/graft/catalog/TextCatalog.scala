@@ -155,6 +155,33 @@ object TextCatalog {
               FROM (SELECT doc_id, text, $duckNorm AS norm FROM documents)
               ORDER BY doc_id""")),
 
+    Q("x_token_bpe",
+      // BPE-ish token counting (M6 text analysis): whitespace tokens vs a
+      // subword-flavored regex split (letter runs | single digits |
+      // punctuation runs) and their ratio — the fan-out factor a BPE
+      // tokenizer budget estimate needs. Restricted to the ASCII
+      // projection so Java-regex and RE2 count identical units (astral
+      // codepoints are 2 UTF-16 units in Java, 1 rune in RE2).
+      (s, d) => t(s, d, "documents")
+        .withColumn("norm", expr(sparkNorm))
+        .withColumn("a", expr("regexp_replace(norm, '[^\\\\x00-\\\\x7f]', '')"))
+        .select(col("doc_id"),
+          expr("size(split(norm, ' '))").as("n_ws_tokens"),
+          expr("size(regexp_extract_all(a, '[a-z]+|[0-9]|[^a-z0-9 ]+', 0))")
+            .as("n_bpe_tokens"),
+          round(expr("size(regexp_extract_all(a, '[a-z]+|[0-9]|[^a-z0-9 ]+', 0)) * 1.0D"
+            + " / size(split(norm, ' '))"), 4).as("bpe_per_ws"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              len(string_split(norm, ' ')) AS n_ws_tokens,
+              len(regexp_extract_all(a, '[a-z]+|[0-9]|[^a-z0-9 ]+')) AS n_bpe_tokens,
+              round(len(regexp_extract_all(a, '[a-z]+|[0-9]|[^a-z0-9 ]+')) * 1.0
+                    / len(string_split(norm, ' ')), 4) AS bpe_per_ws
+              FROM (SELECT doc_id, norm,
+                      regexp_replace(norm, '[^\\x00-\\x7f]', '', 'g') AS a
+                    FROM (SELECT doc_id, $duckNorm AS norm FROM documents))
+              ORDER BY doc_id""")),
+
     Q("x_quality_score",
       (s, d) => t(s, d, "documents")
         .withColumn("norm", expr(sparkNorm))
