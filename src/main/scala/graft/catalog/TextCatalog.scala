@@ -38,30 +38,23 @@ object TextCatalog {
     * 2-bit ones — the band buckets stay small at scale. 63 = 9 * 7 also
     * keeps `pow(2, bitpos)` inside signed-BIGINT range (2^62 max). */
   private def simhashTable(s: org.apache.spark.sql.SparkSession, d: String) = {
+    graft.functions.SimHashAgg.register(s)
     // repartition: the documents table is a single small parquet split at
     // test SF, and the per-doc compute below is the expensive part — spread
     // it across the cluster instead of one scan task.
     val docs = spread(t(s, d, "documents")).withColumn("norm", expr(sparkNorm))
-    val toks = docs
+    // One row per (doc, token), ONE custom aggregate: simhash_agg is a
+    // native TypedImperativeAggregate (graft.functions.SimHashAgg) holding
+    // the 63 majority counters in its buffer — partial-aggregated map-side
+    // like any sum, merged by buffer addition. The pure-SQL alternatives
+    // either explode 63x per token (extra shuffle, the round-1 shape) or
+    // carry 63 sum() columns (a huge codegen unit).
+    docs
       .select(col("doc_id"), col("source"),
         explode(expr("array_distinct(split(norm, ' '))")).as("tok"))
       .withColumn("h", md5(col("tok")))
-    // One row per (doc, token): project the 16 md5 nibbles once, then take
-    // 63 map-side partial-aggregated bit sums — NOT an explode to 63 rows
-    // per token (the round-1 shape shuffled 63x the token table through
-    // two groupBys; this shuffles the token table zero times and the
-    // 63-column partial aggregate once).
-    val digits = toks.select(Seq(col("doc_id"), col("source")) ++
-      (0 to 15).map(p =>
-        expr(s"instr('0123456789abcdef', substring(h, ${p + 1}, 1)) - 1").as(s"d$p")): _*)
-    val bitSums = (0 until 63).map(j =>
-      sum(expr(s"CASE WHEN (shiftright(d${j / 4}, ${j % 4}) & 1) = 1 THEN 1 ELSE -1 END"))
-        .as(s"s$j"))
-    digits.groupBy("doc_id", "source")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), col("source"),
-        expr((0 until 63).map(j => s"CASE WHEN s$j > 0 THEN ${1L << j}L ELSE 0L END")
-          .mkString("", " + ", "")).as("simhash"))
+      .groupBy("doc_id", "source")
+      .agg(expr("simhash_agg(h)").as("simhash"))
   }
 
   /** DuckDB twin of [[simhashTable]], shared by the two simhash oracles. */
