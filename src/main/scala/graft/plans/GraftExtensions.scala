@@ -1,0 +1,86 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{CharNGrams, SimHashAgg}
+
+/** Optimizer rule guarding the near-dup self-join pathology (SURVEY.md
+  * §7.3 mechanism (c): a `Rule[LogicalPlan]` injected via
+  * SparkSessionExtensions).
+  *
+  * A pairing self-join's sides are the SAME expensive subtree (shingle +
+  * hash + aggregate/window) with different aliases on top. If the
+  * optimizer (or AQE at runtime) broadcasts one side, that side becomes a
+  * separate broadcast-exchange job: the expensive pipeline runs twice,
+  * exchange reuse is impossible, and the broadcast job's parallelism
+  * collapses (measured on x_minhash_lsh at sf0.1: 160 s broadcast plan vs
+  * 4 s sort-merge). A sort-merge join on the shared key instead reuses
+  * ONE exchange+sort for both sides — and is the only join that exists at
+  * 100 TB, where neither side fits in a broadcast.
+  *
+  * The rule detects an un-hinted inner self-join whose two sides are
+  * canonically the same plan beneath their top projections and contain an
+  * Aggregate or Window, and pins both sides to SHUFFLE_MERGE. The catalog
+  * queries also carry explicit `.hint("merge")` calls (they must behave
+  * in un-extended sessions); the rule makes the protection ambient for
+  * sessions launched with
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+object SelfJoinMergeHint extends Rule[LogicalPlan] {
+
+  private def beneathProjections(p: LogicalPlan): LogicalPlan = p match {
+    case Project(_, child) => beneathProjections(child)
+    case SubqueryAlias(_, child) => beneathProjections(child)
+    case ResolvedHint(child, _) => beneathProjections(child)
+    case other => other
+  }
+
+  private def expensive(p: LogicalPlan): Boolean = p.exists {
+    case _: Aggregate => true
+    case _: Window => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(l, r, Inner, _, JoinHint(None, None))
+        if beneathProjections(l).canonicalized == beneathProjections(r).canonicalized &&
+          expensive(l) =>
+      val merge = Some(HintInfo(Some(SHUFFLE_MERGE)))
+      j.copy(hint = JoinHint(merge, merge))
+  }
+}
+
+/** Session extension bundle: the self-join guard rule plus permanent
+  * registrations of the native functions (`char_ngrams`, `simhash_agg`),
+  * so `spark.sql(...)` sees them without per-query register() calls.
+  * Activate with `--conf spark.sql.extensions=graft.plans.GraftExtensions`
+  * or `SparkSession.builder().withExtensions(new GraftExtensions)`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => SelfJoinMergeHint)
+    ext.injectFunction((
+      new FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(classOf[CharNGrams].getName, "char_ngrams"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "char_ngrams(str, n) takes two arguments")
+        val n = exprs(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => other.eval().asInstanceOf[Int]
+        }
+        CharNGrams(exprs.head, n)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_agg"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "simhash_agg(md5hex) takes one argument")
+        SimHashAgg(exprs.head)
+      }))
+  }
+}
