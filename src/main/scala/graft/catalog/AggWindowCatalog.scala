@@ -307,16 +307,28 @@ object AggWindowCatalog {
              GROUP BY change_type ORDER BY change_type""")),
 
     Q("a_approx_distinct",
-      // Scale extension: HLL++ sketch vs exact distinct. No oracle — the
-      // sketch estimate is engine-specific; the driver records a rows-only
-      // check. At 100 TB this replaces the exact distinct's full shuffle
-      // with a fixed-size mergeable sketch per partition.
+      // Scale extension: HLL++ sketch vs exact distinct. At 100 TB this
+      // replaces the exact distinct's full shuffle with a fixed-size
+      // mergeable sketch per partition. The raw estimate is
+      // engine-specific, so the ORACLE-COMPARED columns are the exact
+      // count and the sketch's relative error staying inside 3x its
+      // configured 2% rsd — each engine checks its OWN sketch against
+      // its OWN exact count, and both must say "within bound".
       (s, d) => t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(countDistinct(col("l_partkey")).as("n_exact"),
           approx_count_distinct(col("l_partkey"), 0.02).as("n_approx"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")) <= col("n_exact") * 0.06)
+            .as("within_bound"))
         .orderBy("l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag, n_exact,
+             abs(n_approx - n_exact) <= n_exact * 0.06 AS within_bound
+             FROM (SELECT l_returnflag,
+                     count(DISTINCT l_partkey) AS n_exact,
+                     approx_count_distinct(l_partkey) AS n_approx
+                   FROM lineitem GROUP BY l_returnflag)
+             ORDER BY l_returnflag""")),
 
     Q("t4_edge_diff",
       // J11/A14 — edge-set diff classified and counted: (custkey ->
