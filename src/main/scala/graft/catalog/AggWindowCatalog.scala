@@ -306,6 +306,48 @@ object AggWindowCatalog {
                  ON o.old_key = n.new_key)
              GROUP BY change_type ORDER BY change_type""")),
 
+    Q("w5_sessionize",
+      // Sessionization (gaps-and-islands): per-user sessions split at
+      // >30 min inactivity — lag for the gap, running sum of session
+      // starts for the id, then per-session stats. Both windows and the
+      // final groupBy share the user_id partitioning: ONE shuffle total.
+      // Timestamp arithmetic in integer MICROseconds on both engines
+      // (second-granularity casts round differently across engines).
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts")
+        t(s, d, "events").select(col("user_id"), col("ts"))
+          .withColumn("gap_us",
+            expr("unix_micros(ts)") - lag(expr("unix_micros(ts)"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_no", sum("new_sess").over(w))
+          .groupBy("user_id", "session_no")
+          .agg(count(lit(1)).as("n_events"),
+            max(expr("unix_micros(ts)")).as("max_us"),
+            min(expr("unix_micros(ts)")).as("min_us"))
+          // integer `div`, not `/` (which widens to double in Spark SQL)
+          .select(col("user_id"), col("session_no"), col("n_events"),
+            expr("(max_us - min_us) div 1000000").as("duration_s"))
+          .orderBy("user_id", "session_no")
+      },
+      Some("""WITH s AS (
+               SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS new_sess
+               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             s2 AS (
+               SELECT user_id, ts,
+                 CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
+                   AS session_no
+               FROM s)
+             SELECT user_id, session_no, count(*) AS n_events,
+               CAST((max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS BIGINT)
+                 AS duration_s
+             FROM s2 GROUP BY user_id, session_no
+             ORDER BY user_id, session_no""")),
+
     Q("a_approx_distinct",
       // Scale extension: HLL++ sketch vs exact distinct. At 100 TB this
       // replaces the exact distinct's full shuffle with a fixed-size
