@@ -9,7 +9,7 @@ import graft.query.{ReportQueries => RQ}
   *
   * Usage:
   *   runMain graft.Report <rawDir> (--all-owners | --find-owner NAME |
-  *     --owner NAME [--entity contacts|companies|deals|summary] |
+  *     --owner NAME [--entity contacts|companies|deals|combined|summary] |
   *     --recent-forms [--days N] | --recent-email [--days N] |
   *     --recent-activity NAME [--days N] | --engagement-history EMAIL |
   *     --ownership [USER_EMAIL] | --schema | --rel-types |
@@ -62,6 +62,7 @@ object Report {
           case "contacts" => RQ.contactsByOwner(g, name)
           case "companies" => RQ.companiesByOwner(g, name)
           case "deals" => RQ.dealsByOwner(g, name)
+          case "combined" => RQ.combinedByOwner(g, name)
           case _ => RQ.ownerSummary(g, name)
         }
       case Some("--recent-forms") => RQ.recentFormSubmissions(g, asOf, days)

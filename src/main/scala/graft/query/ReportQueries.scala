@@ -31,10 +31,12 @@ object ReportQueries {
       .select(col("hubspot_id").as("owner_key"), col("email").as("owner_email"),
         ownerName.as("owner_name")))
 
-  /** Owner lookup by name substring (P4; reporting/queries.py:20-21 etc.). */
+  /** Owner lookup by name OR email substring, with team membership
+    * (P4; reporting/queries.py:273-295). */
   def findOwner(g: GraphTables, needle: String): DataFrame =
-    g.users.filter(ownerNameFilter(needle))
-      .select(col("hubspot_id"), ownerName.as("owner_name"), col("email"), col("active"))
+    g.users.filter(ownerNameFilter(needle) || col("email").contains(needle))
+      .select(col("hubspot_id"), ownerName.as("owner_name"), col("email"),
+        col("active"), col("teams"))
       .orderBy("hubspot_id")
 
   /** Per-owner contact roster (reporting/queries.py:9-33): J2 broadcast
@@ -249,6 +251,24 @@ object ReportQueries {
       .agg(count(col("click_ts")).as("n_prior_clicks"),
         sort_array(collect_set(col("clicked_url"))).as("urls"))
       .orderBy("form_id")
+  }
+
+  /** U1 scoped to matched owners — combined contacts+companies for owners
+    * matching a name pattern (reporting/queries.py:298-334; the reference
+    * Cypher is malformed, this implements the documented intent: the
+    * reference's identifier columns are contact email / company domain). */
+  def combinedByOwner(g: GraphTables, needle: String): DataFrame = {
+    val contacts = g.contacts.select(lit("contact").as("entity_type"),
+      col("email").as("identifier"), ownerName.as("name"),
+      col("lifecycle_stage").as("status"), col("created_date"), col("owner_id"))
+    val companies = g.companies.select(lit("company").as("entity_type"),
+      col("domain").as("identifier"), col("name"),
+      col("industry").as("status"), col("created_date"), col("owner_id"))
+    contacts.unionByName(companies)
+      .join(matchedOwners(g, needle), col("owner_id") === col("owner_key"))
+      .select(col("entity_type"), col("identifier"), col("name"), col("status"),
+        col("created_date"), col("owner_name"), col("owner_email"))
+      .orderBy(desc_nulls_last("created_date"), col("entity_type"), col("identifier"))
   }
 
   /** P7+J1 — form submissions in the lookback window, with the submitting

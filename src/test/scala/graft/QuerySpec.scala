@@ -26,9 +26,19 @@ class QuerySpec extends AnyFunSuite {
       .count() == 0)
   }
 
-  test("findOwner: substring match") {
+  test("findOwner: substring match on name OR email, teams included") {
     val got = RQ.findOwner(g, "Doe").collect()
     assert(got.length == 1 && got(0).getString(1) == "John Doe")
+    assert(got(0).getString(got(0).fieldIndex("teams")) == "Sales")
+    // email-substring match (reference find_owner_by_name also probes email)
+    assert(RQ.findOwner(g, "jane.roe@").collect().length == 1)
+  }
+
+  test("combinedByOwner: owner-scoped union with email/domain identifiers") {
+    val rows = RQ.combinedByOwner(g, "Doe").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("contact", "alice@company1.com"), ("company", "company1.com")))
+    assert(rows.forall(_.getString(5) == "John Doe"))
   }
 
   test("allOwnersSummary: distinct counts + deal value, zero-entity owners kept") {
