@@ -1,9 +1,15 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.expressions.Window
+
+/** Typed records for the custom-state sessionizer. */
+final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+final case class SessionState(start: Long, last: Long, n: Long)
+final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, n_events: Long, duration_s: Long)
 
 /** Structured-Streaming face of the engine (SURVEY.md §2.9 optional note):
   * the reference's "temporal" capability is snapshot-diff micro-batching,
@@ -50,6 +56,58 @@ object IncrementalPipeline {
         swap(spark, s"$stateDir/current_next", currentPath)
         ()
       }
+
+  /** Custom-state streaming sessionization via `flatMapGroupsWithState`
+    * (the `KeyValueGroupedDataset` custom-state path) — the streaming face
+    * of the batch `w5_sessionize` gaps-and-islands query. A completed
+    * session is emitted as soon as a later event proves the gap; the open
+    * session per user lives in O(1) typed state and is flushed by
+    * event-time timeout once the watermark passes last_ts + gap. */
+  def sessionizeStream(events: DataFrame, gapSeconds: Long = 1800,
+      watermark: String = "1 hour"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "ts").as[SessionEvent]
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        sessionFold(gapSeconds * 1000L))
+  }
+
+  /** Per-group fold: close sessions at gaps, keep the open one in state.
+    * Package-visible so the spec can drive it directly as well. */
+  private[streaming] def sessionFold(gapMs: Long)(
+      userId: Long, events: Iterator[SessionEvent],
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    def emit(s: SessionState) = SessionOut(userId,
+      new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
+      s.n, (s.last - s.start) / 1000L)
+    if (state.hasTimedOut) {
+      val flushed = state.getOption.map(emit).toSeq
+      state.remove()
+      flushed.iterator
+    } else {
+      val sorted = events.toSeq.sortBy(_.ts.getTime)
+      var cur = state.getOption
+      val closed = Seq.newBuilder[SessionOut]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur = cur match {
+          case Some(s) if t - s.last <= gapMs =>
+            Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
+          case Some(s) =>
+            closed += emit(s)
+            Some(SessionState(t, t, 1))
+          case None => Some(SessionState(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.last + gapMs)
+      }
+      closed.result().iterator
+    }
+  }
 
   /** Deduplicate a stream per key keeping the earliest event, with state
     * bounded by the watermark — the streaming face of A12. */

@@ -55,6 +55,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(histRows == 0L, "idempotent reload must not write history")
   }
 
+  test("flatMapGroupsWithState sessionization: gaps close sessions across batches") {
+    import graft.streaming.SessionEvent
+    implicit val sql = spark.sqlContext
+    // Spark 4 moved MemoryStream under execution.streaming.runtime
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessionEvent]
+    def ev(u: Long, t: String) = SessionEvent(u, java.sql.Timestamp.valueOf(t))
+    val q = IncrementalPipeline.sessionizeStream(input.toDF(), gapSeconds = 1800)
+      .writeStream.outputMode("append").format("memory").queryName("sessions").start()
+    // batch 1: two close events then a far one -> first session closes in-batch
+    input.addData(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:10:00"),
+      ev(1, "2024-01-01 13:00:00"))
+    q.processAllAvailable()
+    val afterB1 = spark.table("sessions").collect()
+    assert(afterB1.length == 1)
+    assert(afterB1(0).getLong(afterB1(0).fieldIndex("n_events")) == 2L)
+    assert(afterB1(0).getLong(afterB1(0).fieldIndex("duration_s")) == 600L)
+    // batch 2: a later event closes the 13:00 singleton session
+    input.addData(ev(1, "2024-01-01 16:00:00"))
+    q.processAllAvailable()
+    val afterB2 = spark.table("sessions").collect()
+    assert(afterB2.length >= 2)
+    val singleton = afterB2.find(r =>
+      r.getTimestamp(r.fieldIndex("session_start")).toString.startsWith("2024-01-01 13:00")).get
+    assert(singleton.getLong(singleton.fieldIndex("n_events")) == 1L)
+    q.stop()
+  }
+
   test("streaming dedup keeps one row per key within watermark") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup").toString
     val batch = graft.catalog.Q.t(spark, "/root/testdata/sf0.001", "events")
