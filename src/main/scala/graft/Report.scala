@@ -20,13 +20,6 @@ import graft.query.{ReportQueries => RQ}
 object Report {
 
   def main(args: Array[String]): Unit = {
-    val rawDir = args.headOption.getOrElse(sys.error("usage: Report <rawDir> <flag>"))
-    val flags = args.drop(1).toSeq
-    def flagValue(name: String): Option[String] =
-      flags.sliding(2).collectFirst { case Seq(`name`, v) if !v.startsWith("--") => v }
-    val format = flagValue("--format").getOrElse("table")
-    val out = flagValue("--out")
-
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -36,6 +29,17 @@ object Report {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args) finally spark.stop()
+  }
+
+  /** CLI body against a caller-owned session (e2e-testable). */
+  def run(spark: SparkSession, args: Array[String]): Unit = {
+    val rawDir = args.headOption.getOrElse(sys.error("usage: Report <rawDir> <flag>"))
+    val flags = args.drop(1).toSeq
+    def flagValue(name: String): Option[String] =
+      flags.sliding(2).collectFirst { case Seq(`name`, v) if !v.startsWith("--") => v }
+    val format = flagValue("--format").getOrElse("table")
+    val out = flagValue("--out")
     import graft.model.CrmSchema
 
     def read(name: String, schema: org.apache.spark.sql.types.StructType) =
@@ -91,7 +95,6 @@ object Report {
     }
 
     sink(result, format, out)
-    spark.stop()
   }
 
   /** S13/S14/S15 sinks. The coalesce(1) is a REPORT-output choice (one

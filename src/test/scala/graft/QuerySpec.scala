@@ -212,6 +212,24 @@ class QuerySpec extends AnyFunSuite {
     assert(jsonBack.count() == result.count())
   }
 
+  test("Report CLI end-to-end: raw JSON -> --owner roster -> csv") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-report").toString
+    Seq(
+      "users" -> CrmFixture.usersRaw(spark),
+      "contacts" -> CrmFixture.contactsRaw(spark),
+      "companies" -> CrmFixture.companiesRaw(spark),
+      "deals" -> CrmFixture.dealsRaw(spark),
+      "engagements" -> CrmFixture.engagementsRaw(spark),
+      "email_events" -> CrmFixture.emailEventsRaw(spark),
+      "form_submissions" -> CrmFixture.formsRaw(spark)
+    ).foreach { case (n, df) => df.write.mode("overwrite").json(s"$dir/$n.json") }
+    Report.run(spark, Array(dir, "--owner", "Doe", "--entity", "contacts",
+      "--format", "csv", "--out", s"$dir/out"))
+    val back = spark.read.option("header", "true").csv(s"$dir/out")
+    assert(back.count() == 1)
+    assert(back.collect()(0).getAs[String]("contact_email") == "alice@company1.com")
+  }
+
   test("entity matcher: linkedin first, email fallback, unmatched reported") {
     val users = Seq(
       ("u1", "a@x.com", "linkedin.com/in/alice"),
