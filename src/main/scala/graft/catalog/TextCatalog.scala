@@ -462,15 +462,21 @@ object TextCatalog {
           col("src"), col("band"), col("bits")).hint("merge")
         val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
           col("src"), col("band"), col("bits")).hint("merge")
-        // hamming filter BEFORE the dedup: joined candidates stream through
-        // the codegen'd bit_count filter, and distinct() only ever sees the
-        // (small) true near-dup pair set — never the raw candidate fan-out.
+        // Two codegen'd join filters, no dedup shuffle at all:
+        //  - exact hamming (bit_count) prunes candidates in the join;
+        //  - first-matching-band: a pair is emitted ONLY from the lowest
+        //    band where the signatures agree (all earlier bands must
+        //    differ), so each qualifying pair exits the join exactly once
+        //    — the classic LSH dedup trick, replacing a distinct() that
+        //    would re-shuffle up to 9 copies of every near-dup pair.
         a.join(b, Seq("src", "band", "bits"))
           .filter(col("doc_a") < col("doc_b") &&
-            expr("bit_count(sim_a ^ sim_b)") <= 8)
+            expr("bit_count(sim_a ^ sim_b)") <= 8 &&
+            (col("band") === 0 ||
+              expr("forall(sequence(0, band - 1)," +
+                " i -> (shiftright(sim_a, i * 7) & 127) != (shiftright(sim_b, i * 7) & 127))")))
           .select(col("doc_a"), col("doc_b"),
             expr("bit_count(sim_a ^ sim_b)").as("hamming"))
-          .distinct()
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH $duckSimhashCte
