@@ -306,6 +306,44 @@ object AggWindowCatalog {
                  ON o.old_key = n.new_key)
              GROUP BY change_type ORDER BY change_type""")),
 
+    Q("a15_percentiles",
+      // Exact interpolated percentiles (median / p95) per group — both
+      // engines implement the same C = (n-1)*p linear interpolation
+      // (Spark `percentile`, DuckDB `quantile_cont`). The approx_percentile
+      // sketch is the 100 TB path; like the HLL entry, its raw values are
+      // engine-specific, so the exact form is what the oracle gates.
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5D)"), 2).as("median_price"),
+          round(expr("percentile(l_extendedprice, 0.95D)"), 2).as("p95_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+             round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price,
+             count(*) AS n
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    Q("a16_rollup",
+      // GROUPING SETS family: ROLLUP over (returnflag, linestatus) with
+      // grouping_id distinguishing subtotal levels — identical lattice
+      // semantics on both engines; NULL group keys rendered as 'ALL' so
+      // the hash compare never meets an ambiguous NULL.
+      (s, d) => t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("gid"))
+        .orderBy("gid", "returnflag", "linestatus"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             coalesce(l_linestatus, 'ALL') AS linestatus,
+             count(*) AS n, CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             ORDER BY gid, returnflag, linestatus""")),
+
     Q("w5_sessionize",
       // Sessionization (gaps-and-islands): per-user sessions split at
       // >30 min inactivity — lag for the gap, running sum of session
