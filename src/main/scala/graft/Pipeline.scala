@@ -79,6 +79,11 @@ object Pipeline {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try run(spark, rawDir, stateDir) finally spark.stop()
+  }
+
+  /** CLI body against a caller-owned session (e2e-testable). */
+  def run(spark: SparkSession, rawDir: String, stateDir: String): Unit = {
     import graft.model.CrmSchema
 
     def read(name: String, schema: org.apache.spark.sql.types.StructType) =
@@ -122,6 +127,5 @@ object Pipeline {
     // Verification counts (S17): one job per table family
     val counts = tables.map { case (n, df) => s"$n=${df.count()}" }.mkString(" ")
     println(s"[pipeline] nodes: $counts edges=${validEdges.count()}")
-    spark.stop()
   }
 }
