@@ -25,14 +25,35 @@ object Bench {
     // timed query doesn't absorb one-time startup cost.
     Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // Per-query steady-state = min across ROUNDS full passes over the
+    // catalog. This host shows bursty CPU steal that can make a contiguous
+    // block of queries 10-50x slower in one pass and fine in the next;
+    // interleaving whole rounds (rather than back-to-back reps) makes it
+    // very unlikely the same query sits inside a burst every time. A query
+    // counts as failed only if it fails in EVERY round.
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "2").toInt.max(1)
+    val qseq = SparkEntry.queries.toSeq
+    def pass(): Seq[(String, Double, Option[String])] = qseq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    def esc(s: String): String =
-      s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ").take(200)
+    val results = (1 to rounds).map(_ => pass()).transpose.map { runs =>
+      val name = runs.head._1
+      val ok = runs.filter(_._3.isEmpty)
+      if (ok.nonEmpty) (name, ok.map(_._2).min, None)
+      else (name, runs.map(_._2).min, runs.head._3)
+    }
+    // Truncate BEFORE escaping (a cut mid-pair would leave a dangling
+    // backslash) and strip every control char, so the one JSON line stays
+    // parseable no matter what the error message contains.
+    def esc(s: String): String = s.take(200).flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => " "
+      case c => c.toString
+    }
     // `queries` stays name -> seconds (the driver's documented shape);
     // failure honesty lives in the extra `n_failed` / `failed` fields.
     val qs = results.map { case (k, v, _) => s"""\"$k\":$v""" }.mkString("{", ",", "}")

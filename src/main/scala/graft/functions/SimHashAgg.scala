@@ -41,9 +41,20 @@ case class SimHashAgg(
     val v = child.eval(input)
     if (v != null) {
       val hex = v.asInstanceOf[UTF8String].toString
+      // simhash_agg is registered session-wide, so any SQL user can feed it
+      // arbitrary strings: reject non-digest input with a clear error
+      // instead of a raw StringIndexOutOfBounds (short input) or silently
+      // skewed bits (Character.digit = -1 on non-hex).
+      if (hex.length < (Bits >> 2) + 1)
+        throw new IllegalArgumentException(
+          s"simhash_agg expects an md5-style hex digest (>= ${(Bits >> 2) + 1} hex chars), " +
+            s"got a ${hex.length}-char string: '$hex'")
       var j = 0
       while (j < Bits) {
         val digit = Character.digit(hex.charAt(j >> 2), 16)
+        if (digit < 0)
+          throw new IllegalArgumentException(
+            s"simhash_agg expects hex-digit input, found '${hex.charAt(j >> 2)}' in '$hex'")
         if (((digit >> (j & 3)) & 1) == 1) buf(j) += 1 else buf(j) -= 1
         j += 1
       }

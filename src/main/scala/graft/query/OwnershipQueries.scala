@@ -49,46 +49,72 @@ object OwnershipQueries {
       .orderBy("name")
 
   /** Everything one user owns: rosters + counts + pipeline value
-    * (query_ownership.py:70-89). */
+    * (query_ownership.py:70-89).
+    *
+    * The reference Cypher chains three OPTIONAL MATCHes and then
+    * `sum(d.amount)` over the cross product, inflating the total by
+    * n_contacts x n_companies for any owner with more than one of each
+    * (its DISTINCT protects only the counts). We aggregate each entity
+    * table per owner FIRST and then join the one-row-per-owner results —
+    * correct totals, and the only shape that works at scale: each fact
+    * table is reduced to |owners| rows before any join, instead of
+    * materializing a three-way row explosion. */
   def userOwnership(g: GraphTables, userEmail: String): DataFrame = {
     val u = g.users.filter(col("email") === userEmail)
       .select(col("hubspot_id").as("owner_key"), ownerName.as("owner"),
         col("email"))
-    u.join(g.contacts.select(col("email").as("c_email"), col("owner_id").as("c_own")),
-        col("c_own") === col("owner_key"), "left")
-      .join(g.companies.select(col("name").as("co_name"), col("hubspot_id").as("co_id"),
-        col("owner_id").as("co_own")), col("co_own") === col("owner_key"), "left")
-      .join(g.deals.select(col("name").as("d_name"), col("hubspot_id").as("d_id"),
-        col("amount"), col("owner_id").as("d_own")),
-        col("d_own") === col("owner_key"), "left")
-      .groupBy("owner_key", "owner", "email")
-      .agg(
-        sort_array(collect_set(col("c_email"))).as("contacts"),
-        sort_array(collect_set(col("co_name"))).as("companies"),
-        sort_array(collect_set(col("d_name"))).as("deals"),
-        countDistinct("c_email").as("contact_count"),
-        countDistinct("co_id").as("company_count"),
-        countDistinct("d_id").as("deal_count"),
+    // Filter each fact scan down to the one requested owner before its
+    // per-owner aggregate: broadcast semi-join against the 1-row user dim.
+    def owned(df: DataFrame): DataFrame =
+      df.join(broadcast(u.select(col("owner_key"))),
+        col("owner_id") === col("owner_key"), "left_semi")
+    val contactAgg = owned(g.contacts).groupBy(col("owner_id").as("c_own"))
+      .agg(sort_array(collect_set(col("email"))).as("contacts"),
+        countDistinct("email").as("contact_count"))
+    val companyAgg = owned(g.companies).groupBy(col("owner_id").as("co_own"))
+      .agg(sort_array(collect_set(col("name"))).as("companies"),
+        countDistinct("hubspot_id").as("company_count"))
+    val dealAgg = owned(g.deals).groupBy(col("owner_id").as("d_own"))
+      .agg(sort_array(collect_set(col("name"))).as("deals"),
+        countDistinct("hubspot_id").as("deal_count"),
         sum("amount").as("total_deal_value"))
-      .drop("owner_key")
+    u.join(contactAgg, col("c_own") === col("owner_key"), "left")
+      .join(companyAgg, col("co_own") === col("owner_key"), "left")
+      .join(dealAgg, col("d_own") === col("owner_key"), "left")
+      .select(col("owner"), col("email"),
+        coalesce(col("contacts"), array().cast("array<string>")).as("contacts"),
+        coalesce(col("companies"), array().cast("array<string>")).as("companies"),
+        coalesce(col("deals"), array().cast("array<string>")).as("deals"),
+        coalesce(col("contact_count"), lit(0L)).as("contact_count"),
+        coalesce(col("company_count"), lit(0L)).as("company_count"),
+        coalesce(col("deal_count"), lit(0L)).as("deal_count"),
+        col("total_deal_value"))
   }
 
   /** Ownership summary for every user, by pipeline value
-    * (query_ownership.py:91-108). */
+    * (query_ownership.py:91-108). Same pre-aggregated shape as
+    * [[userOwnership]] — `sum(amount)` must see each deal row exactly
+    * once, not once per (contact, company) pair. */
   def allOwnerships(g: GraphTables): DataFrame = {
     val u = g.users.select(col("hubspot_id").as("owner_key"), ownerName.as("owner"),
       col("email"))
-    u.join(g.contacts.select(col("hubspot_id").as("c_id"), col("owner_id").as("c_own")),
-        col("c_own") === col("owner_key"), "left")
-      .join(g.companies.select(col("hubspot_id").as("co_id"), col("owner_id").as("co_own")),
-        col("co_own") === col("owner_key"), "left")
-      .join(g.deals.select(col("hubspot_id").as("d_id"), col("amount"),
-        col("owner_id").as("d_own")), col("d_own") === col("owner_key"), "left")
-      .groupBy("owner_key", "owner", "email")
-      .agg(countDistinct("c_id").as("contacts"),
-        countDistinct("co_id").as("companies"),
-        countDistinct("d_id").as("deals"),
+    val contactAgg = g.contacts.groupBy(col("owner_id").as("c_own"))
+      .agg(countDistinct("hubspot_id").as("n_contacts"))
+    val companyAgg = g.companies.groupBy(col("owner_id").as("co_own"))
+      .agg(countDistinct("hubspot_id").as("n_companies"))
+    val dealAgg = g.deals.groupBy(col("owner_id").as("d_own"))
+      .agg(countDistinct("hubspot_id").as("n_deals"),
         sum("amount").as("total_pipeline_value"))
+    // The per-owner aggregates are |owners|-sized regardless of fact-table
+    // scale — broadcast them onto the user dimension.
+    u.join(broadcast(contactAgg), col("c_own") === col("owner_key"), "left")
+      .join(broadcast(companyAgg), col("co_own") === col("owner_key"), "left")
+      .join(broadcast(dealAgg), col("d_own") === col("owner_key"), "left")
+      .select(col("owner_key"), col("owner"), col("email"),
+        coalesce(col("n_contacts"), lit(0L)).as("contacts"),
+        coalesce(col("n_companies"), lit(0L)).as("companies"),
+        coalesce(col("n_deals"), lit(0L)).as("deals"),
+        col("total_pipeline_value"))
       .orderBy(desc_nulls_last("total_pipeline_value"), col("owner_key"))
       .drop("owner_key")
   }

@@ -46,17 +46,25 @@ object ChangeDetector {
     * ONE full-outer join on the 5-part edge key instead of two `except`s:
     * except = distinct + anti-join per direction (4 shuffles of both
     * inputs); here each side is distinct'd once and the join reuses that
-    * hash partitioning — 2 shuffles total, same row set. */
+    * hash partitioning — 2 shuffles total, same row set.
+    *
+    * The join keys use null-safe equality (`<=>`), because EXCEPT compares
+    * null-safely: an edge with a NULL key component present on both sides
+    * must be suppressed, not reported as both "added" and "removed" the way
+    * plain `=` (which never matches NULL) would. `<=>` is still an ordinary
+    * equi-join key to the planner — same hash-partitioned SMJ shape. */
   def diffEdges(existing: DataFrame, incoming: DataFrame): DataFrame = {
     val key = Seq("rel_type", "src_type", "src_id", "dst_type", "dst_id")
-    def trackable(df: DataFrame) =
+    def trackable(df: DataFrame, prefix: String) =
       df.filter(!col("rel_type").isin(graft.model.CrmSchema.ImmutableEdgeTypes.toSeq: _*))
         .select(key.map(col): _*).distinct()
-    val ex = trackable(existing).withColumn("in_existing", lit(true))
-    val inc = trackable(incoming).withColumn("in_incoming", lit(true))
-    ex.join(inc, key, "full_outer")
+        .toDF(key.map(prefix + _): _*)
+    val ex = trackable(existing, "ex_").withColumn("in_existing", lit(true))
+    val inc = trackable(incoming, "inc_").withColumn("in_incoming", lit(true))
+    val cond = key.map(k => col(s"ex_$k") <=> col(s"inc_$k")).reduce(_ && _)
+    ex.join(inc, cond, "full_outer")
       .filter(col("in_existing").isNull || col("in_incoming").isNull)
-      .select(key.map(col) :+
+      .select(key.map(k => coalesce(col(s"inc_$k"), col(s"ex_$k")).as(k)) :+
         when(col("in_existing").isNull, "added").otherwise("removed")
           .as("change_type"): _*)
   }

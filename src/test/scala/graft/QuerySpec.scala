@@ -186,6 +186,34 @@ class QuerySpec extends AnyFunSuite {
     assert(OQ.dealsWithOwners(g).count() == 1)
   }
 
+  test("ownership totals are not inflated by the contact x company fan-out") {
+    // An owner with 2 contacts, 2 companies and 1 deal: the reference's
+    // chained-OPTIONAL-MATCH shape duplicates the deal row 2x2 times before
+    // sum(amount); the totals must still see the deal exactly once.
+    import graft.query.{GraphTables, OwnershipQueries => OQ}
+    val empty = spark.emptyDataFrame
+    val users = Seq(("u1", "owner@x.com", "Olive", "Owner"))
+      .toDF("hubspot_id", "email", "first_name", "last_name")
+    val contacts = Seq(("c1", "a@x.com", "u1"), ("c2", "b@x.com", "u1"))
+      .toDF("hubspot_id", "email", "owner_id")
+    val companies = Seq(("co1", "Acme", "u1"), ("co2", "Globex", "u1"))
+      .toDF("hubspot_id", "name", "owner_id")
+    val deals = Seq(("d1", "Only Deal", 500.0, "u1"))
+      .toDF("hubspot_id", "name", "amount", "owner_id")
+    val tiny = GraphTables(users, contacts, companies, deals,
+      empty, empty, empty, empty, empty, empty, empty)
+    val uo = OQ.userOwnership(tiny, "owner@x.com").collect()
+    assert(uo.length == 1)
+    assert(uo(0).getDouble(uo(0).fieldIndex("total_deal_value")) == 500.0)
+    assert(uo(0).getLong(uo(0).fieldIndex("contact_count")) == 2L)
+    assert(uo(0).getLong(uo(0).fieldIndex("company_count")) == 2L)
+    assert(uo(0).getLong(uo(0).fieldIndex("deal_count")) == 1L)
+    val all = OQ.allOwnerships(tiny).collect()
+    assert(all.length == 1)
+    assert(all(0).getDouble(all(0).fieldIndex("total_pipeline_value")) == 500.0)
+    assert(all(0).getLong(all(0).fieldIndex("contacts")) == 2L)
+  }
+
   test("schema introspection: table/column rows, edge inventory, coverage") {
     import graft.query.Introspect
     val schemas = Introspect.tableSchemas(g).collect()

@@ -118,6 +118,24 @@ class ScdSpec extends AnyFunSuite {
     assert(got == Set(("added", "c2"), ("removed", "c1"))) // PERFORMED ignored
   }
 
+  test("edge diff is null-safe: a null-keyed edge on both sides is unchanged") {
+    // EXCEPT semantics: NULL key components compare equal, so an edge with a
+    // null dst_id present in both snapshots must be suppressed — not emitted
+    // as both "added" and "removed" (plain `=` join keys would do that).
+    def edges(rows: (String, String, Option[String])*): DataFrame =
+      rows.toDF("rel_type", "src_id", "dst_id")
+        .withColumn("src_type", lit("HUBSPOT_Contact"))
+        .withColumn("dst_type", lit("HUBSPOT_Deal"))
+    val both = edges(("ASSOCIATED_WITH", "c1", None), ("ASSOCIATED_WITH", "c2", Some("d1")))
+    val diff = ChangeDetector.diffEdges(both, both)
+    assert(diff.count() == 0)
+    val removedOnly = ChangeDetector.diffEdges(both, edges(("ASSOCIATED_WITH", "c2", Some("d1"))))
+      .collect()
+    assert(removedOnly.length == 1
+      && removedOnly(0).getString(removedOnly(0).fieldIndex("change_type")) == "removed"
+      && removedOnly(0).isNullAt(removedOnly(0).fieldIndex("dst_id")))
+  }
+
   test("entity relationship history: matches either end of the edge") {
     def edges(rows: (String, String, String)*): DataFrame =
       rows.toDF("rel_type", "src_id", "dst_id")

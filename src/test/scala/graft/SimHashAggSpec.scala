@@ -57,6 +57,24 @@ class SimHashAggSpec extends AnyFunSuite {
     assert(run(toks.repartition(7)) == run(toks.coalesce(1)))
   }
 
+  test("malformed input fails with a descriptive error, not an index crash") {
+    SimHashAgg.register(spark)
+    def runOn(tok: String) =
+      Seq(("x", tok)).toDF("doc_id", "h")
+        .groupBy("doc_id").agg(expr("simhash_agg(h)")).collect()
+    val short = intercept[Exception] { runOn("abc") }
+    assert(Option(short.getMessage).exists(_.contains("hex digest")) ||
+      Option(short.getCause).flatMap(c => Option(c.getMessage)).exists(_.contains("hex digest")))
+    val nonHex = intercept[Exception] { runOn("zzzzzzzzzzzzzzzzzzzz") }
+    assert(Option(nonHex.getMessage).exists(_.contains("hex-digit")) ||
+      Option(nonHex.getCause).flatMap(c => Option(c.getMessage)).exists(_.contains("hex-digit")))
+    // nulls remain ignored, never counted as malformed
+    val ok = Seq(("x", Option("0123456789abcdef0123456789abcdef")), ("x", None))
+      .toDF("doc_id", "h")
+      .groupBy("doc_id").agg(expr("simhash_agg(h)")).collect()
+    assert(ok.length == 1)
+  }
+
   test("signature geometry: dup identical, near-dup close, unrelated far") {
     SimHashAgg.register(spark)
     val sig = toks.withColumn("h", md5(col("tok")))
