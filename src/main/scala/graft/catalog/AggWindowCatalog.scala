@@ -539,6 +539,110 @@ object AggWindowCatalog {
                SELECT user_id, event_id, event_type,
                  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
                FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
-             WHERE rn = 1 ORDER BY user_id"""))
+             WHERE rn = 1 ORDER BY user_id""")),
+
+    Q("w6_event_deltas",
+      // lag/lead family: per-user inter-event gaps (seconds since the
+      // previous event) rolled up to per-user cadence stats. Gap average
+      // is integer floor division on both engines — a double avg can land
+      // on .005 half-way points where Spark (HALF_UP) and DuckDB round
+      // differently. The lag window and the rollup share the user_id
+      // partitioning: one shuffle end-to-end.
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        t(s, d, "events")
+          .withColumn("gap_us",
+            expr("unix_micros(ts)") - lag(expr("unix_micros(ts)"), 1).over(w))
+          .filter(col("gap_us").isNotNull)
+          .withColumn("gap_s", expr("gap_us div 1000000"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_gaps"),
+            sum("gap_s").as("sum_gap"),
+            max("gap_s").as("max_gap_s"))
+          .select(col("user_id"), col("n_gaps"),
+            expr("sum_gap div n_gaps").as("avg_gap_s"), col("max_gap_s"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_gaps,
+             CAST(sum(gap_s) AS BIGINT) // count(*) AS avg_gap_s,
+             max(gap_s) AS max_gap_s
+             FROM (SELECT user_id,
+                     (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id))) // 1000000 AS gap_s
+                   FROM events)
+             WHERE gap_s IS NOT NULL
+             GROUP BY user_id ORDER BY user_id""")),
+
+    Q("a17_pivot",
+      // Pivot / cross-tab: order counts by priority x status as columns.
+      // Spark's relational pivot with an EXPLICIT value list — without it
+      // the operator needs an extra distinct-values job and the output
+      // schema becomes data-dependent, which no 100 TB pipeline wants.
+      // DuckDB oracle is the portable FILTER formulation.
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+             count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    Q("j11_asof_attr",
+      // As-of join (attribution): each purchase matched to the latest
+      // STRICTLY-earlier click of the same user. Spark has no ASOF JOIN;
+      // the scalable shape is the union trick — tag both streams, one
+      // window per user ordered by (ts, kind), last(click, ignoreNulls)
+      // over the preceding frame. ONE shuffle on user_id, no range-join
+      // explosion (a range-condition join would fan out per click).
+      // kind orders purchases BEFORE clicks at equal ts, which is exactly
+      // strict `<`; clicks are pre-deduped to one per (user, ts) because
+      // ASOF semantics are ambiguous when several right rows share the
+      // boundary timestamp. The DuckDB oracle uses its native ASOF JOIN.
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val tagged = purchases
+          .select(col("user_id"), col("ts"), lit(0).as("kind"),
+            col("event_id"), lit(null).cast("long").as("click_id"))
+          .unionByName(clicks.select(col("user_id"), col("ts"), lit(1).as("kind"),
+            lit(null).cast("long").as("event_id"), col("click_id")))
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("kind"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tagged
+          .withColumn("ci", when(col("kind") === 1,
+            struct(col("ts").as("cts"), col("click_id").as("cid"))))
+          .withColumn("last_click", last(col("ci"), ignoreNulls = true).over(w))
+          .filter(col("kind") === 0)
+          .withColumn("gap_s",
+            expr("(unix_micros(ts) - unix_micros(last_click.cts)) div 1000000"))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), tsFmtSpark).as("ts"),
+            col("last_click.cid").as("click_id"),
+            date_format(col("last_click.cts"), tsFmtSpark).as("click_ts"),
+            col("gap_s"))
+          .orderBy("event_id")
+      },
+      Some("""WITH clicks AS (SELECT user_id, ts, max(event_id) AS click_id
+                FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+              purchases AS (SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'purchase')
+              SELECT p.event_id AS event_id, p.user_id AS user_id,
+                strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                c.click_id AS click_id,
+                strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+                (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_s
+              FROM purchases p ASOF LEFT JOIN clicks c
+                ON p.user_id = c.user_id AND p.ts > c.ts
+              ORDER BY event_id"""))
   )
 }

@@ -437,54 +437,205 @@ object TextCatalog {
       Some(s"WITH $duckSimhashCte SELECT doc_id, simhash FROM sims ORDER BY doc_id")),
 
     Q("x_simhash_neardup",
-      // Near-dup candidates: doc pairs in the same source bucket whose
-      // 63-bit SimHash signatures are within hamming distance 8 — the
-      // distance is ONE codegen'd expression, bit_count(a ^ b) (no UDF).
-      //
-      // Pairing is BANDED, not all-pairs (round-1 verdict: the per-source
-      // all-pairs join is O(n^2/sources)): the 63 bits split into 9 bands
-      // of 7; by pigeonhole, two signatures within hamming 8 differ in at
-      // most 8 bands, so they MUST agree on at least one of the 9 — the
-      // banded join + exact hamming post-filter returns the identical row
-      // set as all-pairs, which is why the DuckDB oracle can stay naive.
-      // Each band key has 128 values, so per-(source, band) buckets stay
-      // small at scale; candidates are deduped before the hamming filter.
-      (s, d) => {
-        val sims = simhashTable(s, d)
-        val banded = sims.select(col("doc_id"), col("source"), col("simhash"),
-          explode(expr("transform(sequence(0, 8),"
-            + " i -> struct(i AS band, shiftright(simhash, i * 7) & 127 AS bits))")).as("b"))
-          .select(col("doc_id"), col("source").as("src"), col("simhash"),
-            col("b.band").as("band"), col("b.bits").as("bits"))
-        // merge hint: see x_minhash_lsh — a broadcast of either side would
-        // re-run the whole simhash pipeline as a separate job.
-        val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
-          col("src"), col("band"), col("bits")).hint("merge")
-        val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
-          col("src"), col("band"), col("bits")).hint("merge")
-        // Two codegen'd join filters, no dedup shuffle at all:
-        //  - exact hamming (bit_count) prunes candidates in the join;
-        //  - first-matching-band: a pair is emitted ONLY from the lowest
-        //    band where the signatures agree (all earlier bands must
-        //    differ), so each qualifying pair exits the join exactly once
-        //    — the classic LSH dedup trick, replacing a distinct() that
-        //    would re-shuffle up to 9 copies of every near-dup pair.
-        a.join(b, Seq("src", "band", "bits"))
-          .filter(col("doc_a") < col("doc_b") &&
-            expr("bit_count(sim_a ^ sim_b)") <= 8 &&
-            (col("band") === 0 ||
-              expr("forall(sequence(0, band - 1)," +
-                " i -> (shiftright(sim_a, i * 7) & 127) != (shiftright(sim_b, i * 7) & 127))")))
-          .select(col("doc_a"), col("doc_b"),
-            expr("bit_count(sim_a ^ sim_b)").as("hamming"))
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, d) => simhashNearDupPairs(s, d).orderBy("doc_a", "doc_b"),
       Some(s"""WITH $duckSimhashCte
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 bit_count(xor(a.simhash, b.simhash)) AS hamming
               FROM sims a JOIN sims b
                 ON a.source = b.source AND a.doc_id < b.doc_id
               WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
-              ORDER BY doc_a, doc_b"""))
+              ORDER BY doc_a, doc_b""")),
+
+    Q("x_dedup_clusters",
+      // Near-dup CLUSTERING: similarity is not transitive, so "keep one
+      // doc per duplicate group" means one doc per connected component of
+      // the near-dup pair graph. Components come from the distributed
+      // min-label-propagation operator (graft.operators.Components —
+      // O(log n) rounds via pointer jumping, every round two shuffles on
+      // the node key); the pair graph is the banded simhash operator
+      // above. Each doc gets its component's min doc_id as cluster_id;
+      // is_canonical marks the one row per cluster a dedup would keep.
+      // The DuckDB oracle computes the same fixpoint with a recursive
+      // CTE — label sets propagate along edges until closure.
+      (s, d) => {
+        val pairs = simhashNearDupPairs(s, d)
+        val comps = graft.operators.Components
+          .connectedComponents(pairs, "doc_a", "doc_b")
+        t(s, d, "documents").select(col("doc_id"))
+          .join(comps.select(col("node").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+          .withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy("cluster_id")))
+          .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $duckSimhashCte,
+              pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sims a JOIN sims b
+                  ON a.source = b.source AND a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.simhash, b.simhash)) <= 8),
+              edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                        UNION ALL SELECT doc_b, doc_a FROM pairs),
+              walk(node, lbl) AS (
+                SELECT s, s FROM edges
+                UNION
+                SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.node),
+              comp AS (SELECT node, min(lbl) AS comp FROM walk GROUP BY node),
+              lab AS (SELECT dd.doc_id, coalesce(c.comp, dd.doc_id) AS cluster_id
+                      FROM documents dd LEFT JOIN comp c ON dd.doc_id = c.node)
+              SELECT doc_id, cluster_id,
+                count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+                doc_id = cluster_id AS is_canonical
+              FROM lab ORDER BY doc_id""")),
+
+    Q("x_rolling_fingerprint",
+      // Rabin–Karp rolling-hash fingerprint per document over the ASCII
+      // projection: count / min / distinct-count of all 8-byte window
+      // hashes. The Spark side is the native O(n) codegen expression
+      // graft.functions.RollingHash (each hash derived from the previous
+      // window's); the oracle recomputes every window O(n*k) with
+      // list_reduce Horner steps — identical values, so the parity also
+      // proves the rolling recurrence against the direct definition.
+      (s, d) => {
+        graft.functions.RollingHash.register(s)
+        t(s, d, "documents")
+          .withColumn("a", expr(s"regexp_replace($sparkNorm, '[^\\\\x00-\\\\x7f]', '')"))
+          .withColumn("hs", expr("rolling_hash(a, 8)"))
+          .select(col("doc_id"), size(col("hs")).as("n_windows"),
+            expr("array_min(hs)").as("min_hash"),
+            size(array_distinct(col("hs"))).as("n_distinct"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, len(hs) AS n_windows, list_min(hs) AS min_hash,
+              len(list_distinct(hs)) AS n_distinct
+              FROM (SELECT doc_id,
+                      list_transform(range(1, length(a) - 6),
+                        i -> list_reduce(
+                               list_transform(range(CAST(i AS INT), CAST(i AS INT) + 8),
+                                 j -> CAST(ascii(substring(a, CAST(j AS INT), 1)) AS BIGINT)),
+                               (x, y) -> (x * 257 + y) % 1000000007)) AS hs
+                    FROM (SELECT doc_id,
+                            regexp_replace($duckNorm, '[^\\x00-\\x7f]', '', 'g') AS a
+                          FROM documents))
+              ORDER BY doc_id""")),
+
+    Q("x_stratified_sample",
+      // Deterministic stratified sampling for corpus curation: keep-rate
+      // per source stratum, membership decided by a content-stable hash
+      // (first 8 md5 hex of source:doc_id vs a hex threshold — fixed-width
+      // lowercase hex compares lexicographically = numerically, and md5 is
+      // identical across engines). No rand(): the sample is reproducible
+      // run-to-run and engine-to-engine, survives repartitioning, and
+      // needs no shuffle at all before the final per-source rollup.
+      (s, d) => t(s, d, "documents")
+        .withColumn("rate_hex", expr(
+          """CASE WHEN source = 'src0' THEN 'ffffffff'
+                  WHEN CAST(substring(source, 4, 10) AS INT) % 2 = 0 THEN '7fffffff'
+                  ELSE '3fffffff' END"""))
+        .withColumn("keep",
+          substring(md5(concat(col("source"), lit(":"), col("doc_id").cast("string"))), 1, 8)
+            <= col("rate_hex"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .select(col("source"), col("n_total"), col("n_kept"),
+          round(col("n_kept") * 1.0 / col("n_total"), 4).as("kept_ratio"))
+        .orderBy("source"),
+      Some("""SELECT source, count(*) AS n_total,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             round(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS kept_ratio
+             FROM (SELECT source,
+                     substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8) <=
+                       CASE WHEN source = 'src0' THEN 'ffffffff'
+                            WHEN CAST(substring(source, 4, 10) AS INT) % 2 = 0 THEN '7fffffff'
+                            ELSE '3fffffff' END AS keep
+                   FROM documents)
+             GROUP BY source ORDER BY source""")),
+
+    Q("x_quality_quantile",
+      // Quantile-gated quality filter per stratum: keep the top half of
+      // each source by the x_quality_score formula, cut at percent_rank
+      // >= 0.5 (rank ties broken by doc_id so both engines rank
+      // identically). The window and the rollup share the `source`
+      // partitioning — one shuffle end-to-end.
+      (s, d) => {
+        val q = t(s, d, "documents")
+          .withColumn("norm", expr(sparkNorm))
+          .withColumn("toks", expr("split(norm, ' ')"))
+          .withColumn("n_tokens", expr("size(toks)"))
+          .withColumn("n_stop", expr(s"size(filter(toks, t -> t IN ($enW)))"))
+          .withColumn("n_alpha", expr("length(regexp_replace(norm, '[^a-z]', ''))"))
+          .withColumn("quality",
+            round(col("n_stop") * 1.0 / col("n_tokens") * 0.5
+              + col("n_alpha") * 1.0 / expr("length(norm)") * 0.3
+              + least(lit(1.0), col("n_tokens") / 100.0) * 0.2, 4))
+        q.withColumn("pr", percent_rank()
+            .over(Window.partitionBy("source").orderBy(col("quality"), col("doc_id"))))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("pr") >= 0.5, 1L).otherwise(0L)).as("n_kept"),
+            round(min(when(col("pr") >= 0.5, col("quality"))), 4).as("min_kept_quality"))
+          .orderBy("source")
+      },
+      Some(s"""SELECT source, count(*) AS n_docs,
+              CAST(sum(CASE WHEN pr >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              round(min(CASE WHEN pr >= 0.5 THEN quality END), 4) AS min_kept_quality
+              FROM (SELECT source, quality,
+                      percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id) AS pr
+                    FROM (SELECT source, doc_id,
+                            round(n_stop * 1.0 / n_tokens * 0.5 + n_alpha * 1.0 / n_chars * 0.3
+                                  + least(1.0, n_tokens / 100.0) * 0.2, 4) AS quality
+                          FROM (SELECT source, doc_id,
+                                  len(list_filter(string_split(norm, ' '), t -> t IN ($enW))) AS n_stop,
+                                  len(string_split(norm, ' ')) AS n_tokens,
+                                  length(regexp_replace(norm, '[^a-z]', '', 'g')) AS n_alpha,
+                                  length(norm) AS n_chars
+                                FROM (SELECT source, doc_id, $duckNorm AS norm FROM documents))))
+              GROUP BY source ORDER BY source"""))
   )
+
+  /** Banded SimHash near-dup candidate pairs (hamming <= 8) — the pair
+    * graph shared by `x_simhash_neardup` and `x_dedup_clusters`.
+    *
+    * Pairing is BANDED, not all-pairs (round-1 verdict: the per-source
+    * all-pairs join is O(n^2/sources)): the 63 bits split into 9 bands
+    * of 7; by pigeonhole, two signatures within hamming 8 differ in at
+    * most 8 bands, so they MUST agree on at least one of the 9 — the
+    * banded join + exact hamming post-filter returns the identical row
+    * set as all-pairs, which is why the DuckDB oracle can stay naive.
+    * Each band key has 128 values, so per-(source, band) buckets stay
+    * small at scale; the hamming distance is ONE codegen'd expression,
+    * bit_count(a ^ b) (no UDF).
+    */
+  private def simhashNearDupPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val sims = simhashTable(s, d)
+    val banded = sims.select(col("doc_id"), col("source"), col("simhash"),
+      explode(expr("transform(sequence(0, 8),"
+        + " i -> struct(i AS band, shiftright(simhash, i * 7) & 127 AS bits))")).as("b"))
+      .select(col("doc_id"), col("source").as("src"), col("simhash"),
+        col("b.band").as("band"), col("b.bits").as("bits"))
+    // merge hint: see x_minhash_lsh — a broadcast of either side would
+    // re-run the whole simhash pipeline as a separate job.
+    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
+      col("src"), col("band"), col("bits")).hint("merge")
+    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
+      col("src"), col("band"), col("bits")).hint("merge")
+    // Two codegen'd join filters, no dedup shuffle at all:
+    //  - exact hamming (bit_count) prunes candidates in the join;
+    //  - first-matching-band: a pair is emitted ONLY from the lowest
+    //    band where the signatures agree (all earlier bands must
+    //    differ), so each qualifying pair exits the join exactly once
+    //    — the classic LSH dedup trick, replacing a distinct() that
+    //    would re-shuffle up to 9 copies of every near-dup pair.
+    a.join(b, Seq("src", "band", "bits"))
+      .filter(col("doc_a") < col("doc_b") &&
+        expr("bit_count(sim_a ^ sim_b)") <= 8 &&
+        (col("band") === 0 ||
+          expr("forall(sequence(0, band - 1)," +
+            " i -> (shiftright(sim_a, i * 7) & 127) != (shiftright(sim_b, i * 7) & 127))")))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sim_a ^ sim_b)").as("hamming"))
+  }
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an undirected edge list —
+  * the clustering step of a near-duplicate dedup pipeline: near-dup
+  * similarity is NOT transitive, so "keep one doc per duplicate
+  * group" means one doc per connected component of the pair graph
+  * (reference capability: `utils/change_detector.py` dedups by exact
+  * hash; this is the graph generalization the M6 near-dup operators
+  * feed).
+  *
+  * Algorithm: iterative min-label propagation with pointer jumping.
+  * Each round every node takes the minimum label among itself and its
+  * neighbors (one hop), then labels are compressed one level
+  * (`comp := label(comp)` — path halving), which turns the O(diameter)
+  * naive propagation into O(log n) rounds. All state lives in
+  * DataFrames keyed by node — every round is two shuffles on the same
+  * key (neighbor join + label-compression self-join), the shape that
+  * scales to billions of edges. Convergence is detected with an
+  * aggregate-only count (no driver-side row collection), and lineage
+  * is truncated each round with `localCheckpoint` so plans stay flat
+  * (on a cluster with a checkpoint dir, `checkpoint` is the durable
+  * variant).
+  */
+object Components {
+
+  /** Component label per node: `(node, comp)` where `comp` is the
+    * minimum node id in the node's connected component. Nodes only
+    * appear if they occur in `edges`; union isolated nodes afterwards
+    * (their component is themselves).
+    *
+    * @param edges undirected edge list; one row per edge
+    * @param src   source-node column name
+    * @param dst   destination-node column name
+    */
+  def connectedComponents(edges: DataFrame, src: String, dst: String,
+      maxIter: Int = 25): DataFrame = {
+    // Symmetrize once: propagation below is directional along (s -> d).
+    val sym = edges.select(col(src).as("s"), col(dst).as("d"))
+      .union(edges.select(col(dst).as("s"), col(src).as("d")))
+      .filter(col("s") =!= col("d"))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("s").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // Hop: min label among the node itself and its neighbors.
+      val neighborMin = sym
+        .join(labels.select(col("node").as("d"), col("comp").as("ncomp")), Seq("d"))
+        .groupBy(col("s").as("node"))
+        .agg(min("ncomp").as("nmin"))
+      val hopped = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+      // Jump: compress one pointer level (comp := label(comp)). Labels
+      // only ever decrease, so label(comp) <= comp and `least` is safe.
+      val jumped = hopped
+        .join(hopped.select(col("node").as("comp"), col("comp").as("ccomp")), Seq("comp"), "left")
+        .select(col("node"), least(col("comp"), coalesce(col("ccomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      // Convergence = a full round changed nothing: then the hop was
+      // already stable, i.e. every node's label <= all its neighbors'
+      // labels, which across each edge in both directions means the
+      // labels agree — the fixpoint. (Checked with a limit-1 existence
+      // job, not a collect of node rows.)
+      converged = jumped
+        .join(labels.select(col("node"), col("comp").as("prev")), Seq("node"))
+        .filter(col("comp") =!= col("prev"))
+        .isEmpty
+      labels = jumped
+      iter += 1
+    }
+    labels
+  }
+}

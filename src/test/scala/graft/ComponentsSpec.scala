@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Components
+
+/** Connected components: chains (multi-hop merging), merging clusters,
+  * isolated handling, and convergence inside the iteration cap. */
+class ComponentsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def comps(edges: (Long, Long)*): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("a long chain collapses to the min id (multi-hop propagation)") {
+    // 0-1-2-...-9 as a path: every node must reach label 0, which takes
+    // several hops — the pointer-jumping acceleration is what keeps the
+    // round count logarithmic.
+    val got = comps((0L until 9L).map(i => (i, i + 1)): _*)
+    assert(got == (0L to 9L).map(_ -> 0L).toMap)
+  }
+
+  test("two clusters bridged by one edge merge; separate ones do not") {
+    // {1,2,3} and {10,11,12} plus bridge 3-10 -> one component labeled 1;
+    // {20,21} stays its own component labeled 20.
+    val got = comps((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (3L, 10L), (20L, 21L))
+    assert(Seq(1L, 2L, 3L, 10L, 11L, 12L).forall(got(_) == 1L))
+    assert(got(20L) == 20L && got(21L) == 20L)
+    assert(got.size == 8)
+  }
+
+  test("star graph and self-contained pairs converge in few rounds") {
+    val star = (1L to 6L).map(i => (100L, i))
+    val got = comps(star ++ Seq((200L, 201L)): _*)
+    assert((1L to 6L).forall(got(_) == 1L) && got(100L) == 1L)
+    assert(got(200L) == 200L && got(201L) == 200L)
+  }
+
+  test("duplicate and reversed edges do not change the result") {
+    val got = comps((5L, 6L), (6L, 5L), (5L, 6L), (6L, 7L))
+    assert(got == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+}

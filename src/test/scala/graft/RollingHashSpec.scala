@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.RollingHash
+
+/** The native RollingHash expression: the O(n) rolling recurrence must
+  * equal the direct per-window Horner definition, survive codegen, and
+  * handle short/null input. */
+class RollingHashSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Direct O(n*k) definition in pure SQL: one aggregate per window. */
+  private def declarative(k: Int) =
+    expr(s"""transform(sequence(1, greatest(length(s) - $k + 1, 0)),
+             i -> aggregate(
+                    transform(sequence(i, i + $k - 1),
+                      j -> CAST(ascii(substring(s, j, 1)) AS BIGINT)),
+                    0L, (acc, c) -> (acc * 257 + c) % 1000000007))""")
+
+  test("rolling recurrence matches the direct Horner definition on real docs") {
+    RollingHash.register(spark)
+    val docs = graft.catalog.Q.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(regexp_replace(lower(col("text")), "[^\\x00-\\x7f]", "").as("s"))
+    val mismatches = docs
+      .withColumn("native", expr("rolling_hash(s, 8)"))
+      .withColumn("direct", declarative(8))
+      .filter(not(col("native") <=> col("direct")))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("short, empty and null inputs") {
+    RollingHash.register(spark)
+    val got = Seq(("abcdefgh", 1), ("abc", 2), ("", 3), (null, 4))
+      .toDF("s", "id")
+      .select(col("id"), expr("rolling_hash(s, 8)").as("h"))
+      .collect().map(r => r.getInt(0) -> Option(r.get(1)).map(_.toString)).toMap
+    // exactly one window for an 8-char string
+    assert(got(1).get.startsWith("ArraySeq(") && !got(1).get.contains(","))
+    assert(got(2) == Some("ArraySeq()")) // shorter than k -> empty
+    assert(got(3) == Some("ArraySeq()"))
+    assert(got(4).isEmpty)               // null in -> null out
+  }
+
+  test("survives wholestage codegen in an aggregation pipeline") {
+    RollingHash.register(spark)
+    val n = graft.catalog.Q.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(regexp_replace(lower(col("text")), "[^\\x00-\\x7f]", "").as("s"))
+      .select(explode(expr("rolling_hash(s, 8)")).as("h"))
+      .groupBy("h").count().count()
+    assert(n > 0)
+  }
+}
