@@ -643,6 +643,43 @@ object AggWindowCatalog {
                 (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_s
               FROM purchases p ASOF LEFT JOIN clicks c
                 ON p.user_id = c.user_id AND p.ts > c.ts
+              ORDER BY event_id""")),
+
+    Q("j12_asof_native",
+      // The SAME as-of attribution as j11, but through the custom
+      // operator ladder (graft.plans.AsOfJoin: logical node ->
+      // AsOfJoinStrategy -> AsOfJoinExec): one streaming merge pass per
+      // co-partitioned sorted partition with O(1) state, instead of the
+      // union + window + filter trio. Same one-shuffle cost, no window
+      // buffering, and the driver gate holds it to the identical DuckDB
+      // ASOF JOIN oracle as the declarative twin.
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        graft.plans.AsOf.join(purchases, clicks, "user_id", "ts")
+          .withColumn("gap_s",
+            expr("(unix_micros(ts) - unix_micros(r_ts)) div 1000000"))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), tsFmtSpark).as("ts"),
+            col("r_click_id").as("click_id"),
+            date_format(col("r_ts"), tsFmtSpark).as("click_ts"),
+            col("gap_s"))
+          .orderBy("event_id")
+      },
+      Some("""WITH clicks AS (SELECT user_id, ts, max(event_id) AS click_id
+                FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+              purchases AS (SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'purchase')
+              SELECT p.event_id AS event_id, p.user_id AS user_id,
+                strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                c.click_id AS click_id,
+                strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+                (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_s
+              FROM purchases p ASOF LEFT JOIN clicks c
+                ON p.user_id = c.user_id AND p.ts > c.ts
               ORDER BY event_id"""))
   )
 }

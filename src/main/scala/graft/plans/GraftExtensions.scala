@@ -64,6 +64,7 @@ object SelfJoinMergeHint extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => SelfJoinMergeHint)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("char_ngrams"),
       new ExpressionInfo(classOf[CharNGrams].getName, "char_ngrams"),
