@@ -520,6 +520,83 @@ object TextCatalog {
                           FROM documents))
               ORDER BY doc_id""")),
 
+    Q("x_winnowing",
+      // Winnowing (MOSS-style) fingerprint selection on top of the
+      // rolling hashes: the minimum of every w=4 consecutive k=8-byte
+      // window hashes, deduplicated — the guarantee is that any match of
+      // length >= w+k-1 shares at least one selected fingerprint, at
+      // ~1/w the fingerprint volume of x_rolling_fingerprint. (Simplified
+      // from classic winnowing: we dedup globally per doc rather than
+      // suppressing only consecutive repeats — a superset of the classic
+      // selection with the same guarantee.)
+      (s, d) => {
+        graft.functions.RollingHash.register(s)
+        t(s, d, "documents")
+          .withColumn("a", expr(s"regexp_replace($sparkNorm, '[^\\\\x00-\\\\x7f]', '')"))
+          .withColumn("hs", expr("rolling_hash(a, 8)"))
+          // guard: sequence(1, 0) in Spark DESCENDS — never build it
+          .withColumn("wins", expr(
+            """CASE WHEN size(hs) >= 4
+                 THEN transform(sequence(1, size(hs) - 3), i -> array_min(slice(hs, i, 4)))
+                 ELSE CAST(array() AS array<bigint>) END"""))
+          .select(col("doc_id"), size(col("wins")).as("n_windows"),
+            size(array_distinct(col("wins"))).as("n_fingerprints"),
+            expr("array_min(wins)").as("min_fp"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, len(wins) AS n_windows,
+              len(list_distinct(wins)) AS n_fingerprints,
+              list_min(wins) AS min_fp
+              FROM (SELECT doc_id,
+                      list_transform(range(1, greatest(len(hs) - 3, 0) + 1),
+                        i -> list_min(hs[CAST(i AS INT):CAST(i AS INT) + 3])) AS wins
+                    FROM (SELECT doc_id,
+                            list_transform(range(1, length(a) - 6),
+                              i -> list_reduce(
+                                     list_transform(range(CAST(i AS INT), CAST(i AS INT) + 8),
+                                       j -> CAST(ascii(substring(a, CAST(j AS INT), 1)) AS BIGINT)),
+                                     (x, y) -> (x * 257 + y) % 1000000007)) AS hs
+                          FROM (SELECT doc_id,
+                                  regexp_replace($duckNorm, '[^\\x00-\\x7f]', '', 'g') AS a
+                                FROM documents)))
+              ORDER BY doc_id""")),
+
+    Q("x_tfidf_topk",
+      // Top-3 most characteristic tokens per document by an
+      // integer-scaled tf-df score (tf * 1e6 div df). For a fixed corpus
+      // the classic ln(N/df) idf is monotone in 1/df, so the linear form
+      // ranks identically PER TF-VALUE while keeping the score exact
+      // integer arithmetic — ln differs in the last ulp across libm
+      // implementations, which an all-or-nothing hash compare cannot
+      // tolerate. df is computed off the tf aggregate (one row per
+      // (doc, token)), so no second pass over the corpus; the df side is
+      // vocabulary-sized and broadcasts.
+      (s, d) => {
+        val tf = t(s, d, "documents")
+          .select(col("doc_id"), explode(expr(s"split($sparkNorm, ' ')")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok").asc)
+        tf.join(df, Seq("tok"))
+          .withColumn("score", expr("tf * 1000000L div df"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("rn"), col("tok"), col("tf"), col("df"), col("score"))
+          .orderBy("doc_id", "rn")
+      },
+      Some(s"""WITH tf AS (
+                SELECT doc_id, tok, count(*) AS tf FROM (
+                  SELECT doc_id, unnest(string_split($duckNorm, ' ')) AS tok FROM documents)
+                GROUP BY 1, 2),
+              df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+              scored AS (
+                SELECT tf.doc_id, tf.tok, tf.tf, df.df, tf.tf * 1000000 // df.df AS score
+                FROM tf JOIN df ON tf.tok = df.tok)
+              SELECT doc_id, rn, tok, tf, df, CAST(score AS BIGINT) AS score FROM (
+                SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
+                FROM scored)
+              WHERE rn <= 3 ORDER BY doc_id, rn""")),
+
     Q("x_stratified_sample",
       // Deterministic stratified sampling for corpus curation: keep-rate
       // per source stratum, membership decided by a content-stable hash

@@ -231,6 +231,36 @@ object VectorCatalog {
                    FROM sim)
              WHERE rn <= 3 ORDER BY q_id, rn""")),
 
+    Q("v_label_centroids",
+      // Per-label centroid of the 64-dim embeddings — the k-means / IVF
+      // training step as a pure relational program: posexplode to
+      // (label, dim, value) rows, then one partial-aggregated groupBy.
+      // Floats are micro-scaled to BIGINT before summing: integer
+      // addition is associative, so the distributed sum is immune to
+      // float accumulation ORDER (a double sum differs in the last ulp
+      // between Spark's partial-agg tree and DuckDB's sequential scan,
+      // which an all-or-nothing hash compare cannot tolerate); the one
+      // double division at the end sees identical operands on both
+      // engines. float->double is exact, *1e6 is one correctly-rounded
+      // IEEE multiply, and both engines round halves away from zero.
+      (s, d) => t(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .withColumn("v_micro",
+          expr("CAST(round(CAST(v AS double) * 1000000D, 0) AS bigint)"))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"), sum("v_micro").as("sum_micro"))
+        .select(col("label"), col("dim"), col("n"),
+          round(col("sum_micro") * 1.0 / col("n") / 1000000.0, 4).as("centroid_val"))
+        .orderBy("label", "dim"),
+      Some("""SELECT label, dim, n,
+             round(sum_micro * 1.0 / n / 1000000.0, 4) AS centroid_val
+             FROM (SELECT label, CAST(i AS INT) - 1 AS dim, count(*) AS n,
+                     CAST(sum(CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0, 0)
+                       AS BIGINT)) AS BIGINT) AS sum_micro
+                   FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+                   GROUP BY 1, 2)
+             ORDER BY label, dim""")),
+
     Q("mm_decode_meta",
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"),
