@@ -115,6 +115,15 @@ object IncrementalPipeline {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Stream-static enrichment (the J2 dimension join, streaming face):
+    * each micro-batch of events joins the static dimension table. Spark
+    * plans this as a per-batch broadcast hash join — the static side is
+    * read/broadcast per trigger, no state is kept, and the stream stays
+    * append-mode, which is exactly the shape a live feed enriched with a
+    * slowly-changing dimension snapshot needs at scale. */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   private def fileExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)

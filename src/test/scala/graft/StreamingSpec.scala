@@ -97,4 +97,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.getLong(0) == out.getLong(1), "one row per (user, type)")
     assert(out.getLong(0) > 0)
   }
+
+  test("stream-static enrichment joins each micro-batch to the dimension") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-enrich").toString
+    val batch = graft.catalog.Q.t(spark, "/root/testdata/sf0.001", "events")
+      .filter(col("user_id") < 10)
+    batch.write.mode("overwrite").parquet(dir)
+    // static dim: a tier per user, deliberately missing some users so the
+    // left join's null path is exercised
+    val dim = spark.range(0, 5).select(col("id").as("user_id"),
+      concat(lit("tier-"), col("id") % 2).as("tier"))
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = IncrementalPipeline.enrichStream(stream, dim, "user_id")
+      .writeStream.outputMode("append").format("memory").queryName("enriched")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql(
+      """SELECT count(*) AS n,
+         sum(CASE WHEN user_id < 5 AND tier IS NULL THEN 1 ELSE 0 END) AS missing_known,
+         sum(CASE WHEN user_id >= 5 AND tier IS NOT NULL THEN 1 ELSE 0 END) AS hit_unknown
+         FROM enriched""").collect()(0)
+    assert(got.getLong(0) == batch.count()) // left join preserves the stream
+    assert(got.getLong(1) == 0L)            // every dim-covered user enriched
+    assert(got.getLong(2) == 0L)            // uncovered users stay null
+  }
 }
