@@ -42,4 +42,14 @@ class ComponentsSpec extends AnyFunSuite {
     val got = comps((5L, 6L), (6L, 5L), (5L, 6L), (6L, 7L))
     assert(got == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
   }
+
+  test("keepCanonical keeps one doc per cluster and every singleton") {
+    // corpus 0..9; near-dup clusters {1,2,3} (a chain) and {7,8};
+    // survivors must be the cluster minima plus all untouched docs.
+    val docs = (0L to 9L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val kept = graft.operators.Dedup.keepCanonical(docs, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L, 4L, 5L, 6L, 7L, 9L))
+  }
 }
