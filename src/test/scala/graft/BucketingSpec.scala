@@ -35,4 +35,32 @@ class BucketingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS cur_orders")
     spark.sql("DROP TABLE IF EXISTS inc_orders")
   }
+
+  test("as-of join over tables bucketed on the key plans no Exchange") {
+    // The custom AsOfJoinExec declares the same ClusteredDistribution as
+    // SortMergeJoin, so pre-bucketed event/quote tables must satisfy it
+    // without any shuffle — the layout a 100 TB as-of deployment uses.
+    // (The within-bucket Sort may remain; only the Exchange must go.)
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    val ev = graft.catalog.Q.t(spark, "/root/testdata/sf0.001", "events")
+    ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id")
+      .write.mode("overwrite").bucketBy(8, "user_id").sortBy("user_id", "ts")
+      .saveAsTable("asof_purchases")
+    ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+      .write.mode("overwrite").bucketBy(8, "user_id").sortBy("user_id", "ts")
+      .saveAsTable("asof_clicks")
+
+    val joined = graft.plans.AsOf.join(
+      spark.table("asof_purchases"), spark.table("asof_clicks"), "user_id", "ts")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"custom exec expected, got plan:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"bucketed as-of join must not shuffle, got plan:\n$plan")
+    assert(joined.count() > 0)
+
+    spark.sql("DROP TABLE IF EXISTS asof_purchases")
+    spark.sql("DROP TABLE IF EXISTS asof_clicks")
+  }
 }
