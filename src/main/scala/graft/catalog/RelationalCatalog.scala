@@ -309,6 +309,23 @@ object RelationalCatalog {
       Some("""SELECT DISTINCT o_custkey AS custkey FROM orders
              EXCEPT
              SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             ORDER BY custkey""")),
+
+    Q("u5_intersect",
+      // Plain INTERSECT (U-family): customers active in BOTH halves of
+      // the order history — Spark plans it as a left-semi join over
+      // distinct'd sides, same shuffle profile as EXCEPT.
+      (s, d) => {
+        val o = t(s, d, "orders")
+        o.filter(col("o_orderdate") < lit("1996-01-01"))
+          .select(col("o_custkey").as("custkey"))
+          .intersect(o.filter(col("o_orderdate") >= lit("1996-01-01"))
+            .select(col("o_custkey").as("custkey")))
+          .orderBy("custkey")
+      },
+      Some("""SELECT o_custkey AS custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+             INTERSECT
+             SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
              ORDER BY custkey"""))
   )
 }
