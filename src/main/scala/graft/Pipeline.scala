@@ -58,6 +58,11 @@ object Pipeline {
       pages, opens, clicks, forms, resolved)
   }
 
+  private[graft] def fileExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Node-id table for J6 edge validation. */
   def nodeIds(g: GraphTables): DataFrame = Seq(
     g.users -> "HUBSPOT_User", g.contacts -> "HUBSPOT_Contact",
@@ -108,9 +113,14 @@ object Pipeline {
     tables.foreach { case (name, nodes) =>
       val incoming = GT.withTemporal(nodes, loadTs)
       val curPath = s"$stateDir/current_$name"
+      // First-load is decided by an explicit existence check, NOT by
+      // catching the read failure: a transient FS error or corrupt footer
+      // must fail loudly here, because treating it as "first load" would
+      // make the SCD step mark every row as new — silent history
+      // corruption (round-3 verdict #2).
       val current =
-        try spark.read.parquet(curPath)
-        catch { case _: Exception => incoming.limit(0) }
+        if (fileExists(spark, curPath)) spark.read.parquet(curPath)
+        else incoming.limit(0)
       val r = ScdLoader.applyScd(current, incoming, loadTs)
       r.current.write.mode("overwrite").parquet(s"$curPath.next")
       r.historyAppend.write.mode("append").parquet(s"$stateDir/history_$name")

@@ -40,4 +40,36 @@ class PipelineE2eSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     assert(cur2.filter(col("is_deleted")).count() == 0)
   }
+
+  test("corrupt current state fails loudly instead of resetting to first-load") {
+    val raw = java.nio.file.Files.createTempDirectory("graft-raw2").toString
+    val state = java.nio.file.Files.createTempDirectory("graft-state2").toString
+    Seq(
+      "users" -> CrmFixture.usersRaw(spark),
+      "contacts" -> CrmFixture.contactsRaw(spark),
+      "companies" -> CrmFixture.companiesRaw(spark),
+      "deals" -> CrmFixture.dealsRaw(spark),
+      "engagements" -> CrmFixture.engagementsRaw(spark),
+      "email_events" -> CrmFixture.emailEventsRaw(spark),
+      "form_submissions" -> CrmFixture.formsRaw(spark)
+    ).foreach { case (n, df) => df.write.mode("overwrite").json(s"$raw/$n.json") }
+    Pipeline.run(spark, raw, state)
+
+    // Corrupt every current_* parquet footer. A rerun must throw (not
+    // silently treat the table as a first load) and must leave the state
+    // directory exactly as it found it — no history rows appended.
+    val stateDir = new java.io.File(state)
+    val curDirs = stateDir.listFiles().filter(_.getName.startsWith("current_"))
+    assert(curDirs.nonEmpty)
+    for (d <- curDirs; f <- d.listFiles() if f.getName.endsWith(".parquet"))
+      java.nio.file.Files.write(f.toPath, Array.fill[Byte](16)(0x42))
+    intercept[Exception] { Pipeline.run(spark, raw, state) }
+    val histPath = new org.apache.hadoop.fs.Path(s"$state/history_contacts")
+    val fs = histPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val histRows =
+      if (fs.exists(histPath)) spark.read.parquet(s"$state/history_contacts").count() else 0L
+    assert(histRows == 0L, "failed run must not append history")
+    // the corrupted state is still there for an operator to inspect/restore
+    assert(curDirs.forall(_.exists()))
+  }
 }

@@ -84,6 +84,26 @@ class TransformSpec extends AnyFunSuite {
     assert(s.filter(col("dst_id") === "c2").count() == 1) // bob's form, via values
   }
 
+  test("email resolution degrades to an unhinted join when the dim outgrows broadcast") {
+    // Simulate "dim too big to broadcast" by shrinking the threshold to 1
+    // byte: the size gate must withhold the hint (no ResolvedHint / no
+    // forced BroadcastExchange in the analyzed plan), and semantics must
+    // be byte-identical to the hinted path.
+    val performed = EdgeBuilder.performed(opens, "HUBSPOT_EmailOpenEvent")
+      .unionByName(EdgeBuilder.performed(clicks, "HUBSPOT_EmailClickEvent"))
+    val all = performed.unionByName(EdgeBuilder.submittedBy(forms))
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "1")
+      val resolved = EdgeBuilder.resolveEmailEdges(all, contacts)
+      assert(!resolved.queryExecution.analyzed.toString.contains("ResolvedHint"))
+      assert(resolved.filter(col("rel_type") === "PERFORMED").count() == 2)
+      assert(resolved.filter(col("rel_type") === "SUBMITTED_BY" &&
+        col("dst_id") === "c2").count() == 1)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("edge validation keeps only edges with both endpoints present") {
     val edges = EdgeBuilder.worksAt(CrmFixture.contactsRaw(spark))
       .unionByName(EdgeBuilder.belongsTo(CrmFixture.dealsRaw(spark)))
