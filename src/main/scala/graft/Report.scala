@@ -5,7 +5,8 @@ import graft.query.{ReportQueries => RQ}
 
 /** Reporting CLI mirroring the reference's `report.py` flag surface
   * (SURVEY.md §3.2: one named DataFrame query per ReportQueries method,
-  * table/csv/json sinks = S13-S15).
+  * table/csv/json sinks = S13-S15) plus the temporal demo surface of
+  * `query_temporal.py:328-420` as flags over a Pipeline state directory.
   *
   * Usage:
   *   runMain graft.Report <rawDir> (--all-owners | --find-owner NAME |
@@ -16,8 +17,20 @@ import graft.query.{ReportQueries => RQ}
   *     --lifecycle-stages | --industries | --funnel | --campaigns |
   *     --top-companies N | --no-company | --engaged | --combined)
   *     [--format table|csv|json] [--out PATH]
+  *   runMain graft.Report <stateDir> (--history ID | --deleted |
+  *     --recent-changes HOURS | --compare-versions [ID] | --temporal-stats)
+  *     [--table users|contacts|companies|deals|activities]
+  *     [--format ...] [--out PATH]
+  *
+  * `--owner` with a needle matching more than one user does NOT silently
+  * run against all of them (the reference prompts interactively,
+  * report.py:39-87): it prints the candidate list and exits with code 2
+  * so a script can disambiguate and retry with a tighter needle.
   */
 object Report {
+
+  /** Exit code when `--owner` matches more than one user. */
+  val ExitAmbiguousOwner = 2
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -29,12 +42,21 @@ object Report {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, args) finally spark.stop()
+    val code = try run(spark, args) finally spark.stop()
+    if (code != 0) sys.exit(code)
   }
 
-  /** CLI body against a caller-owned session (e2e-testable). */
-  def run(spark: SparkSession, args: Array[String]): Unit = {
-    val rawDir = args.headOption.getOrElse(sys.error("usage: Report <rawDir> <flag>"))
+  /** Temporal bookkeeping columns added by the SCD loader — everything
+    * else in a current_* table is a business field eligible for diffing. */
+  private val temporalCols =
+    Set("hubspot_id", "valid_from", "valid_to", "is_current", "is_deleted",
+      "snapshot_hash")
+
+  /** CLI body against a caller-owned session (e2e-testable); returns the
+    * process exit code. */
+  def run(spark: SparkSession, args: Array[String]): Int = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val rawDir = args.headOption.getOrElse(sys.error("usage: Report <dir> <flag>"))
     val flags = args.drop(1).toSeq
     def flagValue(name: String): Option[String] =
       flags.sliding(2).collectFirst { case Seq(`name`, v) if !v.startsWith("--") => v }
@@ -44,24 +66,43 @@ object Report {
 
     def read(name: String, schema: org.apache.spark.sql.types.StructType) =
       spark.read.schema(schema).json(s"$rawDir/$name.json")
-    val g = Pipeline.transformAll(
+    // The CRM graph is only materialized for report flags; temporal flags
+    // read SCD parquet state directly and never touch raw JSON.
+    lazy val g = Pipeline.transformAll(
       read("users", CrmSchema.users), read("contacts", CrmSchema.envelope),
       read("companies", CrmSchema.envelope), read("deals", CrmSchema.envelope),
       read("engagements", CrmSchema.envelope),
       read("email_events", CrmSchema.emailEvents),
       read("form_submissions", CrmSchema.formSubmissions))
 
-    import graft.query.{OwnershipQueries => OQ}
+    import graft.query.{OwnershipQueries => OQ, TemporalQueries => TQ}
     // F19: the reporting "now" is captured once per invocation, not per row.
-    val asOf = org.apache.spark.sql.functions.lit(
-      new java.sql.Timestamp(System.currentTimeMillis()))
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    val asOf = lit(now)
     def days = flagValue("--days").map(_.toInt).getOrElse(30)
+
+    // Temporal flags: <dir> is a Pipeline state directory.
+    def table = flagValue("--table").getOrElse("contacts")
+    def cur(t: String) = spark.read.parquet(s"$rawDir/current_$t")
+    def hist(t: String) = {
+      val p = s"$rawDir/history_$t"
+      if (Pipeline.fileExists(spark, p)) spark.read.parquet(p)
+      else cur(t).limit(0) // no row has ever been superseded
+    }
+    def businessFields(t: String): Seq[String] =
+      cur(t).columns.toSeq.filterNot(temporalCols)
 
     val result: DataFrame = flags.headOption match {
       case Some("--all-owners") => RQ.allOwnersSummary(g)
       case Some("--find-owner") => RQ.findOwner(g, flagValue("--find-owner").get)
       case Some("--owner") =>
         val name = flagValue("--owner").get
+        val matches = RQ.findOwner(g, name)
+        if (matches.limit(2).count() > 1) {
+          println(s"[report] owner needle '$name' is ambiguous; candidates:")
+          sink(matches, format, out)
+          return ExitAmbiguousOwner
+        }
         flagValue("--entity").getOrElse("summary") match {
           case "contacts" => RQ.contactsByOwner(g, name)
           case "companies" => RQ.companiesByOwner(g, name)
@@ -91,10 +132,30 @@ object Report {
       case Some("--no-company") => RQ.contactsWithoutCompany(g)
       case Some("--engaged") => RQ.engagedContacts(g)
       case Some("--combined") => RQ.combinedOwnerView(g)
+      // ---- temporal surface (query_temporal.py:328-420) ----
+      case Some("--history") => // full version chain for one entity
+        TQ.entityHistory(cur(table), hist(table), flagValue("--history").get)
+      case Some("--deleted") => // soft-deleted entities
+        TQ.deletedEntities(cur(table))
+      case Some("--recent-changes") => // entities loaded in the last N hours
+        val hours = flagValue("--recent-changes").map(_.toInt).getOrElse(24)
+        val cutoff = lit(new java.sql.Timestamp(now.getTime - hours * 3600L * 1000L))
+        TQ.recentChanges(cur(table), cutoff, limit = 50)
+      case Some("--compare-versions") => // field diff, current vs previous
+        val diff = TQ.compareVersions(cur(table), hist(table), businessFields(table))
+        flagValue("--compare-versions") match {
+          case Some(id) => diff.filter(col("hubspot_id") === id)
+          case None => diff
+        }
+      case Some("--temporal-stats") => // one-job stats across all SCD tables
+        val names = Seq("users", "contacts", "companies", "deals", "activities")
+          .filter(t => Pipeline.fileExists(spark, s"$rawDir/current_$t"))
+        TQ.temporalStatistics(names.map(t => t -> (cur(t), hist(t))).toMap)
       case other => sys.error(s"unknown or missing report flag: $other")
     }
 
     sink(result, format, out)
+    0
   }
 
   /** S13/S14/S15 sinks. The coalesce(1) is a REPORT-output choice (one

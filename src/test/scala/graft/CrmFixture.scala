@@ -38,6 +38,20 @@ object CrmFixture {
     """{"id":"c3","properties":{"email":null,"firstname":"Carol","lastname":"C",
        "lifecyclestage":"lead"},"associations":{}}""".replaceAll("\n\\s*", "")))
 
+  /** Second contact snapshot for SCD scenarios: c1 promoted (jobtitle
+    * CTO -> CEO), c2 unchanged, c3 missing (-> soft delete). */
+  def contactsRawV2(spark: SparkSession): DataFrame = readJson(spark, CrmSchema.envelope, Seq(
+    """{"id":"c1","properties":{"email":" Alice@Company1.com ","firstname":"Alice","lastname":"A",
+       "jobtitle":"CEO","lifecyclestage":"customer","createdate":"1704067200000",
+       "lastmodifieddate":"2024-06-01T00:00:00Z","hubspot_owner_id":"user_1",
+       "associatedcompanyid":"co1","hs_email_open":"5","hs_email_click":"2",
+       "hs_analytics_num_visits":"7","hs_analytics_source":"ORGANIC",
+       "hs_analytics_first_url":"https://www.company1.com/home","country":"US","city":"NY"},
+       "associations":{"deals":[{"id":"d1"}]}}""".replaceAll("\n\\s*", ""),
+    """{"id":"c2","properties":{"email":"bob@company2.com","firstname":"Bob","lastname":"B",
+       "lifecyclestage":"lead","createdate":"2024-02-01T00:00:00Z","hubspot_owner_id":"user_2",
+       "hs_email_open":"not_a_number"},"associations":{}}""".replaceAll("\n\\s*", "")))
+
   def companiesRaw(spark: SparkSession): DataFrame = readJson(spark, CrmSchema.envelope, Seq(
     """{"id":"co1","properties":{"name":"Company One","domain":"WWW.Company1.com",
        "industry":"Tech","numberofemployees":"50","annualrevenue":"1000000.5",

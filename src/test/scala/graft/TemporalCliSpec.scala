@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+
+/** The Report CLI's temporal flag surface (reference
+  * query_temporal.py:328-420) driven end-to-end over a real Pipeline state
+  * directory, plus the non-interactive owner disambiguation contract
+  * (reference report.py:39-87 prompts; we list candidates + exit 2).
+  *
+  * One two-load SCD scenario is shared by every flag: load the full
+  * fixture, then a second snapshot where c1 changed (CTO -> CEO), c2 is
+  * unchanged and c3 is missing (-> soft delete).
+  */
+class TemporalCliSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val dirs: (String, String) = {
+    val raw = java.nio.file.Files.createTempDirectory("graft-tcli-raw").toString
+    val state = java.nio.file.Files.createTempDirectory("graft-tcli-state").toString
+    def writeRaw(contacts: org.apache.spark.sql.DataFrame): Unit = Seq(
+      "users" -> CrmFixture.usersRaw(spark),
+      "contacts" -> contacts,
+      "companies" -> CrmFixture.companiesRaw(spark),
+      "deals" -> CrmFixture.dealsRaw(spark),
+      "engagements" -> CrmFixture.engagementsRaw(spark),
+      "email_events" -> CrmFixture.emailEventsRaw(spark),
+      "form_submissions" -> CrmFixture.formsRaw(spark)
+    ).foreach { case (n, df) => df.write.mode("overwrite").json(s"$raw/$n.json") }
+    writeRaw(CrmFixture.contactsRaw(spark))
+    Pipeline.run(spark, raw, state)
+    writeRaw(CrmFixture.contactsRawV2(spark))
+    Pipeline.run(spark, raw, state)
+    (raw, state)
+  }
+
+  private def runToCsv(flags: String*): org.apache.spark.sql.DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-tcli-out").toString
+    val code = Report.run(spark,
+      (dirs._2 +: flags).toArray ++ Array("--format", "csv", "--out", s"$out/r"))
+    assert(code == 0)
+    spark.read.option("header", "true").csv(s"$out/r")
+  }
+
+  test("--history ID returns the full version chain, newest first") {
+    val h = runToCsv("--history", "c1")
+    assert(h.count() == 2) // current CEO row + superseded CTO row
+    val titles = h.orderBy(col("valid_from").desc).collect()
+      .map(_.getAs[String]("job_title")).toSeq
+    assert(titles == Seq("CEO", "CTO"))
+  }
+
+  test("--deleted lists soft-deleted entities only") {
+    val d = runToCsv("--deleted")
+    assert(d.collect().map(_.getAs[String]("hubspot_id")).toSeq == Seq("c3"))
+  }
+
+  test("--recent-changes N returns rows loaded inside the window") {
+    assert(runToCsv("--recent-changes", "24").count() == 3) // whole current table
+    // other tables selectable
+    assert(runToCsv("--recent-changes", "24", "--table", "users").count() == 2)
+  }
+
+  test("--compare-versions diffs business fields of current vs previous") {
+    val diff = runToCsv("--compare-versions", "c1")
+    val rows = diff.collect().map(r => (r.getAs[String]("field"),
+      r.getAs[String]("old_value"), r.getAs[String]("new_value")))
+    assert(rows.toSeq == Seq(("job_title", "CTO", "CEO")))
+    // no bookkeeping column ever appears as a diffed field
+    val all = runToCsv("--compare-versions")
+    assert(all.filter(col("field").isin("valid_from", "valid_to", "is_current",
+      "is_deleted", "snapshot_hash")).count() == 0)
+  }
+
+  test("--temporal-stats rolls up current/deleted/history per entity table") {
+    val s = runToCsv("--temporal-stats")
+    assert(s.count() == 5)
+    val contacts = s.filter(col("entity_type") === "contacts").collect()(0)
+    assert(contacts.getAs[String]("n_rows") == "3")
+    assert(contacts.getAs[String]("n_deleted") == "1")
+    // c1 superseded + c3 terminal snapshot
+    assert(contacts.getAs[String]("n_history") == "2")
+    assert(s.filter(col("entity_type") === "users")
+      .collect()(0).getAs[String]("n_history") == "0")
+  }
+
+  test("--owner with an ambiguous needle lists candidates and exits 2") {
+    // 'example' hits both fixture users via email
+    val code = Report.run(spark, Array(dirs._1, "--owner", "example"))
+    assert(code == Report.ExitAmbiguousOwner)
+    // a unique needle still runs the report and exits 0
+    val out = java.nio.file.Files.createTempDirectory("graft-tcli-own").toString
+    val ok = Report.run(spark, Array(dirs._1, "--owner", "Doe",
+      "--entity", "contacts", "--format", "csv", "--out", s"$out/r"))
+    assert(ok == 0)
+    assert(spark.read.option("header", "true").csv(s"$out/r").count() == 1)
+  }
+}
