@@ -58,12 +58,11 @@ object Multimodal {
       (lit(64) + n % 513).cast("int").as("width"),
       (lit(64) + (n * 7) % 513).cast("int").as("height"),
       (lit(1) + n % 16).cast("int").as("n_frames"),
-      lower(hex(expr(s"substring(${contentName(content)}, 1, 8)"))).as("header_hex"))
+      // Column-API substring works on BINARY and on ANY payload Column —
+      // a derived/aliased payload no longer breaks on name re-parsing
+      // (round-3 verdict #4).
+      lower(hex(substring(content, 1, 8))).as("header_hex"))
   }
-
-  // fakeDecode needs the payload's column name for the binary substring;
-  // callers pass col("content") so this resolves statically.
-  private def contentName(c: Column): String = c.toString
 
   /** Frame sampling for "video": cut the payload into fixed-size frame
     * chunks and keep every k-th — the batch shape (explode + substring)

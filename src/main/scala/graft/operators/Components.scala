@@ -31,12 +31,19 @@ object Components {
     * appear if they occur in `edges`; union isolated nodes afterwards
     * (their component is themselves).
     *
-    * @param edges undirected edge list; one row per edge
-    * @param src   source-node column name
-    * @param dst   destination-node column name
+    * @param edges      undirected edge list; one row per edge
+    * @param src        source-node column name
+    * @param dst        destination-node column name
+    * @param maxIter    hard round cap (propagation is O(log n) rounds)
+    * @param checkEvery probe convergence only every this many rounds.
+    *                   Labels decrease monotonically, so a late probe is
+    *                   always safe — at worst the loop runs one spare
+    *                   propagation round; at cluster scale each skipped
+    *                   probe is one whole Spark job saved per round
+    *                   (round-3 verdict #5). 1 = probe every round.
     */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, checkEvery: Int = 2): DataFrame = {
     // Symmetrize once: propagation below is directional along (s -> d).
     val sym = edges.select(col(src).as("s"), col(dst).as("d"))
       .union(edges.select(col(dst).as("s"), col(src).as("d")))
@@ -66,13 +73,15 @@ object Components {
       // already stable, i.e. every node's label <= all its neighbors'
       // labels, which across each edge in both directions means the
       // labels agree — the fixpoint. (Checked with a limit-1 existence
-      // job, not a collect of node rows.)
-      converged = jumped
-        .join(labels.select(col("node"), col("comp").as("prev")), Seq("node"))
-        .filter(col("comp") =!= col("prev"))
-        .isEmpty
-      labels = jumped
+      // job, not a collect of node rows; probed only every `checkEvery`
+      // rounds and on the final capped round.)
       iter += 1
+      if (iter % checkEvery == 0 || iter == maxIter)
+        converged = jumped
+          .join(labels.select(col("node"), col("comp").as("prev")), Seq("node"))
+          .filter(col("comp") =!= col("prev"))
+          .isEmpty
+      labels = jumped
     }
     labels
   }

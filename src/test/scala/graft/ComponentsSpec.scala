@@ -43,6 +43,24 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
   }
 
+  test("probing convergence every second round issues measurably fewer jobs") {
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    val sc = spark.sparkContext
+    def jobsIn(group: String)(body: => Map[Long, Long]): (Int, Map[Long, Long]) = {
+      sc.setJobGroup(group, group)
+      val r = try body finally sc.clearJobGroup()
+      (sc.statusTracker.getJobIdsForGroup(group).length, r)
+    }
+    def labels(checkEvery: Int): Map[Long, Long] =
+      Components.connectedComponents(edges, "a", "b", checkEvery = checkEvery)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (jobsEveryRound, everyRound) = jobsIn("cc-probe-every")(labels(1))
+    val (jobsEveryOther, everyOther) = jobsIn("cc-probe-other")(labels(2))
+    assert(everyRound == everyOther) // identical fixpoint either way
+    assert(jobsEveryOther < jobsEveryRound,
+      s"expected fewer jobs with sparse probing: $jobsEveryOther vs $jobsEveryRound")
+  }
+
   test("keepCanonical keeps one doc per cluster and every singleton") {
     // corpus 0..9; near-dup clusters {1,2,3} (a chain) and {7,8};
     // survivors must be the cluster minima plus all untouched docs.

@@ -31,6 +31,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.getString(4).nonEmpty)
   }
 
+  test("fake decode accepts a derived/aliased payload column") {
+    // decode a TRANSFORMED payload (first 32 bytes, aliased) — the decoder
+    // must work on any Column expression, not just a named table column
+    val dec = media.select(col("asset_id"),
+      Multimodal.fakeDecode(substring(col("content"), 1, 32).as("clip")).as("d"))
+    val full = media.select(col("asset_id"),
+      Multimodal.fakeDecode(col("content")).as("d"))
+    // header is within the clip, so the fingerprint must agree with the
+    // full-payload decode for every asset
+    val joined = dec.select(col("asset_id"), col("d.header_hex").as("clip_hdr"))
+      .join(full.select(col("asset_id"), col("d.header_hex").as("full_hdr")), "asset_id")
+    assert(joined.filter(col("clip_hdr") =!= col("full_hdr")).count() == 0)
+  }
+
   test("frame sampling cuts payload into every-k-th fixed-size chunks") {
     val frames = Multimodal.sampleFrames(media.limit(10), frameBytes = 100, everyK = 2)
     val r = frames.groupBy("asset_id").count().collect()
