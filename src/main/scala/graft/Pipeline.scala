@@ -63,6 +63,40 @@ object Pipeline {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Catalog namespace for one state directory's bucketed SCD tables —
+    * scoped by path hash so two state dirs in one session can't collide. */
+  def stateTableNs(stateDir: String): String =
+    s"graft_${java.lang.Integer.toHexString(stateDir.hashCode)}"
+
+  /** The `current_<name>` table for a state dir: the catalog entry when
+    * available (bucketed — the zero-shuffle merge path), else the plain
+    * parquet path (fresh session without a persistent metastore: correct,
+    * the merge just shuffles). */
+  def currentTable(spark: SparkSession, stateDir: String, name: String): Option[DataFrame] = {
+    val tbl = s"${stateTableNs(stateDir)}_current_$name"
+    if (spark.catalog.tableExists(tbl)) Some(spark.table(tbl))
+    else if (fileExists(spark, s"$stateDir/current_$name"))
+      Some(spark.read.parquet(s"$stateDir/current_$name"))
+    else None
+  }
+
+  /** The `history_<name>` table for a state dir, same resolution order as
+    * [[currentTable]]. The path fallback additionally requires at least
+    * one data file: a history that has only ever had empty appends leaves
+    * a schema-less directory no path read can infer. */
+  def historyTable(spark: SparkSession, stateDir: String, name: String): Option[DataFrame] = {
+    val tbl = s"${stateTableNs(stateDir)}_history_$name"
+    val path = s"$stateDir/history_$name"
+    def hasData: Boolean = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+    }
+    if (spark.catalog.tableExists(tbl)) Some(spark.table(tbl))
+    else if (hasData) Some(spark.read.parquet(path))
+    else None
+  }
+
   /** Node-id table for J6 edge validation. */
   def nodeIds(g: GraphTables): DataFrame = Seq(
     g.users -> "HUBSPOT_User", g.contacts -> "HUBSPOT_Contact",
@@ -106,29 +140,49 @@ object Pipeline {
     val validEdges = EdgeBuilder.validate(g.edges, nodeIds(g))
     val loadTs = current_timestamp()
 
-    // SCD load per entity table against stateDir/current_<name>
+    // SCD load per entity table against stateDir/current_<name>. All
+    // state tables are written bucketed+sorted on the merge key: the
+    // incoming snapshot is staged bucketed first (ONE shuffle — data must
+    // be key-partitioned at least once), after which the single-join
+    // applyScd merge plans with NO Exchange against the equally-bucketed
+    // current table. At 100 TB that one staged shuffle replaces
+    // re-shuffling both sides on every load.
+    val buckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "8").toInt
+    val ns = stateTableNs(stateDir)
     val tables = Map(
       "users" -> g.users, "contacts" -> g.contacts, "companies" -> g.companies,
       "deals" -> g.deals, "activities" -> g.activities)
     tables.foreach { case (name, nodes) =>
       val incoming = GT.withTemporal(nodes, loadTs)
       val curPath = s"$stateDir/current_$name"
+      def bucketed(df: DataFrame) = df
+        .repartition(buckets, col("hubspot_id")) // partitioner == bucketer: one file per bucket
+        .write.bucketBy(buckets, "hubspot_id").sortBy("hubspot_id")
+      bucketed(incoming).mode("overwrite")
+        .option("path", s"$stateDir/stage_$name").saveAsTable(s"${ns}_stage_$name")
+      val staged = spark.table(s"${ns}_stage_$name")
       // First-load is decided by an explicit existence check, NOT by
       // catching the read failure: a transient FS error or corrupt footer
       // must fail loudly here, because treating it as "first load" would
       // make the SCD step mark every row as new — silent history
       // corruption (round-3 verdict #2).
-      val current =
-        if (fileExists(spark, curPath)) spark.read.parquet(curPath)
-        else incoming.limit(0)
-      val r = ScdLoader.applyScd(current, incoming, loadTs)
-      r.current.write.mode("overwrite").parquet(s"$curPath.next")
-      r.historyAppend.write.mode("append").parquet(s"$stateDir/history_$name")
+      val current = currentTable(spark, stateDir, name).getOrElse(staged.limit(0))
+      val r = ScdLoader.applyScd(current, staged, loadTs)
+      // New current is materialized at <path>.next (the plan reads the old
+      // current), then swapped in: path rename + catalog relocation.
+      val tbl = s"${ns}_current_$name"
+      bucketed(r.current).mode("overwrite")
+        .option("path", s"$curPath.next").saveAsTable(s"${tbl}_next")
+      bucketed(r.historyAppend).mode("append")
+        .option("path", s"$stateDir/history_$name").saveAsTable(s"${ns}_history_$name")
       val fs = new org.apache.hadoop.fs.Path(curPath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
       fs.delete(new org.apache.hadoop.fs.Path(curPath), true)
       fs.rename(new org.apache.hadoop.fs.Path(s"$curPath.next"),
         new org.apache.hadoop.fs.Path(curPath))
+      spark.sql(s"ALTER TABLE ${tbl}_next SET LOCATION '$curPath'")
+      spark.sql(s"ALTER TABLE ${tbl}_next RENAME TO $tbl")
       println(s"[pipeline] $name loaded")
     }
     // Event tables are append-only (T5)

@@ -81,14 +81,13 @@ object Report {
     val asOf = lit(now)
     def days = flagValue("--days").map(_.toInt).getOrElse(30)
 
-    // Temporal flags: <dir> is a Pipeline state directory.
+    // Temporal flags: <dir> is a Pipeline state directory. Resolution goes
+    // through the catalog first so the bucketed layout is kept.
     def table = flagValue("--table").getOrElse("contacts")
-    def cur(t: String) = spark.read.parquet(s"$rawDir/current_$t")
-    def hist(t: String) = {
-      val p = s"$rawDir/history_$t"
-      if (Pipeline.fileExists(spark, p)) spark.read.parquet(p)
-      else cur(t).limit(0) // no row has ever been superseded
-    }
+    def cur(t: String) = Pipeline.currentTable(spark, rawDir, t)
+      .getOrElse(sys.error(s"no current_$t state under $rawDir"))
+    def hist(t: String) = Pipeline.historyTable(spark, rawDir, t)
+      .getOrElse(cur(t).limit(0)) // no row has ever been superseded
     def businessFields(t: String): Seq[String] =
       cur(t).columns.toSeq.filterNot(temporalCols)
 

@@ -52,6 +52,41 @@ object RelationalCatalog {
              FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01'
              GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")),
 
+    // Exact-decimal twin of q1_pricing_summary (SCALE.md §3): every money
+    // aggregate runs in DecimalType end-to-end — sum-of-double rounding
+    // drift is impossible by construction, not just bounded by round().
+    // The cast choreography is mirrored verbatim in the DuckDB oracle so
+    // both engines widen at identical points (2dp inputs -> 4dp first
+    // product -> 6dp second product -> exact sum). The product sums are
+    // rendered at their full exact scale (4dp / 6dp): they land on .xx5
+    // ties, where Spark (HALF_UP) and DuckDB disagree on a final 2dp
+    // re-round — the exact value needs no re-round at all.
+    Q("q1_pricing_decimal",
+      (s, d) => {
+        val m2 = "decimal(18,2)"
+        val price = col("l_extendedprice").cast(m2)
+        val disc = (lit(1) - col("l_discount")).cast(m2)
+        val tax1 = (lit(1) + col("l_tax")).cast(m2)
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") < lit("2000-01-01"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(col("l_quantity").cast(m2)).cast(m2).cast("string").as("sum_qty"),
+            sum(price).cast(m2).cast("string").as("sum_base"),
+            sum(price * disc).cast("decimal(38,4)").cast("string").as("sum_disc_price"),
+            sum((price * disc).cast("decimal(18,4)") * tax1).cast("decimal(38,6)").cast("string").as("sum_charge"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_qty,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_base,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_disc_price,
+             CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4)) * CAST(1 + l_tax AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_charge,
+             count(*) AS count_order
+             FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01'
+             GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")),
+
     Q("s1_scan_prune",
       (s, d) => t(s, d, "lineitem")
         .filter(col("l_quantity") >= 45 && col("l_shipdate") >= lit("1998-01-01"))

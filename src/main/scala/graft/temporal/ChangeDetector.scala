@@ -27,13 +27,23 @@ object ChangeDetector {
     cur.join(inc, col("cur_id") === col("inc_id"), "full_outer")
       .select(
         coalesce(col("inc_id"), col("cur_id")).as("hubspot_id"),
-        when(col("cur_id").isNull, "new")
-          .when(col("inc_id").isNull && !col("cur_deleted"), "deleted")
-          .when(col("inc_id").isNull && col("cur_deleted"), "already_deleted")
-          .when(col("cur_deleted"), "resurrected")
-          .when(col("cur_hash") =!= col("inc_hash"), "updated")
-          .otherwise("unchanged").as("change_type"))
+        changeType(col("cur_id"), col("inc_id"), col("cur_deleted"),
+          col("cur_hash"), col("inc_hash")).as("change_type"))
   }
+
+  /** The snapshot classification rule, as a column expression — shared by
+    * [[compareSnapshots]] and the single-join [[ScdLoader.applyScd]] so
+    * the two can never drift. `curDeleted` must already be null-coalesced. */
+  private[temporal] def changeType(curKey: org.apache.spark.sql.Column,
+      incKey: org.apache.spark.sql.Column, curDeleted: org.apache.spark.sql.Column,
+      curHash: org.apache.spark.sql.Column,
+      incHash: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(curKey.isNull, "new")
+      .when(incKey.isNull && !curDeleted, "deleted")
+      .when(incKey.isNull && curDeleted, "already_deleted")
+      .when(curDeleted, "resurrected")
+      .when(curHash =!= incHash, "updated")
+      .otherwise("unchanged")
 
   /** Per-class counts (change_detector.py:120-127). */
   def changeStats(classified: DataFrame): DataFrame =

@@ -32,42 +32,57 @@ object ScdLoader {
     *
     * Both inputs carry the 5 SCD columns; `incoming` is a fresh transform
     * output (is_current = true, is_deleted = false, valid_to = null).
+    *
+    * Plan shape: ONE full-outer join on the entity key over struct-packed
+    * rows; history, new current, and the change log are all projections of
+    * that single joined frame. (The previous shape — a classify join plus
+    * two re-joins of the classification back onto each side — shuffled
+    * three times AND re-shuffled even over bucketed inputs, because a
+    * full-outer join's output partitioning is unknown to the planner.
+    * With both inputs bucketed on `hubspot_id`, this single join plans
+    * with NO Exchange at all — the 100 TB merge shape, proven in
+    * PipelineE2eSpec.)
     */
   def applyScd(current: DataFrame, incoming: DataFrame, loadTs: Column): ScdResult = {
-    val classified = ChangeDetector.compareSnapshots(current, incoming)
-      .withColumnRenamed("hubspot_id", "cls_id")
-
-    def cls(df: DataFrame) =
-      df.join(classified, df("hubspot_id") === col("cls_id"), "left")
-        .drop("cls_id")
-
-    val curCls = cls(current)
-    val incCls = cls(incoming)
+    val cols = incoming.columns.toSeq
+    val cur = current.select(col("hubspot_id").as("cur_key"),
+      struct(cols.map(col): _*).as("cur"))
+    val inc = incoming.select(col("hubspot_id").as("inc_key"),
+      struct(cols.map(col): _*).as("inc"))
+    val joined = cur.join(inc, col("cur_key") === col("inc_key"), "full_outer")
+      .withColumn("change_type", ChangeDetector.changeType(
+        col("cur_key"), col("inc_key"),
+        coalesce(col("cur.is_deleted"), lit(false)),
+        col("cur.snapshot_hash"), col("inc.snapshot_hash")))
+    def unpack(side: String) = cols.map(c => col(s"$side.$c").as(c))
 
     // History gains the superseded version of updated/resurrected rows and
     // a terminal snapshot of freshly deleted rows.
-    val historyAppend = curCls
+    val historyAppend = joined
       .filter(col("change_type").isin("updated", "resurrected", "deleted"))
+      .select(unpack("cur"): _*)
       .withColumn("valid_to", loadTs)
       .withColumn("is_current", lit(false))
-      .drop("change_type")
 
     // New current state.
-    val carried = curCls.filter(col("change_type") === "unchanged" ||
-      col("change_type") === "already_deleted").drop("change_type")
-    val replaced = incCls
+    val carried = joined
+      .filter(col("change_type").isin("unchanged", "already_deleted"))
+      .select(unpack("cur"): _*)
+    val replaced = joined
       .filter(col("change_type").isin("new", "updated", "resurrected"))
+      .select(unpack("inc"): _*)
       .withColumn("valid_from", loadTs)
-      .drop("change_type")
-    val softDeleted = curCls.filter(col("change_type") === "deleted")
+    val softDeleted = joined.filter(col("change_type") === "deleted")
+      .select(unpack("cur"): _*)
       .withColumn("is_deleted", lit(true))
       .withColumn("is_current", lit(false))
       .withColumn("valid_to", loadTs)
-      .drop("change_type")
 
     val newCurrent = carried.unionByName(replaced).unionByName(softDeleted)
-    ScdResult(newCurrent, historyAppend,
-      classified.withColumnRenamed("cls_id", "hubspot_id"))
+    val changes = joined.select(
+      coalesce(col("inc_key"), col("cur_key")).as("hubspot_id"),
+      col("change_type"))
+    ScdResult(newCurrent, historyAppend, changes)
   }
 
   /** HAS_HISTORY edge rows linking each current entity to the history

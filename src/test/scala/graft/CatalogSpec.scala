@@ -28,4 +28,28 @@ class CatalogSpec extends AnyFunSuite {
       assert(df.columns.nonEmpty)
     }
   }
+
+  test("decimal money path agrees with the double path at 2dp per group") {
+    // q1_pricing_decimal is exact by construction; the double path rounds
+    // once at the end — the two may differ by at most one ulp of the 2dp
+    // rounding on any group.
+    import org.apache.spark.sql.functions.col
+    val dbl = SparkEntry.queries("q1_pricing_summary")(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty"), col("sum_base"), col("sum_disc_price"), col("sum_charge"))
+    val dec = SparkEntry.queries("q1_pricing_decimal")(spark, dir)
+      .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        col("sum_qty").as("d_qty"), col("sum_base").as("d_base"),
+        col("sum_disc_price").as("d_disc"), col("sum_charge").as("d_charge"))
+    val joined = dbl.join(dec,
+      col("l_returnflag") === col("rf") && col("l_linestatus") === col("ls"))
+    assert(joined.count() == dbl.count() && dbl.count() > 0)
+    joined.collect().foreach { r =>
+      def near(a: String, b: String): Unit =
+        assert(math.abs(r.getAs[Double](a) - r.getAs[String](b).toDouble) <= 0.011,
+          s"$a vs $b diverged on ${r.getAs[String]("l_returnflag")}/${r.getAs[String]("l_linestatus")}")
+      near("sum_qty", "d_qty"); near("sum_base", "d_base")
+      near("sum_disc_price", "d_disc"); near("sum_charge", "d_charge")
+    }
+  }
 }

@@ -31,14 +31,46 @@ class PipelineE2eSpec extends AnyFunSuite {
     Pipeline.run(spark, raw, state) // identical snapshot again
     val cur2 = spark.read.parquet(s"$state/current_contacts")
     assert(cur2.count() == 3)
-    val histPath = new org.apache.hadoop.fs.Path(s"$state/history_contacts")
-    val fs = histPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val histRows =
-      if (fs.exists(histPath)) spark.read.parquet(s"$state/history_contacts").count() else 0L
+      Pipeline.historyTable(spark, state, "contacts").map(_.count()).getOrElse(0L)
     assert(histRows == 0L, "idempotent reload must not write history")
     // soft-delete flags untouched on reload
     import org.apache.spark.sql.functions.col
     assert(cur2.filter(col("is_deleted")).count() == 0)
+  }
+
+  test("SCD merge over reloaded bucketed state plans with no Exchange") {
+    val raw = java.nio.file.Files.createTempDirectory("graft-raw3").toString
+    val state = java.nio.file.Files.createTempDirectory("graft-state3").toString
+    Seq(
+      "users" -> CrmFixture.usersRaw(spark),
+      "contacts" -> CrmFixture.contactsRaw(spark),
+      "companies" -> CrmFixture.companiesRaw(spark),
+      "deals" -> CrmFixture.dealsRaw(spark),
+      "engagements" -> CrmFixture.engagementsRaw(spark),
+      "email_events" -> CrmFixture.emailEventsRaw(spark),
+      "form_submissions" -> CrmFixture.formsRaw(spark)
+    ).foreach { case (n, df) => df.write.mode("overwrite").json(s"$raw/$n.json") }
+    Pipeline.run(spark, raw, state)
+
+    // Rebuild the production merge exactly as Pipeline.run plans it on the
+    // NEXT load: bucketed current table vs bucketed staged snapshot. The
+    // single-join applyScd must read both sides bucket-for-bucket — zero
+    // Exchange anywhere in the new-current plan.
+    val ns = Pipeline.stateTableNs(state)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1") // deterministic SMJ, as at scale
+      val cur = spark.table(s"${ns}_current_contacts")
+      val staged = spark.table(s"${ns}_stage_contacts")
+      val r = graft.temporal.ScdLoader.applyScd(cur, staged,
+        org.apache.spark.sql.functions.lit(new java.sql.Timestamp(0L)))
+      val plan = r.current.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed SCD merge must not shuffle, got plan:\n$plan")
+      assert(r.current.count() == 3)
+    } finally spark.conf.set(key, prev)
   }
 
   test("corrupt current state fails loudly instead of resetting to first-load") {
@@ -64,10 +96,8 @@ class PipelineE2eSpec extends AnyFunSuite {
     for (d <- curDirs; f <- d.listFiles() if f.getName.endsWith(".parquet"))
       java.nio.file.Files.write(f.toPath, Array.fill[Byte](16)(0x42))
     intercept[Exception] { Pipeline.run(spark, raw, state) }
-    val histPath = new org.apache.hadoop.fs.Path(s"$state/history_contacts")
-    val fs = histPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val histRows =
-      if (fs.exists(histPath)) spark.read.parquet(s"$state/history_contacts").count() else 0L
+      Pipeline.historyTable(spark, state, "contacts").map(_.count()).getOrElse(0L)
     assert(histRows == 0L, "failed run must not append history")
     // the corrupted state is still there for an operator to inspect/restore
     assert(curDirs.forall(_.exists()))
