@@ -157,6 +157,17 @@ object Report {
     0
   }
 
+  /** Union-of-keys row alignment (reporting/neo4j_reporter.py:213-244):
+    * the reference's CSV writer infers its header as the union of keys
+    * across heterogeneous result dicts, null-filling the gaps. DataFrames
+    * carry fixed schemas, so the equivalent is a by-name union with
+    * missing columns allowed — the combined frame's schema IS the
+    * union-of-keys header, and any sink (S13 CSV included) can write it. */
+  def unionOfKeys(frames: Seq[DataFrame]): DataFrame = {
+    require(frames.nonEmpty, "unionOfKeys needs at least one frame")
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** S13/S14/S15 sinks. The coalesce(1) is a REPORT-output choice (one
     * readable file); bulk data writes elsewhere keep their partitioning. */
   def sink(result: DataFrame, format: String, out: Option[String]): Unit =

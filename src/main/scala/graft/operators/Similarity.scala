@@ -22,19 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private val cosExpr = {
-    def dot(x: String, y: String) =
-      s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0D, (acc, v) -> acc + v)"
-    expr(s"${dot("qv", "cv")} / (sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")}))")
-  }
+  /** cos over the native codegen kernel, with per-row precomputed norms:
+    * one fused multiply-add loop per candidate pair instead of three
+    * `aggregate(zip_with(...))` lambda folds, reading `array<float>`
+    * parquet vectors (or the k-means double centroids) directly. */
+  private val cosExpr = expr("dot_product(qv, cv)") / (col("qn") * col("cn"))
 
   /** Exact cosine top-k of `queries` against `candidates` (both
     * (id, embedding) shaped); returns (q_id, rn, neighbor_id, cosine). */
   def bruteForceTopK(candidates: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("q_id"),
-      expr("transform(embedding, x -> CAST(x AS double))").as("qv"))
-    val c = candidates.select(col("vec_id").as("c_id"),
-      expr("transform(embedding, x -> CAST(x AS double))").as("cv"))
+    graft.functions.DotProduct.register(queries.sparkSession)
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+      expr("sqrt(dot_product(embedding, embedding))").as("qn"))
+    val c = candidates.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+      expr("sqrt(dot_product(embedding, embedding))").as("cn"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
     q.crossJoin(c).filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", cosExpr)
@@ -50,35 +51,36 @@ object Similarity {
     * closest to it. */
   def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       nCells: Int = 8, nProbe: Int = 2): DataFrame = {
+    graft.functions.DotProduct.register(embeddings.sparkSession)
     val withVec = embeddings
       .withColumn("v", array_to_vector(expr("transform(embedding, x -> CAST(x AS double))")))
     val model = new KMeans().setK(nCells).setSeed(42L)
       .setFeaturesCol("v").setPredictionCol("cell")
       .fit(withVec)
     val assigned = model.transform(withVec)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        expr("sqrt(dot_product(embedding, embedding))").as("nrm"))
 
-    // nProbe nearest cells per query by centroid cosine
+    // nProbe nearest cells per query by centroid dot product
+    // (dot_product takes the float query vector and the double centroid
+    // side by side — float->double is exact, no cast copy needed)
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray)
     }.toSeq
     val centDf = assigned.sparkSession.createDataFrame(centroids)
       .toDF("cent_cell", "cent")
     val q = assigned.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("q_id"),
-        expr("transform(embedding, x -> CAST(x AS double))").as("qv"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"))
     val wProbe = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cent_cell").asc)
     val probes = q.crossJoin(broadcast(centDf))
-      .withColumn("cos", expr(
-        "aggregate(zip_with(qv, cent, (p, r) -> p * r), 0D, (acc, v) -> acc + v)"))
+      .withColumn("cos", expr("dot_product(qv, cent)"))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nProbe)
-      .select(col("q_id"), col("qv"), col("cent_cell").as("cell"))
+      .select(col("q_id"), col("qv"), col("qn"), col("cent_cell").as("cell"))
 
     // search only within probed cells
-    val cand = assigned.select(col("vec_id").as("c_id"),
-      expr("transform(embedding, x -> CAST(x AS double))").as("cv"),
-      col("cell"))
+    val cand = assigned.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+      col("nrm").as("cn"), col("cell"))
     val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
     probes.join(cand, Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))

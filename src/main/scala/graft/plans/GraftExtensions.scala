@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CharNGrams, SimHashAgg}
+import graft.functions.{CharNGrams, DotProduct, RollingHash, SimHashAgg}
 
 /** Optimizer rule guarding the near-dup self-join pathology (SURVEY.md
   * §7.3 mechanism (c): a `Rule[LogicalPlan]` injected via
@@ -82,6 +82,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, "simhash_agg(md5hex) takes one argument")
         SimHashAgg(exprs.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "dot_product(a, b) takes two arguments")
+        DotProduct(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "rolling_hash(str, k) takes two arguments")
+        val k = exprs(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => other.eval().asInstanceOf[Int]
+        }
+        RollingHash(exprs.head, k)
       }))
   }
 }

@@ -276,4 +276,16 @@ class QuerySpec extends AnyFunSuite {
     assert(EntityMatcher.sameAsEdges(
       EntityMatcher.matchUsers(users, persons)).count() == 2)
   }
+
+  test("unionOfKeys aligns heterogeneous report frames (S13 header inference)") {
+    val a = Seq(("r1", 1)).toDF("name", "count")
+    val b = Seq(("r2", "x@y.com")).toDF("name", "email")
+    val u = Report.unionOfKeys(Seq(a, b))
+    // header = union of keys across both frames; gaps null-filled
+    assert(u.columns.sorted.toSeq == Seq("count", "email", "name"))
+    val rows = u.collect().map(r => r.getAs[String]("name") ->
+      (Option(r.get(u.columns.indexOf("count"))), Option(r.get(u.columns.indexOf("email"))))).toMap
+    assert(rows("r1") == (Some(1), None))
+    assert(rows("r2") == (None, Some("x@y.com")))
+  }
 }
