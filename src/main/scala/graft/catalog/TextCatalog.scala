@@ -719,6 +719,38 @@ object TextCatalog {
                   AS top_token_frac
               FROM (SELECT doc_id, string_split($duckNorm, ' ') AS toks FROM documents)
               ORDER BY doc_id"""))
+  ,
+
+    Q("x_chunk_windows",
+      // Context-window chunking (the packing step an LLM training
+      // pipeline runs before tokenized examples): 64-token windows with
+      // stride 48 (16-token overlap), the ragged tail window kept.
+      // Chunk starts are 1 + i*48 for i in 0..floor((n-1)/48), computed
+      // per row and exploded — row-local fan-out of ~n/48 rows per doc,
+      // no shuffle before the output sort, scales with input splits.
+      // chunk_md5 hashes the actual chunk text, so the oracle proves
+      // CONTENT equality of every window, not just counts.
+      (s, d) => t(s, d, "documents")
+        .withColumn("toks", expr(s"split($sparkNorm, ' ')"))
+        .withColumn("n", expr("size(toks)"))
+        .select(col("doc_id"), col("n"), col("toks"),
+          posexplode(expr(
+            "transform(sequence(0, CAST(floor((n - 1) / 48) AS INT)), i -> 1 + i * 48)"))
+            .as(Seq("chunk_idx", "start_tok")))
+        .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+          least(lit(64), col("n") - col("start_tok") + 1).as("n_chunk_tokens"),
+          md5(expr("array_join(slice(toks, start_tok, 64), ' ')")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx"),
+      Some(s"""SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                CAST(1 + i * 48 AS INT) AS start_tok,
+                CAST(least(64, n - (1 + i * 48) + 1) AS INT) AS n_chunk_tokens,
+                md5(array_to_string(list_slice(toks, 1 + i * 48,
+                  least(1 + i * 48 + 63, n)), ' ')) AS chunk_md5
+              FROM (SELECT doc_id, toks, len(toks) AS n
+                    FROM (SELECT doc_id, string_split($duckNorm, ' ') AS toks
+                          FROM documents)),
+                UNNEST(range(0, (n - 1) // 48 + 1)) AS u(i)
+              ORDER BY doc_id, chunk_idx"""))
   )
 
   /** Banded SimHash near-dup candidate pairs (hamming <= 8) — the pair
