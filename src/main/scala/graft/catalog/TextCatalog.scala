@@ -37,25 +37,14 @@ object TextCatalog {
     * `x_simhash_neardup` gets 7-bit bands (128 buckets each) instead of
     * 2-bit ones — the band buckets stay small at scale. 63 = 9 * 7 also
     * keeps `pow(2, bitpos)` inside signed-BIGINT range (2^62 max). */
-  private def simhashTable(s: org.apache.spark.sql.SparkSession, d: String) = {
-    graft.functions.SimHashAgg.register(s)
-    // repartition: the documents table is a single small parquet split at
-    // test SF, and the per-doc compute below is the expensive part — spread
-    // it across the cluster instead of one scan task.
-    val docs = spread(t(s, d, "documents")).withColumn("norm", expr(sparkNorm))
-    // One row per (doc, token), ONE custom aggregate: simhash_agg is a
-    // native TypedImperativeAggregate (graft.functions.SimHashAgg) holding
-    // the 63 majority counters in its buffer — partial-aggregated map-side
-    // like any sum, merged by buffer addition. The pure-SQL alternatives
-    // either explode 63x per token (extra shuffle, the round-1 shape) or
-    // carry 63 sum() columns (a huge codegen unit).
-    docs
-      .select(col("doc_id"), col("source"),
-        explode(expr("array_distinct(split(norm, ' '))")).as("tok"))
-      .withColumn("h", md5(col("tok")))
-      .groupBy("doc_id", "source")
-      .agg(expr("simhash_agg(h)").as("simhash"))
-  }
+  private def simhashTable(s: org.apache.spark.sql.SparkSession, d: String) =
+    // simhash_agg is a native TypedImperativeAggregate holding the 63
+    // majority counters in its buffer — partial-aggregated map-side like
+    // any sum (no 63x explode, no 63-column codegen unit); the spread()
+    // repartition keeps the per-doc compute off a single scan task. The
+    // DataFrame-level implementation lives in operators.Curation so the
+    // end-to-end curation pipeline runs the identical plan.
+    graft.operators.Curation.simhashTable(spread(t(s, d, "documents")))
 
   /** DuckDB twin of [[simhashTable]], shared by the two simhash oracles. */
   private def duckSimhashCte: String =
@@ -767,33 +756,10 @@ object TextCatalog {
     * bit_count(a ^ b) (no UDF).
     */
   private def simhashNearDupPairs(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val sims = simhashTable(s, d)
-    val banded = sims.select(col("doc_id"), col("source"), col("simhash"),
-      explode(expr("transform(sequence(0, 8),"
-        + " i -> struct(i AS band, shiftright(simhash, i * 7) & 127 AS bits))")).as("b"))
-      .select(col("doc_id"), col("source").as("src"), col("simhash"),
-        col("b.band").as("band"), col("b.bits").as("bits"))
-    // merge hint: see x_minhash_lsh — a broadcast of either side would
-    // re-run the whole simhash pipeline as a separate job.
-    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
-      col("src"), col("band"), col("bits")).hint("merge")
-    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
-      col("src"), col("band"), col("bits")).hint("merge")
-    // Two codegen'd join filters, no dedup shuffle at all:
-    //  - exact hamming (bit_count) prunes candidates in the join;
-    //  - first-matching-band: a pair is emitted ONLY from the lowest
-    //    band where the signatures agree (all earlier bands must
-    //    differ), so each qualifying pair exits the join exactly once
-    //    — the classic LSH dedup trick, replacing a distinct() that
-    //    would re-shuffle up to 9 copies of every near-dup pair.
-    a.join(b, Seq("src", "band", "bits"))
-      .filter(col("doc_a") < col("doc_b") &&
-        expr("bit_count(sim_a ^ sim_b)") <= 8 &&
-        (col("band") === 0 ||
-          expr("forall(sequence(0, band - 1)," +
-            " i -> (shiftright(sim_a, i * 7) & 127) != (shiftright(sim_b, i * 7) & 127))")))
-      .select(col("doc_a"), col("doc_b"),
-        expr("bit_count(sim_a ^ sim_b)").as("hamming"))
-  }
+      d: String): org.apache.spark.sql.DataFrame =
+    // Banded pigeonhole pairing + first-matching-band emission — the
+    // DataFrame-level implementation lives in operators.Curation (shared
+    // with the end-to-end curation pipeline); this wrapper only binds the
+    // test table. See Curation.simhashNearDupPairs for the plan notes.
+    graft.operators.Curation.simhashNearDupPairs(spread(t(s, d, "documents")))
 }

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the composition a training-data pipeline
+  * actually runs over a raw document corpus (builder-prompt M6, the
+  * user-facing face of the catalog's x_* operators):
+  *
+  *   quality gate -> exact dedup -> near-dup clustering (keep one doc
+  *   per cluster) -> context-window chunking
+  *
+  * Every stage is the same oracle-gated plan shape as its catalog twin
+  * (`x_quality_score`/`x_gopher_repetition`, `x_exact_dedup`,
+  * `x_simhash_neardup`/`x_dedup_clusters`, `x_chunk_windows`), operating
+  * on an arbitrary documents frame instead of the fixed test table. All
+  * stages are lazy DataFrames; nothing is collected.
+  *
+  * Scale shape: the quality gate and chunker are row-local (zero
+  * shuffles); exact dedup is one hash-key shuffle with map-side
+  * combine; near-dup pairing is the banded simhash join (never
+  * all-pairs); clustering is the O(log n)-round connected-components
+  * operator. Each stage strictly shrinks the corpus, so the expensive
+  * stages see the fewest rows.
+  */
+object Curation {
+
+  /** Normalized text: lower, trim, collapse whitespace — the shared
+    * definition every text operator keys on (TextCatalog's oracle twins
+    * embed the same regex on the DuckDB side). */
+  val NormSql = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+
+  /** Spread a small-but-about-to-explode table across the cluster with
+    * an EXPLICIT partition count: a column-only repartition is an
+    * AQE-coalescible shuffle, and a doc table is tiny BEFORE its
+    * per-doc heavy compute (see TextCatalog's measured 59 s single-task
+    * collapse at sf0.1). */
+  def spread(df: DataFrame, key: String = "doc_id"): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+
+  /** 63-bit SimHash per (doc_id, source): md5-nibble majority over the
+    * doc's distinct tokens, computed by the native `simhash_agg`
+    * TypedImperativeAggregate (map-side partial, no 63x explode). */
+  def simhashTable(docs: DataFrame): DataFrame = {
+    graft.functions.SimHashAgg.register(docs.sparkSession)
+    docs
+      .withColumn("norm", expr(NormSql))
+      .select(col("doc_id"), col("source"),
+        explode(expr("array_distinct(split(norm, ' '))")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+      .groupBy("doc_id", "source")
+      .agg(expr("simhash_agg(h)").as("simhash"))
+  }
+
+  /** Banded SimHash near-dup candidate pairs (hamming <= 8) over an
+    * arbitrary docs frame — the 9x7-bit pigeonhole join: two signatures
+    * within hamming 8 differ in at most 8 of the 9 bands, so they MUST
+    * agree on at least one; the banded join + exact `bit_count(a ^ b)`
+    * post-filter is row-identical to all-pairs. First-matching-band
+    * emission returns each qualifying pair exactly once with no dedup
+    * shuffle. Pairs are blocked within `source` (the catalog contract;
+    * cross-source dups are exact-dedup's job). */
+  def simhashNearDupPairs(docs: DataFrame): DataFrame = {
+    val sims = simhashTable(docs)
+    val banded = sims.select(col("doc_id"), col("source"), col("simhash"),
+      explode(expr("transform(sequence(0, 8),"
+        + " i -> struct(i AS band, shiftright(simhash, i * 7) & 127 AS bits))")).as("b"))
+      .select(col("doc_id"), col("source").as("src"), col("simhash"),
+        col("b.band").as("band"), col("b.bits").as("bits"))
+    // merge hint: an AQE broadcast of a self-join side would re-run the
+    // whole simhash pipeline as a separate job (see SelfJoinMergeHint).
+    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
+      col("src"), col("band"), col("bits")).hint("merge")
+    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
+      col("src"), col("band"), col("bits")).hint("merge")
+    a.join(b, Seq("src", "band", "bits"))
+      .filter(col("doc_a") < col("doc_b") &&
+        expr("bit_count(sim_a ^ sim_b)") <= 8 &&
+        (col("band") === 0 ||
+          expr("forall(sequence(0, band - 1)," +
+            " i -> (shiftright(sim_a, i * 7) & 127) != (shiftright(sim_b, i * 7) & 127))")))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sim_a ^ sim_b)").as("hamming"))
+  }
+
+  /** Quality gate: minimum token count, maximum duplicate-token fraction
+    * (the Gopher repetition rule), minimum alphabetic fraction. Pure
+    * row-local projection + filter — zero shuffles. */
+  def qualityGate(docs: DataFrame, minTokens: Int = 10,
+      maxDupTokenFrac: Double = 0.5, minAlphaFrac: Double = 0.5): DataFrame =
+    docs
+      .withColumn("__toks", expr(s"split($NormSql, ' ')"))
+      .withColumn("__n", expr("size(__toks)"))
+      .filter(col("__n") >= minTokens &&
+        (lit(1.0) - expr("size(array_distinct(__toks))") * 1.0 / col("__n"))
+          <= maxDupTokenFrac &&
+        (expr(s"length(regexp_replace($NormSql, '[^a-z]', ''))") * 1.0
+          / expr(s"greatest(length($NormSql), 1)")) >= minAlphaFrac)
+      .drop("__toks", "__n")
+
+  /** Exact dedup on normalized content hash, keeping the minimum doc_id
+    * per hash (A12 shape: one keyed shuffle, deterministic survivor). */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__h", md5(expr(NormSql)))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy("__h").orderBy("doc_id")))
+      .filter(col("__rn") === 1)
+      .drop("__h", "__rn")
+
+  /** Near-dup dedup: banded simhash pairs -> connected components ->
+    * keep the canonical (min doc_id) document per cluster. */
+  def nearDupDedup(docs: DataFrame): DataFrame =
+    Dedup.keepCanonical(docs, simhashNearDupPairs(spread(docs)))
+
+  /** Context-window chunking (x_chunk_windows parameterized, emitting
+    * the chunk text for downstream tokenization instead of its hash).
+    * Row-local fan-out of ~n/stride rows per doc. */
+  def chunkWindows(docs: DataFrame, win: Int = 64, stride: Int = 48): DataFrame =
+    docs
+      .withColumn("__toks", expr(s"split($NormSql, ' ')"))
+      .withColumn("__n", expr("size(__toks)"))
+      .select(col("doc_id"), col("__n"), col("__toks"),
+        posexplode(expr(
+          s"transform(sequence(0, CAST(floor((__n - 1) / $stride) AS INT))," +
+            s" i -> 1 + i * $stride)"))
+          .as(Seq("chunk_idx", "start_tok")))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        least(lit(win), col("__n") - col("start_tok") + 1).as("n_chunk_tokens"),
+        expr(s"array_join(slice(__toks, start_tok, $win), ' ')").as("chunk_text"))
+
+  /** All four stages, each a lazy DataFrame over the previous one. */
+  final case class CurationResult(quality: DataFrame, exactDeduped: DataFrame,
+      curated: DataFrame, chunks: DataFrame)
+
+  def curate(docs: DataFrame, minTokens: Int = 10, maxDupTokenFrac: Double = 0.5,
+      minAlphaFrac: Double = 0.5, win: Int = 64, stride: Int = 48): CurationResult = {
+    val q = qualityGate(docs, minTokens, maxDupTokenFrac, minAlphaFrac)
+    val e = exactDedup(q)
+    val c = nearDupDedup(e)
+    CurationResult(q, e, c, chunkWindows(c, win, stride))
+  }
+
+  /** S17-style verification counts for a curation run: one row per
+    * stage. Triggers one count job per stage (call it once at the end
+    * of a run, like the reference's load verification). */
+  def stats(spark: SparkSession, docs: DataFrame, r: CurationResult): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("input", docs.count()),
+      ("after_quality_gate", r.quality.count()),
+      ("after_exact_dedup", r.exactDeduped.count()),
+      ("after_neardup_dedup", r.curated.count()),
+      ("chunks", r.chunks.count())
+    ).toDF("stage", "n_rows")
+  }
+}

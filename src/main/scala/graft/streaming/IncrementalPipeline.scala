@@ -115,6 +115,64 @@ object IncrementalPipeline {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Streaming near-dup dedup of arriving documents against a persisted
+    * signature store — the ingestion shape of a training-data pipeline:
+    * per micro-batch, (1) near-dup dedup WITHIN the batch (banded
+    * simhash + connected components, graft.operators.Curation), (2) drop
+    * batch docs whose simhash is within hamming 8 of ANY stored
+    * signature (banded join against the store — never all-pairs), then
+    * (3) append survivors to `outDir` and their signatures to the store.
+    * The store holds one 8-byte signature per corpus doc, not the text:
+    * at 100 TB of documents the store is GBs and the per-batch join is
+    * banded on (source, band, bits) — the same key layout as the batch
+    * operator, so skew and bucket-size behavior are identical.
+    *
+    * Plain-parquet append is the stand-in for a transactional store,
+    * matching [[scdSink]]'s storage convention. */
+  def nearDupDedupSink(incomingDocs: DataFrame, storeDir: String, outDir: String,
+      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    incomingDocs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val withinBatch = graft.operators.Curation.nearDupDedup(batch)
+        val batchSims = graft.operators.Curation.simhashTable(withinBatch)
+        val store =
+          if (fileExists(spark, storeDir)) spark.read.parquet(storeDir)
+          else batchSims.limit(0)
+        val dupIds = matchedAgainstStore(batchSims, store)
+        val survivors = withinBatch.join(dupIds, Seq("doc_id"), "left_anti")
+        survivors.write.mode("append").parquet(outDir)
+        batchSims.join(dupIds, Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(storeDir)
+        ()
+      }
+
+  /** Batch doc_ids whose signature lands within hamming 8 of any store
+    * signature: the 9x7-bit pigeonhole band join (two signatures within
+    * hamming 8 must agree on >= 1 band), exact `bit_count` post-filter,
+    * first-matching-band emission so each (batch, store) match exits the
+    * join once; the final groupBy collapses multi-store matches. */
+  private def matchedAgainstStore(batchSims: DataFrame, storeSims: DataFrame): DataFrame = {
+    def banded(sims: DataFrame, idAs: String, simAs: String) =
+      sims.select(col("doc_id").as(idAs), col("simhash").as(simAs),
+        col("source").as("src"),
+        explode(expr("transform(sequence(0, 8),"
+          + " i -> struct(i AS band, shiftright(simhash, i * 7) & 127 AS bits))")).as("b"))
+        .select(col(idAs), col(simAs), col("src"),
+          col("b.band").as("band"), col("b.bits").as("bits"))
+    banded(batchSims, "doc_id", "sim_a")
+      .join(banded(storeSims, "store_id", "sim_b"), Seq("src", "band", "bits"))
+      .filter(expr("bit_count(sim_a ^ sim_b)") <= 8 &&
+        (col("band") === 0 ||
+          expr("forall(sequence(0, band - 1)," +
+            " i -> (shiftright(sim_a, i * 7) & 127) != (shiftright(sim_b, i * 7) & 127))")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_store_matches"))
+      .select("doc_id")
+  }
+
   /** Stream-static enrichment (the J2 dimension join, streaming face):
     * each micro-batch of events joins the static dimension table. Spark
     * plans this as a per-batch broadcast hash join — the static side is

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+/** The end-to-end curation pipeline: every stage must remove exactly the
+  * planted offenders and nothing else, and the chunker must emit the
+  * arithmetic window layout. */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val textA = (0 until 120).map(i => s"alpha$i").mkString(" ")
+  private val textANear = ("zeta0 zeta1" +: (2 until 120).map(i => s"alpha$i")).mkString(" ")
+  private val textB = (0 until 120).map(i => s"beta$i").mkString(" ")
+
+  private def docs = Seq(
+    (1L, "src0", textA),                 // good, survives everything
+    (2L, "src0", textA),                 // exact duplicate of 1
+    (3L, "src0", textANear),             // near-duplicate of 1 (2 tokens changed)
+    (4L, "src0", textB),                 // distinct good doc, survives
+    (5L, "src0", "hi there"),            // too short
+    (6L, "src0", Seq.fill(50)("spam").mkString(" ")), // repetitive
+    (7L, "src0", "!!! ### $$$ %%% ^^^ &&& *** ((( ))) ___ +++ === ~~~") // no alpha
+  ).toDF("doc_id", "source", "text")
+
+  test("each stage removes exactly the planted offenders") {
+    val r = Curation.curate(docs)
+    assert(r.quality.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(r.exactDeduped.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L))
+    assert(r.curated.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+  }
+
+  test("near-dup pair graph links the edited twin to its original") {
+    val pairs = Curation.simhashNearDupPairs(docs.filter(col("doc_id").isin(1L, 3L, 4L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L)))
+  }
+
+  test("chunk windows: 120 tokens -> starts 1/49/97, ragged tail kept") {
+    val chunks = Curation.chunkWindows(docs.filter(col("doc_id") === 1L))
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(chunks.toSeq == Seq((0, 1, 64), (1, 49, 64), (2, 97, 24)))
+    // chunk text round-trips the source tokens
+    val first = Curation.chunkWindows(docs.filter(col("doc_id") === 1L))
+      .filter(col("chunk_idx") === 0).select("chunk_text").as[String].head
+    assert(first == (0 until 64).map(i => s"alpha$i").mkString(" "))
+  }
+
+  test("stats reports the per-stage funnel") {
+    val r = Curation.curate(docs)
+    val st = Curation.stats(spark, docs, r)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(st == Map("input" -> 7L, "after_quality_gate" -> 4L,
+      "after_exact_dedup" -> 3L, "after_neardup_dedup" -> 2L, "chunks" -> 6L))
+  }
+}

@@ -121,4 +121,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.getLong(1) == 0L)            // every dim-covered user enriched
     assert(got.getLong(2) == 0L)            // uncovered users stay null
   }
+
+  test("streaming near-dup dedup: signature store drops cross-batch near-dups") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ndd").toString
+    val (src, store, out) = (s"$base/src", s"$base/store", s"$base/out")
+    val textA = (0 until 120).map(i => s"alpha$i").mkString(" ")
+    val textANear = ("zeta0 zeta1" +: (2 until 120).map(i => s"alpha$i")).mkString(" ")
+    val textB = (0 until 120).map(i => s"beta$i").mkString(" ")
+    val textC = (0 until 120).map(i => s"gamma$i").mkString(" ")
+    val schema = Seq((0L, "", "")).toDF("doc_id", "source", "text").schema
+
+    def runBatch(rows: Seq[(Long, String, String)], cp: String): Unit = {
+      rows.toDF("doc_id", "source", "text").write.mode("overwrite").parquet(src)
+      val q = IncrementalPipeline.nearDupDedupSink(
+        spark.readStream.schema(schema).parquet(src), store, out, cp).start()
+      q.awaitTermination(120000)
+    }
+
+    // batch 1: A and B, plus an in-batch near-dup of A -> two survivors
+    runBatch(Seq((1L, "s", textA), (2L, "s", textANear), (3L, "s", textB)),
+      s"$base/cp1")
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 3L))
+    // batch 2: another near-dup of A (cross-BATCH, caught by the store)
+    // and a genuinely new doc C
+    runBatch(Seq((4L, "s", textANear), (5L, "s", textC)), s"$base/cp2")
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 3L, 5L))
+    // the store holds exactly the survivors' signatures
+    assert(spark.read.parquet(store).select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 3L, 5L))
+  }
 }
