@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Corpus-curation CLI — the M6 product face of
+  * [[graft.operators.Curation]]: read a documents parquet (doc_id,
+  * source, text, ...), run quality gate -> exact dedup -> near-dup
+  * dedup -> context-window chunking, write the curated corpus + chunks,
+  * and print the per-stage funnel (S17-style verification counts).
+  *
+  * Usage:
+  *   runMain graft.Curate <documentsParquet> <outDir>
+  *     [--min-tokens N] [--max-dup-frac F] [--min-alpha-frac F]
+  *     [--win N] [--stride N]
+  *
+  * Writes: <outDir>/curated (surviving docs), <outDir>/chunks
+  * (chunk_text rows ready for tokenization), <outDir>/stats.
+  */
+object Curate {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args) finally spark.stop()
+  }
+
+  /** CLI body against a caller-owned session (e2e-testable). */
+  def run(spark: SparkSession, args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: Curate <documentsParquet> <outDir> [flags]")
+    val Array(docsPath, outDir) = args.take(2)
+    val flags = args.drop(2).toSeq
+    def flagValue(name: String): Option[String] =
+      flags.sliding(2).collectFirst { case Seq(`name`, v) if !v.startsWith("--") => v }
+
+    val docs = spark.read.parquet(docsPath)
+    val r = graft.operators.Curation.curate(docs,
+      minTokens = flagValue("--min-tokens").map(_.toInt).getOrElse(10),
+      maxDupTokenFrac = flagValue("--max-dup-frac").map(_.toDouble).getOrElse(0.5),
+      minAlphaFrac = flagValue("--min-alpha-frac").map(_.toDouble).getOrElse(0.5),
+      win = flagValue("--win").map(_.toInt).getOrElse(64),
+      stride = flagValue("--stride").map(_.toInt).getOrElse(48))
+
+    r.curated.write.mode("overwrite").parquet(s"$outDir/curated")
+    r.chunks.write.mode("overwrite").parquet(s"$outDir/chunks")
+    // Funnel counts: the expensive stages (near-dup CC, chunking) are
+    // counted from the parquet just written instead of recomputed.
+    import spark.implicits._
+    val stats = Seq(
+      ("input", docs.count()),
+      ("after_quality_gate", r.quality.count()),
+      ("after_exact_dedup", r.exactDeduped.count()),
+      ("after_neardup_dedup", spark.read.parquet(s"$outDir/curated").count()),
+      ("chunks", spark.read.parquet(s"$outDir/chunks").count())
+    ).toDF("stage", "n_rows")
+    stats.write.mode("overwrite").json(s"$outDir/stats")
+    stats.show(10, truncate = false)
+  }
+}

@@ -739,7 +739,82 @@ object TextCatalog {
                     FROM (SELECT doc_id, string_split($duckNorm, ' ') AS toks
                           FROM documents)),
                 UNNEST(range(0, (n - 1) // 48 + 1)) AS u(i)
-              ORDER BY doc_id, chunk_idx"""))
+              ORDER BY doc_id, chunk_idx""")),
+
+    Q("x_vocab_topk",
+      // Vocabulary construction (the tokenizer-training first step):
+      // global token frequencies, top 20 by count. Explode + one
+      // partial-aggregated groupBy; the rank window runs over the
+      // AGGREGATED vocabulary (language-sized, bounded), never the
+      // token stream.
+      (s, d) => {
+        val vocab = t(s, d, "documents")
+          .select(explode(expr(s"split($sparkNorm, ' ')")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+        vocab
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col("n").desc, col("tok"))))
+          .filter(col("rank") <= 20)
+          .orderBy("rank")
+      },
+      Some(s"""SELECT tok, n, rank FROM (
+                SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rank
+                FROM (SELECT tok, count(*) AS n
+                      FROM (SELECT unnest(string_split($duckNorm, ' ')) AS tok
+                            FROM documents)
+                      GROUP BY tok))
+              WHERE rank <= 20 ORDER BY rank""")),
+
+    Q("x_contamination",
+      // Train/eval decontamination check (the n-gram-overlap method every
+      // published LLM data pipeline runs before heldout evaluation):
+      // distinct token-trigram shingles per source, self-joined on the
+      // shingle -> shared-shingle count and containment ratio per source
+      // pair. Output is sources^2-bounded; the join fans out at most
+      // n_sources^2 rows per shingle. The merge hint keeps the shared
+      // distinct-shingle subtree on one exchange (see SelfJoinMergeHint).
+      (s, d) => {
+        val sh = spread(t(s, d, "documents"))
+          .withColumn("toks", expr(s"split($sparkNorm, ' ')"))
+          .filter(expr("size(toks) > 2"))
+          .select(col("source"), explode(expr(
+            """transform(sequence(1, size(toks) - 2),
+               i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+                 element_at(toks, i + 2)))""")).as("sg"))
+          .distinct()
+        val totals = sh.groupBy("source").agg(count(lit(1)).as("n_sg"))
+        val shared = sh.select(col("source").as("source_a"), col("sg")).hint("merge")
+          .join(sh.select(col("source").as("source_b"), col("sg")).hint("merge"), Seq("sg"))
+          .filter(col("source_a") < col("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_shared"))
+        shared
+          .join(totals.select(col("source").as("source_a"), col("n_sg").as("n_a")), Seq("source_a"))
+          .join(totals.select(col("source").as("source_b"), col("n_sg").as("n_b")), Seq("source_b"))
+          .select(col("source_a"), col("source_b"), col("n_shared"),
+            round(col("n_shared") * 1.0 / least(col("n_a"), col("n_b")), 4)
+              .as("containment"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH sh AS (
+                SELECT DISTINCT source, sg FROM (
+                  SELECT source,
+                    unnest(list_transform(range(1, len(toks) - 1),
+                      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sg
+                  FROM (SELECT source, string_split($duckNorm, ' ') AS toks
+                        FROM documents)
+                  WHERE len(toks) > 2)),
+              totals AS (SELECT source, count(*) AS n_sg FROM sh GROUP BY 1),
+              shared AS (
+                SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+                FROM sh a JOIN sh b ON a.sg = b.sg AND a.source < b.source
+                GROUP BY 1, 2)
+              SELECT source_a, source_b, n_shared,
+                round(n_shared * 1.0 / least(ta.n_sg, tb.n_sg), 4) AS containment
+              FROM shared
+                JOIN totals ta ON ta.source = source_a
+                JOIN totals tb ON tb.source = source_b
+              ORDER BY source_a, source_b"""))
   )
 
   /** Banded SimHash near-dup candidate pairs (hamming <= 8) — the pair

@@ -56,4 +56,17 @@ class CurationSpec extends AnyFunSuite {
     assert(st == Map("input" -> 7L, "after_quality_gate" -> 4L,
       "after_exact_dedup" -> 3L, "after_neardup_dedup" -> 2L, "chunks" -> 6L))
   }
+
+  test("Curate CLI end-to-end: parquet in -> curated/chunks/stats out") {
+    val base = java.nio.file.Files.createTempDirectory("graft-curate").toString
+    docs.write.mode("overwrite").parquet(s"$base/docs")
+    Curate.run(spark, Array(s"$base/docs", s"$base/out", "--win", "32", "--stride", "32"))
+    assert(spark.read.parquet(s"$base/out/curated").select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+    // win 32 / stride 32: 120 tokens -> 4 non-overlapping chunks per doc
+    assert(spark.read.parquet(s"$base/out/chunks").count() == 8L)
+    val st = spark.read.json(s"$base/out/stats")
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_rows")).toMap
+    assert(st("input") == 7L && st("after_neardup_dedup") == 2L && st("chunks") == 8L)
+  }
 }
