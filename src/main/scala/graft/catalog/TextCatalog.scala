@@ -14,8 +14,11 @@ import graft.catalog.Q.t
   */
 object TextCatalog {
 
-  /** Normalized text: lower, trim, collapse whitespace — shared by all ops. */
-  private val sparkNorm = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+  /** Normalized text: lower, trim, collapse whitespace — shared by all
+    * ops. The Spark side is the single definition in operators.Curation
+    * (the curation pipeline must key on the identical normalization);
+    * duckNorm is its oracle twin. */
+  private val sparkNorm = graft.operators.Curation.NormSql
   private val duckNorm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
   /** Spread the documents table across the full cluster BEFORE the per-doc
