@@ -41,15 +41,32 @@ object Components {
     *                   propagation round; at cluster scale each skipped
     *                   probe is one whole Spark job saved per round
     *                   (round-3 verdict #5). 1 = probe every round.
+    * @param localThreshold if the deduped symmetric edge set has at most
+    *                   this many rows (and integral node ids), solve with
+    *                   a driver-side union-find in ONE job instead of the
+    *                   iterative loop — the same size-gated
+    *                   strategy-selection principle as the broadcast-join
+    *                   gate: a near-dup pair graph is typically orders of
+    *                   magnitude smaller than its corpus, and each loop
+    *                   round costs 2 shuffles + a checkpoint. 0 disables
+    *                   the local path.
     */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
-      maxIter: Int = 25, checkEvery: Int = 2): DataFrame = {
+      maxIter: Int = 25, checkEvery: Int = 2,
+      localThreshold: Long = 1L << 20): DataFrame = {
     // Symmetrize once: propagation below is directional along (s -> d).
     val sym = edges.select(col(src).as("s"), col(dst).as("d"))
       .union(edges.select(col(dst).as("s"), col(src).as("d")))
       .filter(col("s") =!= col("d"))
       .distinct()
       .localCheckpoint()
+    val integralIds = sym.schema.fields.forall(_.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    })
+    if (localThreshold > 0 && integralIds && sym.count() <= localThreshold)
+      return localUnionFind(sym)
     var labels = sym.select(col("s").as("node")).distinct()
       .withColumn("comp", col("node"))
       .localCheckpoint()
@@ -84,5 +101,33 @@ object Components {
       labels = jumped
     }
     labels
+  }
+
+  /** Driver-side union-find over a small (size-gated) edge set — result
+    * is row-identical to the iterative fixpoint: every node labeled with
+    * the minimum id of its component. Path compression keeps it
+    * effectively linear at the gated sizes. */
+  private def localUnionFind(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val pairs = sym.select(col("s").cast("long"), col("d").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // min root wins -> label = component minimum
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keys.toSeq.map(k => (k, find(k))).toDF("node", "comp")
   }
 }

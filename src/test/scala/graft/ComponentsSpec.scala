@@ -52,13 +52,31 @@ class ComponentsSpec extends AnyFunSuite {
       (sc.statusTracker.getJobIdsForGroup(group).length, r)
     }
     def labels(checkEvery: Int): Map[Long, Long] =
-      Components.connectedComponents(edges, "a", "b", checkEvery = checkEvery)
+      // localThreshold = 0: force the distributed loop — this test counts
+      // ITS jobs, and the size gate would route a 10-edge graph local.
+      Components.connectedComponents(edges, "a", "b", checkEvery = checkEvery,
+          localThreshold = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val (jobsEveryRound, everyRound) = jobsIn("cc-probe-every")(labels(1))
     val (jobsEveryOther, everyOther) = jobsIn("cc-probe-other")(labels(2))
     assert(everyRound == everyOther) // identical fixpoint either way
     assert(jobsEveryOther < jobsEveryRound,
       s"expected fewer jobs with sparse probing: $jobsEveryOther vs $jobsEveryRound")
+  }
+
+  test("size-gated local union-find is row-identical to the distributed loop") {
+    // chains, a merged star, singleton pair — on a randomized-ish mix the
+    // local path (default gate) and the forced distributed loop must
+    // agree exactly.
+    val edges = ((0L until 9L).map(i => (i, i + 1)) ++
+      Seq((20L, 25L), (21L, 25L), (22L, 25L), (25L, 9L), (40L, 41L))).toDF("a", "b")
+    def run(threshold: Long): Map[Long, Long] =
+      Components.connectedComponents(edges, "a", "b", localThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = run(1L << 20)
+    val distributed = run(0L)
+    assert(local == distributed)
+    assert(local(25L) == 0L && local(41L) == 40L) // star merged through 9-25 bridge
   }
 
   test("keepCanonical keeps one doc per cluster and every singleton") {
