@@ -90,14 +90,15 @@ object Curation {
   def qualityGate(docs: DataFrame, minTokens: Int = 10,
       maxDupTokenFrac: Double = 0.5, minAlphaFrac: Double = 0.5): DataFrame =
     docs
-      .withColumn("__toks", expr(s"split($NormSql, ' ')"))
+      .withColumn("__norm", expr(NormSql))
+      .withColumn("__toks", expr("split(__norm, ' ')"))
       .withColumn("__n", expr("size(__toks)"))
       .filter(col("__n") >= minTokens &&
         (lit(1.0) - expr("size(array_distinct(__toks))") * 1.0 / col("__n"))
           <= maxDupTokenFrac &&
-        (expr(s"length(regexp_replace($NormSql, '[^a-z]', ''))") * 1.0
-          / expr(s"greatest(length($NormSql), 1)")) >= minAlphaFrac)
-      .drop("__toks", "__n")
+        (expr("length(regexp_replace(__norm, '[^a-z]', ''))") * 1.0
+          / expr("greatest(length(__norm), 1)")) >= minAlphaFrac)
+      .drop("__norm", "__toks", "__n")
 
   /** Exact dedup on normalized content hash, keeping the minimum doc_id
     * per hash (A12 shape: one keyed shuffle, deterministic survivor). */
