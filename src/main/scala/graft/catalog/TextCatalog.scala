@@ -49,12 +49,13 @@ object TextCatalog {
     // end-to-end curation pipeline runs the identical plan.
     graft.operators.Curation.simhashTable(spread(t(s, d, "documents")))
 
-  /** DuckDB twin of [[simhashTable]], shared by the two simhash oracles. */
-  private def duckSimhashCte: String =
+  /** DuckDB twin of [[simhashTable]], shared by the simhash oracles and
+    * the curation-funnel oracle (which runs it over a filtered subset). */
+  private def duckSimhashCte(rel: String = "documents"): String =
     s"""toks AS (
          SELECT DISTINCT doc_id, source, tok FROM (
            SELECT doc_id, source, unnest(string_split(norm, ' ')) AS tok
-           FROM (SELECT doc_id, source, $duckNorm AS norm FROM documents))),
+           FROM (SELECT doc_id, source, $duckNorm AS norm FROM $rel))),
        bits AS (
          SELECT doc_id, source, CAST(bp AS INT) AS bitpos,
            CASE WHEN CAST(floor((strpos('0123456789abcdef',
@@ -426,11 +427,11 @@ object TextCatalog {
 
     Q("x_simhash",
       (s, d) => simhashTable(s, d).select("doc_id", "simhash").orderBy("doc_id"),
-      Some(s"WITH $duckSimhashCte SELECT doc_id, simhash FROM sims ORDER BY doc_id")),
+      Some(s"WITH ${duckSimhashCte()} SELECT doc_id, simhash FROM sims ORDER BY doc_id")),
 
     Q("x_simhash_neardup",
       (s, d) => simhashNearDupPairs(s, d).orderBy("doc_a", "doc_b"),
-      Some(s"""WITH $duckSimhashCte
+      Some(s"""WITH ${duckSimhashCte()}
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 bit_count(xor(a.simhash, b.simhash)) AS hamming
               FROM sims a JOIN sims b
@@ -461,7 +462,7 @@ object TextCatalog {
           .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH RECURSIVE $duckSimhashCte,
+      Some(s"""WITH RECURSIVE ${duckSimhashCte()},
               pairs AS (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
                 FROM sims a JOIN sims b
@@ -817,7 +818,64 @@ object TextCatalog {
               FROM shared
                 JOIN totals ta ON ta.source = source_a
                 JOIN totals tb ON tb.source = source_b
-              ORDER BY source_a, source_b"""))
+              ORDER BY source_a, source_b""")),
+
+    Q("x_curation_funnel",
+      // The ENTIRE curation composition oracle-gated end-to-end: per-stage
+      // survivor counts of operators.Curation.curate with its default
+      // thresholds (minTokens=10, maxDupTokenFrac=0.5, minAlphaFrac=0.5,
+      // win=64/stride=48). The DuckDB twin re-derives every stage in SQL —
+      // quality predicates, min-doc_id-per-content-hash exact dedup, the
+      // simhash + banded pairing + recursive-CTE component fixpoint, and
+      // the chunk-count arithmetic — so the COMPOSITION (stage order,
+      // threshold arithmetic, survivor selection) is verified, not just
+      // each stage in isolation.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val r = graft.operators.Curation.curate(docs)
+        def cnt(stage: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_rows")).select(lit(stage).as("stage"), col("n_rows"))
+        cnt("1_input", docs)
+          .unionByName(cnt("2_quality", r.quality))
+          .unionByName(cnt("3_exact_dedup", r.exactDeduped))
+          .unionByName(cnt("4_neardup_dedup", r.curated))
+          .unionByName(cnt("5_chunks", r.chunks))
+          .orderBy("stage")
+      },
+      Some(s"""WITH RECURSIVE
+              base AS (SELECT doc_id, source, text, $duckNorm AS norm FROM documents),
+              q AS (SELECT doc_id, source, text, norm, len(string_split(norm, ' ')) AS n
+                    FROM base
+                    WHERE len(string_split(norm, ' ')) >= 10
+                      AND 1.0 - len(list_distinct(string_split(norm, ' '))) * 1.0
+                            / len(string_split(norm, ' ')) <= 0.5
+                      AND length(regexp_replace(norm, '[^a-z]', '', 'g')) * 1.0
+                            / greatest(length(norm), 1) >= 0.5),
+              e AS (SELECT * FROM q
+                    QUALIFY row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) = 1),
+              ${duckSimhashCte("e")},
+              pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sims a JOIN sims b
+                  ON a.source = b.source AND a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.simhash, b.simhash)) <= 8),
+              edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                        UNION ALL SELECT doc_b, doc_a FROM pairs),
+              walk(node, lbl) AS (
+                SELECT s, s FROM edges
+                UNION
+                SELECT eg.d, w.lbl FROM walk w JOIN edges eg ON eg.s = w.node),
+              comp AS (SELECT node, min(lbl) AS comp FROM walk GROUP BY node),
+              surv AS (SELECT e.doc_id, e.n FROM e LEFT JOIN comp c ON e.doc_id = c.node
+                       WHERE c.comp IS NULL OR c.comp = e.doc_id)
+              SELECT stage, n_rows FROM (
+                SELECT '1_input' AS stage, count(*) AS n_rows FROM documents
+                UNION ALL SELECT '2_quality', count(*) FROM q
+                UNION ALL SELECT '3_exact_dedup', count(*) FROM e
+                UNION ALL SELECT '4_neardup_dedup', count(*) FROM surv
+                UNION ALL SELECT '5_chunks',
+                  CAST(sum((n - 1) // 48 + 1) AS BIGINT) FROM surv)
+              ORDER BY stage"""))
   )
 
   /** Banded SimHash near-dup candidate pairs (hamming <= 8) — the pair
