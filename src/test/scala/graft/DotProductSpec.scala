@@ -71,6 +71,25 @@ class DotProductSpec extends AnyFunSuite {
     assert(interpreted == viaCodegen)
   }
 
+  test("property: random double arrays agree with the fold bit-for-bit") {
+    import org.scalacheck.Gen
+    DotProduct.register(spark)
+    // magnitudes spanning subnormal-adjacent to large, mixed signs —
+    // accumulation-order bugs or a float detour would show here
+    val v = Gen.chooseNum(-1e12, 1e12).flatMap(m => Gen.oneOf(m, m * 1e-9))
+    val arrGen = Gen.chooseNum(0, 65).flatMap(n => Gen.listOfN(n, v))
+    val samples = Gen.listOfN(150, Gen.zip(arrGen, arrGen)).sample.get
+      .map { case (a, b) => (a.toArray, b.take(a.length).toArray ++
+        Array.fill(math.max(a.length - b.length, 0))(1.0)) } // equal lengths
+    val df = samples.zipWithIndex
+      .map { case ((a, b), i) => (i, a.toSeq, b.toSeq) }.toDF("id", "a", "b")
+    val bad = df.withColumn("native", expr("dot_product(a, b)"))
+      .withColumn("direct", fold("a", "b"))
+      .filter(not(col("native") <=> col("direct")))
+      .count()
+    assert(bad == 0)
+  }
+
   test("non-array input is rejected at analysis") {
     DotProduct.register(spark)
     val err = intercept[Exception] {
