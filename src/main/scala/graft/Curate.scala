@@ -11,7 +11,11 @@ import org.apache.spark.sql.SparkSession
   * Usage:
   *   runMain graft.Curate <documentsParquet> <outDir>
   *     [--min-tokens N] [--max-dup-frac F] [--min-alpha-frac F]
-  *     [--win N] [--stride N]
+  *     [--win N] [--stride N] [--eval PATH [--min-shared N]]
+  *
+  * `--eval PATH` additionally decontaminates against a held-out eval
+  * parquet (drops curated docs sharing >= min-shared trigrams with it)
+  * before chunking.
   *
   * Writes: <outDir>/curated (surviving docs), <outDir>/chunks
   * (chunk_text rows ready for tokenization), <outDir>/stats.
@@ -39,15 +43,26 @@ object Curate {
       flags.sliding(2).collectFirst { case Seq(`name`, v) if !v.startsWith("--") => v }
 
     val docs = spark.read.parquet(docsPath)
+    val win = flagValue("--win").map(_.toInt).getOrElse(64)
+    val stride = flagValue("--stride").map(_.toInt).getOrElse(48)
     val r = graft.operators.Curation.curate(docs,
       minTokens = flagValue("--min-tokens").map(_.toInt).getOrElse(10),
       maxDupTokenFrac = flagValue("--max-dup-frac").map(_.toDouble).getOrElse(0.5),
       minAlphaFrac = flagValue("--min-alpha-frac").map(_.toDouble).getOrElse(0.5),
-      win = flagValue("--win").map(_.toInt).getOrElse(64),
-      stride = flagValue("--stride").map(_.toInt).getOrElse(48))
+      win = win, stride = stride)
+    // Optional decontamination against a held-out eval set, applied to
+    // the deduped survivors (cheapest point: smallest corpus, and the
+    // dropped docs never reach the chunker).
+    val curated = flagValue("--eval") match {
+      case Some(evalPath) => graft.operators.Curation.decontaminate(
+        r.curated, spark.read.parquet(evalPath),
+        minShared = flagValue("--min-shared").map(_.toInt).getOrElse(8))
+      case None => r.curated
+    }
+    val chunks = graft.operators.Curation.chunkWindows(curated, win, stride)
 
-    r.curated.write.mode("overwrite").parquet(s"$outDir/curated")
-    r.chunks.write.mode("overwrite").parquet(s"$outDir/chunks")
+    curated.write.mode("overwrite").parquet(s"$outDir/curated")
+    chunks.write.mode("overwrite").parquet(s"$outDir/chunks")
     // Funnel counts: the expensive stages (near-dup CC, chunking) are
     // counted from the parquet just written instead of recomputed.
     import spark.implicits._

@@ -57,6 +57,24 @@ class CurationSpec extends AnyFunSuite {
       "after_exact_dedup" -> 3L, "after_neardup_dedup" -> 2L, "chunks" -> 6L))
   }
 
+  test("decontaminate drops train docs overlapping the eval set") {
+    // train doc 10 embeds a verbatim 20-token span of eval doc 100 ->
+    // 18 shared trigrams >= minShared 8; docs 11/12 share nothing.
+    val evalSpan = (0 until 20).map(i => s"eval$i").mkString(" ")
+    val train = Seq(
+      (10L, "s", s"${(0 until 50).map(i => s"alpha$i").mkString(" ")} $evalSpan"),
+      (11L, "s", (0 until 60).map(i => s"beta$i").mkString(" ")),
+      (12L, "s", (0 until 60).map(i => s"gamma$i").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val eval_ = Seq((100L, "eval", s"intro words $evalSpan trailing words"))
+      .toDF("doc_id", "source", "text")
+    val kept = Curation.decontaminate(train, eval_)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(11L, 12L))
+    // a higher threshold than the overlap keeps everything
+    assert(Curation.decontaminate(train, eval_, minShared = 50).count() == 3)
+  }
+
   test("Curate CLI end-to-end: parquet in -> curated/chunks/stats out") {
     val base = java.nio.file.Files.createTempDirectory("graft-curate").toString
     docs.write.mode("overwrite").parquet(s"$base/docs")
@@ -68,5 +86,12 @@ class CurationSpec extends AnyFunSuite {
     val st = spark.read.json(s"$base/out/stats")
       .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_rows")).toMap
     assert(st("input") == 7L && st("after_neardup_dedup") == 2L && st("chunks") == 8L)
+
+    // --eval: doc 4 (textB) is verbatim in the eval set -> decontaminated
+    Seq((200L, "eval", textB)).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$base/eval")
+    Curate.run(spark, Array(s"$base/docs", s"$base/out2", "--eval", s"$base/eval"))
+    assert(spark.read.parquet(s"$base/out2/curated").select("doc_id")
+      .as[Long].collect().toSeq == Seq(1L))
   }
 }
