@@ -66,11 +66,14 @@ object Curate {
     // Funnel counts: the expensive stages (near-dup CC, chunking) are
     // counted from the parquet just written instead of recomputed.
     import spark.implicits._
+    // "curated" = final survivors: near-dup dedup plus, when --eval was
+    // given, decontamination (not labeled after_neardup_dedup — with
+    // --eval that name would misattribute the decontamination drops).
     val stats = Seq(
       ("input", docs.count()),
       ("after_quality_gate", r.quality.count()),
       ("after_exact_dedup", r.exactDeduped.count()),
-      ("after_neardup_dedup", spark.read.parquet(s"$outDir/curated").count()),
+      ("curated", spark.read.parquet(s"$outDir/curated").count()),
       ("chunks", spark.read.parquet(s"$outDir/chunks").count())
     ).toDF("stage", "n_rows")
     stats.write.mode("overwrite").json(s"$outDir/stats")

@@ -142,7 +142,11 @@ object IncrementalPipeline {
         val store =
           if (fileExists(spark, storeDir)) spark.read.parquet(storeDir)
           else batchSims.limit(0)
-        val dupIds = matchedAgainstStore(batchSims, store)
+        // Materialize the matched ids once: both writes below consume
+        // them, and the second write APPENDS to storeDir — without the
+        // checkpoint its plan would re-read storeDir while writing to it
+        // (and re-run the banded join).
+        val dupIds = matchedAgainstStore(batchSims, store).localCheckpoint()
         val survivors = withinBatch.join(dupIds, Seq("doc_id"), "left_anti")
         survivors.write.mode("append").parquet(outDir)
         batchSims.join(dupIds, Seq("doc_id"), "left_anti")

@@ -85,7 +85,7 @@ class CurationSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/out/chunks").count() == 8L)
     val st = spark.read.json(s"$base/out/stats")
       .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_rows")).toMap
-    assert(st("input") == 7L && st("after_neardup_dedup") == 2L && st("chunks") == 8L)
+    assert(st("input") == 7L && st("curated") == 2L && st("chunks") == 8L)
 
     // --eval: doc 4 (textB) is verbatim in the eval set -> decontaminated
     Seq((200L, "eval", textB)).toDF("doc_id", "source", "text")
