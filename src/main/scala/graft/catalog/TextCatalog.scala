@@ -820,6 +820,47 @@ object TextCatalog {
                 JOIN totals tb ON tb.source = source_b
               ORDER BY source_a, source_b""")),
 
+    Q("x_decontaminate",
+      // The decontamination REMOVAL op oracle-gated (x_contamination is
+      // the diagnostic; this verifies Curation.decontaminate's survivor
+      // selection): src0 plays the held-out eval set, every other source
+      // is training data; a train doc is dropped when it shares >= 8
+      // distinct trigrams with eval. Output: per-source train/dropped
+      // counts.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val train = docs.filter(col("source") =!= "src0")
+        val kept = graft.operators.Curation.decontaminate(
+          train, docs.filter(col("source") === "src0"))
+        train.select("source", "doc_id")
+          .join(kept.select(col("doc_id"), lit(1).as("k")), Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_train"),
+            sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_dropped"))
+          .orderBy("source")
+      },
+      Some(s"""WITH sh AS (
+                SELECT DISTINCT doc_id, source, sg FROM (
+                  SELECT doc_id, source,
+                    unnest(list_transform(range(1, len(toks) - 1),
+                      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sg
+                  FROM (SELECT doc_id, source, string_split($duckNorm, ' ') AS toks
+                        FROM documents)
+                  WHERE len(toks) > 2)),
+              ev AS (SELECT DISTINCT sg FROM sh WHERE source = 'src0'),
+              dropped AS (
+                SELECT doc_id FROM (
+                  SELECT doc_id, count(*) AS n
+                  FROM sh JOIN ev USING (sg) WHERE source != 'src0' GROUP BY 1)
+                WHERE n >= 8)
+              SELECT source, count(*) AS n_train,
+                CAST(sum(CASE WHEN dropped.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dropped
+              FROM (SELECT source, doc_id FROM documents WHERE source != 'src0') t
+                LEFT JOIN dropped ON t.doc_id = dropped.doc_id
+              GROUP BY source
+              ORDER BY source""")),
+
     Q("x_curation_funnel",
       // The ENTIRE curation composition oracle-gated end-to-end: per-stage
       // survivor counts of operators.Curation.curate with its default
