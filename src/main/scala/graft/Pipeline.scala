@@ -97,6 +97,19 @@ object Pipeline {
     else None
   }
 
+  /** The accumulated `relchanges` CDC log for a state dir (T4), `None`
+    * until a non-empty diff has been appended: idempotent reloads append
+    * zero rows, which leaves a schema-less directory no path read can
+    * infer — same guard as [[historyTable]]. */
+  def relChanges(spark: SparkSession, stateDir: String): Option[DataFrame] = {
+    val path = s"$stateDir/relchanges"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      Some(spark.read.parquet(path))
+    else None
+  }
+
   /** Node-id table for J6 edge validation. */
   def nodeIds(g: GraphTables): DataFrame = Seq(
     g.users -> "HUBSPOT_User", g.contacts -> "HUBSPOT_Contact",
@@ -185,11 +198,45 @@ object Pipeline {
       spark.sql(s"ALTER TABLE ${tbl}_next RENAME TO $tbl")
       println(s"[pipeline] $name loaded")
     }
-    // Event tables are append-only (T5)
-    validEdges.write.mode("overwrite").parquet(s"$stateDir/edges")
+    // Edge load (T4 + T5; temporal_loader.py:84-100, 313-337, 401-462).
+    // The reference splits relationships per load: immutable event edges
+    // (PERFORMED, VISITED, ... — settings.py:76-86) are MERGE-only facts
+    // that accumulate across loads and are never diffed; every other type
+    // is trackable — added edges are MERGEd in, removed ones DELETEd, and
+    // both directions land as HUBSPOT_RelationshipChange rows. The diff
+    // and the immutable carry-over both read the PREVIOUS edge set, so
+    // they run before the swap; the new set materializes at `.next` first.
+    val edgesPath = s"$stateDir/edges"
+    val immutable =
+      col("rel_type").isin(graft.model.CrmSchema.ImmutableEdgeTypes.toSeq: _*)
+    val newEdges =
+      if (!fileExists(spark, edgesPath)) validEdges
+      else {
+        val prev = spark.read.parquet(edgesPath)
+        // T4: append added/removed trackable-edge changes to the CDC log.
+        // diffEdges excludes immutable types itself; a reload of the same
+        // snapshot appends zero rows (idempotence invariant).
+        ScdLoader.edgeChanges(prev, validEdges, loadTs)
+          .write.mode("append").parquet(s"$stateDir/relchanges")
+        // T5 MERGE semantics for immutable event edges: incoming rows win
+        // on their (rel_type, endpoints) key; previous events absent from
+        // this extract (lookback windows!) survive. Null-safe keys, as in
+        // the diff — a null component must still match itself.
+        val key = Seq("rel_type", "src_type", "src_id", "dst_type", "dst_id")
+        val keptPrev = prev.filter(immutable).join(validEdges,
+          key.map(k => prev(k) <=> validEdges(k)).reduce(_ && _), "left_anti")
+        validEdges.unionByName(keptPrev)
+      }
+    newEdges.write.mode("overwrite").parquet(s"$edgesPath.next")
+    val efs = new org.apache.hadoop.fs.Path(edgesPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    efs.delete(new org.apache.hadoop.fs.Path(edgesPath), true)
+    efs.rename(new org.apache.hadoop.fs.Path(s"$edgesPath.next"),
+      new org.apache.hadoop.fs.Path(edgesPath))
 
     // Verification counts (S17): one job per table family
     val counts = tables.map { case (n, df) => s"$n=${df.count()}" }.mkString(" ")
-    println(s"[pipeline] nodes: $counts edges=${validEdges.count()}")
+    println(s"[pipeline] nodes: $counts " +
+      s"edges=${spark.read.parquet(edgesPath).count()}")
   }
 }

@@ -71,6 +71,20 @@ object CrmFixture {
        "dealstage":"qualification","hs_is_closed_won":"false"},
        "associations":{"companies":[{"id":"co2"}]}}""".replaceAll("\n\\s*", "")))
 
+  /** Second deal snapshot for relationship-CDC scenarios: identical to
+    * [[dealsRaw]] except d1 lost its company association (-> exactly one
+    * removed BELONGS_TO edge, nothing added). */
+  def dealsRawV2(spark: SparkSession): DataFrame = readJson(spark, CrmSchema.envelope, Seq(
+    """{"id":"d1","properties":{"dealname":"Big Deal","amount":"50000","dealstage":"closedwon",
+       "pipeline":"default","closedate":"1718131200000","createdate":"1704067200000",
+       "hs_is_closed_won":"true","hubspot_owner_id":"user_1",
+       "hs_forecast_probability":"0.9"},
+       "associations":{"contacts":[{"id":"c1"},{"id":"c2"}]}}"""
+      .replaceAll("\n\\s*", ""),
+    """{"id":"d2","properties":{"dealname":"Small Deal","amount":"1000.5",
+       "dealstage":"qualification","hs_is_closed_won":"false"},
+       "associations":{"companies":[{"id":"co2"}]}}""".replaceAll("\n\\s*", "")))
+
   def engagementsRaw(spark: SparkSession): DataFrame = readJson(spark, CrmSchema.envelope, Seq(
     """{"id":"e1","properties":{"hs_engagement_type":"MEETING","hs_timestamp":"1718131200000",
        "hs_meeting_title":"Kickoff","hs_meeting_body":"notes",

@@ -39,6 +39,50 @@ class PipelineE2eSpec extends AnyFunSuite {
     assert(cur2.filter(col("is_deleted")).count() == 0)
   }
 
+  test("relationship CDC: removed association yields one change row, reload zero") {
+    import org.apache.spark.sql.functions.col
+    val raw = java.nio.file.Files.createTempDirectory("graft-raw4a").toString
+    val raw2 = java.nio.file.Files.createTempDirectory("graft-raw4b").toString
+    val state = java.nio.file.Files.createTempDirectory("graft-state4").toString
+    def fixtures(deals: org.apache.spark.sql.DataFrame) = Seq(
+      "users" -> CrmFixture.usersRaw(spark),
+      "contacts" -> CrmFixture.contactsRaw(spark),
+      "companies" -> CrmFixture.companiesRaw(spark),
+      "deals" -> deals,
+      "engagements" -> CrmFixture.engagementsRaw(spark),
+      "email_events" -> CrmFixture.emailEventsRaw(spark),
+      "form_submissions" -> CrmFixture.formsRaw(spark))
+    fixtures(CrmFixture.dealsRaw(spark))
+      .foreach { case (n, df) => df.write.mode("overwrite").json(s"$raw/$n.json") }
+    fixtures(CrmFixture.dealsRawV2(spark)) // d1 lost its co1 association
+      .foreach { case (n, df) => df.write.mode("overwrite").json(s"$raw2/$n.json") }
+
+    Pipeline.run(spark, raw, state)
+    assert(Pipeline.relChanges(spark, state).isEmpty,
+      "first load has no previous edge set to diff")
+    val edges1 = spark.read.parquet(s"$state/edges").count()
+
+    Pipeline.run(spark, raw2, state)
+    val ch = Pipeline.relChanges(spark, state).getOrElse(fail("no relchanges"))
+    val rows = ch.collect()
+    assert(rows.length == 1, s"expected exactly one change row, got ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getAs[String]("change_type") == "removed")
+    assert(r.getAs[String]("relationship_type") == "BELONGS_TO")
+    assert(r.getAs[String]("from_entity_id") == "d1")
+    assert(r.getAs[String]("to_entity_id") == "co1")
+    val edges2 = spark.read.parquet(s"$state/edges")
+    assert(edges2.filter(col("rel_type") === "BELONGS_TO" &&
+      col("src_id") === "d1").count() == 0, "removed edge must leave current set")
+    assert(edges2.count() == edges1 - 1,
+      "one edge removed, immutable events MERGEd not duplicated")
+
+    Pipeline.run(spark, raw2, state) // identical snapshot: CDC idempotence
+    assert(Pipeline.relChanges(spark, state).get.count() == 1,
+      "idempotent reload must append zero relationship changes")
+    assert(spark.read.parquet(s"$state/edges").count() == edges1 - 1)
+  }
+
   test("SCD merge over reloaded bucketed state plans with no Exchange") {
     val raw = java.nio.file.Files.createTempDirectory("graft-raw3").toString
     val state = java.nio.file.Files.createTempDirectory("graft-state3").toString
