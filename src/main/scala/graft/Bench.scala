@@ -89,14 +89,18 @@ object Bench {
     def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     // `queries` stays name -> seconds (the driver's documented shape);
     // failure honesty lives in the extra `n_failed` / `failed` fields and
-    // burst honesty in `rounds` / `steal_pct`.
+    // burst honesty in `rounds` / `steal_pct`. Field ORDER is load-bearing
+    // (round-4 verdict #3): the driver's artifact capture keeps the TAIL
+    // of the line, so the bulky per-round blob goes first and the small
+    // honesty fields come after `queries` — a front-truncated capture
+    // still carries n_failed/steal_pct/n_rounds and stays self-certifying.
     val qs = results.map { case (k, v, _, _) => s"""\"$k\":${f3(v)}""" }.mkString("{", ",", "}")
     val rs = results.map { case (k, _, _, ts) =>
       s"""\"$k\":[${ts.map(f3).mkString(",")}]""" }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, Some(e), _) => s"""\"$k\":\"${esc(e)}\"""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_failed":${results.count(_._3.nonEmpty)},"failed":$failed,"n_rounds":$rounds,"steal_pct":${f3(stealPct)},"rounds":$rs,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","rounds":$rs,"queries":$qs,"n_failed":${results.count(_._3.nonEmpty)},"failed":$failed,"n_rounds":$rounds,"steal_pct":${f3(stealPct)},"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.nonEmpty)) sys.exit(1)
   }
