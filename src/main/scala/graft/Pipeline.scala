@@ -73,6 +73,7 @@ object Pipeline {
     * parquet path (fresh session without a persistent metastore: correct,
     * the merge just shuffles). */
   def currentTable(spark: SparkSession, stateDir: String, name: String): Option[DataFrame] = {
+    graft.temporal.AtomicSwap.recover(spark, s"$stateDir/current_$name")
     val tbl = s"${stateTableNs(stateDir)}_current_$name"
     if (spark.catalog.tableExists(tbl)) Some(spark.table(tbl))
     else if (fileExists(spark, s"$stateDir/current_$name"))
@@ -188,12 +189,11 @@ object Pipeline {
         .option("path", s"$curPath.next").saveAsTable(s"${tbl}_next")
       bucketed(r.historyAppend).mode("append")
         .option("path", s"$stateDir/history_$name").saveAsTable(s"${ns}_history_$name")
-      val fs = new org.apache.hadoop.fs.Path(curPath)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
-      fs.delete(new org.apache.hadoop.fs.Path(curPath), true)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$curPath.next"),
-        new org.apache.hadoop.fs.Path(curPath))
+      // Marker-protected delete+rename: a crash mid-swap rolls forward on
+      // the next read (AtomicSwap.recover in currentTable). The catalog
+      // entries around it are session-scoped derivatives of the path.
+      graft.temporal.AtomicSwap.swapIn(spark, curPath)
       spark.sql(s"ALTER TABLE ${tbl}_next SET LOCATION '$curPath'")
       spark.sql(s"ALTER TABLE ${tbl}_next RENAME TO $tbl")
       println(s"[pipeline] $name loaded")
@@ -207,6 +207,7 @@ object Pipeline {
     // and the immutable carry-over both read the PREVIOUS edge set, so
     // they run before the swap; the new set materializes at `.next` first.
     val edgesPath = s"$stateDir/edges"
+    graft.temporal.AtomicSwap.recover(spark, edgesPath)
     val immutable =
       col("rel_type").isin(graft.model.CrmSchema.ImmutableEdgeTypes.toSeq: _*)
     val newEdges =
@@ -228,11 +229,7 @@ object Pipeline {
         validEdges.unionByName(keptPrev)
       }
     newEdges.write.mode("overwrite").parquet(s"$edgesPath.next")
-    val efs = new org.apache.hadoop.fs.Path(edgesPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    efs.delete(new org.apache.hadoop.fs.Path(edgesPath), true)
-    efs.rename(new org.apache.hadoop.fs.Path(s"$edgesPath.next"),
-      new org.apache.hadoop.fs.Path(edgesPath))
+    graft.temporal.AtomicSwap.swapIn(spark, edgesPath)
 
     // Verification counts (S17): one job per table family
     val counts = tables.map { case (n, df) => s"$n=${df.count()}" }.mkString(" ")

@@ -175,15 +175,29 @@ object Curation {
 
   /** S17-style verification counts for a curation run: one row per
     * stage. Triggers one count job per stage (call it once at the end
-    * of a run, like the reference's load verification). */
+    * of a run, like the reference's load verification).
+    *
+    * The two expensive prefixes are pinned for the duration of the
+    * counts: `exactDeduped` feeds both its own count and the near-dup
+    * stage, `curated` feeds both its count and chunking — without the
+    * pins, five lazy counts re-run the banded near-dup join up to twice
+    * more (hours at 100 TB). The pairing therefore executes exactly once
+    * per stats call (asserted by scan count in CurationSpec); the pins
+    * are dropped before returning. */
   def stats(spark: SparkSession, docs: DataFrame, r: CurationResult): DataFrame = {
     import spark.implicits._
-    Seq(
+    r.exactDeduped.persist()
+    r.curated.persist()
+    try Seq(
       ("input", docs.count()),
       ("after_quality_gate", r.quality.count()),
       ("after_exact_dedup", r.exactDeduped.count()),
       ("after_neardup_dedup", r.curated.count()),
       ("chunks", r.chunks.count())
     ).toDF("stage", "n_rows")
+    finally {
+      r.curated.unpersist()
+      r.exactDeduped.unpersist()
+    }
   }
 }

@@ -44,6 +44,7 @@ object IncrementalPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val currentPath = s"$stateDir/current"
+        graft.temporal.AtomicSwap.recover(spark, currentPath)
         val loadTs = current_timestamp()
         val current =
           if (fileExists(spark, currentPath)) spark.read.parquet(currentPath)
@@ -51,9 +52,11 @@ object IncrementalPipeline {
         val result = graft.temporal.ScdLoader.applyScd(current, batch, loadTs)
         // Two-phase write: stage, then swap (plain-parquet stand-in for a
         // transactional MERGE target).
-        result.current.write.mode("overwrite").parquet(s"$stateDir/current_next")
+        result.current.write.mode("overwrite").parquet(s"$currentPath.next")
         result.historyAppend.write.mode("append").parquet(s"$stateDir/history")
-        swap(spark, s"$stateDir/current_next", currentPath)
+        // Marker-protected swap: a crash between delete and rename is
+        // rolled forward by the recover() above on the next batch/read.
+        graft.temporal.AtomicSwap.swapIn(spark, currentPath)
         ()
       }
 
@@ -128,7 +131,16 @@ object IncrementalPipeline {
     * operator, so skew and bucket-size behavior are identical.
     *
     * Plain-parquet append is the stand-in for a transactional store,
-    * matching [[scdSink]]'s storage convention. */
+    * matching [[scdSink]]'s storage convention — which makes delivery
+    * AT-LEAST-ONCE, not exactly-once: the two appends per micro-batch
+    * (outDir, then storeDir) are not atomic, so a crash between them, or
+    * a batch replay after a failure before the checkpoint commits,
+    * re-appends that batch's survivors and signatures. Duplicated
+    * signatures only cost store space (the banded join's semantics are
+    * set-like); duplicated survivors must be collapsed by the consumer
+    * (`dropDuplicates("doc_id")`) or avoided entirely by writing both
+    * outputs partitioned by batch id and overwriting that partition on
+    * replay — the transactional-table upgrade path. */
   def nearDupDedupSink(incomingDocs: DataFrame, storeDir: String, outDir: String,
       checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
     incomingDocs.writeStream
@@ -191,12 +203,4 @@ object IncrementalPipeline {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  private def swap(spark: SparkSession, from: String, to: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(from)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val toPath = new org.apache.hadoop.fs.Path(to)
-    if (fs.exists(toPath)) fs.delete(toPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(from), toPath)
-    ()
-  }
 }

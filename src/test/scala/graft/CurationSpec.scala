@@ -15,7 +15,7 @@ class CurationSpec extends AnyFunSuite {
   private val textANear = ("zeta0 zeta1" +: (2 until 120).map(i => s"alpha$i")).mkString(" ")
   private val textB = (0 until 120).map(i => s"beta$i").mkString(" ")
 
-  private def docs = Seq(
+  private val docRows = Seq(
     (1L, "src0", textA),                 // good, survives everything
     (2L, "src0", textA),                 // exact duplicate of 1
     (3L, "src0", textANear),             // near-duplicate of 1 (2 tokens changed)
@@ -23,7 +23,8 @@ class CurationSpec extends AnyFunSuite {
     (5L, "src0", "hi there"),            // too short
     (6L, "src0", Seq.fill(50)("spam").mkString(" ")), // repetitive
     (7L, "src0", "!!! ### $$$ %%% ^^^ &&& *** ((( ))) ___ +++ === ~~~") // no alpha
-  ).toDF("doc_id", "source", "text")
+  )
+  private def docs = docRows.toDF("doc_id", "source", "text")
 
   test("each stage removes exactly the planted offenders") {
     val r = Curation.curate(docs)
@@ -55,6 +56,33 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
     assert(st == Map("input" -> 7L, "after_quality_gate" -> 4L,
       "after_exact_dedup" -> 3L, "after_neardup_dedup" -> 2L, "chunks" -> 6L))
+  }
+
+  test("stats pins the funnel: input scanned 3x total, near-dup stage once") {
+    // A single-partition input whose every scan bumps a counter. With the
+    // exactDeduped/curated pins in stats, the five counts scan the input
+    // exactly 3 times (input count, quality count, exact-dedup cache
+    // materialization) — the banded near-dup join runs ONCE, off the
+    // cache. Without the pins, the curated and chunks counts each re-run
+    // the whole funnel from the input (5+ scans).
+    CurationSpec.scans.set(0)
+    val counted = spark.createDataset(docRows).coalesce(1)
+      .mapPartitions { it => CurationSpec.scans.incrementAndGet(); it }
+      .toDF("doc_id", "source", "text")
+    // curate() itself materializes the near-dup pair graph eagerly (the
+    // localCheckpoint inside connectedComponents) — that is the pairing's
+    // ONE execution; stats must not add more.
+    val r = Curation.curate(counted)
+    val preStats = CurationSpec.scans.get()
+    val st = Curation.stats(spark, counted, r)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(st == Map("input" -> 7L, "after_quality_gate" -> 4L,
+      "after_exact_dedup" -> 3L, "after_neardup_dedup" -> 2L, "chunks" -> 6L))
+    val statScans = CurationSpec.scans.get() - preStats
+    assert(statScans == 3,
+      s"stats must scan the input exactly 3x (input count, quality count, " +
+        s"exact-dedup cache materialization) — the curated and chunks counts " +
+        s"read the pins — but scanned ${statScans}x")
   }
 
   test("decontaminate drops train docs overlapping the eval set") {
@@ -94,4 +122,9 @@ class CurationSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/out2/curated").select("doc_id")
       .as[Long].collect().toSeq == Seq(1L))
   }
+}
+
+object CurationSpec {
+  /** Input-scan counter for the stats-pinning test (same-JVM local mode). */
+  val scans = new java.util.concurrent.atomic.AtomicInteger(0)
 }
