@@ -11,11 +11,12 @@ import org.apache.spark.sql.SparkSession
   * Usage:
   *   runMain graft.Curate <documentsParquet> <outDir>
   *     [--min-tokens N] [--max-dup-frac F] [--min-alpha-frac F]
-  *     [--win N] [--stride N] [--eval PATH [--min-shared N]]
+  *     [--win N] [--stride N] [--eval PATH [--min-shared N] [--ngram N]]
   *
   * `--eval PATH` additionally decontaminates against a held-out eval
-  * parquet (drops curated docs sharing >= min-shared trigrams with it)
-  * before chunking.
+  * parquet (drops curated docs sharing >= min-shared distinct word
+  * n-grams with it, --ngram tokens wide, default trigrams) before
+  * chunking.
   *
   * Writes: <outDir>/curated (surviving docs), <outDir>/chunks
   * (chunk_text rows ready for tokenization), <outDir>/stats.
@@ -45,6 +46,13 @@ object Curate {
     val docs = spark.read.parquet(docsPath)
     val win = flagValue("--win").map(_.toInt).getOrElse(64)
     val stride = flagValue("--stride").map(_.toInt).getOrElse(48)
+    // Validated up front: with non-ANSI SQL a zero/negative stride turns
+    // the chunker's sequence() NULL and silently writes an EMPTY chunks
+    // output instead of failing.
+    require(win > 0, s"--win must be positive, got $win")
+    require(stride > 0, s"--stride must be positive, got $stride")
+    require(win >= stride,
+      s"--win ($win) must be >= --stride ($stride), or tokens between windows are dropped")
     val r = graft.operators.Curation.curate(docs,
       minTokens = flagValue("--min-tokens").map(_.toInt).getOrElse(10),
       maxDupTokenFrac = flagValue("--max-dup-frac").map(_.toDouble).getOrElse(0.5),
@@ -56,7 +64,8 @@ object Curate {
     val curated = flagValue("--eval") match {
       case Some(evalPath) => graft.operators.Curation.decontaminate(
         r.curated, spark.read.parquet(evalPath),
-        minShared = flagValue("--min-shared").map(_.toInt).getOrElse(8))
+        minShared = flagValue("--min-shared").map(_.toInt).getOrElse(8),
+        n = flagValue("--ngram").map(_.toInt).getOrElse(3))
       case None => r.curated
     }
     val chunks = graft.operators.Curation.chunkWindows(curated, win, stride)

@@ -111,17 +111,29 @@ case class RollingHash(child: Expression, k: Int) extends UnaryExpression {
 }
 
 object RollingHash {
+  /** SQL builder shared by [[register]] and the session-extensions
+    * injection: k must be a foldable integral in Int range, widened from
+    * any integer literal type — a BIGINT literal (`CAST(8 AS BIGINT)`)
+    * works, and a column reference / fractional / NULL k fails with a
+    * clear analysis-time message instead of an opaque eval-time cast. */
+  def build(exprs: Seq[Expression]): RollingHash = {
+    require(exprs.length == 2, "rolling_hash(str, k) takes two arguments")
+    require(exprs(1).foldable,
+      "rolling_hash(str, k): k must be a constant (foldable) expression")
+    val k = exprs(1).eval() match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"rolling_hash(str, k): k must be an integer in Int range, " +
+          s"got ${if (other == null) "NULL" else other.toString}")
+    }
+    RollingHash(exprs.head, k)
+  }
+
   /** Register `rolling_hash(str, k)` for SQL/expr use (idempotent). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash",
-      exprs => {
-        require(exprs.length == 2, "rolling_hash(str, k) takes two arguments")
-        val k = exprs(1) match {
-          case Literal(v: Int, IntegerType) => v
-          case other => other.eval().asInstanceOf[Int]
-        }
-        RollingHash(exprs.head, k)
-      },
-      "built-in")
+      "rolling_hash", build, "built-in")
 }

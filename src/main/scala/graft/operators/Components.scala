@@ -66,7 +66,7 @@ object Components {
       case _ => false
     })
     if (localThreshold > 0 && integralIds && sym.count() <= localThreshold)
-      return localUnionFind(sym)
+      return localUnionFind(sym, sym.schema(0).dataType)
     var labels = sym.select(col("s").as("node")).distinct()
       .withColumn("comp", col("node"))
       .localCheckpoint()
@@ -106,8 +106,15 @@ object Components {
   /** Driver-side union-find over a small (size-gated) edge set — result
     * is row-identical to the iterative fixpoint: every node labeled with
     * the minimum id of its component. Path compression keeps it
-    * effectively linear at the gated sizes. */
-  private def localUnionFind(sym: DataFrame): DataFrame = {
+    * effectively linear at the gated sizes.
+    *
+    * The result is cast back to the INPUT id type: the gate admits
+    * IntegerType edges, and without the cast the output schema would
+    * silently depend on which side of the size gate the data landed —
+    * breaking schema-sensitive consumers (unionByName, strict Dataset
+    * decoding) non-deterministically with data volume. */
+  private def localUnionFind(sym: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
     val spark = sym.sparkSession
     import spark.implicits._
     val pairs = sym.select(col("s").cast("long"), col("d").cast("long"))
@@ -129,5 +136,6 @@ object Components {
       }
     }
     parent.keys.toSeq.map(k => (k, find(k))).toDF("node", "comp")
+      .select(col("node").cast(idType), col("comp").cast(idType))
   }
 }

@@ -131,30 +131,37 @@ object Curation {
         least(lit(win), col("__n") - col("start_tok") + 1).as("n_chunk_tokens"),
         expr(s"array_join(slice(__toks, start_tok, $win), ' ')").as("chunk_text"))
 
-  /** Distinct word-trigram shingles per document — the overlap unit the
+  /** Distinct word n-gram shingles per document — the overlap unit the
     * decontamination literature keys on (n-gram collision with a held-out
-    * eval set). Row-local explode; the distinct is one keyed shuffle. */
-  def tokenTrigrams(docs: DataFrame): DataFrame =
+    * eval set; published pipelines use n in 2..13 depending on the eval
+    * suite). Row-local explode; the distinct is one keyed shuffle. */
+  def tokenNGrams(docs: DataFrame, n: Int = 3): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
     docs
       .withColumn("__toks", expr(s"split($NormSql, ' ')"))
-      .filter(expr("size(__toks) > 2"))
+      .filter(expr(s"size(__toks) >= $n"))
       .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(__toks) - 2),
-           i -> concat_ws(' ', element_at(__toks, i), element_at(__toks, i + 1),
-             element_at(__toks, i + 2)))""")).as("sg"))
+        s"""transform(sequence(1, size(__toks) - ${n - 1}),
+           i -> concat_ws(' ', slice(__toks, i, $n)))""")).as("sg"))
       .distinct()
+  }
+
+  /** Word-trigram shingles — [[tokenNGrams]] at the x_contamination
+    * catalog default. */
+  def tokenTrigrams(docs: DataFrame): DataFrame = tokenNGrams(docs, 3)
 
   /** Drop training documents that share at least `minShared` distinct
-    * trigrams with the eval corpus (train/eval decontamination — the
-    * removal op behind the diagnostic `x_contamination` matrix).
+    * word `n`-grams with the eval corpus (train/eval decontamination —
+    * the removal op behind the diagnostic `x_contamination` matrix).
     *
     * Scale shape: the eval side reduces to its DISTINCT shingle set —
     * eval corpora are orders of magnitude smaller than training corpora,
     * so AQE typically broadcasts it; the train side is an explode +
     * semi-style join + per-doc count, never doc x doc. */
-  def decontaminate(train: DataFrame, eval: DataFrame, minShared: Int = 8): DataFrame = {
-    val contaminated = tokenTrigrams(train)
-      .join(tokenTrigrams(eval).select("sg").distinct(), Seq("sg"))
+  def decontaminate(train: DataFrame, eval: DataFrame, minShared: Int = 8,
+      n: Int = 3): DataFrame = {
+    val contaminated = tokenNGrams(train, n)
+      .join(tokenNGrams(eval, n).select("sg").distinct(), Seq("sg"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

@@ -93,13 +93,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 2, "rolling_hash(str, k) takes two arguments")
-        val k = exprs(1) match {
-          case Literal(v: Int, IntegerType) => v
-          case other => other.eval().asInstanceOf[Int]
-        }
-        RollingHash(exprs.head, k)
-      }))
+      (exprs: Seq[Expression]) => RollingHash.build(exprs)))
   }
 }

@@ -79,6 +79,20 @@ class ComponentsSpec extends AnyFunSuite {
     assert(local(25L) == 0L && local(41L) == 40L) // star merged through 9-25 bridge
   }
 
+  test("output id type matches the input on BOTH sides of the size gate") {
+    // IntegerType edges: the local path collects as longs internally but
+    // must hand back the input type, or the schema would flip with data
+    // volume (advice r4 #1).
+    val edges = Seq((1, 2), (2, 3), (10, 11)).toDF("a", "b")
+    val local = Components.connectedComponents(edges, "a", "b", localThreshold = 1L << 20)
+    val dist = Components.connectedComponents(edges, "a", "b", localThreshold = 0L)
+    assert(local.schema.map(_.dataType) == dist.schema.map(_.dataType))
+    assert(local.schema.forall(_.dataType ==
+      org.apache.spark.sql.types.IntegerType))
+    assert(local.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap ==
+      dist.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap)
+  }
+
   test("keepCanonical keeps one doc per cluster and every singleton") {
     // corpus 0..9; near-dup clusters {1,2,3} (a chain) and {7,8};
     // survivors must be the cluster minima plus all untouched docs.

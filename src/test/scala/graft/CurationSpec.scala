@@ -101,6 +101,17 @@ class CurationSpec extends AnyFunSuite {
     assert(kept == Seq(11L, 12L))
     // a higher threshold than the overlap keeps everything
     assert(Curation.decontaminate(train, eval_, minShared = 50).count() == 3)
+
+    // n-gram width is a real knob: the 20-token verbatim span shares
+    // exactly 19 bigrams (n=2) and 17 4-grams (n=4) — thresholds right
+    // at / just past each frontier flip the drop decision.
+    def keptIds(minShared: Int, n: Int) =
+      Curation.decontaminate(train, eval_, minShared, n)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptIds(minShared = 19, n = 2) == Seq(11L, 12L))
+    assert(keptIds(minShared = 20, n = 2) == Seq(10L, 11L, 12L))
+    assert(keptIds(minShared = 17, n = 4) == Seq(11L, 12L))
+    assert(keptIds(minShared = 18, n = 4) == Seq(10L, 11L, 12L))
   }
 
   test("Curate CLI end-to-end: parquet in -> curated/chunks/stats out") {
@@ -121,6 +132,17 @@ class CurationSpec extends AnyFunSuite {
     Curate.run(spark, Array(s"$base/docs", s"$base/out2", "--eval", s"$base/eval"))
     assert(spark.read.parquet(s"$base/out2/curated").select("doc_id")
       .as[Long].collect().toSeq == Seq(1L))
+
+    // window-geometry flags are validated up front: --stride 0 would
+    // otherwise NULL the chunker's sequence() and silently write an
+    // empty chunks output
+    for (bad <- Seq(Array("--stride", "0"), Array("--win", "-4"),
+        Array("--win", "16", "--stride", "32"))) {
+      val e = intercept[IllegalArgumentException] {
+        Curate.run(spark, Array(s"$base/docs", s"$base/out3") ++ bad)
+      }
+      assert(e.getMessage.contains("--win") || e.getMessage.contains("--stride"))
+    }
   }
 }
 

@@ -44,6 +44,27 @@ class RollingHashSpec extends AnyFunSuite {
     assert(got(4).isEmpty)               // null in -> null out
   }
 
+  test("k widens from any integer literal type; non-constant k fails clearly") {
+    RollingHash.register(spark)
+    // BIGINT / SMALLINT literals fold and widen to Int
+    val viaLong = spark.sql(
+      "SELECT rolling_hash('abcdefgh', CAST(8 AS BIGINT)) AS h").collect()(0).getSeq[Long](0)
+    val viaInt = spark.sql(
+      "SELECT rolling_hash('abcdefgh', 8) AS h").collect()(0).getSeq[Long](0)
+    assert(viaLong == viaInt && viaLong.length == 1)
+    // a column reference is rejected at analysis with the real message,
+    // not an opaque ClassCastException
+    val e = intercept[Exception] {
+      spark.sql("SELECT rolling_hash(s, n) FROM VALUES ('ab', 2) AS v(s, n)").collect()
+    }
+    assert(e.getMessage.contains("constant"), s"got: ${e.getMessage}")
+    // out-of-range and fractional k likewise
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT rolling_hash('ab', CAST(4294967296 AS BIGINT))").collect()
+    }
+    assert(e2.getMessage.contains("Int range"), s"got: ${e2.getMessage}")
+  }
+
   test("survives wholestage codegen in an aggregation pipeline") {
     RollingHash.register(spark)
     val n = graft.catalog.Q.t(spark, "/root/testdata/sf0.001", "documents")
