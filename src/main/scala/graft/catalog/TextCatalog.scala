@@ -860,6 +860,77 @@ object TextCatalog {
               GROUP BY source
               ORDER BY source""")),
 
+    Q("x_data_mixture",
+      // Training-mix construction ("data mixture"): four sources weighted
+      // 0.4/0.3/0.2/0.1 over a 2000-token budget. The oracle states the
+      // selection rule in its naive one-window form (per-source running
+      // token sum in (md5, doc_id) order, prefix under the budget);
+      // Curation.mixtureSelect must produce the IDENTICAL selection via
+      // its scale path — per-bucket totals decide 255/256 of each source
+      // in bulk, only the boundary bucket pays a per-doc window.
+      (s, d) => graft.operators.Curation.mixtureSelect(
+          t(s, d, "documents"),
+          Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
+          tokenBudget = 2000L)
+        .withColumn("__ntok", expr(s"size(split($sparkNorm, ' '))").cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("__ntok").as("n_tokens"))
+        .orderBy("source"),
+      Some(s"""WITH d AS (
+                SELECT doc_id, source,
+                  CAST(len(string_split($duckNorm, ' ')) AS BIGINT) AS ntok,
+                  md5(CAST(doc_id AS VARCHAR)) AS h,
+                  CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 600
+                    WHEN 'src2' THEN 400 WHEN 'src3' THEN 200 END AS budget
+                FROM documents
+                WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+              c AS (SELECT *, sum(ntok) OVER (PARTITION BY source
+                      ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+                    FROM d)
+              SELECT source, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
+              FROM c WHERE cum <= budget
+              GROUP BY source ORDER BY source""")),
+
+    Q("x_oov_rate",
+      // Tokenizer-vocabulary coverage: build the global top-50 vocabulary
+      // (the x_vocab_topk shape — TakeOrderedAndProject over the
+      // aggregated vocab), then measure each source's out-of-vocabulary
+      // token rate against it. The 50-row vocab is broadcast into the
+      // token stream join; per-doc OOV fractions aggregate to a per-source
+      // mean — the metric a tokenizer-budget decision reads.
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(expr(s"split($sparkNorm, ' ')")).as("tok"))
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok")).limit(50)
+          .select(col("tok"), lit(1).as("in_vocab"))
+        toks.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy("doc_id", "source")
+          .agg((count(lit(1)) - sum(coalesce(col("in_vocab"), lit(0))))
+            .as("n_oov"), count(lit(1)).as("n_tok"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg(col("n_oov") * 1.0 / col("n_tok")), 4).as("avg_oov_frac"))
+          .orderBy("source")
+      },
+      Some(s"""WITH toks AS (
+                SELECT doc_id, source, unnest(string_split($duckNorm, ' ')) AS tok
+                FROM documents),
+              vocab AS (
+                SELECT tok FROM (
+                  SELECT tok, count(*) AS n FROM toks GROUP BY tok
+                  ORDER BY n DESC, tok LIMIT 50)),
+              per_doc AS (
+                SELECT tk.doc_id, tk.source,
+                  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                  count(*) AS n_tok
+                FROM toks tk LEFT JOIN vocab v ON tk.tok = v.tok
+                GROUP BY tk.doc_id, tk.source)
+              SELECT source, count(*) AS n_docs,
+                round(avg(n_oov * 1.0 / n_tok), 4) AS avg_oov_frac
+              FROM per_doc GROUP BY source ORDER BY source""")),
+
     Q("x_decontaminate_bigram",
       // Curation.decontaminate's n-gram width is a real knob (published
       // pipelines sweep n per eval suite): same removal op as
@@ -915,13 +986,17 @@ object TextCatalog {
       (s, d) => {
         val docs = t(s, d, "documents")
         val r = graft.operators.Curation.curate(docs)
-        def cnt(stage: String, df: org.apache.spark.sql.DataFrame) =
-          df.agg(count(lit(1)).as("n_rows")).select(lit(stage).as("stage"), col("n_rows"))
-        cnt("1_input", docs)
-          .unionByName(cnt("2_quality", r.quality))
-          .unionByName(cnt("3_exact_dedup", r.exactDeduped))
-          .unionByName(cnt("4_neardup_dedup", r.curated))
-          .unionByName(cnt("5_chunks", r.chunks))
+        // Counts come from the PINNED stats helper (the product path):
+        // a five-branch union of count aggs would re-derive the funnel
+        // prefix per branch — stats persists the exact-dedup and curated
+        // stages so the expensive near-dup pairing executes exactly once.
+        graft.operators.Curation.stats(s, docs, r)
+          .withColumn("stage", expr(
+            """CASE stage WHEN 'input' THEN '1_input'
+               WHEN 'after_quality_gate' THEN '2_quality'
+               WHEN 'after_exact_dedup' THEN '3_exact_dedup'
+               WHEN 'after_neardup_dedup' THEN '4_neardup_dedup'
+               WHEN 'chunks' THEN '5_chunks' END"""))
           .orderBy("stage")
       },
       Some(s"""WITH RECURSIVE

@@ -184,6 +184,58 @@ object VectorCatalog {
                     FROM sim)
               WHERE rn = 1 ORDER BY vec_id""")),
 
+    Q("v_semantic_dedup",
+      // SemDeDup-style embedding near-dup REMOVAL — completes the vector
+      // member of the dedup family (v_cosine_neardup is the pairing
+      // diagnostic; this selects survivors): same-sign-LSH-bucket pairs
+      // with cosine >= 0.4 feed the connected-components operator, one
+      // vector (the min vec_id) survives per cluster. The oracle
+      // re-derives the clusters with a recursive-CTE fixpoint, so the
+      // whole pair->cluster->survivor composition is verified. Never
+      // all-pairs: the bucket join is the blocking key, exactly the
+      // batch near-dup shape.
+      (s, d) => {
+        graft.functions.DotProduct.register(s)
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").as("v"),
+            expr("sqrt(dot_product(embedding, embedding))").as("nrm"),
+            expr(bucketExpr("embedding", "element_at")).as("bucket"))
+        val a = e.select(col("vec_id").as("doc_a"), col("v").as("qv"),
+          col("nrm").as("qn"), col("bucket"))
+        val b = e.select(col("vec_id").as("doc_b"), col("v").as("cv"),
+          col("nrm").as("cn"), col("bucket"))
+        val pairs = a.join(b, Seq("bucket"))
+          .filter(col("doc_a") < col("doc_b") &&
+            cosCol("qv", "cv", "qn", "cn") >= 0.4)
+          .select("doc_a", "doc_b")
+        val kept = graft.operators.Dedup.keepCanonical(
+          e.select("vec_id"), pairs, idCol = "vec_id")
+        e.agg(count(lit(1)).as("n_input"))
+          .crossJoin(kept.agg(count(lit(1)).as("n_survivors")))
+          .withColumn("n_dropped", col("n_input") - col("n_survivors"))
+      },
+      Some(s"""WITH RECURSIVE
+              e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      ${bucketExpr("embedding", "list_extract")} AS bucket
+                    FROM embeddings),
+              pairs AS (
+                SELECT a.vec_id AS s, b.vec_id AS d
+                FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+                WHERE list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                  >= 0.4),
+              edges AS (SELECT s, d FROM pairs UNION ALL SELECT d, s FROM pairs),
+              walk(node, lbl) AS (
+                SELECT s, s FROM edges
+                UNION
+                SELECT eg.d, w.lbl FROM walk w JOIN edges eg ON eg.s = w.node),
+              comp AS (SELECT node, min(lbl) AS comp FROM walk GROUP BY node),
+              surv AS (SELECT e.vec_id FROM e LEFT JOIN comp c ON e.vec_id = c.node
+                       WHERE c.comp IS NULL OR c.comp = e.vec_id)
+              SELECT (SELECT count(*) FROM e) AS n_input,
+                (SELECT count(*) FROM surv) AS n_survivors,
+                (SELECT count(*) FROM e) - (SELECT count(*) FROM surv) AS n_dropped""")),
+
     Q("v_ivf_ann",
       // IVF ANN in the driver gate (round-1 verdict #7): same
       // coarse-quantize -> inverted-lists -> probe-nProbe-cells shape as

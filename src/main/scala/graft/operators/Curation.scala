@@ -168,6 +168,61 @@ object Curation {
     train.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
   }
 
+  /** Deterministic source-weighted token-budget selection — "data
+    * mixture" construction, the step that turns a curated corpus into a
+    * training mix: each source with weight w gets a token budget
+    * round(w * tokenBudget) (round, not floor: 0.3 * 2000 is
+    * 599.999... in binary doubles and must mean 600), its documents
+    * are ranked in the uniform
+    * deterministic order (md5(doc_id), doc_id), and the maximal prefix
+    * whose token sum fits the budget is selected. Sources absent from
+    * `weights` (or with weight 0) are dropped.
+    *
+    * Scale shape: the naive form is one running-sum window per source —
+    * a full per-source sort through a single partition chain, which dies
+    * when one source is TBs. Here the hash prefix is exploited: the
+    * first hex byte of the ranking hash splits each source into 256
+    * sub-buckets whose ordering AGREES with the hash order, so a tiny
+    * per-bucket token-total aggregate decides every bucket strictly
+    * inside the budget in bulk, and only the single BOUNDARY bucket
+    * per source (~1/256 of it) pays the per-document window. Identical
+    * selection, two cheap shuffles + one narrow window. */
+  def mixtureSelect(docs: DataFrame, weights: Map[String, Double],
+      tokenBudget: Long): DataFrame = {
+    require(tokenBudget >= 0, s"tokenBudget must be >= 0, got $tokenBudget")
+    require(weights.values.forall(_ >= 0), "mixture weights must be >= 0")
+    val wmap = map(weights.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val base = docs
+      .withColumn("__w", element_at(wmap, col("source")))
+      .filter(col("__w").isNotNull && col("__w") > 0)
+      .withColumn("__budget", round(col("__w") * tokenBudget, 0).cast("long"))
+      .withColumn("__ntok", expr(s"size(split($NormSql, ' '))").cast("long"))
+      .withColumn("__h", md5(col("doc_id").cast("string")))
+      .withColumn("__b", expr("CAST(conv(substring(__h, 1, 2), 16, 10) AS INT)"))
+    val wBucket = Window.partitionBy("source").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val buckets = base.groupBy("source", "__b", "__budget")
+      .agg(sum("__ntok").as("__bt"))
+      .withColumn("__cumEnd", sum("__bt").over(wBucket))
+      .withColumn("__cumStart", col("__cumEnd") - col("__bt"))
+    val fullDocs = base.join(
+      buckets.filter(col("__cumEnd") <= col("__budget")).select("source", "__b"),
+      Seq("source", "__b"), "left_semi")
+    val wDoc = Window.partitionBy("source", "__b").orderBy(col("__h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundaryDocs = base.join(
+      buckets.filter(col("__cumStart") <= col("__budget") &&
+          col("__budget") < col("__cumEnd"))
+        .select(col("source"), col("__b"), col("__cumStart")),
+      Seq("source", "__b"))
+      .withColumn("__cum", col("__cumStart") + sum("__ntok").over(wDoc))
+      .filter(col("__cum") <= col("__budget"))
+      .drop("__cumStart", "__cum")
+    // restore the caller's exact schema (join keys migrate to the front)
+    fullDocs.unionByName(boundaryDocs)
+      .select(docs.columns.map(col).toSeq: _*)
+  }
+
   /** All four stages, each a lazy DataFrame over the previous one. */
   final case class CurationResult(quality: DataFrame, exactDeduped: DataFrame,
       curated: DataFrame, chunks: DataFrame)

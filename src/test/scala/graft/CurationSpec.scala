@@ -114,6 +114,41 @@ class CurationSpec extends AnyFunSuite {
     assert(keptIds(minShared = 18, n = 4) == Seq(10L, 11L, 12L))
   }
 
+  test("mixtureSelect packs each source's budgeted prefix in hash order") {
+    val mix = (1L to 60L)
+      .map(i => (i, s"src${i % 3}", Seq.fill((i % 7 + 3).toInt)("tok").mkString(" ")))
+    val docs = mix.toDF("doc_id", "source", "text")
+    val weights = Map("src0" -> 0.5, "src1" -> 0.25) // src2 unlisted -> dropped
+    val budget = 100L
+
+    // the naive specification: per source, rank docs by (md5(doc_id),
+    // doc_id) and keep the maximal prefix whose token sum fits
+    // round(w * budget) — the bucketed implementation must match exactly
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expected = weights.keys.flatMap { src =>
+      val b = math.round(weights(src) * budget)
+      var cum = 0L
+      mix.filter(_._2 == src)
+        .sortBy { case (id, _, _) => (md5hex(id.toString), id) }
+        .takeWhile { case (_, _, text) =>
+          cum += text.split(" ").length; cum <= b }
+        .map(_._1)
+    }.toSet
+
+    val got = Curation.mixtureSelect(docs, weights, budget)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expected, s"selection mismatch: got $got expected $expected")
+    assert(got.nonEmpty && got.size < 40, "budget must bind")
+
+    // a budget beyond every source's total keeps all weighted docs
+    assert(Curation.mixtureSelect(docs, weights, 1000000L).count() == 40)
+    // schema passes through untouched
+    assert(Curation.mixtureSelect(docs, weights, budget).columns.toSeq ==
+      Seq("doc_id", "source", "text"))
+  }
+
   test("Curate CLI end-to-end: parquet in -> curated/chunks/stats out") {
     val base = java.nio.file.Files.createTempDirectory("graft-curate").toString
     docs.write.mode("overwrite").parquet(s"$base/docs")
