@@ -984,13 +984,19 @@ object TextCatalog {
       // threshold arithmetic, survivor selection) is verified, not just
       // each stage in isolation.
       (s, d) => {
+        import graft.operators.Curation
         val docs = t(s, d, "documents")
-        val r = graft.operators.Curation.curate(docs)
-        // Counts come from the PINNED stats helper (the product path):
-        // a five-branch union of count aggs would re-derive the funnel
-        // prefix per branch — stats persists the exact-dedup and curated
-        // stages so the expensive near-dup pairing executes exactly once.
-        graft.operators.Curation.stats(s, docs, r)
+        // Stage pins go up BEFORE construction: nearDupDedup eagerly
+        // materializes the pair graph, and with exactDeduped already
+        // marked for caching that one pass fills the pin — the funnel
+        // prefix (quality gate + exact dedup) derives exactly ONCE for
+        // the pairing and all five stats counts together. stats() then
+        // re-persists (a no-op) and drops both pins on exit.
+        val q = Curation.qualityGate(docs)
+        val e = Curation.exactDedup(q).persist()
+        val c = Curation.nearDupDedup(e).persist()
+        val r = Curation.CurationResult(q, e, c, Curation.chunkWindows(c))
+        Curation.stats(s, docs, r)
           .withColumn("stage", expr(
             """CASE stage WHEN 'input' THEN '1_input'
                WHEN 'after_quality_gate' THEN '2_quality'
