@@ -12,11 +12,17 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.Curate <documentsParquet> <outDir>
   *     [--min-tokens N] [--max-dup-frac F] [--min-alpha-frac F]
   *     [--win N] [--stride N] [--eval PATH [--min-shared N] [--ngram N]]
+  *     [--mix src:w,src:w,... --token-budget N]
   *
   * `--eval PATH` additionally decontaminates against a held-out eval
   * parquet (drops curated docs sharing >= min-shared distinct word
   * n-grams with it, --ngram tokens wide, default trigrams) before
   * chunking.
+  *
+  * `--mix src0:0.5,src1:0.3 --token-budget N` applies the deterministic
+  * data-mixture selection (Curation.mixtureSelect) to the curated
+  * survivors: each listed source gets round(w * N) tokens, unlisted
+  * sources are dropped, and only the selected mix is chunked.
   *
   * Writes: <outDir>/curated (surviving docs), <outDir>/chunks
   * (chunk_text rows ready for tokenization), <outDir>/stats.
@@ -68,9 +74,25 @@ object Curate {
         n = flagValue("--ngram").map(_.toInt).getOrElse(3))
       case None => r.curated
     }
-    val chunks = graft.operators.Curation.chunkWindows(curated, win, stride)
+    // Optional mixture selection: the curated survivors are packed into
+    // per-source token budgets; only the selected mix reaches the chunker.
+    val mixed = flagValue("--mix") match {
+      case Some(spec) =>
+        val weights = spec.split(",").map { kv =>
+          kv.split(":") match {
+            case Array(k, v) => k.trim -> v.trim.toDouble
+            case _ => throw new IllegalArgumentException(
+              s"--mix entries must be source:weight, got '$kv'")
+          }
+        }.toMap
+        val budget = flagValue("--token-budget").map(_.toLong).getOrElse(
+          throw new IllegalArgumentException("--mix requires --token-budget"))
+        graft.operators.Curation.mixtureSelect(curated, weights, budget)
+      case None => curated
+    }
+    val chunks = graft.operators.Curation.chunkWindows(mixed, win, stride)
 
-    curated.write.mode("overwrite").parquet(s"$outDir/curated")
+    mixed.write.mode("overwrite").parquet(s"$outDir/curated")
     chunks.write.mode("overwrite").parquet(s"$outDir/chunks")
     // Funnel counts: the expensive stages (near-dup CC, chunking) are
     // counted from the parquet just written instead of recomputed.

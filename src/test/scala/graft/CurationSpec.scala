@@ -168,6 +168,20 @@ class CurationSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/out2/curated").select("doc_id")
       .as[Long].collect().toSeq == Seq(1L))
 
+    // --mix packs the curated survivors into per-source token budgets:
+    // survivors 1 and 4 are 120 tokens each, and in md5 order doc 4
+    // ("a87f...") precedes doc 1 ("c4ca..."), so a 150-token budget
+    // keeps exactly doc 4 (cum 120 <= 150; doc 1 would push it to 240)
+    Curate.run(spark, Array(s"$base/docs", s"$base/out4",
+      "--mix", "src0:1.0", "--token-budget", "150", "--win", "32", "--stride", "32"))
+    assert(spark.read.parquet(s"$base/out4/curated").select("doc_id")
+      .as[Long].collect().toSeq == Seq(4L))
+    assert(spark.read.parquet(s"$base/out4/chunks").count() == 4L)
+    // --mix without --token-budget fails loudly
+    assert(intercept[IllegalArgumentException] {
+      Curate.run(spark, Array(s"$base/docs", s"$base/out5", "--mix", "src0:1.0"))
+    }.getMessage.contains("--token-budget"))
+
     // window-geometry flags are validated up front: --stride 0 would
     // otherwise NULL the chunker's sequence() and silently write an
     // empty chunks output
