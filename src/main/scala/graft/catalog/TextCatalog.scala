@@ -931,6 +931,44 @@ object TextCatalog {
                 round(avg(n_oov * 1.0 / n_tok), 4) AS avg_oov_frac
               FROM per_doc GROUP BY source ORDER BY source""")),
 
+    Q("x_shard_pack",
+      // Training-shard packing (the output-layout step a data loader
+      // streams): every 64/48 context window is assigned a shard in
+      // [0, 8) from the first 16 bits of md5(doc_id:chunk_idx) —
+      // uniform, reproducible, row-order independent, zero shuffles
+      // before the per-shard rollup. Output proves both the assignment
+      // arithmetic and the balance (per-shard chunk/token/doc counts).
+      // The DuckDB twin reconstructs the same 16-bit value nibble by
+      // nibble (it has no base-16 conv).
+      (s, d) => graft.operators.Curation.shardAssign(
+          graft.operators.Curation.chunkWindows(t(s, d, "documents")),
+          nShards = 8, keyCols = Seq("doc_id", "chunk_idx"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_chunk_tokens").cast("long")).as("n_tokens"),
+          countDistinct("doc_id").as("n_docs"))
+        .orderBy("shard"),
+      Some(s"""WITH chunks AS (
+                SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                  CAST(least(64, n - (1 + i * 48) + 1) AS BIGINT) AS n_chunk_tokens
+                FROM (SELECT doc_id, len(toks) AS n
+                      FROM (SELECT doc_id, string_split($duckNorm, ' ') AS toks
+                            FROM documents)),
+                  UNNEST(range(0, (n - 1) // 48 + 1)) AS u(i)),
+              sharded AS (
+                SELECT doc_id, n_chunk_tokens,
+                  CAST(((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096
+                    + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 256
+                    + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1)) % 8 AS INT)
+                    AS shard
+                FROM (SELECT *, md5(CAST(doc_id AS VARCHAR) || ':' ||
+                        CAST(chunk_idx AS VARCHAR)) AS h FROM chunks))
+              SELECT shard, count(*) AS n_chunks,
+                CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
+                count(DISTINCT doc_id) AS n_docs
+              FROM sharded GROUP BY shard ORDER BY shard""")),
+
     Q("x_decontaminate_bigram",
       // Curation.decontaminate's n-gram width is a real knob (published
       // pipelines sweep n per eval suite): same removal op as

@@ -223,6 +223,26 @@ object Curation {
       .select(docs.columns.map(col).toSeq: _*)
   }
 
+  /** Deterministic training-shard assignment — the output-layout step
+    * after chunking: every row gets a `shard` in [0, nShards) derived
+    * from the md5 of its key columns (first 16 bits), so the assignment
+    * is uniform, reproducible on any engine, and independent of
+    * partitioning or row order. Row-local (zero shuffles); writers
+    * follow with `.write.partitionBy("shard")` so each shard lands as
+    * one directory — the layout a training data-loader streams.
+    *
+    * nShards is capped at 65536: the shard id comes from 16 hash bits,
+    * and more shards than hash values would leave shards structurally
+    * empty. */
+  def shardAssign(df: DataFrame, nShards: Int, keyCols: Seq[String]): DataFrame = {
+    require(nShards > 0 && nShards <= 65536,
+      s"nShards must be in [1, 65536], got $nShards")
+    require(keyCols.nonEmpty, "shardAssign needs at least one key column")
+    val key = concat_ws(":", keyCols.map(c => col(c).cast("string")): _*)
+    df.withColumn("shard",
+      conv(substring(md5(key), 1, 4), 16, 10).cast("int") % nShards)
+  }
+
   /** All four stages, each a lazy DataFrame over the previous one. */
   final case class CurationResult(quality: DataFrame, exactDeduped: DataFrame,
       curated: DataFrame, chunks: DataFrame)

@@ -124,18 +124,7 @@ class CurationSpec extends AnyFunSuite {
     // the naive specification: per source, rank docs by (md5(doc_id),
     // doc_id) and keep the maximal prefix whose token sum fits
     // round(w * budget) — the bucketed implementation must match exactly
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-    val expected = weights.keys.flatMap { src =>
-      val b = math.round(weights(src) * budget)
-      var cum = 0L
-      mix.filter(_._2 == src)
-        .sortBy { case (id, _, _) => (md5hex(id.toString), id) }
-        .takeWhile { case (_, _, text) =>
-          cum += text.split(" ").length; cum <= b }
-        .map(_._1)
-    }.toSet
+    val expected = CurationSpec.naiveMixture(mix, weights, budget)
 
     val got = Curation.mixtureSelect(docs, weights, budget)
       .select("doc_id").as[Long].collect().toSet
@@ -147,6 +136,47 @@ class CurationSpec extends AnyFunSuite {
     // schema passes through untouched
     assert(Curation.mixtureSelect(docs, weights, budget).columns.toSeq ==
       Seq("doc_id", "source", "text"))
+  }
+
+  test("mixtureSelect equals the naive rule on randomized corpora") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val rows = (1L to 80L).map { i =>
+        (i, s"src${rnd.nextInt(4)}",
+          Seq.fill(rnd.nextInt(12) + 1)("tok").mkString(" "))
+      }
+      val weights = (0 until 4).filter(_ => rnd.nextBoolean())
+        .map(s => s"src$s" -> (rnd.nextInt(9) + 1) / 10.0).toMap
+      val budget = (rnd.nextInt(8) + 1) * 50L
+      if (weights.nonEmpty) {
+        val got = Curation.mixtureSelect(
+          rows.toDF("doc_id", "source", "text"), weights, budget)
+          .select("doc_id").as[Long].collect().toSet
+        val expected = CurationSpec.naiveMixture(rows, weights, budget)
+        assert(got == expected,
+          s"weights=$weights budget=$budget: got $got expected $expected")
+      }
+    }
+  }
+
+  test("shardAssign: deterministic, in-range, row-order independent") {
+    val chunks = Curation.chunkWindows(docs)
+    def mapping(df: org.apache.spark.sql.DataFrame) =
+      Curation.shardAssign(df, 8, Seq("doc_id", "chunk_idx"))
+        .select("doc_id", "chunk_idx", "shard")
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val a = mapping(chunks)
+    assert(a.nonEmpty && a.values.forall(s => s >= 0 && s < 8))
+    // identical assignment regardless of row order or repartitioning
+    val b = mapping(chunks.orderBy(col("doc_id").desc).repartition(7))
+    assert(a == b)
+    // invalid shard counts fail loudly
+    intercept[IllegalArgumentException] {
+      Curation.shardAssign(chunks, 0, Seq("doc_id"))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.shardAssign(chunks, 1 << 17, Seq("doc_id"))
+    }
   }
 
   test("Curate CLI end-to-end: parquet in -> curated/chunks/stats out") {
@@ -198,4 +228,23 @@ class CurationSpec extends AnyFunSuite {
 object CurationSpec {
   /** Input-scan counter for the stats-pinning test (same-JVM local mode). */
   val scans = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** The mixture-selection rule stated naively: per source, rank by
+    * (md5(doc_id), doc_id) and keep the maximal prefix whose whitespace
+    * token sum fits round(w * budget). */
+  def naiveMixture(rows: Seq[(Long, String, String)],
+      weights: Map[String, Double], budget: Long): Set[Long] =
+    weights.keys.flatMap { src =>
+      val b = math.round(weights(src) * budget)
+      var cum = 0L
+      rows.filter(_._2 == src)
+        .sortBy { case (id, _, _) => (md5hex(id.toString), id) }
+        .takeWhile { case (_, _, text) =>
+          cum += text.split(" ").length; cum <= b }
+        .map(_._1)
+    }.toSet
 }
