@@ -166,6 +166,68 @@ object IncrementalPipeline {
         ()
       }
 
+  /** Full streaming curation ingest — the streaming face of
+    * `Curation.curate`: per micro-batch,
+    *
+    *   1. row-local quality gate (zero shuffles),
+    *   2. exact dedup within the batch AND against the persisted
+    *      content-hash store (`storeDir/hashes`, one 16-byte md5 per
+    *      accepted doc — an anti-join on the hash, never content),
+    *   3. near-dup dedup within the batch and against the simhash
+    *      signature store (`storeDir/simhashes`, the
+    *      [[nearDupDedupSink]] layout and band join),
+    *   4. append survivors to `outDir` and their hashes + signatures to
+    *      the stores.
+    *
+    * Both stores grow by O(bytes-per-doc-constant), not corpus bytes:
+    * at 100 TB of text the hash store is tens of GBs and the signature
+    * store single GBs, each joined on its bucketable key. Same
+    * at-least-once caveat as [[nearDupDedupSink]]: the three appends per
+    * batch are not atomic, so replays can duplicate — consumers collapse
+    * by doc_id, or the writes move to a transactional table format. */
+  def curationSink(incomingDocs: DataFrame, storeDir: String, outDir: String,
+      checkpointDir: String, minTokens: Int = 10, maxDupTokenFrac: Double = 0.5,
+      minAlphaFrac: Double = 0.5): DataStreamWriter[org.apache.spark.sql.Row] =
+    incomingDocs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.Curation
+        val gated = Curation.qualityGate(batch, minTokens, maxDupTokenFrac,
+          minAlphaFrac)
+        // exact dedup: within-batch survivor = min doc_id per hash, then
+        // anti-join the accumulated hash store
+        val hashedAll = gated.withColumn("__h", expr(s"md5(${Curation.NormSql})"))
+        val withinExact = hashedAll
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy("__h").orderBy("doc_id")))
+          .filter(col("__rn") === 1).drop("__rn")
+        val hashStorePath = s"$storeDir/hashes"
+        val hashStore =
+          if (fileExists(spark, hashStorePath)) spark.read.parquet(hashStorePath)
+          else withinExact.select(col("__h")).limit(0)
+        val exactSurvivors = withinExact
+          .join(hashStore, Seq("__h"), "left_anti")
+          .localCheckpoint() // both writes below consume it; the hash
+                             // store append must not re-read its own path
+        // near-dup: within the batch, then against the signature store
+        val withinNearDup = Curation.nearDupDedup(exactSurvivors.drop("__h"))
+        val batchSims = Curation.simhashTable(withinNearDup)
+        val simStorePath = s"$storeDir/simhashes"
+        val simStore =
+          if (fileExists(spark, simStorePath)) spark.read.parquet(simStorePath)
+          else batchSims.limit(0)
+        val dupIds = matchedAgainstStore(batchSims, simStore).localCheckpoint()
+        val survivors = withinNearDup.join(dupIds, Seq("doc_id"), "left_anti")
+        survivors.write.mode("append").parquet(outDir)
+        exactSurvivors.select("__h").write.mode("append").parquet(hashStorePath)
+        batchSims.join(dupIds, Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(simStorePath)
+        ()
+      }
+
   /** Batch doc_ids whose signature lands within hamming 8 of any store
     * signature: the 9x7-bit pigeonhole band join (two signatures within
     * hamming 8 must agree on >= 1 band), exact `bit_count` post-filter,

@@ -152,4 +152,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(store).select("doc_id").as[Long].collect().sorted
       .toSeq == Seq(1L, 3L, 5L))
   }
+
+  test("streaming curation sink: quality + exact + near-dup across batches") {
+    val base = java.nio.file.Files.createTempDirectory("graft-cur-sink").toString
+    val (src, store, out) = (s"$base/src", s"$base/store", s"$base/out")
+    val textA = (0 until 120).map(i => s"alpha$i").mkString(" ")
+    val textANear = ("zeta0 zeta1" +: (2 until 120).map(i => s"alpha$i")).mkString(" ")
+    val textB = (0 until 120).map(i => s"beta$i").mkString(" ")
+    val textC = (0 until 120).map(i => s"gamma$i").mkString(" ")
+    val schema = Seq((0L, "", "")).toDF("doc_id", "source", "text").schema
+
+    def runBatch(rows: Seq[(Long, String, String)], cp: String): Unit = {
+      rows.toDF("doc_id", "source", "text").write.mode("overwrite").parquet(src)
+      val q = IncrementalPipeline.curationSink(
+        spark.readStream.schema(schema).parquet(src), store, out, cp).start()
+      q.awaitTermination(120000)
+    }
+
+    // batch 1: quality reject (too short), exact dup of A within the
+    // batch, near-dup of A within the batch -> survivors A and B
+    runBatch(Seq((1L, "s", textA), (2L, "s", textA), (3L, "s", textANear),
+      (4L, "s", textB), (5L, "s", "hi there")), s"$base/cp1")
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 4L))
+
+    // batch 2: exact dup of A (cross-batch, hash store), near-dup of A
+    // (cross-batch, signature store), and a genuinely new doc C
+    runBatch(Seq((6L, "s", textA), (7L, "s", textANear), (8L, "s", textC)),
+      s"$base/cp2")
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 4L, 8L))
+
+    // hash store: one md5 per exact-stage acceptance. Batch 1 stored
+    // h(A), h(ANear), h(B); doc 3's near-dup drop does NOT un-store its
+    // hash — which is exactly what blocks doc 7 (same text as 3) at the
+    // exact stage in batch 2. Batch 2 adds only h(C): 4 total.
+    assert(spark.read.parquet(s"$store/hashes").count() == 4L)
+    // signature store: survivors of the near-dup stage per batch
+    assert(spark.read.parquet(s"$store/simhashes").select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 4L, 8L))
+  }
 }
