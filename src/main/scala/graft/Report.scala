@@ -18,7 +18,8 @@ import graft.query.{ReportQueries => RQ}
   *     --top-companies N | --no-company | --engaged | --combined)
   *     [--format table|csv|json] [--out PATH]
   *   runMain graft.Report <stateDir> (--history ID | --deleted |
-  *     --recent-changes HOURS | --compare-versions [ID] | --temporal-stats)
+  *     --recent-changes HOURS | --compare-versions [ID] | --temporal-stats |
+  *     --rel-history TYPE:ID | --ownership-changes)
   *     [--table users|contacts|companies|deals|activities]
   *     [--format ...] [--out PATH]
   *
@@ -146,6 +147,16 @@ object Report {
           case Some(id) => diff.filter(col("hubspot_id") === id)
           case None => diff
         }
+      case Some("--rel-history") => // relationship CDC rows touching one entity
+        val Array(entityType, entityId) = flagValue("--rel-history").get.split(":", 2)
+        val rc = Pipeline.relChanges(spark, rawDir)
+          .getOrElse(sys.error(s"no relchanges log under $rawDir — " +
+            "run the pipeline at least twice so edges have been diffed"))
+        TQ.entityRelationshipHistory(rc, entityType, entityId)
+      case Some("--ownership-changes") => // OWNED_BY transfers from the CDC log
+        val rc = Pipeline.relChanges(spark, rawDir)
+          .getOrElse(sys.error(s"no relchanges log under $rawDir"))
+        TQ.ownershipChanges(rc)
       case Some("--temporal-stats") => // one-job stats across all SCD tables
         val names = Seq("users", "contacts", "companies", "deals", "activities")
           .filter(t => Pipeline.fileExists(spark, s"$rawDir/current_$t"))

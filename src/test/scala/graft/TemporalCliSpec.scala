@@ -84,6 +84,41 @@ class TemporalCliSpec extends AnyFunSuite {
       .collect()(0).getAs[String]("n_history") == "0")
   }
 
+  test("--rel-history surfaces the relationship CDC log for one entity") {
+    // dedicated state dir: second load drops d1's company association,
+    // so the CDC log holds exactly one removed BELONGS_TO row
+    val raw = java.nio.file.Files.createTempDirectory("graft-tcli-rel-raw").toString
+    val state = java.nio.file.Files.createTempDirectory("graft-tcli-rel-st").toString
+    def writeRaw(deals: org.apache.spark.sql.DataFrame): Unit = Seq(
+      "users" -> CrmFixture.usersRaw(spark),
+      "contacts" -> CrmFixture.contactsRaw(spark),
+      "companies" -> CrmFixture.companiesRaw(spark),
+      "deals" -> deals,
+      "engagements" -> CrmFixture.engagementsRaw(spark),
+      "email_events" -> CrmFixture.emailEventsRaw(spark),
+      "form_submissions" -> CrmFixture.formsRaw(spark)
+    ).foreach { case (n, df) => df.write.mode("overwrite").json(s"$raw/$n.json") }
+    writeRaw(CrmFixture.dealsRaw(spark))
+    Pipeline.run(spark, raw, state)
+    writeRaw(CrmFixture.dealsRawV2(spark))
+    Pipeline.run(spark, raw, state)
+
+    val out = java.nio.file.Files.createTempDirectory("graft-tcli-rel-out").toString
+    assert(Report.run(spark, Array(state, "--rel-history", "HUBSPOT_Deal:d1",
+      "--format", "csv", "--out", s"$out/r")) == 0)
+    val rows = spark.read.option("header", "true").csv(s"$out/r").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[String]("change_type") == "removed")
+    assert(rows(0).getAs[String]("relationship_type") == "BELONGS_TO")
+    assert(rows(0).getAs[String]("to_entity_id") == "co1")
+    // no ownership edges changed in this scenario
+    assert(graft.query.TemporalQueries.ownershipChanges(
+      Pipeline.relChanges(spark, state).get).count() == 0)
+    // the CLI path for --ownership-changes runs clean on the same log
+    assert(Report.run(spark, Array(state, "--ownership-changes",
+      "--format", "csv", "--out", s"$out/oc")) == 0)
+  }
+
   test("--owner with an ambiguous needle lists candidates and exits 2") {
     // 'example' hits both fixture users via email
     val code = Report.run(spark, Array(dirs._1, "--owner", "example"))
