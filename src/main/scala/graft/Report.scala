@@ -19,7 +19,7 @@ import graft.query.{ReportQueries => RQ}
   *     [--format table|csv|json] [--out PATH]
   *   runMain graft.Report <stateDir> (--history ID | --deleted |
   *     --recent-changes HOURS | --compare-versions [ID] | --temporal-stats |
-  *     --rel-history TYPE:ID | --ownership-changes)
+  *     --rel-history TYPE:ID | --ownership-changes [TYPE] | --rel-changes [N])
   *     [--table users|contacts|companies|deals|activities]
   *     [--format ...] [--out PATH]
   *
@@ -156,7 +156,12 @@ object Report {
       case Some("--ownership-changes") => // OWNED_BY transfers from the CDC log
         val rc = Pipeline.relChanges(spark, rawDir)
           .getOrElse(sys.error(s"no relchanges log under $rawDir"))
-        TQ.ownershipChanges(rc)
+        TQ.ownershipChanges(rc, entityType = flagValue("--ownership-changes"))
+      case Some("--rel-changes") => // newest relationship changes, limited
+        val rc = Pipeline.relChanges(spark, rawDir)
+          .getOrElse(sys.error(s"no relchanges log under $rawDir"))
+        TQ.recentRelationshipChanges(rc,
+          flagValue("--rel-changes").map(_.toInt).getOrElse(20))
       case Some("--temporal-stats") => // one-job stats across all SCD tables
         val names = Seq("users", "contacts", "companies", "deals", "activities")
           .filter(t => Pipeline.fileExists(spark, s"$rawDir/current_$t"))

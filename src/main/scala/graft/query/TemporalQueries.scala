@@ -91,11 +91,28 @@ object TemporalQueries {
           (col("to_entity_type") === entityType && col("to_entity_id") === entityId))
       .orderBy(asc("changed_at"), col("relationship_type"), col("to_entity_id"))
 
-  /** Ownership transfer history from the change log
-    * (query_temporal.py:159-189). */
-  def ownershipChanges(relChanges: DataFrame): DataFrame =
-    relChanges.filter(col("relationship_type") === "OWNED_BY")
-      .orderBy(asc("changed_at"), col("from_entity_id"))
+  /** Most recent relationship changes, newest first with a limit
+    * (query_temporal.py:112-133). Ties on changed_at (one batch shares a
+    * load timestamp) are broken by the full edge key so the page is
+    * deterministic. */
+  def recentRelationshipChanges(relChanges: DataFrame, limit: Int = 20): DataFrame =
+    relChanges.orderBy(desc("changed_at"), col("relationship_type"),
+      col("from_entity_id"), col("to_entity_id")).limit(limit)
+
+  /** Ownership transfer history from the change log, optionally scoped
+    * to one entity type / entity, projected the way the reference
+    * returns it (query_temporal.py:159-189). */
+  def ownershipChanges(relChanges: DataFrame, entityType: Option[String] = None,
+      entityId: Option[String] = None): DataFrame = {
+    val owned = relChanges.filter(col("relationship_type") === "OWNED_BY")
+    val scoped = Seq(
+      entityType.map(t => col("from_entity_type") === t),
+      entityId.map(id => col("from_entity_id") === id)
+    ).flatten.foldLeft(owned)(_ filter _)
+    scoped.select(col("from_entity_id").as("entity_id"), col("change_type"),
+        col("to_entity_id").as("owner_id"), col("changed_at"))
+      .orderBy(asc("changed_at"), col("entity_id"))
+  }
 
   /** S17-style one-job statistics across all SCD tables: the reference's
     * 16 round trips collapsed into one union + groupBy

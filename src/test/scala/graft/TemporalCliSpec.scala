@@ -117,6 +117,11 @@ class TemporalCliSpec extends AnyFunSuite {
     // the CLI path for --ownership-changes runs clean on the same log
     assert(Report.run(spark, Array(state, "--ownership-changes",
       "--format", "csv", "--out", s"$out/oc")) == 0)
+    // --rel-changes pages newest-first with a limit
+    assert(Report.run(spark, Array(state, "--rel-changes", "10",
+      "--format", "csv", "--out", s"$out/rc")) == 0)
+    val rc = spark.read.option("header", "true").csv(s"$out/rc").collect()
+    assert(rc.length == 1 && rc(0).getAs[String]("change_type") == "removed")
   }
 
   test("--owner with an ambiguous needle lists candidates and exits 2") {
