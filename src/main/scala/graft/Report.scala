@@ -186,11 +186,23 @@ object Report {
 
   /** S13/S14/S15 sinks. The coalesce(1) is a REPORT-output choice (one
     * readable file); bulk data writes elsewhere keep their partitioning. */
-  def sink(result: DataFrame, format: String, out: Option[String]): Unit =
+  def sink(result: DataFrame, format: String, out: Option[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, to_json}
     (format, out) match {
       case ("table", _) => result.show(100, truncate = false)
       case ("csv", Some(p)) =>
-        result.coalesce(1).write.mode("overwrite").option("header", "true").csv(p)
+        // CSV cannot hold complex types — render map/array/struct columns
+        // as JSON text (e.g. relchanges' relationship_properties)
+        val flat = result.schema.fields.foldLeft(result) { (df, f) =>
+          f.dataType match {
+            case _: org.apache.spark.sql.types.MapType |
+                 _: org.apache.spark.sql.types.ArrayType |
+                 _: org.apache.spark.sql.types.StructType =>
+              df.withColumn(f.name, to_json(col(f.name)))
+            case _ => df
+          }
+        }
+        flat.coalesce(1).write.mode("overwrite").option("header", "true").csv(p)
         println(s"[report] csv written to $p")
       case ("json", Some(p)) =>
         result.coalesce(1).write.mode("overwrite").json(p)
@@ -198,4 +210,5 @@ object Report {
       case (f, None) => sys.error(s"--format $f requires --out PATH")
       case (f, _) => sys.error(s"unknown format $f")
     }
+  }
 }

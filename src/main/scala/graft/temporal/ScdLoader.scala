@@ -100,14 +100,43 @@ object ScdLoader {
       col("valid_to").as("superseded_at"))
 
   /** Relationship CDC: diff trackable edges and produce
-    * HUBSPOT_RelationshipChange rows (T4; temporal_loader.py:401-462). */
-  def edgeChanges(existing: DataFrame, incoming: DataFrame, loadTs: Column): DataFrame =
-    ChangeDetector.diffEdges(existing, incoming)
-      .select(col("change_type"),
-        col("src_type").as("from_entity_type"), col("src_id").as("from_entity_id"),
-        col("dst_type").as("to_entity_type"), col("dst_id").as("to_entity_id"),
-        col("rel_type").as("relationship_type"),
-        loadTs.as("changed_at"))
+    * HUBSPOT_RelationshipChange rows (T4; temporal_loader.py:401-462).
+    *
+    * The reference stores the edge's properties on the change row
+    * (`relationship_properties: change.properties`): a removed edge
+    * carries the props it had in the PREVIOUS set, an added edge the
+    * incoming ones. Inputs without a `props` column (tests, minimal
+    * edge feeds) get a null map. The attach is one groupBy + one left
+    * join on the 5-part key — the diff already shuffled on that key, so
+    * the exchange is reused where bucketing allows. */
+  def edgeChanges(existing: DataFrame, incoming: DataFrame, loadTs: Column): DataFrame = {
+    val key = Seq("rel_type", "src_type", "src_id", "dst_type", "dst_id")
+    val base = ChangeDetector.diffEdges(existing, incoming)
+    val withProps =
+      if (!existing.columns.contains("props") || !incoming.columns.contains("props"))
+        base.withColumn("props", lit(null).cast("map<string,string>"))
+      else {
+        // side-tagged props: removed rows resolve against the previous
+        // set, added rows against the incoming one
+        val sideProps = existing.select(key.map(col) :+ lit("removed").as("change_type")
+            :+ col("props").as("__props"): _*)
+          .unionByName(incoming.select(key.map(col) :+ lit("added").as("change_type")
+            :+ col("props").as("__props"): _*))
+          .groupBy((key :+ "change_type").map(col): _*)
+          .agg(first("__props", ignoreNulls = true).as("__props"))
+          .withColumnRenamed("change_type", "__ct")
+        val keyed = key.map(k => base(k) <=> sideProps(k)).reduce(_ && _) &&
+          base("change_type") === sideProps("__ct")
+        base.join(sideProps, keyed, "left")
+          .select(base.columns.map(base(_)) :+ sideProps("__props").as("props"): _*)
+      }
+    withProps.select(col("change_type"),
+      col("src_type").as("from_entity_type"), col("src_id").as("from_entity_id"),
+      col("dst_type").as("to_entity_type"), col("dst_id").as("to_entity_id"),
+      col("rel_type").as("relationship_type"),
+      col("props").as("relationship_properties"),
+      loadTs.as("changed_at"))
+  }
 
   /** W3 — rebuild SCD2-style validity intervals for a full history table
     * in one batch: valid_to = lead(valid_from) per entity (the canonical

@@ -118,6 +118,33 @@ class ScdSpec extends AnyFunSuite {
     assert(got == Set(("added", "c2"), ("removed", "c1"))) // PERFORMED ignored
   }
 
+  test("edge CDC carries the edge's properties on the change row") {
+    // removed edges resolve props against the PREVIOUS set, added edges
+    // against the incoming one (temporal_loader.py stores
+    // relationship_properties on every HUBSPOT_RelationshipChange)
+    def edges(rows: (String, String, String, Map[String, String])*): DataFrame =
+      rows.toDF("rel_type", "src_id", "dst_id", "props")
+        .withColumn("src_type", lit("HUBSPOT_Contact"))
+        .withColumn("dst_type", lit("HUBSPOT_Deal"))
+    val before = edges(("CUSTOM_REL", "c1", "d1", Map("weight" -> "3")))
+    val after = edges(("CUSTOM_REL", "c2", "d1", Map("weight" -> "7")))
+    val got = ScdLoader.edgeChanges(before, after, t1).collect()
+      .map(r => r.getString(r.fieldIndex("change_type")) ->
+        r.getMap[String, String](r.fieldIndex("relationship_properties")).toMap)
+      .toMap
+    assert(got == Map("removed" -> Map("weight" -> "3"),
+      "added" -> Map("weight" -> "7")))
+    // inputs without a props column still diff, with a null map
+    def bare(rows: (String, String, String)*): DataFrame =
+      rows.toDF("rel_type", "src_id", "dst_id")
+        .withColumn("src_type", lit("HUBSPOT_Contact"))
+        .withColumn("dst_type", lit("HUBSPOT_Deal"))
+    val nullProps = ScdLoader.edgeChanges(
+      bare(("CUSTOM_REL", "c1", "d1")), bare(("CUSTOM_REL", "c2", "d1")), t1).collect()
+    assert(nullProps.length == 2 &&
+      nullProps.forall(_.isNullAt(nullProps(0).fieldIndex("relationship_properties"))))
+  }
+
   test("edge diff is null-safe: a null-keyed edge on both sides is unchanged") {
     // EXCEPT semantics: NULL key components compare equal, so an edge with a
     // null dst_id present in both snapshots must be suppressed — not emitted
