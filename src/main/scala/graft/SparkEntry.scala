@@ -12,7 +12,8 @@ import graft.catalog._
 object SparkEntry {
 
   private def catalogs: Seq[Q] =
-    RelationalCatalog.all ++ AggWindowCatalog.all ++ TextCatalog.all ++ VectorCatalog.all
+    RelationalCatalog.all ++ AggWindowCatalog.all ++ TextCatalog.all ++
+      VectorCatalog.all ++ GraphCatalog.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

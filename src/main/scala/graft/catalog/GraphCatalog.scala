@@ -1,0 +1,161 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+import graft.catalog.Q.t
+import graft.operators.GraphAlgos
+
+/** Graph analytics over edge lists derived from the relational tables —
+  * the question family the reference pipeline exists to hand to Neo4j
+  * (influence ranking, cohesion, bounded reachability, degree shape),
+  * re-expressed as distributed DataFrame programs
+  * ([[graft.operators.GraphAlgos]], [[graft.operators.Components]]).
+  *
+  * Two derived graphs:
+  *  - the **nation trade graph**: customer-nation -> supplier-nation
+  *    edges weighted by lineitem count (a 4-way join over the fact
+  *    table; small node set, heavy derivation — the common "aggregate a
+  *    fact table into an entity graph" shape);
+  *  - the **part co-occurrence graph**: parts appearing in the same
+  *    order (a fact-table self-join; node and edge sets both scale with
+  *    the data — the shape where naive all-pairs algorithms die).
+  *
+  * Oracle determinism: PageRank emits integer micro-ranks
+  * (`floor(rank * 1e6 + 0.5)`) rather than rounded doubles — the two
+  * engines agree on the pre-round double to ~1e-12, and an integer
+  * output cannot differ in the binary representation of a rounded
+  * decimal the way `round(x, 6)` doubles can. All other outputs are
+  * exact integers.
+  */
+object GraphCatalog {
+
+  private val damping = "0.85"
+  private val prIters = 10
+
+  /** Unrolled fixed-iteration PageRank twin (DuckDB lacks iteration with
+    * aggregation in recursive CTEs; ten generated CTEs are exactly the
+    * operator's fixed-point arithmetic, dangling-mass term included). */
+  private def pagerankOracle: String = {
+    val head = s"""WITH e AS MATERIALIZED (
+        SELECT c_nationkey AS src, s_nationkey AS dst, count(*)::DOUBLE AS weight
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE c_nationkey <> s_nationkey
+        GROUP BY 1, 2),
+      nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
+      outw AS MATERIALIZED (SELECT src, sum(weight) AS out_w FROM e GROUP BY src),
+      norm AS MATERIALIZED (SELECT e.src, e.dst, e.weight / outw.out_w AS share
+               FROM e JOIN outw ON e.src = outw.src),
+      r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    val iters = (1 to prIters).map { i =>
+      val p = s"r${i - 1}"
+      s""",
+      d$i AS MATERIALIZED (SELECT coalesce(sum(rank), 0) AS m FROM $p
+              WHERE node NOT IN (SELECT src FROM outw)),
+      r$i AS MATERIALIZED (SELECT nodes.node,
+          (1 - $damping) / (SELECT n FROM nn)
+          + $damping * (coalesce(c.in_mass, 0) + (SELECT m FROM d$i) / (SELECT n FROM nn))
+            AS rank
+        FROM nodes LEFT JOIN (
+          SELECT norm.dst AS node, sum($p.rank * norm.share) AS in_mass
+          FROM $p JOIN norm ON $p.node = norm.src
+          GROUP BY norm.dst) c ON nodes.node = c.node)"""
+    }.mkString
+    head + iters + s"""
+      SELECT node, CAST(floor(rank * 1000000 + 0.5) AS BIGINT) AS rank_ppm
+      FROM r$prIters ORDER BY node"""
+  }
+
+  def all: Seq[Q] = Seq(
+
+    // Influence ranking of nations in the trade graph: who supplies the
+    // nations that everyone buys from. The 4-way fact join is the heavy
+    // stage; the iteration runs on the localCheckpointed 25-node edge
+    // frame it produces.
+    Q("g_pagerank_trade",
+      (s, d) => {
+        val edges = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .filter(col("c_nationkey") =!= col("s_nationkey"))
+          .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+          .agg(count(lit(1)).as("weight"))
+        GraphAlgos.pageRank(edges, iters = prIters, damping = damping.toDouble)
+          .select(col("node"),
+            floor(col("rank") * lit(1000000) + lit(0.5)).cast("long").as("rank_ppm"))
+          .orderBy("node")
+      },
+      Some(pagerankOracle)),
+
+    // Per-part triangle counts in the co-occurrence graph. The Spark
+    // side runs the degree-orientation algorithm (O(m^1.5) wedges); the
+    // oracle enumerates triangles naively from each one's minimum
+    // vertex — different algorithms, identical triangle set, which is
+    // exactly what an oracle should pin.
+    Q("g_triangles_copart",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+        val pairs = li
+          .join(li.select(col("l_orderkey"), col("l_partkey").as("r_partkey")), "l_orderkey")
+          .filter(col("l_partkey") < col("r_partkey"))
+          .select(col("l_partkey").as("u"), col("r_partkey").as("v"))
+          .distinct()
+        GraphAlgos.trianglesPerNode(pairs).orderBy("node")
+      },
+      Some("""WITH pr AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+              tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM pr e1 JOIN pr e2 ON e2.u = e1.u AND e2.v > e1.v
+                JOIN pr e3 ON e3.u = e1.v AND e3.v = e2.v)
+              SELECT node, count(*)::BIGINT AS n_triangles
+              FROM (SELECT a AS node FROM tri UNION ALL
+                    SELECT b FROM tri UNION ALL SELECT c FROM tri)
+              GROUP BY node ORDER BY node""")),
+
+    // Bounded reachability (Cypher `shortestPath((a)-[*..3]-(b))`):
+    // frontier BFS from the lowest part key over co-occurrence edges.
+    Q("g_bfs_hops",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+        val pairs = li
+          .join(li.select(col("l_orderkey"), col("l_partkey").as("r_partkey")), "l_orderkey")
+          .filter(col("l_partkey") < col("r_partkey"))
+          .select(col("l_partkey").as("s"), col("r_partkey").as("d"))
+          .distinct()
+        val source = li.agg(min("l_partkey")).head().get(0)
+        GraphAlgos.bfsHops(pairs, source, maxHops = 3).orderBy("node")
+      },
+      Some("""WITH RECURSIVE
+              pr AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+              sym AS (SELECT u AS s, v AS d FROM pr UNION ALL SELECT v, u FROM pr),
+              walk(node, hops) AS (
+                SELECT (SELECT min(l_partkey) FROM lineitem), 0
+                UNION
+                SELECT sym.d, w.hops + 1 FROM walk w JOIN sym ON sym.s = w.node
+                WHERE w.hops < 3)
+              SELECT node, min(hops) AS hops FROM walk
+              GROUP BY node ORDER BY node""")),
+
+    // Degree-distribution histogram of the customer -> supplier
+    // relationship graph: how many distinct suppliers each customer's
+    // orders touch, bucketed. Two shuffles (dedup, then count-of-counts).
+    Q("g_degree_hist",
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select("o_custkey", "l_suppkey").distinct()
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_suppliers"))
+        .groupBy("n_suppliers").agg(count(lit(1)).as("n_customers"))
+        .orderBy("n_suppliers"),
+      Some("""WITH pairs AS (SELECT DISTINCT o_custkey, l_suppkey
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              deg AS (SELECT o_custkey, count(*)::BIGINT AS n_suppliers
+                FROM pairs GROUP BY o_custkey)
+              SELECT n_suppliers, count(*)::BIGINT AS n_customers
+              FROM deg GROUP BY n_suppliers ORDER BY n_suppliers"""))
+  )
+}

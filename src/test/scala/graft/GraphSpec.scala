@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.GraphAlgos
+
+/** Graph analytics on hand-checkable graphs: PageRank fixed points with
+  * known closed forms, triangle counts on named shapes, BFS distances
+  * on a path — plus the dangling-mass and orientation edge cases that
+  * distinguish a correct implementation from a plausible one.
+  */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int = 30): Map[Long, Double] =
+    GraphAlgos.pageRank(
+      edges.toDF("src", "dst").withColumn("weight", lit(1.0)), iters = iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("pageRank: symmetric cycle converges to uniform") {
+    // On a directed cycle every node has one in/out edge: rank stays 1/N.
+    val r = ranks(Seq((1L, 2L), (2L, 3L), (3L, 1L)), iters = 5)
+    r.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
+  }
+
+  test("pageRank: star graph concentrates rank at the hub") {
+    // 3 spokes -> hub; hub dangles, its mass redistributes uniformly.
+    // Closed-form fixed point with d=0.85, N=4:
+    //   spoke s = (1-d)/N + d*h/N ; hub h = (1-d)/N + d*(3s + h/N)
+    // Analytic fixpoint: s = 0.0375 + 0.2125*h, h = 1 - 3s (mass sums
+    // to 1) -> s = 0.25/1.6375, h = 1 - 3s. 60 iterations contract the
+    // initial error by 0.85^60 ~ 6e-6.
+    val sStar = 0.25 / 1.6375
+    val hStar = 1.0 - 3 * sStar
+    val r = ranks(Seq((1L, 4L), (2L, 4L), (3L, 4L)), iters = 60)
+    assert(math.abs(r(1L) - sStar) < 1e-4)
+    assert(math.abs(r(4L) - hStar) < 1e-4)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9) // dangling mass conserved
+    assert(r(1L) == r(2L) && r(2L) == r(3L))
+  }
+
+  test("pageRank: weights steer the split") {
+    // 1 -> 2 (w=3), 1 -> 3 (w=1): node 2 gets 3/4 of node 1's mass.
+    val edges = Seq((1L, 2L, 3.0), (1L, 3L, 1.0)).toDF("src", "dst", "weight")
+    val r = GraphAlgos.pageRank(edges, iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // After one iteration from uniform 1/3: dangling nodes 2,3 hold
+    // mass 2/3, redistributed as (2/3)/N = 2/9 to every node.
+    val base = 0.15 / 3 + 0.85 * (2.0 / 9)
+    assert(math.abs(r(2L) - (base + 0.85 * (1.0 / 3 * 0.75))) < 1e-12)
+    assert(math.abs(r(3L) - (base + 0.85 * (1.0 / 3 * 0.25))) < 1e-12)
+    assert(math.abs(r(1L) - base) < 1e-12)
+  }
+
+  test("trianglesPerNode: counts K4 and ignores dangling paths") {
+    // K4 has 4 triangles; every node is in exactly 3. Node 5 hangs off
+    // node 1 and closes nothing. Reversed duplicate edges must not
+    // double-count.
+    val k4 = for (a <- 1 to 4; b <- 1 to 4 if a < b) yield (a.toLong, b.toLong)
+    val edges = (k4 ++ Seq((5L, 1L), (1L, 5L), (2L, 1L))).toDF("u", "v")
+    val got = GraphAlgos.trianglesPerNode(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("trianglesPerNode: two triangles sharing an edge") {
+    // (1,2,3) and (2,3,4): shared edge 2-3 -> nodes 2,3 count 2.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("u", "v")
+    val got = GraphAlgos.trianglesPerNode(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("bfsHops: path graph distances, hop bound, unreachable absent") {
+    // 1-2-3-4-5 plus isolated component 8-9; from 1 with maxHops=3 the
+    // result is exactly {1:0, 2:1, 3:2, 4:3} — 5 is beyond the bound,
+    // 8/9 unreachable, and hops is the MINIMUM over the diamond 1-2,
+    // 1-3 below.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L)).toDF("s", "d")
+    val got = GraphAlgos.bfsHops(edges, 1L, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+    // diamond: two routes to 4 -> still hop 2 via either middle node
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("s", "d")
+    val d2 = GraphAlgos.bfsHops(diamond, 1L, maxHops = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d2 == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+  }
+
+  test("catalog graph queries run on sf0.001 and agree on shared shapes") {
+    val d = "/root/testdata/sf0.001"
+    val pr = SparkEntry.queries("g_pagerank_trade")(spark, d).collect()
+    assert(pr.nonEmpty)
+    // ranks are a probability vector: ppm sums to ~1e6
+    val total = pr.map(_.getLong(1)).sum
+    assert(math.abs(total - 1000000L) <= pr.length) // each entry rounds within 1
+    val hist = SparkEntry.queries("g_degree_hist")(spark, d).collect()
+    assert(hist.map(_.getLong(1)).sum > 0)
+    val bfs = SparkEntry.queries("g_bfs_hops")(spark, d).collect()
+    assert(bfs.exists(_.getInt(1) == 0) && bfs.forall(_.getInt(1) <= 3))
+  }
+}
