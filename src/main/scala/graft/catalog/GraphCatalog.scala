@@ -1,5 +1,6 @@
 package graft.catalog
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.catalog.Q.t
 import graft.operators.GraphAlgos
@@ -67,6 +68,21 @@ object GraphCatalog {
       FROM r$prIters ORDER BY node"""
   }
 
+  /** Part co-occurrence pairs (u < v), derived row-locally: one groupBy
+    * shuffle of (orderkey, partkey), then per-order sorted part arrays
+    * expand to ordered pairs in place — half the shuffled bytes of the
+    * equivalent fact-table self-join and no join at all. Orders are
+    * small groups (few line items), so the expansion is O(k^2) with
+    * tiny k. Cross-order duplicates remain; both graph operators dedup
+    * internally as part of symmetrization. */
+  private def copartPairs(li: DataFrame): DataFrame =
+    li.groupBy("l_orderkey").agg(sort_array(collect_set("l_partkey")).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"))
+        .as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+
   def all: Seq[Q] = Seq(
 
     // Influence ranking of nations in the trade graph: who supplies the
@@ -75,8 +91,12 @@ object GraphCatalog {
     // frame it produces.
     Q("g_pagerank_trade",
       (s, d) => {
-        val edges = t(s, d, "lineitem")
-          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        val edges = t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+          // all three dimension sides broadcast (orders projected to its
+          // two join keys first): the fact table reaches its partial
+          // aggregation without a single shuffle
+          .join(broadcast(t(s, d, "orders").select("o_orderkey", "o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
           .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
           .filter(col("c_nationkey") =!= col("s_nationkey"))
@@ -95,15 +115,9 @@ object GraphCatalog {
     // vertex — different algorithms, identical triangle set, which is
     // exactly what an oracle should pin.
     Q("g_triangles_copart",
-      (s, d) => {
-        val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
-        val pairs = li
-          .join(li.select(col("l_orderkey"), col("l_partkey").as("r_partkey")), "l_orderkey")
-          .filter(col("l_partkey") < col("r_partkey"))
-          .select(col("l_partkey").as("u"), col("r_partkey").as("v"))
-          .distinct()
-        GraphAlgos.trianglesPerNode(pairs).orderBy("node")
-      },
+      (s, d) => GraphAlgos.trianglesPerNode(
+        copartPairs(t(s, d, "lineitem").select("l_orderkey", "l_partkey")))
+        .orderBy("node"),
       Some("""WITH pr AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
                 FROM lineitem a JOIN lineitem b
                   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
@@ -120,11 +134,8 @@ object GraphCatalog {
     Q("g_bfs_hops",
       (s, d) => {
         val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
-        val pairs = li
-          .join(li.select(col("l_orderkey"), col("l_partkey").as("r_partkey")), "l_orderkey")
-          .filter(col("l_partkey") < col("r_partkey"))
-          .select(col("l_partkey").as("s"), col("r_partkey").as("d"))
-          .distinct()
+        val pairs = copartPairs(li)
+          .select(col("u").as("s"), col("v").as("d"))
         val source = li.agg(min("l_partkey")).head().get(0)
         GraphAlgos.bfsHops(pairs, source, maxHops = 3).orderBy("node")
       },

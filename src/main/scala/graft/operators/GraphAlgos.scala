@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
 
 /** Distributed graph analytics over DataFrame edge lists.
   *
@@ -14,7 +15,17 @@ import org.apache.spark.sql.functions._
   * expressed as joins + aggregations over `(src, dst)` edge frames:
   * each round is a fixed number of key-shuffles, lineage is truncated
   * with `localCheckpoint` (swap for `checkpoint` on a cluster with a
-  * checkpoint dir), and nothing ever collects node rows to the driver.
+  * checkpoint dir), and node rows never reach the driver outside the
+  * explicitly size-gated small-graph paths.
+  *
+  * Size gates, like [[Components]]' union-find gate and the broadcast
+  * gates in EdgeBuilder: an iterative distributed loop costs a fixed
+  * number of Spark jobs per round, which dominates wall-clock when the
+  * graph itself is small. Aggregated ENTITY graphs (nations, companies,
+  * owners) stay small even when the fact data deriving them is 100 TB —
+  * the heavy part is the derivation join, which remains fully
+  * distributed; only the iteration collapses to the driver, and only
+  * under the gate.
   *
   * Companion to [[Components]] (connected components / min-label
   * propagation), which covers the community-extraction side.
@@ -37,18 +48,23 @@ object GraphAlgos {
     * Scale shape: `outNorm` (edges with pre-divided contribution
     * fractions) is computed ONCE — one groupBy(src) + one join, then
     * localCheckpointed; each iteration after that is one join on `src`
-    * + one groupBy(dst) + one broadcast-size aggregate for the dangling
-    * mass. Ranks are a node-keyed frame, never driver-side. Lineage is
-    * cut every iteration (iterative plans otherwise grow exponentially
-    * in the optimizer).
+    * + one groupBy(dst), plus (only when the graph HAS dangling nodes —
+    * resolved once, up front) a 1-row mass aggregate. Ranks are a
+    * node-keyed frame, never driver-side. Lineage is cut every
+    * iteration. Below `localThreshold` edges the iteration runs on the
+    * driver over primitive arrays instead (10 Spark jobs -> 1 collect +
+    * 1 parallelize); the arithmetic is identical.
     *
     * @param edges   directed edges with columns (src, dst, weight);
     *                weight must be > 0 (use lit(1.0) for unweighted)
     * @param iters   fixed iteration count (fixed, not convergence-based,
     *                so results are deterministic and oracle-matchable)
     * @param damping damping factor d, conventionally 0.85
+    * @param localThreshold run the iteration driver-side when the edge
+    *                count is at most this (0 disables the local path)
     */
-  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85,
+      localThreshold: Long = 1L << 20): DataFrame = {
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
@@ -62,6 +78,8 @@ object GraphAlgos {
     val outNorm = edges.join(outW, "src")
       .select(col("src"), col("dst"), (col("weight") / col("out_w")).as("share"))
       .localCheckpoint()
+    if (localThreshold > 0 && outNorm.count() <= localThreshold)
+      return localPageRank(outNorm, nodes, iters, damping)
     // Dangling nodes (no out-edges) are a property of the GRAPH, not the
     // iteration: resolve the set once; when it's empty (common for
     // aggregated entity graphs) every per-iteration mass probe — a
@@ -91,6 +109,36 @@ object GraphAlgos {
     ranks
   }
 
+  /** Driver-side PageRank iteration over a size-gated edge set: the
+    * distributed loop's arithmetic on primitive arrays. Node ids stay
+    * opaque (any type) — they are interned to dense indices and restored
+    * on the way out, so the output schema matches the distributed path
+    * exactly. */
+  private def localPageRank(outNorm: DataFrame, nodes: DataFrame,
+      iters: Int, damping: Double): DataFrame = {
+    val spark = outNorm.sparkSession
+    val nodeIds: Array[Any] = nodes.collect().map(_.get(0))
+    val idx = nodeIds.zipWithIndex.toMap
+    val n = nodeIds.length
+    val es = outNorm.collect().map(r => (idx(r.get(0)), idx(r.get(1)), r.getDouble(2)))
+    val hasOut = new Array[Boolean](n)
+    es.foreach(e => hasOut(e._1) = true)
+    var ranks = Array.fill(n)(1.0 / n)
+    for (_ <- 1 to iters) {
+      var dangling = 0.0
+      var i = 0
+      while (i < n) { if (!hasOut(i)) dangling += ranks(i); i += 1 }
+      val next = Array.fill(n)((1 - damping) / n + damping * dangling / n)
+      es.foreach { case (s, d, share) => next(d) += damping * ranks(s) * share }
+      ranks = next
+    }
+    val rows = nodeIds.indices.map(i => Row(nodeIds(i), ranks(i)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, n / 500000)),
+      StructType(Seq(nodes.schema.fields.head.copy(name = "node"),
+        StructField("rank", DoubleType, nullable = false))))
+  }
+
   /** Per-node triangle count over an undirected edge list.
     *
     * Uses the degree-orientation algorithm: orient every edge from its
@@ -102,21 +150,37 @@ object GraphAlgos {
     * naive self-join explodes on hub nodes.
     *
     * Shape: two shuffles for degrees + orientation, one self-join on
-    * the wedge pivot, one join to close the wedge, one explode +
-    * groupBy for the per-node counts. No driver-side state.
+    * the wedge pivot — and then, crucially, the wedge set (the one
+    * intermediate that is quadratically bigger than the input) is
+    * probed against a BROADCAST of the edge set when the edge set fits
+    * (`broadcastEdgeLimit` rows): the 10-100x-larger wedge stream never
+    * crosses an exchange, it is filtered where it was produced. Above
+    * the gate it falls back to a shuffle join keyed on (b, c).
     *
     * @param edges undirected edges (u, v); self-loops and duplicate /
     *              reversed duplicates are removed here
+    * @param broadcastEdgeLimit broadcast the closing-edge side of the
+    *              wedge probe when the deduped edge count is at most
+    *              this many rows (~16 bytes/row of key data; 2M rows is
+    *              ~32 MB per executor). 0 disables the broadcast gate.
     * @return (node, n_triangles) — one row per node that closes at
     *         least one triangle
     */
-  def trianglesPerNode(edges: DataFrame): DataFrame = {
+  def trianglesPerNode(edges: DataFrame,
+      broadcastEdgeLimit: Long = 2L << 20): DataFrame = {
     val und = edges.filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .distinct()
       .localCheckpoint()
-    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+    val fitsBroadcast = broadcastEdgeLimit > 0 && und.count() <= broadcastEdgeLimit
+    // The degree table has at most one row per NODE — strictly smaller
+    // than the edge set — so whenever the edge gate passes, both
+    // orientation joins and the closing probe run broadcast: the only
+    // exchanges left in the whole operator are und's dedup and the
+    // final per-node count.
+    val deg0 = und.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+    val deg = if (fitsBroadcast) broadcast(deg0) else deg0
     // Orientation: lo = smaller (degree, id), hi = the other endpoint.
     val oriented = und
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
@@ -128,13 +192,17 @@ object GraphAlgos {
           col("v")).otherwise(col("u")).as("hi"))
       .localCheckpoint()
     // Wedges a->(b,c) from the low-degree pivot, ordered so each
-    // unordered pair is generated once; closed iff (b,c) or (c,b) is
-    // an oriented edge — membership via a semi-join-shaped inner join.
+    // unordered pair is generated once; closed iff (b,c) is an edge.
     val e1 = oriented.select(col("lo").as("a"), col("hi").as("b"))
     val e2 = oriented.select(col("lo").as("a"), col("hi").as("c"))
-    val wedges = e1.join(e2, Seq("a")).filter(col("b") < col("c"))
-    val closing = oriented.select(
+    // Under the gate the wedge self-join broadcasts its build side too:
+    // the quadratic wedge stream is then produced AND filtered without
+    // ever crossing an exchange.
+    val wedges = e1.join(if (fitsBroadcast) broadcast(e2) else e2, Seq("a"))
+      .filter(col("b") < col("c"))
+    val closing0 = oriented.select(
       least(col("lo"), col("hi")).as("b"), greatest(col("lo"), col("hi")).as("c"))
+    val closing = if (fitsBroadcast) broadcast(closing0) else closing0
     val tris = wedges.join(closing, Seq("b", "c"))
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
@@ -146,15 +214,20 @@ object GraphAlgos {
     * `shortestPath((a)-[*..k]-(b))` that reference users would have
     * asked Neo4j for.
     *
-    * Frontier-based BFS: each round expands only the nodes discovered
-    * in the previous round (one join + one groupBy + one anti-join),
-    * so total work is O(edges touched), not O(rounds * nodes). The
-    * frontier and the settled set are localCheckpointed per round.
+    * Frontier-based BFS. The frontier is BROADCAST into the expansion
+    * join while it fits (`broadcastFrontierLimit` rows — and a frontier
+    * is at most the node set, usually far smaller in early hops): the
+    * symmetric edge list, checkpointed once, is then probed in place
+    * every round with NO exchange on either side. Only if a frontier
+    * outgrows the gate does that round fall back to a shuffle join.
+    * Each round costs one expansion job and one anti-join against the
+    * settled set; total work is O(edges touched), not O(rounds * nodes).
     *
     * @param edges undirected edges (s, d)
     * @param source source node id (must match the edge id type)
     */
-  def bfsHops(edges: DataFrame, source: Any, maxHops: Int = 6): DataFrame = {
+  def bfsHops(edges: DataFrame, source: Any, maxHops: Int = 6,
+      broadcastFrontierLimit: Long = 4L << 20): DataFrame = {
     val sym = edges.select(col("s"), col("d"))
       .union(edges.select(col("d").as("s"), col("s").as("d")))
       .filter(col("s") =!= col("d"))
@@ -164,14 +237,23 @@ object GraphAlgos {
       lit(source).cast(sym.schema("s").dataType).as("node"), lit(0).as("hops"))
       .localCheckpoint()
     var frontier = settled
+    var frontierSize = 1L
+    var settledSize = 1L
     var hop = 0
-    while (hop < maxHops && !frontier.isEmpty) {
+    while (hop < maxHops && frontierSize > 0) {
       hop += 1
-      val next = frontier.join(sym, frontier("node") === sym("s"))
+      val probe =
+        if (frontierSize <= broadcastFrontierLimit) broadcast(frontier) else frontier
+      val seen = settled.select("node")
+      val dedup =
+        if (settledSize <= broadcastFrontierLimit) broadcast(seen) else seen
+      val next = probe.join(sym, probe("node") === sym("s"))
         .select(sym("d").as("node")).distinct()
-        .join(settled, Seq("node"), "left_anti")
+        .join(dedup, Seq("node"), "left_anti")
         .withColumn("hops", lit(hop))
         .localCheckpoint()
+      frontierSize = next.count()
+      settledSize += frontierSize
       settled = settled.unionByName(next).localCheckpoint()
       frontier = next
     }

@@ -40,11 +40,17 @@ class GraphSpec extends AnyFunSuite {
     assert(r(1L) == r(2L) && r(2L) == r(3L))
   }
 
-  test("pageRank: weights steer the split") {
+  test("pageRank: weights steer the split; local and distributed paths agree") {
     // 1 -> 2 (w=3), 1 -> 3 (w=1): node 2 gets 3/4 of node 1's mass.
     val edges = Seq((1L, 2L, 3.0), (1L, 3L, 1.0)).toDF("src", "dst", "weight")
     val r = GraphAlgos.pageRank(edges, iters = 1)
       .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // localThreshold = 0 forces the iterative distributed loop; same
+    // arithmetic, same schema, values equal to float-noise precision.
+    val dist = GraphAlgos.pageRank(edges, iters = 1, localThreshold = 0)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(dist.keySet == r.keySet)
+    r.foreach { case (k, v) => assert(math.abs(dist(k) - v) < 1e-12) }
     // After one iteration from uniform 1/3: dangling nodes 2,3 hold
     // mass 2/3, redistributed as (2/3)/N = 2/9 to every node.
     val base = 0.15 / 3 + 0.85 * (2.0 / 9)
