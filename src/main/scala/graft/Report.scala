@@ -19,7 +19,9 @@ import graft.query.{ReportQueries => RQ}
   *     [--format table|csv|json] [--out PATH]
   *   runMain graft.Report <stateDir> (--history ID | --deleted |
   *     --recent-changes HOURS | --compare-versions [ID] | --temporal-stats |
-  *     --rel-history TYPE:ID | --ownership-changes [TYPE] | --rel-changes [N])
+  *     --rel-history TYPE:ID | --ownership-changes [TYPE] | --rel-changes [N] |
+  *     --graph-rank [REL_TYPE] | --graph-communities [REL_TYPE] |
+  *     --graph-neighbors TYPE:ID [--hops N])
   *     [--table users|contacts|companies|deals|activities]
   *     [--format ...] [--out PATH]
   *
@@ -76,7 +78,11 @@ object Report {
       read("email_events", CrmSchema.emailEvents),
       read("form_submissions", CrmSchema.formSubmissions))
 
-    import graft.query.{OwnershipQueries => OQ, TemporalQueries => TQ}
+    import graft.query.{GraphQueries => GQ, OwnershipQueries => OQ, TemporalQueries => TQ}
+    def edgesState: DataFrame =
+      if (Pipeline.fileExists(spark, s"$rawDir/edges"))
+        spark.read.parquet(s"$rawDir/edges")
+      else sys.error(s"no edges state under $rawDir — run the pipeline first")
     // F19: the reporting "now" is captured once per invocation, not per row.
     val now = new java.sql.Timestamp(System.currentTimeMillis())
     val asOf = lit(now)
@@ -166,6 +172,17 @@ object Report {
         val names = Seq("users", "contacts", "companies", "deals", "activities")
           .filter(t => Pipeline.fileExists(spark, s"$rawDir/current_$t"))
         TQ.temporalStatistics(names.map(t => t -> (cur(t), hist(t))).toMap)
+      // Graph flags: the questions the reference handed to Neo4j once the
+      // loader had run, over the pipeline's materialized edge set.
+      case Some("--graph-rank") => // PageRank influence, top 50
+        GQ.influenceRanking(edgesState, flagValue("--graph-rank"))
+      case Some("--graph-communities") => // connected components + sizes
+        GQ.communities(edgesState, flagValue("--graph-communities"))
+      case Some("--graph-neighbors") => // k-hop neighborhood of TYPE:ID
+        val Array(entityType, entityId) =
+          flagValue("--graph-neighbors").get.split(":", 2)
+        GQ.neighborhood(edgesState, entityType, entityId,
+          hops = flagValue("--hops").map(_.toInt).getOrElse(2))
       case other => sys.error(s"unknown or missing report flag: $other")
     }
 

@@ -124,6 +124,35 @@ class TemporalCliSpec extends AnyFunSuite {
     assert(rc.length == 1 && rc(0).getAs[String]("change_type") == "removed")
   }
 
+  test("graph flags answer the Cypher-shaped questions over edge state") {
+    // --graph-rank: a probability ranking over the entity graph
+    val rank = runToCsv("--graph-rank")
+    assert(rank.count() > 0)
+    val ranks = rank.collect().map(_.getAs[String]("rank").toDouble)
+    assert(math.abs(ranks.sum - 1.0) < 1e-3) // 6dp-rounded mass sums to ~1
+    assert(ranks.sorted.reverse.toSeq == ranks.toSeq) // highest first
+    // --graph-communities: u1 owns c1, c1 works at co1 -> same community
+    val com = runToCsv("--graph-communities")
+    def communityOf(t: String, id: String): String = com
+      .filter(col("entity_type") === t && col("entity_id") === id)
+      .collect()(0).getAs[String]("community_id")
+    assert(communityOf("HUBSPOT_Contact", "c1") == communityOf("HUBSPOT_Company", "co1"))
+    // --graph-neighbors: c1's 1-hop ring contains its company, not itself
+    // at distance > 0; hop column within the bound
+    val nb = runToCsv("--graph-neighbors", "HUBSPOT_Contact:c1", "--hops", "2")
+    val byId = nb.collect()
+      .map(r => (r.getAs[String]("entity_type"), r.getAs[String]("entity_id"))
+        -> r.getAs[String]("hops").toInt).toMap
+    assert(byId(("HUBSPOT_Contact", "c1")) == 0)
+    assert(byId(("HUBSPOT_Company", "co1")) == 1)
+    assert(byId.values.forall(_ <= 2))
+    // rel-type scoping restricts the graph: a WORKS_AT-only graph has
+    // exactly contact and company nodes
+    val scoped = runToCsv("--graph-communities", "WORKS_AT")
+    val types = scoped.collect().map(_.getAs[String]("entity_type")).toSet
+    assert(types == Set("HUBSPOT_Contact", "HUBSPOT_Company"))
+  }
+
   test("--owner with an ambiguous needle lists candidates and exits 2") {
     // 'example' hits both fixture users via email
     val code = Report.run(spark, Array(dirs._1, "--owner", "example"))
