@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.Curate <documentsParquet> <outDir>
   *     [--min-tokens N] [--max-dup-frac F] [--min-alpha-frac F]
   *     [--win N] [--stride N] [--eval PATH [--min-shared N] [--ngram N]]
-  *     [--mix src:w,src:w,... --token-budget N]
+  *     [--mix src:w,src:w,... --token-budget N] [--redact-pii]
   *
   * `--eval PATH` additionally decontaminates against a held-out eval
   * parquet (drops curated docs sharing >= min-shared distinct word
@@ -49,7 +49,14 @@ object Curate {
     def flagValue(name: String): Option[String] =
       flags.sliding(2).collectFirst { case Seq(`name`, v) if !v.startsWith("--") => v }
 
-    val docs = spark.read.parquet(docsPath)
+    // PII redaction runs FIRST — before any hashing or dedup — so
+    // content hashes, simhashes, and chunks are computed over the
+    // redacted text (two docs differing only in the PII they leak
+    // dedup together), and raw PII never reaches an output file.
+    val docs0 = spark.read.parquet(docsPath)
+    val docs =
+      if (flags.contains("--redact-pii")) graft.operators.Curation.redactPii(docs0)
+      else docs0
     val win = flagValue("--win").map(_.toInt).getOrElse(64)
     val stride = flagValue("--stride").map(_.toInt).getOrElse(48)
     // Validated up front: with non-ANSI SQL a zero/negative stride turns

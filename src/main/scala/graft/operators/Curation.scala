@@ -100,6 +100,38 @@ object Curation {
           / expr("greatest(length(__norm), 1)")) >= minAlphaFrac)
       .drop("__norm", "__toks", "__n")
 
+  /** PII redaction patterns, applied in this order (email first so its
+    * digits-and-dots tail is not half-eaten by the IP rule). Each is a
+    * plain (RE2-compatible) regex -> replacement-token pair, so the
+    * whole pass stays inside codegen'd `regexp_replace` — row-local,
+    * zero shuffles, no UDF. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>",
+    // no '.' in the phone class: dotted digit runs are IPs, and the two
+    // patterns' per-document counts must not overlap
+    "\\+?\\d[\\d()\\- ]{7,}\\d" -> "<PHONE>")
+
+  /** Redact PII spans (emails, IPv4 addresses, phone-shaped digit runs)
+    * from `text`, replacing each with a typed placeholder token, and
+    * count what was hit per document — the curation stage training-data
+    * pipelines run before anything leaves the raw zone. Detection is
+    * deliberately pattern-based and conservative: placeholders keep the
+    * token positions so downstream chunking/token stats stay aligned.
+    *
+    * Adds `n_pii` (total redacted spans) and rewrites `text` in place;
+    * all other columns pass through untouched. */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val redacted = PiiPatterns.foldLeft(col("text")) {
+      case (c, (pat, token)) => regexp_replace(c, pat, token)
+    }
+    val hits = PiiPatterns.map { case (pat, _) => regexp_count(col("text"), lit(pat)) }
+      .reduce(_ + _)
+    docs
+      .withColumn("n_pii", hits)
+      .withColumn("text", redacted)
+  }
+
   /** Exact dedup on normalized content hash, keeping the minimum doc_id
     * per hash (A12 shape: one keyed shuffle, deterministic survivor). */
   def exactDedup(docs: DataFrame): DataFrame =

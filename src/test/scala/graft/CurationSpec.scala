@@ -179,6 +179,24 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("redactPii replaces emails/IPs/phones with typed tokens and counts spans") {
+    val rows = Seq(
+      (1L, "src", "contact me at jane.doe+spam@corp.example.org or +1 (555) 123-4567 today"),
+      (2L, "src", "server at 10.0.42.7 answered; backup at 192.168.1.255 did not"),
+      (3L, "src", "no pii here, just words and the number 7")).toDF("doc_id", "source", "text")
+    val got = Curation.redactPii(rows).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Int]("n_pii"))).toMap
+    assert(got(1L)._1 == "contact me at <EMAIL> or <PHONE> today")
+    assert(got(1L)._2 == 2)
+    assert(got(2L)._1 == "server at <IP> answered; backup at <IP> did not")
+    assert(got(2L)._2 == 2)
+    assert(got(3L) == ("no pii here, just words and the number 7", 0))
+    // column set preserved (+ n_pii), order-independent
+    assert(Curation.redactPii(rows).columns.toSet ==
+      Set("doc_id", "source", "text", "n_pii"))
+  }
+
   test("Curate CLI end-to-end: parquet in -> curated/chunks/stats out") {
     val base = java.nio.file.Files.createTempDirectory("graft-curate").toString
     docs.write.mode("overwrite").parquet(s"$base/docs")
