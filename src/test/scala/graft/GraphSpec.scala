@@ -94,6 +94,51 @@ class GraphSpec extends AnyFunSuite {
     assert(d2 == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
   }
 
+  test("property: triangles and BFS match brute force on random graphs") {
+    // One Spark job per sampled graph is expensive; a handful of random
+    // graphs across densities still kills the classic bugs (orientation
+    // ties, duplicate edges, disconnected pieces) that fixed fixtures
+    // miss.
+    import org.scalacheck.Gen
+    val rnd = new scala.util.Random(42)
+    val graphGen = for {
+      n <- Gen.chooseNum(2, 12)
+      m <- Gen.chooseNum(1, 30)
+      es <- Gen.listOfN(m, Gen.zip(Gen.chooseNum(1, n), Gen.chooseNum(1, n)))
+    } yield es.map { case (a, b) => (a.toLong, b.toLong) }
+    val samples = Gen.listOfN(6, graphGen).sample.get
+    for (es <- samples) {
+      val und = es.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      // brute-force triangles: every 3-subset of nodes with all edges
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val naive = (for {
+        Seq(a, b, c) <- nodes.combinations(3)
+        if und((a, b)) && und((a, c)) && und((b, c))
+      } yield Seq(a, b, c)).toSeq.flatten
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val got = GraphAlgos.trianglesPerNode(es.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == naive, s"triangles diverged on $und")
+      // brute-force BFS from a random present node
+      if (und.nonEmpty) {
+        val adj = und.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val src = nodes(rnd.nextInt(nodes.size))
+        val maxHops = 3
+        var dist = Map(src -> 0)
+        var frontier = Set(src)
+        for (h <- 1 to maxHops) {
+          frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- dist.keySet
+          dist ++= frontier.map(_ -> h)
+        }
+        val gotBfs = GraphAlgos.bfsHops(es.toDF("s", "d"), src, maxHops)
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        assert(gotBfs == dist, s"bfs diverged on $und from $src")
+      }
+    }
+  }
+
   test("catalog graph queries run on sf0.001 and agree on shared shapes") {
     val d = "/root/testdata/sf0.001"
     val pr = SparkEntry.queries("g_pagerank_trade")(spark, d).collect()
