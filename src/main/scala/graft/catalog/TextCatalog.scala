@@ -1076,7 +1076,63 @@ object TextCatalog {
                 UNION ALL SELECT '4_neardup_dedup', count(*) FROM surv
                 UNION ALL SELECT '5_chunks',
                   CAST(sum((n - 1) // 48 + 1) AS BIGINT) FROM surv)
-              ORDER BY stage"""))
+              ORDER BY stage""")),
+
+    Q("x_charlm_score",
+      // Character-bigram LM quality score — the CCNet/Gopher-style
+      // "perplexity filter" proxy: train add-one-smoothed bigram
+      // probabilities on the corpus itself, then score each document by
+      // its mean log-probability per bigram (low = unnatural character
+      // statistics = drop candidate). Two passes over the corpus: the
+      // count pass is a map-side-combinable groupBy on a key space
+      // bounded by alphabet² (the model table is KBs no matter the
+      // corpus size), the scoring pass joins that model back BROADCAST —
+      // so the heavy streams never shuffle beyond one tiny aggregation.
+      // ln() on identical doubles differs by <= ~1 ulp across engines;
+      // the 4dp round has ~1e-11 of headroom over the accumulated error.
+      (s, d) => {
+        graft.functions.CharNGrams.register(s)
+        val docs = spread(t(s, d, "documents"))
+          .withColumn("norm", expr(sparkNorm))
+          .filter(expr("length(norm) >= 2"))
+        val bg = docs.select(col("doc_id"),
+          explode(expr("char_ngrams(norm, 2)")).as("bg"))
+        val counts = bg.groupBy("bg").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint() // model reused by ctx/V/scoring — one derivation
+        val ctx = counts.groupBy(expr("substring(bg, 1, 1)").as("cx"))
+          .agg(sum("cnt").as("ctx_n"))
+        val v = counts.select(expr("substring(bg, 2, 1)").as("sy"))
+          .distinct().count()
+        val model = counts.withColumn("cx", expr("substring(bg, 1, 1)"))
+          .join(ctx, "cx")
+          .select(col("bg"),
+            log((col("cnt") + lit(1)) / (col("ctx_n") + lit(v))).as("logp"))
+        bg.join(broadcast(model), "bg")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg("logp"), 4).as("avg_logp"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base AS MATERIALIZED (
+                SELECT doc_id, $duckNorm AS norm FROM documents
+                WHERE length($duckNorm) >= 2),
+              bg AS MATERIALIZED (
+                SELECT doc_id, substring(norm, CAST(i AS INT), 2) AS bg
+                FROM base, UNNEST(range(1, length(norm))) AS t(i)),
+              counts AS MATERIALIZED (
+                SELECT bg, count(*) AS cnt FROM bg GROUP BY bg),
+              ctx AS (SELECT substring(bg, 1, 1) AS cx, sum(cnt) AS ctx_n
+                      FROM counts GROUP BY 1),
+              vsize AS (SELECT count(DISTINCT substring(bg, 2, 1)) AS v FROM counts),
+              model AS (SELECT counts.bg,
+                  ln((counts.cnt + 1) / (ctx.ctx_n + (SELECT v FROM vsize)))
+                    AS logp
+                FROM counts JOIN ctx ON substring(counts.bg, 1, 1) = ctx.cx)
+              SELECT bg.doc_id, count(*) AS n_bigrams,
+                round(avg(model.logp), 4) AS avg_logp
+              FROM bg JOIN model ON bg.bg = model.bg
+              GROUP BY bg.doc_id ORDER BY bg.doc_id""")
+    )
   )
 
   /** Banded SimHash near-dup candidate pairs (hamming <= 8) — the pair
