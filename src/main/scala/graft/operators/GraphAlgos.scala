@@ -200,8 +200,9 @@ object GraphAlgos {
     // ever crossing an exchange.
     val wedges = e1.join(if (fitsBroadcast) broadcast(e2) else e2, Seq("a"))
       .filter(col("b") < col("c"))
-    val closing0 = oriented.select(
-      least(col("lo"), col("hi")).as("b"), greatest(col("lo"), col("hi")).as("c"))
+    // closing edges are just `und` under wedge-output names: (u, v) is
+    // already the (min, max) normal form the wedge filter emits
+    val closing0 = und.select(col("u").as("b"), col("v").as("c"))
     val closing = if (fitsBroadcast) broadcast(closing0) else closing0
     val tris = wedges.join(closing, Seq("b", "c"))
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
