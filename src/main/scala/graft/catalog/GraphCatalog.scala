@@ -83,6 +83,20 @@ object GraphCatalog {
         .as("p"))
       .select(col("p.u").as("u"), col("p.v").as("v"))
 
+  /** Nation trade graph: customer-nation -> supplier-nation edges
+    * weighted by lineitem count. All three dimension sides broadcast
+    * (orders projected to its two join keys first): the fact table
+    * reaches its partial aggregation without a single shuffle. */
+  private def tradeEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+      .join(broadcast(t(s, d, "orders").select("o_orderkey", "o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("weight"))
+
   def all: Seq[Q] = Seq(
 
     // Influence ranking of nations in the trade graph: who supplies the
@@ -90,24 +104,57 @@ object GraphCatalog {
     // stage; the iteration runs on the localCheckpointed 25-node edge
     // frame it produces.
     Q("g_pagerank_trade",
-      (s, d) => {
-        val edges = t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
-          // all three dimension sides broadcast (orders projected to its
-          // two join keys first): the fact table reaches its partial
-          // aggregation without a single shuffle
-          .join(broadcast(t(s, d, "orders").select("o_orderkey", "o_custkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
-          .filter(col("c_nationkey") =!= col("s_nationkey"))
-          .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-          .agg(count(lit(1)).as("weight"))
-        GraphAlgos.pageRank(edges, iters = prIters, damping = damping.toDouble)
-          .select(col("node"),
-            floor(col("rank") * lit(1000000) + lit(0.5)).cast("long").as("rank_ppm"))
-          .orderBy("node")
-      },
+      (s, d) => GraphAlgos.pageRank(tradeEdges(s, d),
+          iters = prIters, damping = damping.toDouble)
+        .select(col("node"),
+          floor(col("rank") * lit(1000000) + lit(0.5)).cast("long").as("rank_ppm"))
+        .orderBy("node"),
       Some(pagerankOracle)),
+
+    // Link prediction by common neighbors (Cypher's classic
+    // `MATCH (a)--(n)--(b) WHERE NOT (a)--(b)` recommendation): over the
+    // above-average-weight trade adjacency, rank non-adjacent nation
+    // pairs by how many trade partners they share. The avg-weight gate
+    // sparsifies a graph that is otherwise near-complete at any scale
+    // (25 nations) — and is itself data-derived, so both engines
+    // compute the SAME graph.
+    Q("g_link_predict",
+      (s, d) => {
+        val tr = tradeEdges(s, d).localCheckpoint()
+        val thr = tr.agg(avg("weight")).head().getDouble(0)
+        val und = tr.filter(col("weight") > thr)
+          .select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v"))
+          .distinct()
+          .localCheckpoint()
+        val sym = und.select(col("u").as("n"), col("v").as("m"))
+          .unionByName(und.select(col("v").as("n"), col("u").as("m")))
+        val cn = sym.select(col("n"), col("m").as("a"))
+          .join(sym.select(col("n"), col("m").as("b")), Seq("n"))
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+        cn.join(und, cn("a") === und("u") && cn("b") === und("v"), "left_anti")
+          .orderBy(desc("n_common"), col("a"), col("b"))
+          .limit(20)
+      },
+      Some("""WITH tr AS MATERIALIZED (
+                SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS w
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                WHERE c_nationkey <> s_nationkey
+                GROUP BY 1, 2),
+              und AS MATERIALIZED (
+                SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM tr WHERE w > (SELECT avg(w) FROM tr)),
+              sym AS (SELECT u AS n, v AS m FROM und
+                      UNION ALL SELECT v, u FROM und),
+              cn AS (SELECT e1.m AS a, e2.m AS b, count(*)::BIGINT AS n_common
+                     FROM sym e1 JOIN sym e2 ON e1.n = e2.n AND e1.m < e2.m
+                     GROUP BY 1, 2)
+              SELECT a, b, n_common FROM cn
+              WHERE NOT EXISTS (SELECT 1 FROM und WHERE u = cn.a AND v = cn.b)
+              ORDER BY n_common DESC, a, b LIMIT 20""")),
 
     // Per-part triangle counts in the co-occurrence graph. The Spark
     // side runs the degree-orientation algorithm (O(m^1.5) wedges); the

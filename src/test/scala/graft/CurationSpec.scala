@@ -230,6 +230,17 @@ class CurationSpec extends AnyFunSuite {
       Curate.run(spark, Array(s"$base/docs", s"$base/out5", "--mix", "src0:1.0"))
     }.getMessage.contains("--token-budget"))
 
+    // --redact-pii rewrites text BEFORE any hashing: no raw email
+    // reaches the curated output, and the n_pii count column survives
+    val pii = docs.withColumn("text",
+      concat(col("text"), lit(" mail bob@leak.example.com now")))
+    pii.write.mode("overwrite").parquet(s"$base/docs_pii")
+    Curate.run(spark, Array(s"$base/docs_pii", s"$base/out6", "--redact-pii"))
+    val curatedPii = spark.read.parquet(s"$base/out6/curated")
+    assert(curatedPii.filter(col("text").contains("leak.example.com")).count() == 0)
+    assert(curatedPii.filter(col("text").contains("<EMAIL>")).count() == curatedPii.count())
+    assert(curatedPii.filter(col("n_pii") >= 1).count() == curatedPii.count())
+
     // window-geometry flags are validated up front: --stride 0 would
     // otherwise NULL the chunker's sequence() and silently write an
     // empty chunks output
