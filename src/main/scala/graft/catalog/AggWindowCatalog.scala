@@ -344,6 +344,28 @@ object AggWindowCatalog {
              FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
              ORDER BY gid, returnflag, linestatus""")),
 
+    Q("a18_cube",
+      // CUBE completes the GROUPING SETS family (a16 is ROLLUP): all four
+      // lattice levels including the column-2-only marginals ROLLUP
+      // skips. Same Expand-then-aggregate plan: one pass over the fact
+      // table emitting one row per grouping set, partial-aggregated
+      // before the single exchange — NOT one scan per lattice level.
+      (s, d) => t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_extendedprice"), 2).as("revenue"), grouping_id().as("gid"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("revenue"), col("gid"))
+        .orderBy("gid", "returnflag", "linestatus"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             coalesce(l_linestatus, 'ALL') AS linestatus,
+             count(*) AS n, round(sum(l_extendedprice), 2) AS revenue,
+             CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             ORDER BY gid, returnflag, linestatus""")),
+
     Q("w5_sessionize",
       // Sessionization (gaps-and-islands): per-user sessions split at
       // >30 min inactivity — lag for the gap, running sum of session
