@@ -20,8 +20,8 @@ import graft.query.{ReportQueries => RQ}
   *   runMain graft.Report <stateDir> (--history ID | --deleted |
   *     --recent-changes HOURS | --compare-versions [ID] | --temporal-stats |
   *     --rel-history TYPE:ID | --ownership-changes [TYPE] | --rel-changes [N] |
-  *     --graph-rank [REL_TYPE] | --graph-communities [REL_TYPE] |
-  *     --graph-neighbors TYPE:ID [--hops N])
+  *     --graph-rank [REL_TYPE] [--from TYPE:ID] |
+  *     --graph-communities [REL_TYPE] | --graph-neighbors TYPE:ID [--hops N])
   *     [--table users|contacts|companies|deals|activities]
   *     [--format ...] [--out PATH]
   *
@@ -174,8 +174,12 @@ object Report {
         TQ.temporalStatistics(names.map(t => t -> (cur(t), hist(t))).toMap)
       // Graph flags: the questions the reference handed to Neo4j once the
       // loader had run, over the pipeline's materialized edge set.
-      case Some("--graph-rank") => // PageRank influence, top 50
-        GQ.influenceRanking(edgesState, flagValue("--graph-rank"))
+      case Some("--graph-rank") => // PageRank influence, top 50;
+        // --from TYPE:ID personalizes the teleport to that entity
+        val from = flagValue("--from").map { v =>
+          val Array(t, id) = v.split(":", 2); (t, id)
+        }
+        GQ.influenceRanking(edgesState, flagValue("--graph-rank"), from = from)
       case Some("--graph-communities") => // connected components + sizes
         GQ.communities(edgesState, flagValue("--graph-communities"))
       case Some("--graph-neighbors") => // k-hop neighborhood of TYPE:ID

@@ -32,10 +32,15 @@ object GraphCatalog {
   private val damping = "0.85"
   private val prIters = 10
 
-  /** Unrolled fixed-iteration PageRank twin (DuckDB lacks iteration with
+  /** Unrolled fixed-iteration rank twin (DuckDB lacks iteration with
     * aggregation in recursive CTEs; ten generated CTEs are exactly the
-    * operator's fixed-point arithmetic, dangling-mass term included). */
-  private def pagerankOracle: String = {
+    * operator's teleport fixed-point arithmetic, dangling-mass term
+    * included). `teleSql` is the teleport vector as a SQL expression
+    * over `node`: uniform for classic PageRank, a point mass at a
+    * source node for the personalized variant. Every CTE is
+    * MATERIALIZED — the rank CTEs are each referenced twice, and DuckDB
+    * would otherwise inline the chain exponentially. */
+  private def rankOracle(teleSql: String): String = {
     val head = s"""WITH e AS MATERIALIZED (
         SELECT c_nationkey AS src, s_nationkey AS dst, count(*)::DOUBLE AS weight
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -48,20 +53,21 @@ object GraphCatalog {
       outw AS MATERIALIZED (SELECT src, sum(weight) AS out_w FROM e GROUP BY src),
       norm AS MATERIALIZED (SELECT e.src, e.dst, e.weight / outw.out_w AS share
                FROM e JOIN outw ON e.src = outw.src),
-      r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+      tele AS MATERIALIZED (SELECT node, $teleSql AS t FROM nodes),
+      r0 AS MATERIALIZED (SELECT node, t AS rank FROM tele)"""
     val iters = (1 to prIters).map { i =>
       val p = s"r${i - 1}"
       s""",
       d$i AS MATERIALIZED (SELECT coalesce(sum(rank), 0) AS m FROM $p
               WHERE node NOT IN (SELECT src FROM outw)),
-      r$i AS MATERIALIZED (SELECT nodes.node,
-          (1 - $damping) / (SELECT n FROM nn)
-          + $damping * (coalesce(c.in_mass, 0) + (SELECT m FROM d$i) / (SELECT n FROM nn))
+      r$i AS MATERIALIZED (SELECT tele.node,
+          (1 - $damping) * tele.t
+          + $damping * (coalesce(c.in_mass, 0) + (SELECT m FROM d$i) * tele.t)
             AS rank
-        FROM nodes LEFT JOIN (
+        FROM tele LEFT JOIN (
           SELECT norm.dst AS node, sum($p.rank * norm.share) AS in_mass
           FROM $p JOIN norm ON $p.node = norm.src
-          GROUP BY norm.dst) c ON nodes.node = c.node)"""
+          GROUP BY norm.dst) c ON tele.node = c.node)"""
     }.mkString
     head + iters + s"""
       SELECT node, CAST(floor(rank * 1000000 + 0.5) AS BIGINT) AS rank_ppm
@@ -109,7 +115,24 @@ object GraphCatalog {
         .select(col("node"),
           floor(col("rank") * lit(1000000) + lit(0.5)).cast("long").as("rank_ppm"))
         .orderBy("node"),
-      Some(pagerankOracle)),
+      Some(rankOracle("1.0 / (SELECT n FROM nn)"))),
+
+    // Personalized PageRank: influence relative to ONE nation (the
+    // random surfer restarts there; Cypher users ask this as "who
+    // matters around entity X"). Source = the minimum nation key, data
+    // derived so both engines pick the same node.
+    Q("g_ppr_trade",
+      (s, d) => {
+        val edges = tradeEdges(s, d).localCheckpoint()
+        val source = edges.agg(least(min("src"), min("dst"))).head().get(0)
+        GraphAlgos.personalizedPageRank(edges, source,
+            iters = prIters, damping = damping.toDouble)
+          .select(col("node"),
+            floor(col("rank") * lit(1000000) + lit(0.5)).cast("long").as("rank_ppm"))
+          .orderBy("node")
+      },
+      Some(rankOracle(
+        "CASE WHEN node = (SELECT min(node) FROM nodes) THEN 1.0 ELSE 0.0 END"))),
 
     // Link prediction by common neighbors (Cypher's classic
     // `MATCH (a)--(n)--(b) WHERE NOT (a)--(b)` recommendation): over the

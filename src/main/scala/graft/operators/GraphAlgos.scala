@@ -64,14 +64,46 @@ object GraphAlgos {
     *                count is at most this (0 disables the local path)
     */
   def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85,
-      localThreshold: Long = 1L << 20): DataFrame = {
-    val nodes = edges.select(col("src").as("node"))
+      localThreshold: Long = 1L << 20): DataFrame =
+    rankWithTeleport(edges, None, iters, damping, localThreshold)
+
+  /** Personalized PageRank: the teleport distribution concentrates on
+    * ONE source node instead of being uniform — ranks then measure
+    * influence RELATIVE to that node (the random surfer restarts at the
+    * source; Cypher users ask this as "who matters around entity X").
+    * Dangling mass also returns to the source, the standard PPR
+    * correction, so ranks always sum to 1. Same iteration and size-gate
+    * machinery as [[pageRank]]. */
+  def personalizedPageRank(edges: DataFrame, source: Any, iters: Int = 10,
+      damping: Double = 0.85, localThreshold: Long = 1L << 20): DataFrame =
+    rankWithTeleport(edges, Some(source), iters, damping, localThreshold)
+
+  /** Shared rank core over a teleport vector t (uniform 1/N, or a point
+    * mass at a source node):
+    *
+    *   rank' = (1-d) * t + d * (in_contributions + dangling_mass * t)
+    *
+    * with rank0 = t. Uniform t reduces this to the classic formula. */
+  private def rankWithTeleport(edges: DataFrame, source: Option[Any],
+      iters: Int, damping: Double, localThreshold: Long): DataFrame = {
+    val nodes0 = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint()
-    val nNodes = nodes.count()
+    val nNodes = nodes0.count()
     require(nNodes > 0, "pageRank: empty graph")
     val n = nNodes.toDouble
+    val teleCol = source match {
+      case None => lit(1.0 / n)
+      case Some(s) =>
+        val srcLit = lit(s).cast(nodes0.schema.head.dataType)
+        // an absent source would make the teleport vector all-zero and
+        // every rank silently 0 — fail loudly instead
+        require(!nodes0.filter(col("node") === srcLit).isEmpty,
+          s"personalizedPageRank: source $s has no edges in the graph")
+        when(col("node") === srcLit, lit(1.0)).otherwise(lit(0.0))
+    }
+    val nodes = nodes0.withColumn("tele", teleCol).localCheckpoint()
     // Pre-divide each edge's share of its source's out-mass: the
     // per-iteration join then multiplies by the current rank only.
     val outW = edges.groupBy("src").agg(sum("weight").as("out_w"))
@@ -88,47 +120,53 @@ object GraphAlgos {
       .join(outW.select(col("src").as("node")), Seq("node"), "left_anti")
       .localCheckpoint()
     val hasDangling = !danglingNodes.isEmpty
-    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+    var ranks = nodes.select(col("node"), col("tele").as("rank")).localCheckpoint()
     for (_ <- 1 to iters) {
       // Dangling mass: total rank held by nodes with no out-edges.
       // head() on a 1-row aggregate, not a row collect.
       val dangling =
         if (!hasDangling) 0.0
-        else ranks.join(danglingNodes, Seq("node"))
+        else ranks.join(danglingNodes.select("node"), Seq("node"))
           .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
       val contrib = ranks.join(outNorm, ranks("node") === outNorm("src"))
         .groupBy(outNorm("dst").as("node"))
         .agg(sum(col("rank") * col("share")).as("in_mass"))
       ranks = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (lit((1 - damping) / n) +
-            lit(damping) * (coalesce(col("in_mass"), lit(0.0)) + lit(dangling / n)))
+          (lit(1 - damping) * col("tele") +
+            lit(damping) * (coalesce(col("in_mass"), lit(0.0)) +
+              lit(dangling) * col("tele")))
             .as("rank"))
         .localCheckpoint()
     }
     ranks
   }
 
-  /** Driver-side PageRank iteration over a size-gated edge set: the
-    * distributed loop's arithmetic on primitive arrays. Node ids stay
-    * opaque (any type) — they are interned to dense indices and restored
-    * on the way out, so the output schema matches the distributed path
-    * exactly. */
+  /** Driver-side rank iteration over a size-gated edge set: the
+    * distributed loop's teleport arithmetic on primitive arrays. Node
+    * ids stay opaque (any type) — they are interned to dense indices
+    * and restored on the way out, so the output schema matches the
+    * distributed path exactly.
+    *
+    * @param nodes (node, tele) — the teleport vector resolved per node */
   private def localPageRank(outNorm: DataFrame, nodes: DataFrame,
       iters: Int, damping: Double): DataFrame = {
     val spark = outNorm.sparkSession
-    val nodeIds: Array[Any] = nodes.collect().map(_.get(0))
+    val nodeRows = nodes.collect()
+    val nodeIds: Array[Any] = nodeRows.map(_.get(0))
+    val tele: Array[Double] = nodeRows.map(_.getDouble(1))
     val idx = nodeIds.zipWithIndex.toMap
     val n = nodeIds.length
     val es = outNorm.collect().map(r => (idx(r.get(0)), idx(r.get(1)), r.getDouble(2)))
     val hasOut = new Array[Boolean](n)
     es.foreach(e => hasOut(e._1) = true)
-    var ranks = Array.fill(n)(1.0 / n)
+    var ranks = tele.clone()
     for (_ <- 1 to iters) {
       var dangling = 0.0
       var i = 0
       while (i < n) { if (!hasOut(i)) dangling += ranks(i); i += 1 }
-      val next = Array.fill(n)((1 - damping) / n + damping * dangling / n)
+      val next = Array.tabulate(n)(i =>
+        (1 - damping) * tele(i) + damping * dangling * tele(i))
       es.foreach { case (s, d, share) => next(d) += damping * ranks(s) * share }
       ranks = next
     }

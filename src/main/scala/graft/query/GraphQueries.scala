@@ -31,14 +31,20 @@ object GraphQueries {
   /** PageRank influence over the (optionally rel-type-scoped) entity
     * graph, highest first. Parallel edges between the same endpoints
     * collapse into an edge weight, so a contact with three deals at a
-    * company pulls three times the mass along that relationship. */
+    * company pulls three times the mass along that relationship.
+    * With `from`, ranks are personalized to that entity — influence
+    * relative to it, not global. */
   def influenceRanking(edges: DataFrame, relType: Option[String] = None,
-      topK: Int = 50): DataFrame = {
+      topK: Int = 50, from: Option[(String, String)] = None): DataFrame = {
     val e = scoped(edges, relType)
       .groupBy(nodeKey(col("src_type"), col("src_id")).as("src"),
         nodeKey(col("dst_type"), col("dst_id")).as("dst"))
       .agg(count(lit(1)).cast("double").as("weight"))
-    GraphAlgos.pageRank(e)
+    val ranked = from match {
+      case Some((t, id)) => GraphAlgos.personalizedPageRank(e, s"$t|$id")
+      case None => GraphAlgos.pageRank(e)
+    }
+    ranked
       .select(splitNode :+ round(col("rank"), 6).as("rank"): _*)
       .orderBy(desc("rank"), col("entity_type"), col("entity_id"))
       .limit(topK)

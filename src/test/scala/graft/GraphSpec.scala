@@ -59,6 +59,33 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(r(1L) - base) < 1e-12)
   }
 
+  test("personalizedPageRank: mass concentrates around the source") {
+    // path 1 -> 2 -> 3 -> 4 with restart at 1: rank decays along the
+    // path geometrically; closed form r(k+1) = d * r(k) for k >= 1 with
+    // all dangling/teleport mass returning to node 1.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst").withColumn("weight", lit(1.0))
+    val r = GraphAlgos.personalizedPageRank(edges, 1L, iters = 80)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9) // teleport conserves mass
+    assert(r(1L) > r(2L) && r(2L) > r(3L) && r(3L) > r(4L))
+    // every hop multiplies by exactly d (single out-edge, no other inflow)
+    assert(math.abs(r(3L) / r(2L) - 0.85) < 1e-6)
+    assert(math.abs(r(4L) / r(3L) - 0.85) < 1e-6)
+    // a node the source cannot reach gets rank 0 under personalization
+    val twoIslands = Seq((1L, 2L), (8L, 9L)).toDF("src", "dst")
+      .withColumn("weight", lit(1.0))
+    val ri = GraphAlgos.personalizedPageRank(twoIslands, 1L, iters = 30)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(ri(8L) == 0.0 && ri(9L) == 0.0)
+    assert(math.abs(ri.values.sum - 1.0) < 1e-12)
+    // local and distributed paths agree for the personalized variant too
+    val dist = GraphAlgos.personalizedPageRank(twoIslands, 1L, iters = 30,
+      localThreshold = 0)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    ri.foreach { case (k, v) => assert(math.abs(dist(k) - v) < 1e-12) }
+  }
+
   test("trianglesPerNode: counts K4 and ignores dangling paths") {
     // K4 has 4 triangles; every node is in exactly 3. Node 5 hangs off
     // node 1 and closes nothing. Reversed duplicate edges must not

@@ -131,6 +131,14 @@ class TemporalCliSpec extends AnyFunSuite {
     val ranks = rank.collect().map(_.getAs[String]("rank").toDouble)
     assert(math.abs(ranks.sum - 1.0) < 1e-3) // 6dp-rounded mass sums to ~1
     assert(ranks.sorted.reverse.toSeq == ranks.toSeq) // highest first
+    // --graph-rank --from: personalized to c1 — mass still sums to ~1
+    // and the unreachable-from-c1 part of the graph ranks 0
+    val ppr = runToCsv("--graph-rank", "--from", "HUBSPOT_Contact:c1")
+    val pprRanks = ppr.collect().map(r =>
+      (r.getAs[String]("entity_type"), r.getAs[String]("entity_id"))
+        -> r.getAs[String]("rank").toDouble).toMap
+    assert(math.abs(pprRanks.values.sum - 1.0) < 1e-3)
+    assert(pprRanks(("HUBSPOT_Contact", "c1")) > 0.0)
     // --graph-communities: u1 owns c1, c1 works at co1 -> same community
     val com = runToCsv("--graph-communities")
     def communityOf(t: String, id: String): String = com
