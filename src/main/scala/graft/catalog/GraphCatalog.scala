@@ -222,6 +222,46 @@ object GraphCatalog {
               SELECT node, min(hops) AS hops FROM walk
               GROUP BY node ORDER BY node""")),
 
+    // Weighted shortest paths (Cypher's weighted shortestPath): cheapest
+    // trade route from the minimum nation, edge cost = 1/volume (heavy
+    // trade = short hop), paths bounded at 4 edges. Micro-distance
+    // output: every candidate path's cost accumulates left-to-right as
+    // the identical double sequence on both engines, so min() picks
+    // bit-identical values and the floor is exact-safe.
+    Q("g_shortest_trade",
+      (s, d) => {
+        val edges = tradeEdges(s, d)
+          .select(col("src").as("s"), col("dst").as("d"),
+            (lit(1.0) / col("weight")).as("w"))
+          .localCheckpoint()
+        val source = edges.agg(min("s")).head().get(0)
+        GraphAlgos.shortestPaths(edges, source, maxHops = 4)
+          .select(col("node"),
+            floor(col("dist") * lit(1000000) + lit(0.5)).cast("long").as("dist_ppm"))
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE tr AS MATERIALIZED (
+                SELECT c_nationkey AS src, s_nationkey AS dst,
+                  1.0::DOUBLE / count(*) AS w
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                WHERE c_nationkey <> s_nationkey
+                GROUP BY c_nationkey, s_nationkey),
+              walk(node, dist, hops) AS (
+                -- the seed literal decides walk.dist's type for the whole
+                -- recursion: an un-cast 0.0 is DECIMAL(2,1) in DuckDB and
+                -- silently rounds every accumulated 1/volume step to one
+                -- decimal place
+                SELECT (SELECT min(src) FROM tr), 0.0::DOUBLE, 0
+                UNION ALL
+                SELECT tr.dst, wk.dist + tr.w, wk.hops + 1
+                FROM walk wk JOIN tr ON tr.src = wk.node
+                WHERE wk.hops < 4)
+              SELECT node,
+                CAST(floor(min(dist) * 1000000 + 0.5) AS BIGINT) AS dist_ppm
+              FROM walk GROUP BY node ORDER BY node""")),
+
     // Degree-distribution histogram of the customer -> supplier
     // relationship graph: how many distinct suppliers each customer's
     // orders touch, bucketed. Two shuffles (dedup, then count-of-counts).

@@ -247,6 +247,48 @@ object GraphAlgos {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Minimum WEIGHTED distance from a source node over a directed edge
+    * list `(s, d, w)` with positive weights, bounded at `maxHops` edges
+    * per path (unreached nodes absent) — Cypher's weighted
+    * `shortestPath`. Bounded Bellman-Ford with frontier-only
+    * relaxation: each round relaxes only the nodes whose distance
+    * IMPROVED last round (any path that improves at round k has a
+    * prefix that improved at round k-1, so nothing is missed), giving
+    * dist = the cheapest path using at most `maxHops` edges. Each round
+    * is one expansion join (frontier broadcast while it fits), one
+    * per-node min, one improvement check against the settled distances,
+    * and one min-merge — all node-keyed frames, lineage cut per round.
+    * Symmetrize the edge list first for undirected semantics. */
+  def shortestPaths(edges: DataFrame, source: Any, maxHops: Int = 6,
+      broadcastFrontierLimit: Long = 4L << 20): DataFrame = {
+    val e = edges.select(col("s"), col("d"), col("w")).localCheckpoint()
+    var dist = e.sparkSession.range(1).select(
+      lit(source).cast(e.schema("s").dataType).as("node"), lit(0.0).as("dist"))
+      .localCheckpoint()
+    var frontier = dist
+    var frontierSize = 1L
+    var hop = 0
+    while (hop < maxHops && frontierSize > 0) {
+      hop += 1
+      val probe =
+        if (frontierSize <= broadcastFrontierLimit) broadcast(frontier) else frontier
+      val cand = probe.join(e, probe("node") === e("s"))
+        .groupBy(e("d").as("node"))
+        .agg(min(probe("dist") + e("w")).as("cand"))
+      val improved = cand
+        .join(dist.select(col("node"), col("dist").as("cur")), Seq("node"), "left")
+        .filter(col("cur").isNull || col("cand") < col("cur"))
+        .select(col("node"), col("cand").as("dist"))
+        .localCheckpoint()
+      frontierSize = improved.count()
+      dist = dist.unionByName(improved)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+      frontier = improved
+    }
+    dist
+  }
+
   /** Minimum hop distance from a source node over an undirected edge
     * list, bounded at `maxHops` (unreached nodes are absent from the
     * result) — the DataFrame form of Cypher's

@@ -105,6 +105,30 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
 
+  test("shortestPaths: weighted relaxation beats the greedy hop, hop bound binds") {
+    // 1 -> 2 costs 10 direct, but 1 -> 3 -> 2 costs 1 + 2 = 3; with a
+    // hop bound of 1 only the direct edge is allowed.
+    val edges = Seq((1L, 2L, 10.0), (1L, 3L, 1.0), (3L, 2L, 2.0), (2L, 4L, 1.0))
+      .toDF("s", "d", "w")
+    val got = GraphAlgos.shortestPaths(edges, 1L, maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 0.0, 2L -> 3.0, 3L -> 1.0, 4L -> 4.0))
+    val oneHop = GraphAlgos.shortestPaths(edges, 1L, maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(oneHop == Map(1L -> 0.0, 2L -> 10.0, 3L -> 1.0))
+    // unit weights reduce to BFS hop counts (same graphs as the BFS
+    // property would use)
+    val unit = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+      .withColumn("w", lit(1.0))
+    val sym = unit.unionByName(
+      unit.select(col("d").as("s"), col("s").as("d"), col("w")))
+    val wd = GraphAlgos.shortestPaths(sym, 1L, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bf = GraphAlgos.bfsHops(unit, 1L, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toDouble).toMap
+    assert(wd == bf)
+  }
+
   test("bfsHops: path graph distances, hop bound, unreachable absent") {
     // 1-2-3-4-5 plus isolated component 8-9; from 1 with maxHops=3 the
     // result is exactly {1:0, 2:1, 3:2, 4:3} — 5 is beyond the bound,
