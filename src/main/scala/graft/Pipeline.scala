@@ -71,14 +71,17 @@ object Pipeline {
   /** The `current_<name>` table for a state dir: the catalog entry when
     * available (bucketed — the zero-shuffle merge path), else the plain
     * parquet path (fresh session without a persistent metastore: correct,
-    * the merge just shuffles). */
+    * the merge just shuffles). Read-only: a crashed swap is resolved
+    * non-destructively (the marker-certified `.next` is read in place) —
+    * readers must never join the swap protocol, or a report racing a
+    * load could interleave destructively with the writer's rename. The
+    * next WRITER ([[run]]) rolls the rename forward. */
   def currentTable(spark: SparkSession, stateDir: String, name: String): Option[DataFrame] = {
-    graft.temporal.AtomicSwap.recover(spark, s"$stateDir/current_$name")
     val tbl = s"${stateTableNs(stateDir)}_current_$name"
     if (spark.catalog.tableExists(tbl)) Some(spark.table(tbl))
-    else if (fileExists(spark, s"$stateDir/current_$name"))
-      Some(spark.read.parquet(s"$stateDir/current_$name"))
-    else None
+    else graft.temporal.AtomicSwap
+      .readablePath(spark, s"$stateDir/current_$name")
+      .map(spark.read.parquet(_))
   }
 
   /** The `history_<name>` table for a state dir, same resolution order as
@@ -175,6 +178,11 @@ object Pipeline {
       bucketed(incoming).mode("overwrite")
         .option("path", s"$stateDir/stage_$name").saveAsTable(s"${ns}_stage_$name")
       val staged = spark.table(s"${ns}_stage_$name")
+      // Writer-side recover BEFORE resolving the current table: if a
+      // prior load crashed mid-swap, currentTable would otherwise read
+      // `.next` in place — and the merge below overwrites `.next` while
+      // the plan lazily reads it. Only the writer mutates swap state.
+      graft.temporal.AtomicSwap.recover(spark, curPath)
       // First-load is decided by an explicit existence check, NOT by
       // catching the read failure: a transient FS error or corrupt footer
       // must fail loudly here, because treating it as "first load" would
@@ -207,18 +215,41 @@ object Pipeline {
     // and the immutable carry-over both read the PREVIOUS edge set, so
     // they run before the swap; the new set materializes at `.next` first.
     val edgesPath = s"$stateDir/edges"
-    graft.temporal.AtomicSwap.recover(spark, edgesPath)
+    // The CDC batch rides the edge swap as a sidecar: changes are staged
+    // at relchanges.stage and moved into the log only when the swap
+    // commits. A crash after the diff but before the swap leaves the old
+    // edge set current and the stage uncommitted — the rerun re-diffs the
+    // SAME prev/incoming pair and restages, so the batch lands exactly
+    // once (the old append-then-swap order double-appended on that rerun).
+    val relchangesStage = s"$stateDir/relchanges.stage"
+    val sidecar = Seq(graft.temporal.AtomicSwap.Sidecar(
+      relchangesStage, s"$stateDir/relchanges"))
+    // Writer-side recover FIRST — before staging this load's batch — so a
+    // prior crashed swap's staged sidecar commits before we overwrite it.
+    graft.temporal.AtomicSwap.recover(spark, edgesPath, sidecar)
+    // Any stage surviving recover is unmarkered garbage from a load that
+    // crashed before its swap — drop it, or (when THIS load's diff turns
+    // out empty and stages nothing) it would ride this load's swap.
+    locally {
+      val p = new org.apache.hadoop.fs.Path(relchangesStage)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) require(fs.delete(p, true), s"delete $p failed")
+    }
     val immutable =
       col("rel_type").isin(graft.model.CrmSchema.ImmutableEdgeTypes.toSeq: _*)
     val newEdges =
       if (!fileExists(spark, edgesPath)) validEdges
       else {
         val prev = spark.read.parquet(edgesPath)
-        // T4: append added/removed trackable-edge changes to the CDC log.
-        // diffEdges excludes immutable types itself; a reload of the same
-        // snapshot appends zero rows (idempotence invariant).
-        ScdLoader.edgeChanges(prev, validEdges, loadTs)
-          .write.mode("append").parquet(s"$stateDir/relchanges")
+        // T4: stage added/removed trackable-edge changes for the sidecar
+        // commit. diffEdges excludes immutable types itself; a reload of
+        // the same snapshot stages nothing (idempotence invariant — an
+        // empty stage must not flip relChanges from None to Some(empty)).
+        val changes = ScdLoader.edgeChanges(prev, validEdges, loadTs).persist()
+        try {
+          if (changes.count() > 0)
+            changes.write.mode("overwrite").parquet(relchangesStage)
+        } finally { changes.unpersist(); () }
         // T5 MERGE semantics for immutable event edges: incoming rows win
         // on their (rel_type, endpoints) key; previous events absent from
         // this extract (lookback windows!) survive. Null-safe keys, as in
@@ -229,7 +260,7 @@ object Pipeline {
         validEdges.unionByName(keptPrev)
       }
     newEdges.write.mode("overwrite").parquet(s"$edgesPath.next")
-    graft.temporal.AtomicSwap.swapIn(spark, edgesPath)
+    graft.temporal.AtomicSwap.swapIn(spark, edgesPath, sidecar)
 
     // Verification counts (S17): one job per table family
     val counts = tables.map { case (n, df) => s"$n=${df.count()}" }.mkString(" ")

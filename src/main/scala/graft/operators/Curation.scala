@@ -122,11 +122,15 @@ object Curation {
     * Adds `n_pii` (total redacted spans) and rewrites `text` in place;
     * all other columns pass through untouched. */
   def redactPii(docs: DataFrame): DataFrame = {
-    val redacted = PiiPatterns.foldLeft(col("text")) {
-      case (c, (pat, token)) => regexp_replace(c, pat, token)
+    // Counts fold ALONGSIDE the replacements: each pattern is counted on
+    // the text the previous patterns already redacted, so n_pii equals
+    // the number of replacements actually made — a span matching two
+    // patterns (a phone-shaped digit run inside an email local part)
+    // counts once, with the pattern that consumed it.
+    val (redacted, hits) = PiiPatterns.foldLeft((col("text"), lit(0))) {
+      case ((c, n), (pat, token)) =>
+        (regexp_replace(c, pat, token), n + regexp_count(c, lit(pat)))
     }
-    val hits = PiiPatterns.map { case (pat, _) => regexp_count(col("text"), lit(pat)) }
-      .reduce(_ + _)
     docs
       .withColumn("n_pii", hits)
       .withColumn("text", redacted)

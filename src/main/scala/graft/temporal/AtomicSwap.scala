@@ -1,6 +1,6 @@
 package graft.temporal
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Crash-safe swap of a fully-written `<path>.next` directory into
@@ -13,58 +13,116 @@ import org.apache.spark.sql.SparkSession
   * every intermediate state recoverable with one marker file:
   *
   *   1. caller fully materializes the new state at `<path>.next`
+  *      (and any [[Sidecar]] batches at their stage paths)
   *   2. create `<path>.swap`   — "the .next directory is now the truth"
   *   3. delete `<path>`
   *   4. rename `<path>.next` -> `<path>`
-  *   5. delete `<path>.swap`
+  *   5. commit each sidecar: move its staged parquet files into the
+  *      destination log, delete the stage directory
+  *   6. delete `<path>.swap`
   *
-  * A crash before (2) leaves the old state current and a partial `.next`
-  * a later run overwrites. A crash anywhere in (2)-(4) is rolled FORWARD
-  * by [[recover]] — the marker certifies `.next` was complete — and a
-  * crash after (4) just leaves a stale marker to clean up. [[recover]]
-  * is idempotent and cheap (one `exists` probe in the steady state), so
-  * readers run it before resolving the path.
+  * A crash before (2) leaves the old state current and partial `.next` /
+  * stage directories a later run overwrites. A crash anywhere in (2)-(5)
+  * is rolled FORWARD by [[recover]] — the marker certifies `.next` and
+  * every staged sidecar were complete — and a crash after (5) just
+  * leaves a stale marker to clean up. Every rename/delete checks its
+  * boolean result: Hadoop `FileSystem` reports most failures by
+  * returning false, and ignoring that would delete the marker with no
+  * `<path>` in place — exactly the loss this file exists to prevent.
   *
-  * Single-writer protocol, like the reference loader: concurrent loads
-  * against one state dir were never supported. Directory rename is
-  * atomic on HDFS and on posix local filesystems; on object stores an
-  * atomic-rename layer (or a real table format) must sit underneath —
-  * documented deviation, same class as the parquet-for-Neo4j stand-in.
+  * Writer/reader split: [[recover]] and [[swapIn]] MUTATE the state
+  * directory and are writer-only (single-writer protocol, like the
+  * reference loader). Readers resolve via [[readablePath]], which never
+  * touches disk state — a reader racing a crashed writer simply reads
+  * the marker-certified `.next` in place; the next WRITER rolls the
+  * rename forward. Directory rename is atomic on HDFS and on posix
+  * local filesystems; on object stores an atomic-rename layer (or a
+  * real table format) must sit underneath — documented deviation, same
+  * class as the parquet-for-Neo4j stand-in.
   */
 object AtomicSwap {
+
+  /** An append-log batch staged at `stage`, whose parquet files must
+    * land in `dest` exactly when the enclosing swap commits — the swap
+    * and the append succeed or fail together (T4 relchanges: a CDC
+    * batch must never be appended twice for one edge-set transition). */
+  final case class Sidecar(stage: String, dest: String)
 
   private def fsOf(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private def checkedDelete(fs: FileSystem, p: Path, recursive: Boolean): Unit =
+    if (fs.exists(p)) require(fs.delete(p, recursive), s"AtomicSwap: delete $p failed")
+
+  private def checkedRename(fs: FileSystem, src: Path, dst: Path): Unit =
+    require(fs.rename(src, dst), s"AtomicSwap: rename $src -> $dst failed")
+
+  /** Move a staged sidecar batch's parquet files into the destination
+    * log. Idempotent: files already moved are gone from the stage, so a
+    * re-run moves only the remainder (part-file names carry the write
+    * job's UUID, so they cannot collide with earlier batches). */
+  private def commitSidecar(fs: FileSystem, sc: Sidecar): Unit = {
+    val stage = new Path(sc.stage)
+    if (fs.exists(stage)) {
+      val files = fs.listStatus(stage).filter(_.getPath.getName.endsWith(".parquet"))
+      if (files.nonEmpty) {
+        val dest = new Path(sc.dest)
+        if (!fs.exists(dest))
+          require(fs.mkdirs(dest), s"AtomicSwap: mkdirs $dest failed")
+        files.foreach(f => checkedRename(fs, f.getPath, new Path(dest, f.getPath.getName)))
+      }
+      checkedDelete(fs, stage, recursive = true)
+    }
+  }
+
+  /** Reader-side, non-destructive resolution of the current state: the
+    * table directory when present, else the marker-certified `.next`
+    * from a swap a writer crashed out of, else `None`. Never mutates —
+    * a reader racing a live writer must not join the swap protocol
+    * (both deleting/renaming interleaves destructively). */
+  def readablePath(spark: SparkSession, path: String): Option[String] = {
+    val fs = fsOf(spark, path)
+    if (fs.exists(new Path(path))) Some(path)
+    else if (fs.exists(new Path(s"$path.swap")) && fs.exists(new Path(s"$path.next")))
+      Some(s"$path.next")
+    else None
+  }
+
   /** Roll forward an interrupted swap, if the marker says one was cut
-    * short. No-op (one `exists`) when the last swap completed. */
-  def recover(spark: SparkSession, path: String): Unit = {
+    * short. No-op (one `exists`) when the last swap completed.
+    * WRITER-ONLY: pass the same sidecars the interrupted swap carried,
+    * so a crash between the rename and the sidecar commit still lands
+    * the staged batch exactly once. */
+  def recover(spark: SparkSession, path: String,
+      sidecars: Seq[Sidecar] = Nil): Unit = {
     val fs = fsOf(spark, path)
     val marker = new Path(s"$path.swap")
     if (fs.exists(marker)) {
       val next = new Path(s"$path.next")
       val cur = new Path(path)
       if (fs.exists(next)) {           // crashed in steps 2-4: finish them
-        if (fs.exists(cur)) fs.delete(cur, true)
-        fs.rename(next, cur)
-      }                                // else: crashed after 4 — done already
-      fs.delete(marker, false)
-      ()
+        checkedDelete(fs, cur, recursive = true)
+        checkedRename(fs, next, cur)
+      }                                // else: rename already happened
+      sidecars.foreach(commitSidecar(fs, _)) // step 5, idempotent
+      checkedDelete(fs, marker, recursive = false)
     }
   }
 
-  /** Swap the fully-written `<path>.next` into `<path>`. */
-  def swapIn(spark: SparkSession, path: String): Unit = {
+  /** Swap the fully-written `<path>.next` into `<path>`, committing any
+    * staged sidecar batches atomically with it. */
+  def swapIn(spark: SparkSession, path: String,
+      sidecars: Seq[Sidecar] = Nil): Unit = {
     val fs = fsOf(spark, path)
-    recover(spark, path) // a prior interrupted swap must finish first
+    recover(spark, path, sidecars) // a prior interrupted swap must finish first
     val next = new Path(s"$path.next")
     require(fs.exists(next), s"swapIn: $path.next does not exist")
     val marker = new Path(s"$path.swap")
     fs.create(marker, true).close()
     val cur = new Path(path)
-    if (fs.exists(cur)) fs.delete(cur, true)
-    fs.rename(next, cur)
-    fs.delete(marker, false)
-    ()
+    checkedDelete(fs, cur, recursive = true)
+    checkedRename(fs, next, cur)
+    sidecars.foreach(commitSidecar(fs, _))
+    checkedDelete(fs, marker, recursive = false)
   }
 }

@@ -102,10 +102,12 @@ object ScdLoader {
   /** Relationship CDC: diff trackable edges and produce
     * HUBSPOT_RelationshipChange rows (T4; temporal_loader.py:401-462).
     *
-    * The reference stores the edge's properties on the change row
-    * (`relationship_properties: change.properties`): a removed edge
-    * carries the props it had in the PREVIOUS set, an added edge the
-    * incoming ones. Inputs without a `props` column (tests, minimal
+    * ENRICHES what the reference actually persists: its change dicts
+    * carry only from_id/type/to_id (temporal_loader.py:401-462), so the
+    * Cypher CREATE's `relationship_properties: change.properties` (and
+    * from_type/to_type) resolve to null on every change row. Here a
+    * removed edge carries the props it had in the PREVIOUS set, an added
+    * edge the incoming ones — a strict improvement, not reference parity. Inputs without a `props` column (tests, minimal
     * edge feeds) get a null map. The attach is one groupBy + one left
     * join on the 5-part key — the diff already shuffled on that key, so
     * the exchange is reused where bucketing allows. */

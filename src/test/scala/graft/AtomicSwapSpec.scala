@@ -77,13 +77,68 @@ class AtomicSwapSpec extends AnyFunSuite {
     assert(version(t) == 2)
   }
 
-  test("Pipeline.currentTable recovers a mid-swap state directory") {
+  test("Pipeline.currentTable reads a mid-swap state WITHOUT mutating it") {
     val state = java.nio.file.Files.createTempDirectory("graft-swap-e2e").toString
     val t = s"$state/current_contacts"
     write(s"$t.next", 7); touch(s"$t.swap") // killed between delete and rename
     val cur = Pipeline.currentTable(spark, state, "contacts")
-      .getOrElse(fail("recovered table must be readable"))
-    assert(cur.select("version").as[Int].head() == 7)
+      .getOrElse(fail("mid-swap table must be readable"))
+    assert(cur.select("version").as[Int].head() == 7,
+      "reader must resolve the marker-certified .next")
+    // Readers never join the swap protocol: a reader racing a live writer
+    // must not delete/rename anything (that interleaving loses state).
+    assert(new java.io.File(s"$t.swap").exists(), "reader must not touch the marker")
+    assert(new java.io.File(s"$t.next").exists(), "reader must not rename .next")
+    // The next WRITER rolls it forward.
+    AtomicSwap.recover(spark, state + "/current_contacts")
+    assert(version(t) == 7)
+    assert(!new java.io.File(s"$t.swap").exists())
     rmr(state)
+  }
+
+  // --- sidecar protocol: a staged CDC batch commits atomically with the swap ---
+
+  private def sidecarFixture(tag: String): (String, AtomicSwap.Sidecar) = {
+    val t = freshTable(tag)
+    val dir = new java.io.File(t).getParent
+    (t, AtomicSwap.Sidecar(s"$dir/log.stage", s"$dir/log"))
+  }
+  private def logCount(dest: String): Long =
+    if (new java.io.File(dest).exists()) spark.read.parquet(dest).count() else 0L
+
+  test("sidecar: staged batch lands in the log exactly when the swap commits") {
+    val (t, sc) = sidecarFixture("sc-ok")
+    write(t, 1); write(s"$t.next", 2)
+    Seq(("e1", "added")).toDF("edge", "change").write.parquet(sc.stage)
+    AtomicSwap.swapIn(spark, t, Seq(sc))
+    assert(version(t) == 2)
+    assert(logCount(sc.dest) == 1, "staged batch must be committed")
+    assert(!new java.io.File(sc.stage).exists(), "stage must be consumed")
+    // second swap appends a second batch — part-file names never collide
+    write(s"$t.next", 3)
+    Seq(("e2", "removed")).toDF("edge", "change").write.parquet(sc.stage)
+    AtomicSwap.swapIn(spark, t, Seq(sc))
+    assert(logCount(sc.dest) == 2, "log accumulates across swaps")
+  }
+
+  test("sidecar: kill between rename and commit — recover lands the batch once") {
+    val (t, sc) = sidecarFixture("sc-mid")
+    // on-disk state: rename done (cur == new), stage written, marker present
+    write(t, 2); touch(s"$t.swap")
+    Seq(("e1", "added")).toDF("edge", "change").write.parquet(sc.stage)
+    AtomicSwap.recover(spark, t, Seq(sc))
+    assert(version(t) == 2)
+    assert(logCount(sc.dest) == 1, "marker-certified stage must commit")
+    AtomicSwap.recover(spark, t, Seq(sc)) // idempotent
+    assert(logCount(sc.dest) == 1, "recover must not double-commit")
+  }
+
+  test("sidecar: unmarkered stage is garbage recover must NOT commit") {
+    val (t, sc) = sidecarFixture("sc-stale")
+    write(t, 1)
+    Seq(("e1", "added")).toDF("edge", "change").write.parquet(sc.stage)
+    AtomicSwap.recover(spark, t, Seq(sc)) // no marker: crashed before step 2
+    assert(logCount(sc.dest) == 0, "uncertified batch must not land")
+    assert(new java.io.File(sc.stage).exists(), "recover leaves it for the writer")
   }
 }

@@ -183,7 +183,10 @@ class CurationSpec extends AnyFunSuite {
     val rows = Seq(
       (1L, "src", "contact me at jane.doe+spam@corp.example.org or +1 (555) 123-4567 today"),
       (2L, "src", "server at 10.0.42.7 answered; backup at 192.168.1.255 did not"),
-      (3L, "src", "no pii here, just words and the number 7")).toDF("doc_id", "source", "text")
+      (3L, "src", "no pii here, just words and the number 7"),
+      // a phone-shaped digit run INSIDE the email local part: one span,
+      // consumed by the email pattern — must count once, not twice
+      (4L, "src", "mail user12345678901@example.com now")).toDF("doc_id", "source", "text")
     val got = Curation.redactPii(rows).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[String]("text"), r.getAs[Int]("n_pii"))).toMap
@@ -192,6 +195,8 @@ class CurationSpec extends AnyFunSuite {
     assert(got(2L)._1 == "server at <IP> answered; backup at <IP> did not")
     assert(got(2L)._2 == 2)
     assert(got(3L) == ("no pii here, just words and the number 7", 0))
+    assert(got(4L) == ("mail <EMAIL> now", 1),
+      "n_pii counts replacements made, not per-pattern matches on the original")
     // column set preserved (+ n_pii), order-independent
     assert(Curation.redactPii(rows).columns.toSet ==
       Set("doc_id", "source", "text", "n_pii"))
