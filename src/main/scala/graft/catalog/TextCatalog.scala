@@ -1101,12 +1101,18 @@ object TextCatalog {
           .localCheckpoint() // model reused by ctx/V/scoring — one derivation
         val ctx = counts.groupBy(expr("substring(bg, 1, 1)").as("cx"))
           .agg(sum("cnt").as("ctx_n"))
-        val v = counts.select(expr("substring(bg, 2, 1)").as("sy"))
-          .distinct().count()
+        // Vocabulary size folded INTO the plan as a broadcast 1-row
+        // aggregate (round-5 verdict #6): the old .distinct().count() was
+        // a driver round-trip between the count pass and the scoring
+        // pass — same value, one extra job. Both derive from the KB-sized
+        // model table, so this is plan hygiene, not a scale fix.
+        val v = counts.agg(
+          countDistinct(expr("substring(bg, 2, 1)")).as("v"))
         val model = counts.withColumn("cx", expr("substring(bg, 1, 1)"))
           .join(ctx, "cx")
+          .crossJoin(broadcast(v))
           .select(col("bg"),
-            log((col("cnt") + lit(1)) / (col("ctx_n") + lit(v))).as("logp"))
+            log((col("cnt") + lit(1)) / (col("ctx_n") + col("v"))).as("logp"))
         bg.join(broadcast(model), "bg")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_bigrams"),
@@ -1131,9 +1137,87 @@ object TextCatalog {
               SELECT bg.doc_id, count(*) AS n_bigrams,
                 round(avg(model.logp), 4) AS avg_logp
               FROM bg JOIN model ON bg.bg = model.bg
-              GROUP BY bg.doc_id ORDER BY bg.doc_id""")
-    )
+              GROUP BY bg.doc_id ORDER BY bg.doc_id""")),
+
+    Q("x_redact_pii",
+      // Cross-engine gate for Curation.redactPii (round-5 verdict #2:
+      // the synthetic corpus has no digits, so redaction over `documents`
+      // would be a vacuous input==output row). Instead the PII is PLANTED:
+      // both engines synthesize the identical text from customer/nation
+      // columns — a real email, an email whose local part is IP-shaped
+      // (the ordering trap: email must consume it BEFORE the IP rule
+      // half-eats it), a bare IPv4, and a phone-shaped run, the last two
+      // present only for some keys so n_pii varies 2..4 — then the Spark
+      // side runs the production redactPii fold and the oracle replays
+      // the SAME PiiPatterns chain (generated from the same Seq, so the
+      // two sides cannot drift) as DuckDB regexp_replace steps, counting
+      // each pattern on the progressively redacted text exactly like the
+      // fold does. Row-local on both engines; compare is full redacted
+      // text + per-row n_pii.
+      (s, d) => {
+        val src = t(s, d, "customer")
+          .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"),
+            expr(piiPlantSql(x => s"cast($x as string)")).as("text"))
+        graft.operators.Curation.redactPii(src)
+          .select(col("c_custkey"), col("text").as("text_redacted"),
+            col("n_pii"))
+          .orderBy("c_custkey")
+      },
+      Some(duckRedactSql))
   )
+
+  /** The planted-PII text, as one SQL concat expression valid on both
+    * engines modulo the numeric->string cast (Spark `cast(x as string)`,
+    * DuckDB `CAST(x AS VARCHAR)`), injected via `cast`. Layout:
+    *   Contact <real email> or <ip-shaped-local email>[ from <ip>][ call <phone>]
+    * The underscore in n_name is stripped because '_' is (correctly) not
+    * in the email DOMAIN class, and the trap email's local part is four
+    * dotted octets so the email-before-IP ordering is observable in the
+    * output: run the IP rule first and the text becomes `<IP>@mailhost.net`. */
+  private def piiPlantSql(cast: String => String): String = {
+    def c(x: String) = cast(x)
+    Seq(
+      "'Contact '",
+      "lower(replace(c_name, '#', '.'))", "'@'",
+      "replace(lower(n_name), '_', '')", "'.com'",
+      "' or '",
+      c("c_custkey % 200"), "'.'", c("c_custkey % 250"), "'.'",
+      c("c_custkey % 100"), "'.'", c("c_custkey % 50"), "'@mailhost.net'",
+      "(CASE WHEN c_custkey % 5 = 0 THEN ' from nowhere' ELSE " +
+        s"' from 10.' || ${c("c_custkey % 256")} || '.' || ${c("c_nationkey")} " +
+        s"|| '.' || ${c("c_custkey % 100")} END)",
+      "(CASE WHEN c_custkey % 3 = 0 THEN ' call later' ELSE " +
+        s"' call +' || ${c("1 + c_custkey % 9")} || ' (' || " +
+        s"lpad(${c("c_custkey % 1000")}, 3, '0') || ') ' || " +
+        s"${c("100 + c_custkey % 900")} || '-' || " +
+        s"lpad(${c("c_custkey % 10000")}, 4, '0') END)"
+    ).mkString(" || ")
+  }
+
+  /** DuckDB twin of [[graft.operators.Curation.redactPii]], GENERATED from
+    * the production `PiiPatterns` so pattern text, order, and the
+    * count-on-progressively-redacted-text semantics stay in lockstep: one
+    * CTE per pattern, each replacing globally and counting matches on the
+    * PREVIOUS step's text (len(regexp_extract_all)), summed into n_pii. */
+  private def duckRedactSql: String = {
+    val pats = graft.operators.Curation.PiiPatterns
+    val steps = pats.zipWithIndex.map { case ((pat, tok), i) =>
+      s"""r${i + 1} AS (
+            SELECT c_custkey,
+              regexp_replace(t$i, '$pat', '$tok', 'g') AS t${i + 1},
+              n$i + len(regexp_extract_all(t$i, '$pat')) AS n${i + 1}
+            FROM r$i)"""
+    }
+    val n = pats.size
+    s"""WITH r0 AS (
+          SELECT c_custkey,
+            ${piiPlantSql(x => s"CAST($x AS VARCHAR)")} AS t0, 0 AS n0
+          FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        ${steps.mkString(",\n")}
+        SELECT c_custkey, t$n AS text_redacted, CAST(n$n AS INT) AS n_pii
+        FROM r$n ORDER BY c_custkey"""
+  }
 
   /** Banded SimHash near-dup candidate pairs (hamming <= 8) — the pair
     * graph shared by `x_simhash_neardup` and `x_dedup_clusters`.
