@@ -25,9 +25,12 @@ import org.apache.spark.sql.SparkSession
   *   - `load_1m`: /proc/loadavg 1-min samples taken before warm-up and
   *     after every round. Our own local[N] run cannot push load far past
   *     N; a sample well above it means someone else is on the box.
-  *   - `spread_median`: median over queries of max/min across rounds —
-  *     bursty contention that hits some rounds but not others shows as a
-  *     wide spread even when the min survives.
+  *   - `spread_median`: median over queries of max/min across rounds
+  *     EXCLUDING each query's first round — round 1 carries per-query
+  *     codegen/JIT warm-up (measured 2-5x on sub-second queries even on
+  *     an idle host), which is not contention. Bursty contention that
+  *     hits some steady-state rounds but not others shows as a wide
+  *     spread even when the min survives.
   *   - `contended`: true when either signal crosses its threshold
   *     (spread_median > 2, or any load sample > 1.5x the worker count).
   *     A judge should distrust absolute timings in a contended artifact.
@@ -127,7 +130,10 @@ object Bench {
     // Contention verdict (see scaladoc): wide per-query round spread OR a
     // load sample well above our own worker count flags the artifact.
     val spreads = results
-      .map { case (_, _, _, ts) => if (ts.min > 0) ts.max / ts.min else 1.0 }
+      .map { case (_, _, _, ts) =>
+        val steady = if (ts.size >= 3) ts.tail else ts // drop warm-up round
+        if (steady.min > 0) steady.max / steady.min else 1.0
+      }
       .sorted
     val spreadMedian = if (spreads.isEmpty) 1.0 else spreads(spreads.size / 2)
     val contended =
