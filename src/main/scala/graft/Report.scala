@@ -21,7 +21,9 @@ import graft.query.{ReportQueries => RQ}
   *     --recent-changes HOURS | --compare-versions [ID] | --temporal-stats |
   *     --rel-history TYPE:ID | --ownership-changes [TYPE] | --rel-changes [N] |
   *     --graph-rank [REL_TYPE] [--from TYPE:ID] |
-  *     --graph-communities [REL_TYPE] | --graph-neighbors TYPE:ID [--hops N])
+  *     --graph-communities [REL_TYPE] | --graph-neighbors TYPE:ID [--hops N] |
+  *     --graph-shortest FROM_TYPE:ID [TO_TYPE:ID] [--hops N] |
+  *     --graph-triangles [REL_TYPE])
   *     [--table users|contacts|companies|deals|activities]
   *     [--format ...] [--out PATH]
   *
@@ -187,6 +189,21 @@ object Report {
           flagValue("--graph-neighbors").get.split(":", 2)
         GQ.neighborhood(edgesState, entityType, entityId,
           hops = flagValue("--hops").map(_.toInt).getOrElse(2))
+      case Some("--graph-shortest") => // weighted distance from FROM [to TO]
+        val sel = flags.dropWhile(_ != "--graph-shortest").drop(1)
+          .takeWhile(!_.startsWith("--")).toList
+        sel match {
+          case from :: rest if rest.size <= 1 =>
+            val Array(ft, fid) = from.split(":", 2)
+            val to = rest.headOption.map { v =>
+              val Array(t, id) = v.split(":", 2); (t, id)
+            }
+            GQ.shortestPath(edgesState, ft, fid, to,
+              maxHops = flagValue("--hops").map(_.toInt).getOrElse(6))
+          case _ => sys.error("--graph-shortest needs FROM_TYPE:ID [TO_TYPE:ID]")
+        }
+      case Some("--graph-triangles") => // per-entity triangle cohesion
+        GQ.triangleCohesion(edgesState, flagValue("--graph-triangles"))
       case other => sys.error(s"unknown or missing report flag: $other")
     }
 

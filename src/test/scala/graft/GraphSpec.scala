@@ -190,6 +190,39 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("composite node keys round-trip arbitrary type/id characters") {
+    // The length-prefixed key must not lean on ANY reserved character:
+    // types carrying '|' and ':' and ids carrying '|' go through every
+    // GraphQueries operator and come back verbatim (round-5 verdict #7).
+    val edges = Seq(
+      ("T|x", "a|1", "Co:m", "co|1", "WORKS_AT"),
+      ("T|x", "a|2", "Co:m", "co|1", "WORKS_AT"),
+      ("T|x", "a|1", "T|x", "a|2", "KNOWS"))
+      .toDF("src_type", "src_id", "dst_type", "dst_id", "rel_type")
+    val want = Set(("T|x", "a|1"), ("T|x", "a|2"), ("Co:m", "co|1"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(String, String)] =
+      df.collect().map(r => (r.getAs[String]("entity_type"),
+        r.getAs[String]("entity_id"))).toSet
+    import graft.query.GraphQueries
+    assert(pairs(GraphQueries.influenceRanking(edges)) == want)
+    val com = GraphQueries.communities(edges)
+    assert(pairs(com) == want) // one triangle -> one community
+    assert(com.select("community_id").distinct().count() == 1)
+    val nb = GraphQueries.neighborhood(edges, "T|x", "a|1", hops = 1)
+    assert(pairs(nb) == want)
+    val nbHops = nb.collect()
+      .map(r => r.getAs[String]("entity_id") -> r.getAs[Int]("hops")).toMap
+    assert(nbHops("a|1") == 0 && nbHops("a|2") == 1 && nbHops("co|1") == 1)
+    val sp = GraphQueries.shortestPath(edges, "T|x", "a|1",
+      to = Some(("Co:m", "co|1"))).collect()
+    assert(sp.length == 1)
+    assert(sp(0).getAs[String]("entity_id") == "co|1")
+    assert(sp(0).getAs[Double]("distance") == 1.0) // one direct parallel edge
+    val tri = GraphQueries.triangleCohesion(edges)
+    assert(pairs(tri) == want)
+    assert(tri.collect().forall(_.getAs[Long]("n_triangles") == 1L))
+  }
+
   test("catalog graph queries run on sf0.001 and agree on shared shapes") {
     val d = "/root/testdata/sf0.001"
     val pr = SparkEntry.queries("g_pagerank_trade")(spark, d).collect()

@@ -159,6 +159,28 @@ class TemporalCliSpec extends AnyFunSuite {
     val scoped = runToCsv("--graph-communities", "WORKS_AT")
     val types = scoped.collect().map(_.getAs[String]("entity_type")).toSet
     assert(types == Set("HUBSPOT_Contact", "HUBSPOT_Company"))
+    // --graph-shortest FROM TO: c1 and its company are directly related,
+    // so the narrowed answer is one row at inverse-volume distance <= 1
+    val sp = runToCsv("--graph-shortest", "HUBSPOT_Contact:c1",
+      "HUBSPOT_Company:co1")
+    val spRows = sp.collect()
+    assert(spRows.length == 1)
+    assert(spRows(0).getAs[String]("entity_id") == "co1")
+    val dCo = spRows(0).getAs[String]("distance").toDouble
+    assert(dCo > 0.0 && dCo <= 1.0)
+    // unnarrowed: source at distance 0, co1 at the same distance as above
+    val spAll = runToCsv("--graph-shortest", "HUBSPOT_Contact:c1")
+    val spMap = spAll.collect().map(r => (r.getAs[String]("entity_type"),
+      r.getAs[String]("entity_id")) -> r.getAs[String]("distance").toDouble).toMap
+    assert(spMap(("HUBSPOT_Contact", "c1")) == 0.0)
+    assert(spMap(("HUBSPOT_Company", "co1")) == dCo)
+    // --graph-triangles: deal d1 closes a triangle with its contact c1
+    // and company co1, so all three report cohesion >= 1
+    val tri = runToCsv("--graph-triangles")
+    val triMap = tri.collect().map(r => (r.getAs[String]("entity_type"),
+      r.getAs[String]("entity_id")) -> r.getAs[String]("n_triangles").toLong).toMap
+    assert(Seq(("HUBSPOT_Contact", "c1"), ("HUBSPOT_Deal", "d1"),
+      ("HUBSPOT_Company", "co1")).forall(k => triMap.getOrElse(k, 0L) >= 1L))
   }
 
   test("--owner with an ambiguous needle lists candidates and exits 2") {
