@@ -223,6 +223,28 @@ class GraphSpec extends AnyFunSuite {
     assert(tri.collect().forall(_.getAs[Long]("n_triangles") == 1L))
   }
 
+  test("trianglesPerNode: broadcast-gated and all-shuffle branches agree on real data") {
+    // The above-gate fallback (every join degrades to shuffle) must be
+    // row-identical to the gated exchange-free pipeline on the actual
+    // catalog graph, not just toy fixtures — run the co-part graph with
+    // the gate disabled and compare (round-5 verdict #5).
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a")
+      .join(li.as("b"),
+        expr("a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    def rows(limit: Long): Seq[(String, Long)] =
+      GraphAlgos.trianglesPerNode(pairs, broadcastEdgeLimit = limit)
+        .orderBy("node").collect()
+        .map(r => (r.get(0).toString, r.getLong(1))).toSeq
+    val gated = rows(2L << 20)
+    val shuffled = rows(0)
+    assert(gated.nonEmpty)
+    assert(gated == shuffled)
+  }
+
   test("catalog graph queries run on sf0.001 and agree on shared shapes") {
     val d = "/root/testdata/sf0.001"
     val pr = SparkEntry.queries("g_pagerank_trade")(spark, d).collect()
