@@ -13,6 +13,7 @@ import org.apache.spark.sql.SparkSession
   *     [--min-tokens N] [--max-dup-frac F] [--min-alpha-frac F]
   *     [--win N] [--stride N] [--eval PATH [--min-shared N] [--ngram N]]
   *     [--mix src:w,src:w,... --token-budget N] [--redact-pii]
+  *     [--line-filter [--min-line-words N] [--min-lines N]]
   *
   * `--eval PATH` additionally decontaminates against a held-out eval
   * parquet (drops curated docs sharing >= min-shared distinct word
@@ -54,9 +55,18 @@ object Curate {
     // redacted text (two docs differing only in the PII they leak
     // dedup together), and raw PII never reaches an output file.
     val docs0 = spark.read.parquet(docsPath)
-    val docs =
+    val docsRedacted =
       if (flags.contains("--redact-pii")) graft.operators.Curation.redactPii(docs0)
       else docs0
+    // Line-level C4 filtering runs after redaction (rules read the
+    // redacted text) and before any per-document scoring or hashing, so
+    // dedup keys are computed over the boilerplate-free text.
+    val docs =
+      if (flags.contains("--line-filter"))
+        graft.operators.Curation.c4LineFilter(docsRedacted,
+          minWords = flagValue("--min-line-words").map(_.toInt).getOrElse(5),
+          minLines = flagValue("--min-lines").map(_.toInt).getOrElse(2))
+      else docsRedacted
     val win = flagValue("--win").map(_.toInt).getOrElse(64)
     val stride = flagValue("--stride").map(_.toInt).getOrElse(48)
     // Validated up front: with non-ANSI SQL a zero/negative stride turns

@@ -1164,7 +1164,121 @@ object TextCatalog {
             col("n_pii"))
           .orderBy("c_custkey")
       },
-      Some(duckRedactSql))
+      Some(duckRedactSql)),
+
+    Q("x_c4_line_filter",
+      // C4-style line-level boilerplate filtering (the per-LINE rules web
+      // pipelines run before per-doc quality scoring). The corpus has no
+      // newlines, so — like x_redact_pii — the line structure is PLANTED
+      // identically on both engines: each doc's tokens become 8-word
+      // lines, where line i gets a ' {x}' code marker when
+      // (doc_id+i)%7=0 and LOSES its terminal '.' when (doc_id+i)%3=0,
+      // so all three drop rules (short line, no terminal punctuation,
+      // brace marker) fire on real data. The Spark side then runs the
+      // production Curation.c4LineFilter; the verified columns are the
+      // per-doc line counts plus the md5 of the reassembled kept text,
+      // which pins the order-preserving '\n' reassembly exactly.
+      (s, d) => {
+        val planted = spread(t(s, d, "documents"))
+          .withColumn("toks", expr(s"split($sparkNorm, ' ')"))
+          .withColumn("text", expr(
+            """array_join(transform(sequence(0, (size(toks) - 1) div 8),
+                 i -> concat(array_join(slice(toks, i * 8 + 1, 8), ' '),
+                   CASE WHEN (doc_id + i) % 7 = 0 THEN ' {x}' ELSE '' END,
+                   CASE WHEN (doc_id + i) % 3 != 0 THEN '.' ELSE '' END)),
+               '\n')"""))
+          .select("doc_id", "source", "text")
+        graft.operators.Curation.c4LineFilter(planted)
+          .select(col("doc_id"), col("source"), col("n_lines"),
+            col("n_lines_kept"), md5(col("text")).as("kept_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base AS (
+                SELECT doc_id, source, string_split($duckNorm, ' ') AS toks
+                FROM documents),
+              planted AS (
+                SELECT doc_id, source,
+                  array_to_string(list_transform(range(0, (len(toks) - 1) // 8 + 1),
+                    i -> array_to_string(
+                        list_slice(toks, CAST(i * 8 + 1 AS INT), CAST(i * 8 + 8 AS INT)), ' ')
+                      || (CASE WHEN (doc_id + i) % 7 = 0 THEN ' {x}' ELSE '' END)
+                      || (CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END)),
+                    chr(10)) AS text
+                FROM base),
+              lines AS (
+                SELECT doc_id, source, CAST(i AS INT) AS idx, ls[CAST(i AS INT)] AS line
+                FROM (SELECT doc_id, source, string_split(text, chr(10)) AS ls
+                      FROM planted),
+                  UNNEST(range(1, len(ls) + 1)) AS t(i)),
+              judged AS (
+                SELECT *,
+                  (len(string_split(trim(line), ' ')) >= 5
+                    AND regexp_matches(line, '[.!?]\\s*$$')
+                    AND NOT contains(line, '{') AND NOT contains(line, '}')
+                    AND NOT contains(lower(line), 'lorem ipsum')
+                    AND NOT contains(lower(line), 'javascript')) AS keep
+                FROM lines)
+              SELECT doc_id, source, n_lines, n_lines_kept, kept_md5 FROM (
+                SELECT doc_id, source, count(*) AS n_lines,
+                  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+                  md5(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY idx))
+                    AS kept_md5
+                FROM judged GROUP BY 1, 2)
+              WHERE n_lines_kept >= 2 ORDER BY doc_id""")),
+
+    Q("x_source_overlap",
+      // Cross-source contamination audit: for every pair of sources, how
+      // many distinct word-trigram shingles they share and the Jaccard
+      // of their shingle sets — the corpus-level overlap matrix a
+      // mixture designer reads before weighting sources. Shapes: the
+      // distinct (source, shingle) set is one shuffle; the pair join
+      // meets on the shingle key with per-shingle fan-out bounded by the
+      // SOURCE count (a handful), so it never goes quadratic in docs —
+      // the same bucket-join discipline as x_ngram_jaccard, one level up.
+      (s, d) => {
+        val sh = spread(t(s, d, "documents"))
+          .withColumn("toks", expr(s"split($sparkNorm, ' ')"))
+          .filter(expr("size(toks) >= 3"))
+          .select(col("source"),
+            explode(expr("transform(sequence(1, size(toks) - 2),"
+              + " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")).as("sh"))
+          .distinct()
+          .localCheckpoint() // shared by sizes + both join sides
+        val sizes = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+        val a = sh.select(col("source").as("source_a"), col("sh"))
+        val b = sh.select(col("source").as("source_b"), col("sh"))
+        a.join(b, Seq("sh")).filter(col("source_a") < col("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_shared"))
+          .join(broadcast(sizes.select(col("source").as("source_a"),
+            col("n_sh").as("n_a"))), Seq("source_a"))
+          .join(broadcast(sizes.select(col("source").as("source_b"),
+            col("n_sh").as("n_b"))), Seq("source_b"))
+          .select(col("source_a"), col("source_b"), col("n_shared"),
+            round(col("n_shared") * 1.0 / (col("n_a") + col("n_b") - col("n_shared")), 4)
+              .as("jaccard"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH sh AS MATERIALIZED (
+                SELECT DISTINCT source,
+                  concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i AS INT) + 1],
+                            toks[CAST(i AS INT) + 2]) AS sh
+                FROM (SELECT source, string_split($duckNorm, ' ') AS toks
+                      FROM documents),
+                  UNNEST(range(1, len(toks) - 1)) AS t(i)
+                WHERE len(toks) >= 3),
+              sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+              ov AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                  count(*) AS n_shared
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+                GROUP BY 1, 2)
+              SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared,
+                round(n_shared * 1.0 / (sa.n_sh + sb.n_sh - n_shared), 4) AS jaccard
+              FROM ov
+                JOIN sizes sa ON sa.source = ov.source_a
+                JOIN sizes sb ON sb.source = ov.source_b
+              ORDER BY source_a, source_b"""))
   )
 
   /** The planted-PII text, as one SQL concat expression valid on both

@@ -368,6 +368,89 @@ object VectorCatalog {
                                FROM embeddings)))
              ORDER BY vec_id""")),
 
+    Q("v_kmeans_iter",
+      // Two Lloyd (k-means) iterations from deterministic seeds — the
+      // IVF TRAINING step v_ivf_ann's data-sample quantizer stands in
+      // for, now run for real: seeds are the k=4 lowest vec_ids, each
+      // iteration assigns every vector to its nearest centroid (squared
+      // L2) and recomputes centroids as per-dimension means. ALL
+      // arithmetic is micro-scaled BIGINT (vectors rounded to 1e-6,
+      // centroids to the nearest micro), so distances and sums are
+      // integer-exact and order-immune: assignment ties and the final
+      // hash compare cannot be broken by float accumulation order, on
+      // either engine (same trick as v_label_centroids, extended to the
+      // iterative loop).
+      //
+      // Scale shape: the exploded (vec, dim, value) stream is
+      // checkpointed once; per iteration the k*64-row centroid table is
+      // BROADCAST into the assignment join and the two groupBys are
+      // map-side partial. Everything stays one lazy plan — no driver
+      // round-trips between iterations.
+      (s, d) => {
+        val ev = t(s, d, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .withColumn("vm",
+            expr("CAST(round(CAST(x AS double) * 1000000D, 0) AS bigint)"))
+          .select("vec_id", "dim", "vm")
+          .localCheckpoint() // scanned by every iteration's two joins
+        var cent = ev.filter(col("vec_id") < 4)
+          .select(col("vec_id").cast("int").as("cluster"), col("dim"),
+            col("vm").as("cm"), lit(1L).as("n_vecs"))
+        for (_ <- 1 to 2) {
+          val w = Window.partitionBy("vec_id")
+            .orderBy(col("d2").asc, col("cluster").asc)
+          val assigned = ev
+            .join(broadcast(cent.select("cluster", "dim", "cm")), Seq("dim"))
+            .groupBy("vec_id", "cluster")
+            .agg(sum((col("vm") - col("cm")) * (col("vm") - col("cm"))).as("d2"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select("vec_id", "cluster")
+          cent = ev.join(assigned, Seq("vec_id"))
+            .groupBy("cluster", "dim")
+            .agg(expr("CAST(round(sum(vm) * 1.0 / count(1), 0) AS bigint)").as("cm"),
+              count(lit(1)).as("n_vecs"))
+        }
+        cent.select("cluster", "dim", "cm", "n_vecs").orderBy("cluster", "dim")
+      },
+      Some("""WITH ev AS MATERIALIZED (
+               SELECT vec_id, CAST(i AS INT) - 1 AS dim,
+                 CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0, 0)
+                   AS BIGINT) AS vm
+               FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+             c0 AS MATERIALIZED (
+               SELECT CAST(vec_id AS INT) AS cluster, dim, vm AS cm
+               FROM ev WHERE vec_id < 4),
+             d1 AS MATERIALIZED (
+               SELECT ev.vec_id, c0.cluster,
+                 CAST(sum((vm - cm) * (vm - cm)) AS BIGINT) AS d2
+               FROM ev JOIN c0 USING (dim) GROUP BY 1, 2),
+             a1 AS MATERIALIZED (
+               SELECT vec_id, cluster FROM (
+                 SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+                 FROM d1)
+               WHERE rn = 1),
+             c1 AS MATERIALIZED (
+               SELECT cluster, dim,
+                 CAST(round(CAST(sum(vm) AS BIGINT) * 1.0 / count(*), 0) AS BIGINT) AS cm
+               FROM ev JOIN a1 USING (vec_id) GROUP BY 1, 2),
+             d2s AS MATERIALIZED (
+               SELECT ev.vec_id, c1.cluster,
+                 CAST(sum((vm - cm) * (vm - cm)) AS BIGINT) AS d2
+               FROM ev JOIN c1 USING (dim) GROUP BY 1, 2),
+             a2 AS MATERIALIZED (
+               SELECT vec_id, cluster FROM (
+                 SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+                 FROM d2s)
+               WHERE rn = 1)
+             SELECT cluster, dim,
+               CAST(round(CAST(sum(vm) AS BIGINT) * 1.0 / count(*), 0) AS BIGINT) AS cm,
+               count(*) AS n_vecs
+             FROM ev JOIN a2 USING (vec_id) GROUP BY 1, 2
+             ORDER BY cluster, dim""")),
+
     Q("mm_decode_meta",
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"),

@@ -136,6 +136,44 @@ object Curation {
       .withColumn("text", redacted)
   }
 
+  /** C4-style line-level boilerplate filter (the published web-corpus
+    * heuristics that run per LINE before any per-document scoring):
+    * keep only lines that (a) have at least `minWords` whitespace
+    * words, (b) end in terminal punctuation, and (c) carry no
+    * code/boilerplate markers ('{', '}', "lorem ipsum", "javascript");
+    * then drop documents with fewer than `minLines` surviving lines.
+    * `text` is rewritten to the kept lines ('\n'-joined, original
+    * order) and per-doc `n_lines` / `n_lines_kept` counters are added;
+    * all other columns pass through.
+    *
+    * Shape: row-local posexplode + per-line codegen predicates + ONE
+    * doc_id-keyed shuffle to reassemble (the collect_list is bounded by
+    * the doc's own line count) — linear in corpus size, same profile as
+    * chunking. */
+  def c4LineFilter(docs: DataFrame, minWords: Int = 5, minLines: Int = 2): DataFrame = {
+    val others = docs.columns.filterNot(Set("doc_id", "text")).toSeq
+    val judged = docs
+      .select(col("doc_id") +: others.map(col) :+
+        posexplode(split(col("text"), "\n")).as(Seq("__idx", "__line")): _*)
+      .withColumn("__keep",
+        expr(s"size(split(trim(__line), ' ')) >= $minWords") &&
+          col("__line").rlike("[.!?]\\s*$") &&
+          !col("__line").contains("{") && !col("__line").contains("}") &&
+          !lower(col("__line")).contains("lorem ipsum") &&
+          !lower(col("__line")).contains("javascript"))
+    judged
+      .groupBy(col("doc_id") +: others.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_lines_kept"),
+        expr("""array_join(
+            transform(
+              array_sort(collect_list(CASE WHEN __keep THEN struct(__idx, __line) END)),
+              s -> s.__line),
+            '\n')""").as("text"))
+      .filter(col("n_lines_kept") >= minLines)
+  }
+
   /** Exact dedup on normalized content hash, keeping the minimum doc_id
     * per hash (A12 shape: one keyed shuffle, deterministic survivor). */
   def exactDedup(docs: DataFrame): DataFrame =

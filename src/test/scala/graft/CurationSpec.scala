@@ -202,6 +202,29 @@ class CurationSpec extends AnyFunSuite {
       Set("doc_id", "source", "text", "n_pii"))
   }
 
+  test("c4LineFilter keeps punctuated prose lines, drops boilerplate, reassembles in order") {
+    val doc1 = Seq(
+      "this line has enough words and punctuation.", // kept
+      "short line.",                                 // dropped: < 5 words
+      "this one has plenty of words but no terminal punctuation", // dropped
+      "function f() { return 1; }",                  // dropped: brace
+      "uses javascript so it is boilerplate too.",   // dropped: marker word
+      "a second good line also survives just fine!"  // kept
+    ).mkString("\n")
+    val doc2 = "only one good line survives in this document." // < minLines
+    val rows = Seq((1L, "s", doc1), (2L, "s", doc2)).toDF("doc_id", "source", "text")
+    val got = Curation.c4LineFilter(rows).collect()
+    assert(got.length == 1 && got(0).getAs[Long]("doc_id") == 1L)
+    assert(got(0).getAs[Long]("n_lines") == 6L)
+    assert(got(0).getAs[Long]("n_lines_kept") == 2L)
+    assert(got(0).getAs[String]("text") ==
+      "this line has enough words and punctuation.\n" +
+        "a second good line also survives just fine!")
+    // non-text columns pass through
+    assert(Curation.c4LineFilter(rows).columns.toSet ==
+      Set("doc_id", "source", "n_lines", "n_lines_kept", "text"))
+  }
+
   test("Curate CLI end-to-end: parquet in -> curated/chunks/stats out") {
     val base = java.nio.file.Files.createTempDirectory("graft-curate").toString
     docs.write.mode("overwrite").parquet(s"$base/docs")
@@ -245,6 +268,23 @@ class CurationSpec extends AnyFunSuite {
     assert(curatedPii.filter(col("text").contains("leak.example.com")).count() == 0)
     assert(curatedPii.filter(col("text").contains("<EMAIL>")).count() == curatedPii.count())
     assert(curatedPii.filter(col("n_pii") >= 1).count() == curatedPii.count())
+
+    // --line-filter strips boilerplate lines BEFORE quality/dedup: the
+    // punctuated 8-word lines survive, the short unpunctuated tail line
+    // never reaches the curated text (words are all-letters so the doc
+    // clears the downstream alpha-fraction and dup-token gates)
+    val lineWords = (0 until 30).map(i => (0 until 8).map(j =>
+      s"${('a' + i % 26).toChar}${('a' + i / 26).toChar}${('a' + j).toChar}ing")
+      .mkString(" ") + ".")
+    Seq((300L, "src0", (lineWords :+ "short tail").mkString("\n")))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$base/docs_lines")
+    Curate.run(spark, Array(s"$base/docs_lines", s"$base/out7", "--line-filter"))
+    val curLined = spark.read.parquet(s"$base/out7/curated").collect()
+    assert(curLined.length == 1)
+    assert(curLined(0).getAs[Long]("n_lines") == 31L)
+    assert(curLined(0).getAs[Long]("n_lines_kept") == 30L)
+    assert(!curLined(0).getAs[String]("text").contains("short tail"))
 
     // window-geometry flags are validated up front: --stride 0 would
     // otherwise NULL the chunker's sequence() and silently write an
