@@ -451,6 +451,102 @@ object VectorCatalog {
              FROM ev JOIN a2 USING (vec_id) GROUP BY 1, 2
              ORDER BY cluster, dim""")),
 
+    Q("v_pca_power",
+      // Top principal component of the embedding cloud by THREE power
+      // iterations over the covariance matrix — the whitening /
+      // dimensionality-reduction training step, as one deterministic
+      // relational program. Numerics are engineered so both engines
+      // produce bit-identical output:
+      //   - vectors micro-quantized (1e6) -> centering is BIGINT-exact
+      //     (mean re-rounded to a micro integer);
+      //   - covariance = round(sum(ci*cj)/n): the BIGINT product sum
+      //     (< 2^53 here) divides and rounds identically;
+      //   - the iterated vector is MILLI-quantized (unit max = 1000), so
+      //     y = Cov * x stays inside BIGINT and each renormalization is
+      //     one double division + round — no order-dependent float sums
+      //     anywhere.
+      // Scale shape: the one corpus-sized pass is the covariance
+      // accumulation — a self-join on vec_id exploded to (i, j) pairs,
+      // partial-aggregated map-side onto a dims^2-bounded key space
+      // (4096 rows here; KBs at any corpus size). The iterations then
+      // run on the tiny cov table with the 64-row vector broadcast.
+      // The micro^2 * n accumulator bounds exactness to ~3.7e7 vectors;
+      // a 100 TB corpus drops the vector quantization a decimal (same
+      // program, coarser grid) or accepts last-ulp double error.
+      (s, d) => {
+        val ev = t(s, d, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .withColumn("vm",
+            expr("CAST(round(CAST(x AS double) * 1000000D, 0) AS bigint)"))
+          .select("vec_id", "dim", "vm")
+        val mean = ev.groupBy("dim")
+          .agg(expr("CAST(round(sum(vm) * 1.0 / count(1), 0) AS bigint)").as("mu"))
+        val cen = ev.join(broadcast(mean), Seq("dim"))
+          .select(col("vec_id"), col("dim"), (col("vm") - col("mu")).as("cv"))
+          .localCheckpoint() // both sides of the covariance self-join
+        val cov = cen.select(col("vec_id"), col("dim").as("i"), col("cv").as("ci"))
+          .join(cen.select(col("vec_id"), col("dim").as("j"), col("cv").as("cj")),
+            Seq("vec_id"))
+          .groupBy("i", "j")
+          .agg(expr("CAST(round(sum(ci * cj) * 1.0 / count(1), 0) AS bigint)")
+            .as("c"))
+          .localCheckpoint() // scanned by each of the three iterations
+        var x = cov.sparkSession.range(64)
+          .select(col("id").cast("int").as("j"), lit(1000L).as("xj"))
+        for (_ <- 1 to 3) {
+          val y = cov.join(broadcast(x), Seq("j"))
+            .groupBy(col("i"))
+            .agg(sum(col("c") * col("xj")).as("y"))
+          val mx = y.agg(max(abs(col("y"))).as("mx"))
+          x = y.crossJoin(broadcast(mx))
+            .select(col("i").as("j"),
+              expr("CAST(round(y * 1000.0 / mx, 0) AS bigint)").as("xj"))
+        }
+        // sign canonicalization: flip so the largest-|component| dim is
+        // positive (the eigenvector's sign is otherwise arbitrary)
+        val top = x.orderBy(abs(col("xj")).desc, col("j")).limit(1)
+          .select(when(col("xj") < 0, -1L).otherwise(1L).as("sgn"))
+        x.crossJoin(broadcast(top))
+          .select(col("j").as("dim"), (col("xj") * col("sgn")).as("pc1_milli"))
+          .orderBy("dim")
+      },
+      Some("""WITH ev AS MATERIALIZED (
+               SELECT vec_id, CAST(i AS INT) - 1 AS dim,
+                 CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0, 0)
+                   AS BIGINT) AS vm
+               FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+             mean AS (SELECT dim,
+                 CAST(round(CAST(sum(vm) AS BIGINT) * 1.0 / count(*), 0) AS BIGINT) AS mu
+               FROM ev GROUP BY dim),
+             cen AS MATERIALIZED (
+               SELECT vec_id, dim, vm - mu AS cv FROM ev JOIN mean USING (dim)),
+             cov AS MATERIALIZED (
+               SELECT a.dim AS i, b.dim AS j,
+                 CAST(round(CAST(sum(a.cv * b.cv) AS BIGINT) * 1.0 / count(*), 0)
+                   AS BIGINT) AS c
+               FROM cen a JOIN cen b USING (vec_id) GROUP BY 1, 2),
+             x0 AS (SELECT CAST(j AS INT) AS j, CAST(1000 AS BIGINT) AS xj
+                    FROM UNNEST(range(0, 64)) AS t(j)),
+             y1 AS MATERIALIZED (SELECT i, CAST(sum(c * xj) AS BIGINT) AS y
+                   FROM cov JOIN x0 USING (j) GROUP BY i),
+             x1 AS MATERIALIZED (SELECT i AS j,
+                 CAST(round(y * 1000.0 / (SELECT max(abs(y)) FROM y1), 0) AS BIGINT) AS xj
+               FROM y1),
+             y2 AS MATERIALIZED (SELECT i, CAST(sum(c * xj) AS BIGINT) AS y
+                   FROM cov JOIN x1 USING (j) GROUP BY i),
+             x2 AS MATERIALIZED (SELECT i AS j,
+                 CAST(round(y * 1000.0 / (SELECT max(abs(y)) FROM y2), 0) AS BIGINT) AS xj
+               FROM y2),
+             y3 AS MATERIALIZED (SELECT i, CAST(sum(c * xj) AS BIGINT) AS y
+                   FROM cov JOIN x2 USING (j) GROUP BY i),
+             x3 AS MATERIALIZED (SELECT i AS j,
+                 CAST(round(y * 1000.0 / (SELECT max(abs(y)) FROM y3), 0) AS BIGINT) AS xj
+               FROM y3),
+             sgn AS (SELECT CASE WHEN xj < 0 THEN -1 ELSE 1 END AS sgn
+                     FROM x3 ORDER BY abs(xj) DESC, j LIMIT 1)
+             SELECT j AS dim, CAST(xj * (SELECT sgn FROM sgn) AS BIGINT) AS pc1_milli
+             FROM x3 ORDER BY dim""")),
+
     Q("mm_decode_meta",
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"),
