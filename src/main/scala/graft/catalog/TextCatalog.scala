@@ -1278,7 +1278,63 @@ object TextCatalog {
               FROM ov
                 JOIN sizes sa ON sa.source = ov.source_a
                 JOIN sizes sb ON sb.source = ov.source_b
-              ORDER BY source_a, source_b"""))
+              ORDER BY source_a, source_b""")),
+
+    Q("x_repeated_spans",
+      // Exact repeated-substring spans — the dedup primitive of
+      // "Deduplicating Training Data Makes Language Models Better"
+      // (Lee et al. 2022), done relationally instead of via a suffix
+      // array: a token 8-gram occurring more than once in the corpus
+      // marks its start position, and runs of consecutive marked
+      // positions merge into maximal per-doc spans. The fixed-K
+      // pigeonhole is exact for the stated guarantee: every repeated
+      // substring of >= K tokens is a run of repeated K-grams, so its
+      // full extent is recovered by the island merge. Shapes: gram keys
+      // travel as xxhash64 (8 bytes, not the 8-token string) through the
+      // one corpus-sized shuffle; the duplicate-gram set is a small
+      // fraction of the corpus, met with a semi join on the hash; span
+      // merging is a per-doc window over only the marked positions.
+      (s, d) => {
+        val K = 8
+        val grams = spread(t(s, d, "documents"))
+          .withColumn("a", expr(s"split($sparkNorm, ' ')"))
+          .filter(expr(s"size(a) >= $K"))
+          .select(col("doc_id"), posexplode(expr(
+            s"transform(sequence(0, size(a) - $K),"
+              + s" i -> xxhash64(concat_ws(' ', slice(a, i + 1, $K))))"))
+            .as(Seq("pos", "h")))
+          .localCheckpoint() // both the dup-gram agg and the semi-join probe
+        val dup = grams.groupBy("h").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2).select("h")
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        grams.join(dup, Seq("h"), "left_semi")
+          .withColumn("grp", col("pos") - row_number().over(w))
+          .groupBy("doc_id", "grp")
+          .agg(min("pos").as("span_start"),
+            (max(col("pos")) + lit(K - 1)).as("span_end"))
+          .select(col("doc_id"), col("span_start"), col("span_end"),
+            (col("span_end") - col("span_start") + 1).as("span_toks"))
+          .orderBy("doc_id", "span_start")
+      },
+      Some(s"""WITH toks AS (
+                SELECT doc_id, string_split($duckNorm, ' ') AS a FROM documents),
+              grams AS MATERIALIZED (
+                SELECT doc_id, CAST(i AS INT) AS pos,
+                  array_to_string(
+                    list_slice(a, CAST(i + 1 AS INT), CAST(i + 8 AS INT)), ' ') AS g
+                FROM toks, UNNEST(range(0, len(a) - 7)) AS t(i)
+                WHERE len(a) >= 8),
+              dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+              isl AS (
+                SELECT doc_id, pos,
+                  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM grams WHERE g IN (SELECT g FROM dup))
+              SELECT doc_id, span_start, span_end,
+                span_end - span_start + 1 AS span_toks
+              FROM (SELECT doc_id, min(pos) AS span_start,
+                      max(pos) + 7 AS span_end
+                    FROM isl GROUP BY doc_id, grp)
+              ORDER BY doc_id, span_start"""))
   )
 
   /** The planted-PII text, as one SQL concat expression valid on both
