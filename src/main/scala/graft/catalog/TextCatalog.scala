@@ -1294,48 +1294,183 @@ object TextCatalog {
       // one corpus-sized shuffle; the duplicate-gram set is a small
       // fraction of the corpus, met with a semi join on the hash; span
       // merging is a per-doc window over only the marked positions.
-      (s, d) => {
-        val K = 8
-        val grams = spread(t(s, d, "documents"))
-          .withColumn("a", expr(s"split($sparkNorm, ' ')"))
-          .filter(expr(s"size(a) >= $K"))
-          .select(col("doc_id"), posexplode(expr(
-            s"transform(sequence(0, size(a) - $K),"
-              + s" i -> xxhash64(concat_ws(' ', slice(a, i + 1, $K))))"))
-            .as(Seq("pos", "h")))
-          .localCheckpoint() // both the dup-gram agg and the semi-join probe
-        val dup = grams.groupBy("h").agg(count(lit(1)).as("n"))
-          .filter(col("n") >= 2).select("h")
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        grams.join(dup, Seq("h"), "left_semi")
-          .withColumn("grp", col("pos") - row_number().over(w))
-          .groupBy("doc_id", "grp")
-          .agg(min("pos").as("span_start"),
-            (max(col("pos")) + lit(K - 1)).as("span_end"))
-          .select(col("doc_id"), col("span_start"), col("span_end"),
-            (col("span_end") - col("span_start") + 1).as("span_toks"))
-          .orderBy("doc_id", "span_start")
-      },
-      Some(s"""WITH toks AS (
-                SELECT doc_id, string_split($duckNorm, ' ') AS a FROM documents),
-              grams AS MATERIALIZED (
-                SELECT doc_id, CAST(i AS INT) AS pos,
-                  array_to_string(
-                    list_slice(a, CAST(i + 1 AS INT), CAST(i + 8 AS INT)), ' ') AS g
-                FROM toks, UNNEST(range(0, len(a) - 7)) AS t(i)
-                WHERE len(a) >= 8),
-              dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
-              isl AS (
-                SELECT doc_id, pos,
-                  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-                FROM grams WHERE g IN (SELECT g FROM dup))
+      (s, d) => repeatedSpanTable(s, d)
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          (col("span_end") - col("span_start") + 1).as("span_toks"))
+        .orderBy("doc_id", "span_start"),
+      Some(s"""WITH $duckSpansCte
               SELECT doc_id, span_start, span_end,
                 span_end - span_start + 1 AS span_toks
-              FROM (SELECT doc_id, min(pos) AS span_start,
-                      max(pos) + 7 AS span_end
-                    FROM isl GROUP BY doc_id, grp)
-              ORDER BY doc_id, span_start"""))
+              FROM spans
+              ORDER BY doc_id, span_start""")),
+
+    Q("x_dup_span_fraction",
+      // Doc-level repetition audit over the repeated-span primitive: the
+      // fraction of each doc's tokens that lie inside ANY corpus-repeated
+      // span (>= 8 tokens), plus the keep/drop verdict Lee et al. apply
+      // (drop when more than half the doc is repeated content). Two
+      // distinct repeated 8-grams can overlap in token coverage even when
+      // their start-position islands don't, so spans are interval-merged
+      // (running-max window, new group when a span starts past the
+      // furthest end seen) before coverage is summed — a plain
+      // sum(span_toks) would double-count. The verdict compares
+      // 2*dup_toks > n_toks in integers; only the reported fraction
+      // rounds. All windows run per-doc over only the marked spans.
+      (s, d) => {
+        val wPrev = Window.partitionBy("doc_id").orderBy("span_start")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wRun = Window.partitionBy("doc_id").orderBy("span_start")
+        val cov = repeatedSpanTable(s, d)
+          .withColumn("prev_end", max("span_end").over(wPrev))
+          .withColumn("is_new",
+            when(col("prev_end").isNull ||
+              col("span_start") > col("prev_end"), 1).otherwise(0))
+          .withColumn("g", sum("is_new").over(wRun))
+          .groupBy("doc_id", "g")
+          .agg((max("span_end") - min("span_start") + 1).as("cov"))
+          .groupBy("doc_id").agg(sum("cov").cast("long").as("dup_toks"))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            expr(s"size(split($sparkNorm, ' '))").cast("long").as("n_toks"))
+          .join(cov, Seq("doc_id"), "left")
+          .withColumn("dup_toks", coalesce(col("dup_toks"), lit(0L)))
+          .select(col("doc_id"), col("n_toks"), col("dup_toks"),
+            round(col("dup_toks") * 1.0 / col("n_toks"), 4).as("dup_frac"),
+            when(col("dup_toks") * 2 > col("n_toks"), "drop")
+              .otherwise("keep").as("verdict"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $duckSpansCte,
+              docs AS (
+                SELECT doc_id,
+                  CAST(len(string_split($duckNorm, ' ')) AS BIGINT) AS n_toks
+                FROM documents),
+              flag AS (
+                SELECT doc_id, span_start, span_end,
+                  CASE WHEN max(span_end) OVER (PARTITION BY doc_id
+                      ORDER BY span_start
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                    OR span_start > max(span_end) OVER (PARTITION BY doc_id
+                      ORDER BY span_start
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS is_new
+                FROM spans),
+              merged AS (
+                SELECT doc_id,
+                  CAST(max(span_end) - min(span_start) + 1 AS BIGINT) AS cov
+                FROM (SELECT doc_id, span_start, span_end,
+                        sum(is_new) OVER (PARTITION BY doc_id
+                          ORDER BY span_start) AS g
+                      FROM flag)
+                GROUP BY doc_id, g),
+              cov AS (SELECT doc_id, CAST(sum(cov) AS BIGINT) AS dup_toks
+                      FROM merged GROUP BY doc_id)
+              SELECT d.doc_id, d.n_toks,
+                CAST(coalesce(c.dup_toks, 0) AS BIGINT) AS dup_toks,
+                round(coalesce(c.dup_toks, 0) * 1.0 / d.n_toks, 4) AS dup_frac,
+                CASE WHEN coalesce(c.dup_toks, 0) * 2 > d.n_toks
+                  THEN 'drop' ELSE 'keep' END AS verdict
+              FROM docs d LEFT JOIN cov c USING (doc_id)
+              ORDER BY d.doc_id""")),
+
+    Q("x_seq_pack",
+      // Concat-and-split sequence packing — the layout step that turns a
+      // curated document stream into fixed-length training sequences:
+      // docs are concatenated in doc_id order and split every C tokens;
+      // each doc reports its global token offset, the sequence and
+      // offset where it starts, the sequence where it ends, and how many
+      // context windows it straddles. The global token prefix sum is a
+      // two-level distributed scan: block-local running sums (window
+      // partitioned by a doc_id block) plus per-block offsets from a
+      // cumulative over the block-total table (n/B rows) broadcast back
+      // — no single-task global window over the corpus at any scale.
+      (s, d) => {
+        val C = 64  // context window (tokens), matches chunkWindows
+        val B = 128 // docs per scan block
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"),
+            expr(s"size(split($sparkNorm, ' '))").cast("long").as("n_toks"))
+          .withColumn("blk", expr(s"doc_id div $B"))
+        val local = docs.withColumn("local_pre",
+          sum("n_toks").over(Window.partitionBy("blk").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("local_pre", coalesce(col("local_pre"), lit(0L)))
+        val offs = docs.groupBy("blk").agg(sum("n_toks").as("blk_toks"))
+          .withColumn("blk_off", coalesce(
+            sum("blk_toks").over(Window.orderBy("blk")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("blk", "blk_off")
+        local.join(broadcast(offs), "blk")
+          .withColumn("tok_start", col("blk_off") + col("local_pre"))
+          .select(col("doc_id"), col("n_toks"), col("tok_start"),
+            expr(s"tok_start div $C").as("seq_first"),
+            expr(s"(tok_start + n_toks - 1) div $C").as("seq_last"),
+            expr(s"tok_start % $C").as("seq_offset"))
+          .withColumn("n_seqs", col("seq_last") - col("seq_first") + lit(1L))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH docs AS (
+                SELECT doc_id,
+                  CAST(len(string_split($duckNorm, ' ')) AS BIGINT) AS n_toks
+                FROM documents),
+              pre AS (
+                SELECT doc_id, n_toks,
+                  CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS tok_start
+                FROM docs)
+              SELECT doc_id, n_toks, tok_start,
+                tok_start // 64 AS seq_first,
+                (tok_start + n_toks - 1) // 64 AS seq_last,
+                tok_start % 64 AS seq_offset,
+                (tok_start + n_toks - 1) // 64 - tok_start // 64 + 1 AS n_seqs
+              FROM pre ORDER BY doc_id"""))
   )
+
+  /** The repeated-span table shared by `x_repeated_spans` and
+    * `x_dup_span_fraction`: (doc_id, span_start, span_end) of maximal
+    * runs of corpus-repeated token 8-gram start positions. See the
+    * `x_repeated_spans` comment for the shape argument. */
+  private def repeatedSpanTable(
+      s: org.apache.spark.sql.SparkSession, d: String) = {
+    val K = 8
+    val grams = spread(t(s, d, "documents"))
+      .withColumn("a", expr(s"split($sparkNorm, ' ')"))
+      .filter(expr(s"size(a) >= $K"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(a) - $K),"
+          + s" i -> xxhash64(concat_ws(' ', slice(a, i + 1, $K))))"))
+        .as(Seq("pos", "h")))
+      .localCheckpoint() // both the dup-gram agg and the semi-join probe
+    val dup = grams.groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("h")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    grams.join(dup, Seq("h"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("span_start"),
+        (max(col("pos")) + lit(K - 1)).as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+  }
+
+  /** DuckDB twin of [[repeatedSpanTable]], ending in a `spans` CTE. */
+  private def duckSpansCte: String =
+    s"""toks AS (
+         SELECT doc_id, string_split($duckNorm, ' ') AS a FROM documents),
+       grams AS MATERIALIZED (
+         SELECT doc_id, CAST(i AS INT) AS pos,
+           array_to_string(
+             list_slice(a, CAST(i + 1 AS INT), CAST(i + 8 AS INT)), ' ') AS g
+         FROM toks, UNNEST(range(0, len(a) - 7)) AS t(i)
+         WHERE len(a) >= 8),
+       dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+       isl AS (
+         SELECT doc_id, pos,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         FROM grams WHERE g IN (SELECT g FROM dup)),
+       spans AS (SELECT doc_id, min(pos) AS span_start,
+                   max(pos) + 7 AS span_end
+                 FROM isl GROUP BY doc_id, grp)"""
 
   /** The planted-PII text, as one SQL concat expression valid on both
     * engines modulo the numeric->string cast (Spark `cast(x as string)`,
