@@ -23,11 +23,16 @@ final case class Q(
 object Q {
   /** Read one of the driver-generated tables (see TESTDATA.md).
     *
-    * `events.ts` is physically INT64 TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects outright (PARQUET_TYPE_ILLEGAL). We read it as a long via
-    * the legacy nanosAsLong conf and convert to a microsecond TimestampType
-    * with exact integer arithmetic (`div`, not `/` — ns since epoch exceeds
-    * the 2^53 double-exact range).
+    * `events.ts` has shipped under two physical types across driver data
+    * generations, so normalize it to a session-zoned TimestampType here and
+    * let every catalog query assume that one shape:
+    *  - INT64 TIMESTAMP(NANOS): Spark's parquet reader rejects it outright
+    *    (PARQUET_TYPE_ILLEGAL); read it as a long via the legacy nanosAsLong
+    *    conf and convert with exact integer arithmetic (`div`, not `/` — ns
+    *    since epoch exceeds the 2^53 double-exact range);
+    *  - TIMESTAMP(MICROS) without isAdjustedToUTC: arrives as
+    *    TIMESTAMP_NTZ; cast to TimestampType (the UTC session zone keeps the
+    *    wall clock identical to DuckDB's naive rendering of the same file).
     */
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = {
@@ -35,8 +40,15 @@ object Q {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.read.parquet(s"$dir/$name.parquet")
     }
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType =>
+          df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+        case _ => df // already TimestampType
+      }
+    } else df
   }
 }
