@@ -366,6 +366,31 @@ object AggWindowCatalog {
              FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
              ORDER BY gid, returnflag, linestatus""")),
 
+    Q("a19_grouping_sets",
+      // Explicit GROUPING SETS closes the lattice family (a16 ROLLUP,
+      // a18 CUBE): an arbitrary set list — here the two single-column
+      // marginals plus the grand total, i.e. a lattice CUBE contains
+      // but ROLLUP cannot express and neither emits alone. Same
+      // one-pass Expand-then-aggregate plan as its siblings.
+      (s, d) => t(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("qty"), grouping_id().as("gid"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("qty"), col("gid"))
+        .orderBy("gid", "returnflag", "linestatus"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             coalesce(l_linestatus, 'ALL') AS linestatus,
+             count(*) AS n, round(sum(l_quantity), 2) AS qty,
+             CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+             FROM lineitem
+             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             ORDER BY gid, returnflag, linestatus""")),
+
     Q("w5_sessionize",
       // Sessionization (gaps-and-islands): per-user sessions split at
       // >30 min inactivity — lag for the gap, running sum of session

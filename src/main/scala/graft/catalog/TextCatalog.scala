@@ -21,6 +21,33 @@ object TextCatalog {
   private val sparkNorm = graft.operators.Curation.NormSql
   private val duckNorm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
+  /** Shared oracle for the two decontamination-removal plans
+    * (`x_decontaminate` and its Bloom-prefiltered twin
+    * `x_decontaminate_bloom`): src0 is the held-out eval set, a train
+    * doc drops at >= 8 shared distinct trigrams. */
+  private def duckDecontaminate: String =
+    s"""WITH sh AS (
+          SELECT DISTINCT doc_id, source, sg FROM (
+            SELECT doc_id, source,
+              unnest(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sg
+            FROM (SELECT doc_id, source, string_split($duckNorm, ' ') AS toks
+                  FROM documents)
+            WHERE len(toks) > 2)),
+        ev AS (SELECT DISTINCT sg FROM sh WHERE source = 'src0'),
+        dropped AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, count(*) AS n
+            FROM sh JOIN ev USING (sg) WHERE source != 'src0' GROUP BY 1)
+          WHERE n >= 8)
+        SELECT source, count(*) AS n_train,
+          CAST(sum(CASE WHEN dropped.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped
+        FROM (SELECT source, doc_id FROM documents WHERE source != 'src0') t
+          LEFT JOIN dropped ON t.doc_id = dropped.doc_id
+        GROUP BY source
+        ORDER BY source"""
+
   /** Spread the documents table across the full cluster BEFORE the per-doc
     * heavy compute (shingling, hashing). The explicit partition count
     * matters: a column-only `repartition(col)` is an AQE-coalescible
@@ -838,27 +865,31 @@ object TextCatalog {
             sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_dropped"))
           .orderBy("source")
       },
-      Some(s"""WITH sh AS (
-                SELECT DISTINCT doc_id, source, sg FROM (
-                  SELECT doc_id, source,
-                    unnest(list_transform(range(1, len(toks) - 1),
-                      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sg
-                  FROM (SELECT doc_id, source, string_split($duckNorm, ' ') AS toks
-                        FROM documents)
-                  WHERE len(toks) > 2)),
-              ev AS (SELECT DISTINCT sg FROM sh WHERE source = 'src0'),
-              dropped AS (
-                SELECT doc_id FROM (
-                  SELECT doc_id, count(*) AS n
-                  FROM sh JOIN ev USING (sg) WHERE source != 'src0' GROUP BY 1)
-                WHERE n >= 8)
-              SELECT source, count(*) AS n_train,
-                CAST(sum(CASE WHEN dropped.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_dropped
-              FROM (SELECT source, doc_id FROM documents WHERE source != 'src0') t
-                LEFT JOIN dropped ON t.doc_id = dropped.doc_id
-              GROUP BY source
-              ORDER BY source""")),
+      Some(duckDecontaminate)),
+
+    Q("x_decontaminate_bloom",
+      // The SAME decontamination contract through the 100 TB plan:
+      // Curation.decontaminateBloom squeezes the eval shingle set into a
+      // 2^17-bit Bloom filter (built relationally — xxhash64 positions,
+      // bit_or words, one dense array row), broadcasts it, prefilters
+      // the train shingle stream with a row-local codegen `forall`
+      // membership test, and exact-confirms the sliver that survives.
+      // Every false positive dies in the confirm join, so the oracle is
+      // IDENTICAL to x_decontaminate's — the driver verifies that a
+      // bloom-prefiltered plan changes nothing but the work.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val train = docs.filter(col("source") =!= "src0")
+        val kept = graft.operators.Curation.decontaminateBloom(
+          train, docs.filter(col("source") === "src0"))
+        train.select("source", "doc_id")
+          .join(kept.select(col("doc_id"), lit(1).as("k")), Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_train"),
+            sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_dropped"))
+          .orderBy("source")
+      },
+      Some(duckDecontaminate)),
 
     Q("x_data_mixture",
       // Training-mix construction ("data mixture"): four sources weighted
@@ -1424,7 +1455,112 @@ object TextCatalog {
                 (tok_start + n_toks - 1) // 64 AS seq_last,
                 tok_start % 64 AS seq_offset,
                 (tok_start + n_toks - 1) // 64 - tok_start // 64 + 1 AS n_seqs
-              FROM pre ORDER BY doc_id"""))
+              FROM pre ORDER BY doc_id""")),
+
+    Q("x_zipf_slope",
+      // Zipf exponent of the corpus token-frequency distribution — the
+      // one-number "does this corpus look like natural language" check
+      // (natural text sits near slope -1 in ln(freq) ~ ln(rank); a
+      // spammy or templated corpus bends away from it). Top-100 vocab
+      // is a TakeOrderedAndProject (never a global sort of the vocab);
+      // ranking and the OLS fit run over those 100 rows only.
+      (s, d) => {
+        val top = spread(t(s, d, "documents"))
+          .select(explode(expr(s"split($sparkNorm, ' ')")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok").asc)
+          .limit(100)
+        top
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col("cnt").desc, col("tok").asc)))
+          .agg(count(lit(1)).as("n_terms"),
+            round(expr("regr_slope(ln(cnt), ln(rank))"), 4).as("zipf_slope"),
+            round(expr("regr_r2(ln(cnt), ln(rank))"), 4).as("r2"))
+      },
+      Some(s"""WITH vocab AS (
+                SELECT tok, count(*) AS cnt
+                FROM (SELECT unnest(string_split($duckNorm, ' ')) AS tok
+                      FROM documents)
+                WHERE tok != '' GROUP BY 1),
+              top AS (
+                SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+                FROM vocab ORDER BY cnt DESC, tok LIMIT 100)
+              SELECT count(*) AS n_terms,
+                round(regr_slope(ln(cnt), ln(rank)), 4) AS zipf_slope,
+                round(regr_r2(ln(cnt), ln(rank)), 4) AS r2
+              FROM top""")),
+
+    Q("x_tfidf_cosine_pairs",
+      // Pairwise document cosine similarity over tf-idf vectors via an
+      // INVERTED-INDEX join — the sparse-vector member of the dedup
+      // family (x_ngram_jaccard is set-overlap, v_cosine_neardup is
+      // dense-embedding; this is the classic bag-of-words geometry).
+      // The vector space is the mid-frequency vocabulary (2 <= df <=
+      // 50): ubiquitous terms would make every pair collide (and their
+      // posting lists are the quadratic blowup at scale — the df cap IS
+      // the scale guarantee, same principle as x_ngram_jaccard), while
+      // df=1 terms join nothing. Weights are tf * ln(N/df) with N a
+      // 1-row aggregate cross-joined in-plan (no driver round-trip);
+      // pairs form only through shared posting-list entries, then one
+      // groupBy dot product + broadcast norm joins. Top-20 pairs,
+      // ordered by the ROUNDED cosine so last-ulp float noise cannot
+      // flip the selection on either engine.
+      (s, d) => {
+        val tf = spread(t(s, d, "documents"))
+          .select(col("doc_id"), explode(expr(s"split($sparkNorm, ' ')")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val nDocs = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+        val vocab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2 && col("df") <= 50)
+        val wgt = tf.join(vocab, Seq("tok"))
+          .crossJoin(broadcast(nDocs))
+          .select(col("doc_id"), col("tok"),
+            (col("tf") * expr("ln(n_docs / df)")).as("w"))
+        val norms = wgt.groupBy("doc_id")
+          .agg(expr("sqrt(sum(w * w))").as("nrm"))
+        val a = wgt.select(col("doc_id").as("doc_a"), col("tok"), col("w").as("wa"))
+          .hint("merge")
+        val b = wgt.select(col("doc_id").as("doc_b"), col("tok"), col("w").as("wb"))
+          .hint("merge")
+        a.join(b, Seq("tok"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b")
+          .agg(sum(col("wa") * col("wb")).as("dot"))
+          .join(broadcast(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na"))),
+            Seq("doc_a"))
+          .join(broadcast(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb"))),
+            Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            round(col("dot") / (col("na") * col("nb")), 4).as("cosine"))
+          .orderBy(col("cosine").desc, col("doc_a").asc, col("doc_b").asc)
+          .limit(20)
+      },
+      Some(s"""WITH tf AS (
+                SELECT doc_id, tok, count(*) AS tf
+                FROM (SELECT doc_id, unnest(string_split($duckNorm, ' ')) AS tok
+                      FROM documents)
+                WHERE tok != '' GROUP BY 1, 2),
+              vocab AS (
+                SELECT tok, count(*) AS df FROM tf
+                GROUP BY 1 HAVING count(*) BETWEEN 2 AND 50),
+              n AS (SELECT count(*) AS n_docs FROM documents),
+              wgt AS (
+                SELECT doc_id, tok, tf * ln(n_docs / df) AS w
+                FROM tf JOIN vocab USING (tok), n),
+              norms AS (
+                SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wgt GROUP BY 1),
+              dots AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+                FROM wgt a JOIN wgt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+              SELECT doc_a, doc_b,
+                round(dot / (na.nrm * nb.nrm), 4) AS cosine
+              FROM dots
+                JOIN norms na ON na.doc_id = doc_a
+                JOIN norms nb ON nb.doc_id = doc_b
+              ORDER BY cosine DESC, doc_a, doc_b LIMIT 20"""))
   )
 
   /** The repeated-span table shared by `x_repeated_spans` and

@@ -451,6 +451,59 @@ object VectorCatalog {
              FROM ev JOIN a2 USING (vec_id) GROUP BY 1, 2
              ORDER BY cluster, dim""")),
 
+    Q("v_pq_codes",
+      // Product quantization — THE storage format for web-scale ANN
+      // (IVF-PQ): the 64-dim vector splits into 4 independent 16-dim
+      // subspaces, each quantized to the nearest of 8 codebook entries,
+      // so a 256-byte float vector becomes 4 code bytes (64x smaller;
+      // distance evaluation against a query becomes 4 table lookups).
+      // The codebook here is the deterministic stand-in "training"
+      // (subvectors of the 8 lowest vec_ids — v_kmeans_iter proves the
+      // real Lloyd trainer separately); assignment is argmin squared L2
+      // per subspace, micro-scaled BIGINT arithmetic throughout so the
+      // codes AND the per-subspace quantization error are integer-exact
+      // and order-immune on both engines.
+      //
+      // Scale shape: codebook is k*64 rows — broadcast into the
+      // exploded vector stream; one partial-aggregated groupBy + a
+      // narrow (vec_id, sub) window. No stage touches vec x vec.
+      (s, d) => {
+        val ev = t(s, d, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .withColumn("vm",
+            expr("CAST(round(CAST(x AS double) * 1000000D, 0) AS bigint)"))
+          .withColumn("sub", expr("CAST(dim div 16 AS INT)"))
+          .select("vec_id", "sub", "dim", "vm")
+        val codebook = ev.filter(col("vec_id") < 8)
+          .select(col("vec_id").cast("int").as("code"), col("sub"), col("dim"),
+            col("vm").as("cm"))
+        val w = Window.partitionBy("vec_id", "sub")
+          .orderBy(col("d2").asc, col("code").asc)
+        ev.join(broadcast(codebook), Seq("sub", "dim"))
+          .groupBy("vec_id", "sub", "code")
+          .agg(sum((col("vm") - col("cm")) * (col("vm") - col("cm"))).as("d2"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("vec_id", "sub", "code", "d2")
+          .orderBy("vec_id", "sub")
+      },
+      Some("""WITH ev AS (
+               SELECT vec_id, CAST((CAST(i AS INT) - 1) // 16 AS INT) AS sub,
+                 CAST(i AS INT) - 1 AS dim,
+                 CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0, 0)
+                   AS BIGINT) AS vm
+               FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+             cb AS (SELECT CAST(vec_id AS INT) AS code, sub, dim, vm AS cm
+                    FROM ev WHERE vec_id < 8),
+             d AS (SELECT ev.vec_id, ev.sub, cb.code,
+                     CAST(sum((vm - cm) * (vm - cm)) AS BIGINT) AS d2
+                   FROM ev JOIN cb ON ev.sub = cb.sub AND ev.dim = cb.dim
+                   GROUP BY 1, 2, 3)
+             SELECT vec_id, sub, code, d2
+             FROM (SELECT *, row_number() OVER
+                     (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn FROM d)
+             WHERE rn = 1 ORDER BY vec_id, sub""")),
+
     Q("v_pca_power",
       // Top principal component of the embedding cloud by THREE power
       // iterations over the covariance matrix — the whitening /

@@ -242,6 +242,69 @@ object Curation {
     train.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
   }
 
+  /** Build a Bloom filter over a shingle column `sg` entirely
+    * relationally: each shingle sets k bit positions
+    * (`pmod(xxhash64(sg, seed), mBits)` for seed in 0..k-1), positions
+    * group into 64-bit words via `bit_or`, and the sparse word table
+    * densifies into ONE row holding an `array<bigint>` of mBits/64
+    * words. No driver collect, no custom aggregate — the probe side
+    * broadcast-crossJoins the 1-row frame (mBits/8 bytes, e.g. 16 KiB
+    * at 2^17 bits) and tests membership row-locally.
+    *
+    * This is the same strategy Spark's own runtime filtering
+    * (InjectRuntimeFilter: BloomFilterAggregate -> scalar subquery ->
+    * BloomFilterMightContain) applies to join pruning, restated in
+    * public DataFrame operations so the filter composes with arbitrary
+    * probe logic. */
+  def shingleBloom(shingles: DataFrame, mBits: Int = 1 << 17, k: Int = 5): DataFrame = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      s"mBits must be a power of two >= 64, got $mBits")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val words = mBits / 64
+    shingles
+      .select(explode(expr(
+        s"transform(sequence(0, ${k - 1}), s -> pmod(xxhash64(sg, s), $mBits))"))
+        .as("pos"))
+      .groupBy(expr("CAST(pos div 64 AS INT)").as("w"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))").as("word"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("word")))).as("m"))
+      .select(expr(
+        s"transform(sequence(0, ${words - 1}), i -> coalesce(element_at(m, i), CAST(0 AS BIGINT)))")
+        .as("bloom"))
+  }
+
+  /** [[decontaminate]] with a Bloom-filter prefilter on the train-side
+    * shingle stream — row-identical output (every Bloom false positive
+    * is removed by the exact confirm join), different scale shape.
+    *
+    * Why it matters at 100 TB: plain decontaminate joins the full
+    * train shingle stream against the eval distinct-shingle set — fine
+    * while that set broadcasts, a full shuffle of the (enormous) train
+    * shingle stream once it doesn't. Here the eval set reduces to an
+    * mBits-bit Bloom (fixed KBs..MBs regardless of eval size), the
+    * probe is a row-local `forall` over k bit tests against the
+    * broadcast word array — zero shuffle, inside codegen — and only
+    * the surviving sliver (true matches + ~(1-e^-kn/m)^k false
+    * positives) pays the exact join. */
+  def decontaminateBloom(train: DataFrame, eval: DataFrame, minShared: Int = 8,
+      n: Int = 3, mBits: Int = 1 << 17, k: Int = 5): DataFrame = {
+    val evalSg = tokenNGrams(eval, n).select("sg").distinct()
+    val bloom = shingleBloom(evalSg, mBits, k)
+    val candidates = tokenNGrams(train, n)
+      .crossJoin(broadcast(bloom))
+      .filter(expr(
+        s"""forall(transform(sequence(0, ${k - 1}), s -> pmod(xxhash64(sg, s), $mBits)),
+           p -> (shiftright(element_at(bloom, CAST(p div 64 AS INT) + 1),
+                            CAST(p % 64 AS INT)) & 1) = 1)"""))
+      .drop("bloom")
+    val contaminated = candidates
+      .join(evalSg, Seq("sg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    train.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
+  }
+
   /** Deterministic source-weighted token-budget selection — "data
     * mixture" construction, the step that turns a curated corpus into a
     * training mix: each source with weight w gets a token budget

@@ -114,6 +114,51 @@ class CurationSpec extends AnyFunSuite {
     assert(keptIds(minShared = 18, n = 4) == Seq(10L, 11L, 12L))
   }
 
+  test("decontaminateBloom matches decontaminate exactly (FPs die in confirm)") {
+    // Same fixture as the exact test, plus knob sweeps: the bloom path
+    // must agree on every (minShared, n) decision frontier even when
+    // the filter is tiny enough (mBits=64) that false positives are
+    // near-certain — the confirm join must erase them all.
+    val evalSpan = (0 until 20).map(i => s"eval$i").mkString(" ")
+    val train = Seq(
+      (10L, "s", s"${(0 until 50).map(i => s"alpha$i").mkString(" ")} $evalSpan"),
+      (11L, "s", (0 until 60).map(i => s"beta$i").mkString(" ")),
+      (12L, "s", (0 until 60).map(i => s"gamma$i").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val eval_ = Seq((100L, "eval", s"intro words $evalSpan trailing words"))
+      .toDF("doc_id", "source", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().sorted.toSeq
+    for ((minShared, n) <- Seq((8, 3), (19, 2), (20, 2), (17, 4), (18, 4)))
+      assert(
+        ids(Curation.decontaminateBloom(train, eval_, minShared, n)) ==
+          ids(Curation.decontaminate(train, eval_, minShared, n)),
+        s"bloom path diverged at minShared=$minShared n=$n")
+    for (mBits <- Seq(64, 1 << 10))
+      assert(ids(Curation.decontaminateBloom(train, eval_, mBits = mBits)) ==
+        Seq(11L, 12L), s"bloom path wrong at mBits=$mBits")
+  }
+
+  test("shingleBloom sets exactly the probed bits (no FN; FP only by collision)") {
+    // Membership through the bloom must never reject an inserted key
+    // (no false negatives) — probe the builder's own inputs through the
+    // SAME forall test decontaminateBloom uses.
+    val mBits = 1 << 12
+    val k = 5
+    val sgs = (0 until 200).map(i => s"shingle number $i").toDF("sg")
+    val bloom = Curation.shingleBloom(sgs, mBits, k)
+    assert(bloom.count() == 1)
+    val probe = sgs.crossJoin(broadcast(bloom))
+      .filter(expr(
+        s"""forall(transform(sequence(0, ${k - 1}), s -> pmod(xxhash64(sg, s), $mBits)),
+           p -> (shiftright(element_at(bloom, CAST(p div 64 AS INT) + 1),
+                            CAST(p % 64 AS INT)) & 1) = 1)"""))
+    assert(probe.count() == 200, "an inserted shingle failed the membership test")
+    // the dense word array has the declared shape
+    val words = bloom.select(expr("size(bloom)")).as[Int].head()
+    assert(words == mBits / 64)
+  }
+
   test("mixtureSelect packs each source's budgeted prefix in hash order") {
     val mix = (1L to 60L)
       .map(i => (i, s"src${i % 3}", Seq.fill((i % 7 + 3).toInt)("tok").mkString(" ")))
