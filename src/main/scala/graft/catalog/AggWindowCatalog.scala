@@ -727,6 +727,45 @@ object AggWindowCatalog {
                 (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_s
               FROM purchases p ASOF LEFT JOIN clicks c
                 ON p.user_id = c.user_id AND p.ts > c.ts
-              ORDER BY event_id"""))
+              ORDER BY event_id""")),
+
+    Q("w7_ntile_buckets",
+      // Distribution windows (ntile / percent_rank / cume_dist)
+      // complete the window family: customer spend quartiles WITHIN
+      // each nation. The window partitions by nation — the scale-sound
+      // shape (a global ntile would funnel the corpus through one
+      // partition chain; a partitioned one shares the single
+      // nation-keyed shuffle). Ordering includes the unique custkey so
+      // there are no window peers: percent_rank and cume_dist become
+      // exact rationals of the row number, deterministic on both
+      // engines; ntile follows the SQL-standard front-loaded bucket
+      // fill. Ranking reads the ROUNDED spend so a last-ulp sum
+      // difference cannot reorder rows.
+      (s, d) => {
+        val spend = t(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg(round(sum("o_totalprice"), 2).as("spend"))
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("spend").desc, col("o_custkey").asc)
+        spend.join(cust, col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey").as("nationkey"), col("o_custkey").as("custkey"),
+            col("spend"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 4).as("pct_rank"),
+            round(cume_dist().over(w), 4).as("cume"))
+          .orderBy("nationkey", "quartile", "custkey")
+      },
+      Some("""WITH spend AS (
+               SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+               FROM orders GROUP BY 1)
+             SELECT c_nationkey AS nationkey, o_custkey AS custkey, spend,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 4) AS pct_rank,
+               round(cume_dist() OVER w, 4) AS cume
+             FROM spend JOIN customer ON o_custkey = c_custkey
+             WINDOW w AS (PARTITION BY c_nationkey ORDER BY spend DESC, o_custkey)
+             ORDER BY nationkey, quartile, custkey"""))
   )
 }

@@ -614,6 +614,49 @@ object VectorCatalog {
              64 + (octet_length(encode(text)) * 7) % 513 AS height,
              1 + octet_length(encode(text)) % 16 AS n_frames,
              lower(hex(encode(substr(text, 1, 8)))) AS header_hex
+             FROM documents ORDER BY doc_id""")),
+
+    Q("mm_image_dims",
+      // REAL image-header parsing from a binary column, no codec: each
+      // doc synthesizes a valid PNG / GIF / BMP header (format by
+      // doc_id % 3, dimensions derived from n_chars) as actual BYTES —
+      // unhex'd magic + correctly byte-ordered u32/u16 dimension
+      // fields — and Multimodal.parseImageDims recovers fmt/width/
+      // height by magic-dispatch + offset reads (big-endian for PNG,
+      // little-endian for GIF/BMP). The oracle computes the expected
+      // dimensions ARITHMETICALLY, so any error in either direction of
+      // the Spark byte round-trip (construction or parsing — a wrong
+      // offset, a flipped byte order) breaks the hash match. Row-local,
+      // zero shuffles, all inside codegen.
+      (s, d) => {
+        val w = expr("1 + n_chars % 1024").cast("int")
+        val h = expr("1 + (n_chars * 7) % 1024").cast("int")
+        def be32(v: org.apache.spark.sql.Column) =
+          unhex(lpad(hex(v), 8, "0"))
+        def byteHexAt(v: org.apache.spark.sql.Column, i: Int) =
+          lpad(hex(shiftright(v, 8 * i) % 256), 2, "0")
+        def le16(v: org.apache.spark.sql.Column) =
+          unhex(concat(byteHexAt(v, 0), byteHexAt(v, 1)))
+        def le32(v: org.apache.spark.sql.Column) =
+          unhex(concat(byteHexAt(v, 0), byteHexAt(v, 1), byteHexAt(v, 2), byteHexAt(v, 3)))
+        val png = concat(unhex(lit("89504E470D0A1A0A")), // signature
+          unhex(lit("0000000D")), unhex(lit("49484452")), // IHDR len + type
+          be32(w), be32(h))
+        val gif = concat(unhex(lit("474946383961")), le16(w), le16(h)) // GIF89a
+        val bmp = concat(unhex(lit("424D")), unhex(lit("00" * 16)), // BM + 16 pad
+          le32(w), le32(h))
+        val header = when(col("doc_id") % 3 === 0, png)
+          .when(col("doc_id") % 3 === 1, gif)
+          .otherwise(bmp)
+        graft.multimodal.Multimodal.withImageDims(
+            t(s, d, "documents").withColumn("img", header), "img")
+          .select("doc_id", "fmt", "width", "height")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'bmp' END AS fmt,
+             CAST(1 + n_chars % 1024 AS INT) AS width,
+             CAST(1 + (n_chars * 7) % 1024 AS INT) AS height
              FROM documents ORDER BY doc_id"""))
   )
 }

@@ -64,6 +64,55 @@ object Multimodal {
       lower(hex(substring(content, 1, 8))).as("header_hex"))
   }
 
+  /** Parse REAL image-container headers from a binary column — the
+    * metadata-extraction step that needs no codec at all: PNG, GIF and
+    * BMP store their pixel dimensions at fixed byte offsets, so width
+    * and height fall out of `substring`-on-BINARY + hex -> int
+    * arithmetic, entirely inside codegen. Returns
+    * `struct(fmt, width, height)`; unknown magics yield
+    * ('unknown', null, null) rather than failing the row.
+    *
+    *   PNG: 8-byte signature, then the IHDR chunk — width/height are
+    *        big-endian u32 at offsets 17..20 / 21..24 (1-based).
+    *   GIF: "GIF87a"/"GIF89a", then the logical screen descriptor —
+    *        width/height little-endian u16 at offsets 7..8 / 9..10.
+    *   BMP: "BM", then BITMAPINFOHEADER — width/height little-endian
+    *        i32 at offsets 19..22 / 23..26.
+    *
+    * Byte order matters and differs per container: the big-endian reads
+    * are one hex() away, the little-endian ones reverse the bytes
+    * first. All offsets are classic public file-format layout. */
+  def parseImageDims(content: Column): Column = {
+    def byteHex(off: Int): Column = hex(substring(content, off, 1))
+    def beU32(off: Int): Column =
+      conv(hex(substring(content, off, 4)), 16, 10).cast("int")
+    def leU16(off: Int): Column =
+      conv(concat(byteHex(off + 1), byteHex(off)), 16, 10).cast("int")
+    def leU32(off: Int): Column =
+      conv(concat(byteHex(off + 3), byteHex(off + 2), byteHex(off + 1), byteHex(off)),
+        16, 10).cast("int")
+    val magic8 = hex(substring(content, 1, 8))
+    val magic6 = substring(content, 1, 6).cast("string")
+    val magic2 = substring(content, 1, 2).cast("string")
+    when(magic8 === "89504E470D0A1A0A",
+        struct(lit("png").as("fmt"), beU32(17).as("width"), beU32(21).as("height")))
+      .when(magic6 === "GIF87a" || magic6 === "GIF89a",
+        struct(lit("gif").as("fmt"), leU16(7).as("width"), leU16(9).as("height")))
+      .when(magic2 === "BM",
+        struct(lit("bmp").as("fmt"), leU32(19).as("width"), leU32(23).as("height")))
+      .otherwise(struct(lit("unknown").as("fmt"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height")))
+  }
+
+  /** [[parseImageDims]] over a DataFrame: adds fmt/width/height columns
+    * parsed from `binCol`. */
+  def withImageDims(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("__dims", parseImageDims(col(binCol).cast("binary")))
+      .withColumn("fmt", col("__dims.fmt"))
+      .withColumn("width", col("__dims.width"))
+      .withColumn("height", col("__dims.height"))
+      .drop("__dims")
+
   /** Frame sampling for "video": cut the payload into fixed-size frame
     * chunks and keep every k-th — the batch shape (explode + substring)
     * a real frame sampler has. */

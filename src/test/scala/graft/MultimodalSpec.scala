@@ -60,4 +60,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.count() == 20)
     assert(feats.columns.length == 9) // asset_id + 8 buckets
   }
+
+  test("parseImageDims reads real PNG/GIF/BMP headers byte-for-byte") {
+    import spark.implicits._
+    // Hand-built headers with KNOWN dimensions, byte orders per spec:
+    // PNG 640x480 (big-endian u32), GIF 320x200 (little-endian u16),
+    // BMP 1024x768 (little-endian i32), plus a JPEG magic we don't
+    // parse (must yield 'unknown', not an error).
+    def bytes(hex: String): Array[Byte] =
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val png = bytes("89504E470D0A1A0A" + "0000000D" + "49484452" +
+      "00000280" + "000001E0") // 640, 480
+    val gif = "GIF89a".getBytes("US-ASCII") ++ bytes("4001" + "C800") // 320, 200
+    val bmp = "BM".getBytes("US-ASCII") ++ bytes("00" * 16) ++
+      bytes("00040000" + "00030000") // 1024, 768 little-endian
+    val jpg = bytes("FFD8FFE0")
+    val df = Seq(("png", png), ("gif", gif), ("bmp", bmp), ("jpg", jpg))
+      .toDF("id", "img")
+    val parsed = Multimodal.withImageDims(df, "img")
+      .select("id", "fmt", "width", "height").collect()
+      .map(r => r.getString(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(parsed("png") == (("png", Some(640), Some(480))))
+    assert(parsed("gif") == (("gif", Some(320), Some(200))))
+    assert(parsed("bmp") == (("bmp", Some(1024), Some(768))))
+    assert(parsed("jpg") == (("unknown", None, None)))
+  }
 }
