@@ -277,6 +277,44 @@ object GraphCatalog {
               deg AS (SELECT o_custkey, count(*)::BIGINT AS n_suppliers
                 FROM pairs GROUP BY o_custkey)
               SELECT n_suppliers, count(*)::BIGINT AS n_customers
-              FROM deg GROUP BY n_suppliers ORDER BY n_suppliers"""))
+              FROM deg GROUP BY n_suppliers ORDER BY n_suppliers""")),
+
+    // k-core cohesion over the part co-occurrence graph (the Cypher
+    // "dense community" ask): 5 synchronized peeling sweeps at k=80 —
+    // chosen INSIDE the sf0.01 degree distribution (min 42 / median
+    // 115) so the peel genuinely cascades (2000 -> 1857 nodes over 5
+    // sweeps as weakly-attached parts expose their neighbors) instead
+    // of fixing trivially. Oracle = the identical sweeps unrolled as a
+    // generated CTE chain (same technique as the PageRank oracle —
+    // different execution, identical set algebra per round).
+    Q("g_kcore",
+      (s, d) => GraphAlgos.kCore(
+          copartPairs(t(s, d, "lineitem").select("l_orderkey", "l_partkey")),
+          k = 80, rounds = 5)
+        .orderBy("node"),
+      Some(kcoreOracle(k = 80, rounds = 5)))
   )
+
+  /** Generated unrolled k-core oracle: `rounds` peel sweeps, each a
+    * HAVING-filtered degree table + an edge restriction to survivors. */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val head =
+      """WITH pr AS MATERIALIZED (
+           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         e0 AS MATERIALIZED (
+           SELECT u AS s, v AS d FROM pr UNION ALL SELECT v, u FROM pr)"""
+    val sweeps = (1 to rounds).map { i =>
+      s""",
+         k$i AS MATERIALIZED (
+           SELECT s FROM e${i - 1} GROUP BY s HAVING count(*) >= $k),
+         e$i AS MATERIALIZED (
+           SELECT e.s, e.d FROM e${i - 1} e
+           JOIN k$i a ON e.s = a.s JOIN k$i b ON e.d = b.s)"""
+    }.mkString
+    head + sweeps + s"""
+         SELECT s AS node, CAST(count(*) AS BIGINT) AS deg
+         FROM e$rounds GROUP BY s ORDER BY node"""
+  }
 }

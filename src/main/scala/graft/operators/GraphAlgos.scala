@@ -247,6 +247,44 @@ object GraphAlgos {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** k-core of an undirected graph: the maximal subgraph in which
+    * every node keeps degree >= k — the standard cohesion measure
+    * (dense communities survive; tendrils and loosely-attached nodes
+    * peel away). Computed by `rounds` synchronized peeling sweeps:
+    * drop every node whose CURRENT degree is < k, restrict the edge
+    * set to survivors, repeat. A fixed round count (not a convergence
+    * test) keeps the result deterministic and oracle-matchable; peeling
+    * reaches a fixed point once no node drops in a sweep, after which
+    * further rounds are no-ops on the shrunken edge set.
+    *
+    * Input edges `(u, v)` are symmetrized and deduplicated here;
+    * self-loops are discarded (a self-loop would let a node count
+    * itself toward its own coreness). Returns surviving `(node, deg)`
+    * with deg the node's degree INSIDE the core.
+    *
+    * Scale shape: each sweep is one degree aggregate plus two
+    * node-keyed semi-joins, all on the strictly-shrinking edge frame;
+    * lineage is cut per sweep. Nothing ever reaches the driver. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var e = edges.filter(col("u") =!= col("v"))
+      .select(col("u").as("s"), col("v").as("d"))
+      .union(edges.filter(col("u") =!= col("v"))
+        .select(col("v").as("s"), col("u").as("d")))
+      .distinct()
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy("s").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("s")
+      e = e.join(keep, Seq("s"), "left_semi")
+        .join(keep.select(col("s").as("d")), Seq("d"), "left_semi")
+        .localCheckpoint()
+    }
+    e.groupBy("s").agg(count(lit(1)).as("deg"))
+      .select(col("s").as("node"), col("deg"))
+  }
+
   /** Minimum WEIGHTED distance from a source node over a directed edge
     * list `(s, d, w)` with positive weights, bounded at `maxHops` edges
     * per path (unreached nodes absent) — Cypher's weighted

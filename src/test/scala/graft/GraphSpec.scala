@@ -190,6 +190,49 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("kCore: clique survives peeling, tendrils and bridges peel away") {
+    // K5 (every node degree 4) + a 3-node chain hanging off node 1:
+    // at k=3 the chain peels in two sweeps (endpoints first, then the
+    // newly-exposed middle), the clique is untouched.
+    val k5 = (for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)).toSeq
+    val chain = Seq((1L, 6L), (6L, 7L), (7L, 8L))
+    val core = GraphAlgos.kCore((k5 ++ chain).toDF("u", "v"), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == (1L to 5L).map(_ -> 4L).toMap)
+    // k above the clique degree empties the graph entirely
+    assert(GraphAlgos.kCore((k5 ++ chain).toDF("u", "v"), k = 5).count() == 0)
+  }
+
+  test("property: kCore matches local peeling to fixed point on random graphs") {
+    import org.scalacheck.Gen
+    val graphGen = for {
+      n <- Gen.chooseNum(2, 12)
+      m <- Gen.chooseNum(1, 30)
+      es <- Gen.listOfN(m, Gen.zip(Gen.chooseNum(1, n), Gen.chooseNum(1, n)))
+    } yield es.map { case (a, b) => (a.toLong, b.toLong) }
+    val samples = Gen.listOfN(5, graphGen).sample.get
+    for (es <- samples; k <- Seq(2, 3)) {
+      // local peeling to the true fixed point
+      var und = es.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      var changed = true
+      while (changed) {
+        val deg = und.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = und.filter(e => keep(e._1) && keep(e._2))
+        changed = next != und
+        und = next
+      }
+      val naive = und.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, v) => n -> v.size.toLong }
+      // 12 nodes peel to fixed point well inside the default 8 rounds
+      val got = GraphAlgos.kCore(es.toDF("u", "v"), k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == naive, s"kCore diverged at k=$k on $es")
+    }
+  }
+
   test("composite node keys round-trip arbitrary type/id characters") {
     // The length-prefixed key must not lean on ANY reserved character:
     // types carrying '|' and ':' and ids carrying '|' go through every
