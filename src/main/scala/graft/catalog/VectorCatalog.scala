@@ -504,6 +504,133 @@ object VectorCatalog {
                      (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn FROM d)
              WHERE rn = 1 ORDER BY vec_id, sub""")),
 
+    Q("v_ivfpq_ann",
+      // IVF-PQ — the COMPOSED billion-vector ANN pipeline (coarse
+      // inverted-file cells to prune the search, product-quantized
+      // codes + an asymmetric-distance table to score the survivors
+      // without touching the original vectors): db vectors are assigned
+      // a cell (argmin full-dim L2 vs 4 coarse centroids) and 4
+      // subspace codes (v_pq_codes' codebook); a query probes its 2
+      // nearest cells and scores every vector there as the SUM of 4
+      // precomputed subspace distances — the per-query ADC table is
+      // queries x 32 rows, broadcast; the scan itself never reads an
+      // embedding. Micro-scaled BIGINT L2 end to end: distances are
+      // integer-exact, ranking cannot be split by float noise.
+      //
+      // Scale shape: cell assignment and PQ encoding are one-time
+      // broadcast-join encodes of the db (exactly how a real index is
+      // built); the query path touches only probed cells' code rows —
+      // at a realistic cell count that is nprobe/ncells of the corpus,
+      // and each candidate costs a 4-row integer sum instead of a
+      // 64-dim float kernel.
+      (s, d) => {
+        val ev = t(s, d, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .withColumn("vm",
+            expr("CAST(round(CAST(x AS double) * 1000000D, 0) AS bigint)"))
+          .withColumn("sub", expr("CAST(dim div 16 AS INT)"))
+          .select("vec_id", "sub", "dim", "vm")
+          .localCheckpoint() // read by centroids, codebook, db and query paths
+        val cent = ev.filter(col("vec_id") < 4)
+          .select(col("vec_id").cast("int").as("cell"), col("dim"), col("vm").as("cm"))
+        val book = ev.filter(col("vec_id") < 8)
+          .select(col("vec_id").cast("int").as("code"), col("sub"), col("dim"),
+            col("vm").as("pm"))
+        val db = ev.filter(col("vec_id") >= 13)
+        val qs = ev.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+          .select(col("vec_id").as("q_id"), col("sub"), col("dim"), col("vm").as("qm"))
+        val wCell = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cell").asc)
+        val dbCells = db.join(broadcast(cent), Seq("dim"))
+          .groupBy("vec_id", "cell")
+          .agg(sum((col("vm") - col("cm")) * (col("vm") - col("cm"))).as("d2"))
+          .withColumn("rn", row_number().over(wCell))
+          .filter(col("rn") === 1)
+          .select("vec_id", "cell")
+        val wCode = Window.partitionBy("vec_id", "sub")
+          .orderBy(col("d2").asc, col("code").asc)
+        val dbCodes = db.join(broadcast(book), Seq("sub", "dim"))
+          .groupBy("vec_id", "sub", "code")
+          .agg(sum((col("vm") - col("pm")) * (col("vm") - col("pm"))).as("d2"))
+          .withColumn("rn", row_number().over(wCode))
+          .filter(col("rn") === 1)
+          .select("vec_id", "sub", "code")
+        val wProbe = Window.partitionBy("q_id").orderBy(col("d2").asc, col("cell").asc)
+        val probes = qs.join(broadcast(cent), Seq("dim"))
+          .groupBy("q_id", "cell")
+          .agg(sum((col("qm") - col("cm")) * (col("qm") - col("cm"))).as("d2"))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= 2)
+          .select("q_id", "cell")
+        val adc = qs.join(broadcast(book), Seq("sub", "dim"))
+          .groupBy("q_id", "sub", "code")
+          .agg(sum((col("qm") - col("pm")) * (col("qm") - col("pm"))).as("dsub"))
+        val wTop = Window.partitionBy("q_id").orderBy(col("adist").asc, col("vec_id").asc)
+        dbCells.join(broadcast(probes), Seq("cell"))
+          .join(dbCodes, Seq("vec_id"))
+          .join(broadcast(adc), Seq("q_id", "sub", "code"))
+          .groupBy("q_id", "vec_id")
+          .agg(sum("dsub").as("adist"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("rn"), col("vec_id").as("neighbor_id"), col("adist"))
+          .orderBy("q_id", "rn")
+      },
+      Some("""WITH ev AS MATERIALIZED (
+               SELECT vec_id, CAST((CAST(i AS INT) - 1) // 16 AS INT) AS sub,
+                 CAST(i AS INT) - 1 AS dim,
+                 CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0, 0)
+                   AS BIGINT) AS vm
+               FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+             cent AS (SELECT CAST(vec_id AS INT) AS cell, dim, vm AS cm
+                      FROM ev WHERE vec_id < 4),
+             book AS (SELECT CAST(vec_id AS INT) AS code, sub, dim, vm AS pm
+                      FROM ev WHERE vec_id < 8),
+             db AS (SELECT * FROM ev WHERE vec_id >= 13),
+             q AS (SELECT vec_id AS q_id, sub, dim, vm AS qm
+                   FROM ev WHERE vec_id >= 8 AND vec_id < 13),
+             dbcell AS (
+               SELECT vec_id, cell FROM (
+                 SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cell) AS rn
+                 FROM (SELECT db.vec_id, cent.cell,
+                         CAST(sum((vm - cm) * (vm - cm)) AS BIGINT) AS d2
+                       FROM db JOIN cent USING (dim) GROUP BY 1, 2))
+               WHERE rn = 1),
+             dbcode AS (
+               SELECT vec_id, sub, code FROM (
+                 SELECT vec_id, sub, code, row_number() OVER (PARTITION BY vec_id, sub
+                     ORDER BY d2, code) AS rn
+                 FROM (SELECT db.vec_id, db.sub, book.code,
+                         CAST(sum((vm - pm) * (vm - pm)) AS BIGINT) AS d2
+                       FROM db JOIN book ON db.sub = book.sub AND db.dim = book.dim
+                       GROUP BY 1, 2, 3))
+               WHERE rn = 1),
+             probes AS (
+               SELECT q_id, cell FROM (
+                 SELECT q_id, cell, row_number() OVER (PARTITION BY q_id
+                     ORDER BY d2, cell) AS rn
+                 FROM (SELECT q.q_id, cent.cell,
+                         CAST(sum((qm - cm) * (qm - cm)) AS BIGINT) AS d2
+                       FROM q JOIN cent USING (dim) GROUP BY 1, 2))
+               WHERE rn <= 2),
+             adc AS (
+               SELECT q_id, q.sub, book.code,
+                 CAST(sum((qm - pm) * (qm - pm)) AS BIGINT) AS dsub
+               FROM q JOIN book ON q.sub = book.sub AND q.dim = book.dim
+               GROUP BY 1, 2, 3),
+             scored AS (
+               SELECT probes.q_id, dbcell.vec_id,
+                 CAST(sum(dsub) AS BIGINT) AS adist
+               FROM dbcell JOIN probes USING (cell)
+                 JOIN dbcode ON dbcode.vec_id = dbcell.vec_id
+                 JOIN adc ON adc.q_id = probes.q_id
+                         AND adc.sub = dbcode.sub AND adc.code = dbcode.code
+               GROUP BY 1, 2)
+             SELECT q_id, rn, vec_id AS neighbor_id, adist
+             FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                     ORDER BY adist, vec_id) AS rn FROM scored)
+             WHERE rn <= 3 ORDER BY q_id, rn""")),
+
     Q("v_pca_power",
       // Top principal component of the embedding cloud by THREE power
       // iterations over the covariance matrix — the whitening /
