@@ -457,6 +457,93 @@ object AggWindowCatalog {
                    FROM lineitem GROUP BY l_returnflag)
              ORDER BY l_returnflag""")),
 
+    Q("a_hll_manual",
+      // The HyperLogLog ALGORITHM itself as a relational program (the
+      // engine-native sketch in a_approx_distinct is a black box; this
+      // one is auditable and cross-engine EXACT): per value, md5 gives
+      // a register index (first byte % 64) and rho = leading-zero count
+      // of the next 64 bits + 1 (leading zeros read via regexp — no
+      // bit loop); registers keep max(rho); the harmonic sum runs over
+      // SCALED INTEGERS (2^(40-M) as BIGINT, empty registers
+      // contributing 2^40 exactly), so the only floating-point steps
+      // are one literal multiply chain and one division — bit-identical
+      // on both engines, no accumulation-order hazard. Small-range
+      // (linear counting) correction included. m=64 -> ~13% rsd; the
+      // relative error column shows the sketch honest against exact.
+      (s, d) => {
+        val vals = t(s, d, "lineitem")
+          .select(col("l_returnflag").as("flag"), col("l_partkey")).distinct()
+          .withColumn("h", md5(col("l_partkey").cast("string")))
+          .withColumn("idx", expr("CAST(conv(substring(h, 1, 2), 16, 10) AS INT) % 64"))
+          .withColumn("bits", expr("substring(h, 3, 16)"))
+          .withColumn("z", length(regexp_extract(col("bits"), "^(0*)", 1)))
+          .withColumn("rho", least(
+            col("z") * 4 + expr(
+              """CASE substring(bits, z + 1, 1)
+                 WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                 WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+                 ELSE 0 END""") + 1,
+            lit(40)))
+        val est = vals.groupBy("flag", "idx").agg(max("rho").as("m"))
+          .groupBy("flag")
+          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 40 - m)")).as("s_present"),
+            count(lit(1)).as("n_regs"))
+          .withColumn("v", lit(64) - col("n_regs"))
+          .withColumn("s_scaled",
+            col("s_present") + col("v") * lit(1099511627776L))
+          .withColumn("e_raw", expr(
+            "CAST(0.709 AS DOUBLE) * 4096.0 * 1099511627776.0 / s_scaled"))
+          .withColumn("est", when(col("e_raw") <= 160.0 && col("v") > 0,
+            expr("64.0 * ln(64.0 / v)")).otherwise(col("e_raw")))
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag").as("flag"))
+          .agg(countDistinct("l_partkey").as("n_exact"))
+          .join(est.select("flag", "est"), Seq("flag"))
+          .select(col("flag"), col("n_exact"), round(col("est"), 2).as("n_hll"),
+            round(abs(col("est") - col("n_exact")) / col("n_exact"), 4).as("rel_err"))
+          .orderBy("flag")
+      },
+      Some("""WITH vals AS (
+               SELECT flag, idx, bits,
+                 length(regexp_extract(bits, '^(0*)', 1)) AS z
+               FROM (
+                 SELECT flag,
+                   CAST((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) AS INT)
+                     % 64 AS idx,
+                   substring(h, 3, 16) AS bits
+                 FROM (SELECT DISTINCT l_returnflag AS flag, l_partkey FROM lineitem),
+                   LATERAL (SELECT md5(CAST(l_partkey AS VARCHAR)) AS h))),
+             rhos AS (
+               SELECT flag, idx, least(z * 4 +
+                 CASE substring(bits, z + 1, 1)
+                   WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                   WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+                   ELSE 0 END + 1, 40) AS rho
+               FROM vals),
+             regs AS (SELECT flag, idx, max(rho) AS m FROM rhos GROUP BY 1, 2),
+             agg AS (
+               SELECT flag,
+                 CAST(sum(1::BIGINT << (40 - m)) AS BIGINT) AS s_present,
+                 count(*) AS n_regs
+               FROM regs GROUP BY 1),
+             est AS (
+               SELECT flag,
+                 CASE WHEN e_raw <= 160.0 AND v > 0 THEN 64.0 * ln(64.0 / v)
+                      ELSE e_raw END AS est
+               FROM (SELECT flag, 64 - n_regs AS v,
+                       CAST(0.709 AS DOUBLE) * 4096.0 * 1099511627776.0
+                         / (s_present + (64 - n_regs) * 1099511627776) AS e_raw
+                     FROM agg)),
+             exact AS (
+               SELECT l_returnflag AS flag,
+                 count(DISTINCT l_partkey) AS n_exact
+               FROM lineitem GROUP BY 1)
+             SELECT flag, n_exact, round(est, 2) AS n_hll,
+               round(abs(est - n_exact) / n_exact, 4) AS rel_err
+             FROM exact JOIN est USING (flag)
+             ORDER BY flag""")),
+
     Q("t4_edge_diff",
       // J11/A14 — edge-set diff classified and counted: (custkey ->
       // orderpriority) "edges" in two date windows. ONE full-outer join on

@@ -1560,7 +1560,73 @@ object TextCatalog {
               FROM dots
                 JOIN norms na ON na.doc_id = doc_a
                 JOIN norms nb ON nb.doc_id = doc_b
-              ORDER BY cosine DESC, doc_a, doc_b LIMIT 20"""))
+              ORDER BY cosine DESC, doc_a, doc_b LIMIT 20""")),
+
+    Q("x_cms_estimate",
+      // Count-min sketch — the fixed-memory frequency table a streaming
+      // / multi-pass pipeline keeps when the true vocabulary doesn't
+      // fit: d=4 hash rows x w=256 counters; every token occurrence
+      // increments one counter per row (md5-derived bucket, identical
+      // hex on both engines), a point estimate reads the MIN of its 4
+      // counters — never an undercount, overcounts only from bucket
+      // collisions. The sketch build is the d-fold explode +
+      // partial-aggregated groupBy onto a d*w-bounded key (map-side
+      // combine does almost all the work — the exchange carries at most
+      // 1024 rows per partition regardless of corpus size); estimates
+      // for the top-20 true tokens then audit the sketch against the
+      // exact counts, integer-exact on both engines.
+      (s, d) => {
+        val bucketOf = (src: String) =>
+          s"CAST(conv(substring(md5(concat($src, '#', seed)), 1, 4), 16, 10) AS INT) % 256"
+        val toks = spread(t(s, d, "documents"))
+          .select(explode(expr(s"split($sparkNorm, ' ')")).as("tok"))
+          .filter(col("tok") =!= "")
+        val sketch = toks
+          .select(col("tok"), explode(expr("sequence(0, 3)")).as("seed"))
+          .withColumn("bucket", expr(bucketOf("tok")))
+          .groupBy("seed", "bucket").agg(count(lit(1)).as("cnt"))
+        val top = toks.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+          .orderBy(col("true_cnt").desc, col("tok").asc).limit(20)
+        top
+          .select(col("tok"), col("true_cnt"),
+            explode(expr("sequence(0, 3)")).as("seed"))
+          .withColumn("bucket", expr(bucketOf("tok")))
+          .join(broadcast(sketch), Seq("seed", "bucket"))
+          .groupBy("tok", "true_cnt")
+          .agg(min("cnt").as("est_cnt"))
+          .select(col("tok"), col("true_cnt"), col("est_cnt"),
+            (col("est_cnt") - col("true_cnt")).as("overcount"))
+          .orderBy("tok")
+      },
+      Some {
+        // DuckDB has no base-16 conv: rebuild the 16-bit value nibble
+        // by nibble (same technique as the x_shard_pack oracle).
+        val nib = (i: Int) => s"(strpos('0123456789abcdef', substring(h, $i, 1)) - 1)"
+        val bucket = s"CAST((${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}) % 256 AS INT)"
+        s"""WITH toks AS (
+              SELECT tok FROM (
+                SELECT unnest(string_split($duckNorm, ' ')) AS tok FROM documents)
+              WHERE tok != ''),
+            keyed AS (
+              SELECT seed, $bucket AS bucket FROM (
+                SELECT CAST(i AS INT) AS seed,
+                  md5(tok || '#' || CAST(i AS VARCHAR)) AS h
+                FROM toks, UNNEST(range(0, 4)) AS u(i))),
+            sketch AS (SELECT seed, bucket, count(*) AS cnt
+                       FROM keyed GROUP BY 1, 2),
+            top AS (SELECT tok, count(*) AS true_cnt FROM toks
+                    GROUP BY 1 ORDER BY true_cnt DESC, tok LIMIT 20),
+            probed AS (
+              SELECT tok, true_cnt, seed, $bucket AS bucket FROM (
+                SELECT tok, true_cnt, CAST(i AS INT) AS seed,
+                  md5(tok || '#' || CAST(i AS VARCHAR)) AS h
+                FROM top, UNNEST(range(0, 4)) AS u(i)))
+            SELECT tok, CAST(true_cnt AS BIGINT) AS true_cnt,
+              CAST(min(cnt) AS BIGINT) AS est_cnt,
+              CAST(min(cnt) - true_cnt AS BIGINT) AS overcount
+            FROM probed JOIN sketch USING (seed, bucket)
+            GROUP BY tok, true_cnt ORDER BY tok"""
+      })
   )
 
   /** The repeated-span table shared by `x_repeated_spans` and
