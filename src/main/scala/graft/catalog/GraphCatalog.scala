@@ -292,8 +292,59 @@ object GraphCatalog {
           copartPairs(t(s, d, "lineitem").select("l_orderkey", "l_partkey")),
           k = 80, rounds = 5)
         .orderBy("node"),
-      Some(kcoreOracle(k = 80, rounds = 5)))
+      Some(kcoreOracle(k = 80, rounds = 5))),
+
+    // Community detection by synchronized label propagation over the
+    // SPARSIFIED co-occurrence graph (pairs sharing >= 2 orders: 1880
+    // nodes / 3445 edges at sf0.01 — the raw graph is a near-clique
+    // where every LPA run collapses to one community; the repeat-trade
+    // backbone has real cluster structure). 4 deterministic sweeps;
+    // output is community sizes. Oracle = the sweeps unrolled (argmax
+    // label per node per round as a window over grouped counts).
+    Q("g_labelprop",
+      (s, d) => {
+        val edges = copartPairs(t(s, d, "lineitem")
+            .select("l_orderkey", "l_partkey"))
+          .groupBy("u", "v").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2)
+          .select("u", "v")
+        GraphAlgos.labelPropagation(edges, rounds = 4)
+          .groupBy(col("lbl").as("community"))
+          .agg(count(lit(1)).as("n_nodes"))
+          .orderBy("community")
+      },
+      Some(labelPropOracle(rounds = 4)))
   )
+
+  /** Generated unrolled label-propagation oracle: per round, each
+    * node's new label = argmax (count desc, label asc) over neighbor
+    * labels. */
+  private def labelPropOracle(rounds: Int): String = {
+    val head =
+      """WITH po AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS MATERIALIZED (
+           SELECT a.l_partkey AS u, b.l_partkey AS v
+           FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e0 AS MATERIALIZED (
+           SELECT u AS s, v AS d FROM pr UNION ALL SELECT v, u FROM pr),
+         l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS lbl FROM e0)"""
+    val sweeps = (1 to rounds).map { i =>
+      s""",
+         l$i AS MATERIALIZED (
+           SELECT node, lbl FROM (
+             SELECT e.s AS node, l.lbl, row_number() OVER (
+                 PARTITION BY e.s ORDER BY count(*) DESC, l.lbl) AS rn
+             FROM e0 e JOIN l${i - 1} l ON e.d = l.node
+             GROUP BY e.s, l.lbl)
+           WHERE rn = 1)"""
+    }.mkString
+    head + sweeps + s"""
+         SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes
+         FROM l$rounds GROUP BY 1 ORDER BY community"""
+  }
 
   /** Generated unrolled k-core oracle: `rounds` peel sweeps, each a
     * HAVING-filtered degree table + an edge restriction to survivors. */

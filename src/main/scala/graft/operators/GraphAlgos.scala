@@ -285,6 +285,49 @@ object GraphAlgos {
       .select(col("s").as("node"), col("deg"))
   }
 
+  /** Community detection by SYNCHRONIZED label propagation: every node
+    * starts labeled with its own id; each round every node adopts the
+    * most frequent label among its neighbors (ties -> smallest label).
+    * Dense clusters agree on a label within a few rounds while sparse
+    * bridges keep communities apart — the classic near-linear
+    * community heuristic, made deterministic by the synchronized
+    * sweep + total tie order + fixed round count (so the result is
+    * oracle-matchable; async LPA's update order dependence is exactly
+    * what this variant removes).
+    *
+    * Complements [[Components]]: connected components answer "what can
+    * reach what", label propagation answers "what clusters together" —
+    * a bridge edge joins two components but does not merge two
+    * communities.
+    *
+    * Scale shape: one symmetrized edge frame built once; per round ONE
+    * join (neighbor labels), one count aggregate, one argmax window on
+    * the (node, label) key — all node-keyed, lineage cut per round. */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    import org.apache.spark.sql.expressions.Window
+    val adj = edges.filter(col("u") =!= col("v"))
+      .select(col("u").as("s"), col("v").as("d"))
+      .union(edges.filter(col("u") =!= col("v"))
+        .select(col("v").as("s"), col("u").as("d")))
+      .distinct()
+      .localCheckpoint()
+    var labels = adj.select(col("s").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    val w = Window.partitionBy("node").orderBy(col("cnt").desc, col("lbl").asc)
+    for (_ <- 1 to rounds) {
+      labels = adj
+        .join(labels.select(col("node").as("d"), col("lbl")), Seq("d"))
+        .groupBy(col("s").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("node", "lbl")
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Minimum WEIGHTED distance from a source node over a directed edge
     * list `(s, d, w)` with positive weights, bounded at `maxHops` edges
     * per path (unreached nodes absent) — Cypher's weighted

@@ -233,6 +233,45 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("labelPropagation: two triangles over a bridge settle into two communities") {
+    // Triangle {1,2,3} + triangle {4,5,6} joined by bridge 3-4: sync
+    // LPA with min tie-break stabilizes to communities {1,2,3}->1 and
+    // {4,5,6}->3 by round 4 (hand-traced); the bridge does NOT merge
+    // them — the distinction from connected components.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L),
+      (3L, 4L)).toDF("u", "v")
+    val got = GraphAlgos.labelPropagation(edges, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("property: labelPropagation matches local synchronized simulation") {
+    import org.scalacheck.Gen
+    val graphGen = for {
+      n <- Gen.chooseNum(2, 12)
+      m <- Gen.chooseNum(1, 30)
+      es <- Gen.listOfN(m, Gen.zip(Gen.chooseNum(1, n), Gen.chooseNum(1, n)))
+    } yield es.map { case (a, b) => (a.toLong, b.toLong) }
+    val samples = Gen.listOfN(5, graphGen).sample.get
+    for (es <- samples) {
+      val und = es.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      if (und.nonEmpty) {
+        val adj = und.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        var lbl = adj.keySet.map(n => n -> n).toMap
+        for (_ <- 1 to 4)
+          lbl = adj.map { case (n, nbrs) =>
+            val counts = nbrs.map(lbl).groupBy(identity).view.mapValues(_.size)
+            n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+          }
+        val got = GraphAlgos.labelPropagation(es.toDF("u", "v"), rounds = 4)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == lbl, s"labelprop diverged on $und")
+      }
+    }
+  }
+
   test("composite node keys round-trip arbitrary type/id characters") {
     // The length-prefixed key must not lean on ANY reserved character:
     // types carrying '|' and ':' and ids carrying '|' go through every
