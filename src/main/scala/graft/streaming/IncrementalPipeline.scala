@@ -176,7 +176,15 @@ object IncrementalPipeline {
     *   3. near-dup dedup within the batch and against the simhash
     *      signature store (`storeDir/simhashes`, the
     *      [[nearDupDedupSink]] layout and band join),
-    *   4. append survivors to `outDir` and their hashes + signatures to
+    *   4. when `evalDir` is set: train/eval decontamination of the
+    *      survivors against the static eval corpus at that path, via
+    *      the Bloom-prefiltered plan (Curation.decontaminateBloom —
+    *      eval reduces to a broadcast bit array, the batch's shingle
+    *      stream is probed row-locally, matches exact-confirmed). The
+    *      dedup STORES still record the doc (content was seen; a later
+    *      exact twin must not resurface) — only the curated output
+    *      drops it,
+    *   5. append survivors to `outDir` and their hashes + signatures to
     *      the stores.
     *
     * Both stores grow by O(bytes-per-doc-constant), not corpus bytes:
@@ -187,7 +195,8 @@ object IncrementalPipeline {
     * by doc_id, or the writes move to a transactional table format. */
   def curationSink(incomingDocs: DataFrame, storeDir: String, outDir: String,
       checkpointDir: String, minTokens: Int = 10, maxDupTokenFrac: Double = 0.5,
-      minAlphaFrac: Double = 0.5): DataStreamWriter[org.apache.spark.sql.Row] =
+      minAlphaFrac: Double = 0.5,
+      evalDir: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
     incomingDocs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -221,7 +230,12 @@ object IncrementalPipeline {
           else batchSims.limit(0)
         val dupIds = matchedAgainstStore(batchSims, simStore).localCheckpoint()
         val survivors = withinNearDup.join(dupIds, Seq("doc_id"), "left_anti")
-        survivors.write.mode("append").parquet(outDir)
+        val curated = evalDir match {
+          case Some(ed) if fileExists(spark, ed) =>
+            Curation.decontaminateBloom(survivors, spark.read.parquet(ed))
+          case _ => survivors
+        }
+        curated.write.mode("append").parquet(outDir)
         exactSurvivors.select("__h").write.mode("append").parquet(hashStorePath)
         batchSims.join(dupIds, Seq("doc_id"), "left_anti")
           .write.mode("append").parquet(simStorePath)

@@ -192,4 +192,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$store/simhashes").select("doc_id").as[Long]
       .collect().sorted.toSeq == Seq(1L, 4L, 8L))
   }
+
+  test("streaming curation sink decontaminates against a static eval corpus") {
+    val base = java.nio.file.Files.createTempDirectory("graft-cur-decon").toString
+    val (src, store, out, evalP) = (s"$base/src", s"$base/store", s"$base/out",
+      s"$base/eval")
+    // eval doc shares a verbatim 20-token span with doc 11 (18 shared
+    // trigrams >= default 8); docs 10/12 share nothing with it
+    val evalSpan = (0 until 20).map(i => s"eval$i").mkString(" ")
+    Seq((100L, "eval", s"padding starts here $evalSpan and trails off"))
+      .toDF("doc_id", "source", "text").write.parquet(evalP)
+    val textClean = (0 until 120).map(i => s"alpha$i").mkString(" ")
+    val textContaminated =
+      ((0 until 100).map(i => s"beta$i") :+ evalSpan).mkString(" ")
+    val textClean2 = (0 until 120).map(i => s"gamma$i").mkString(" ")
+    val schema = Seq((0L, "", "")).toDF("doc_id", "source", "text").schema
+    Seq((10L, "s", textClean), (11L, "s", textContaminated),
+      (12L, "s", textClean2))
+      .toDF("doc_id", "source", "text").write.mode("overwrite").parquet(src)
+    val q = IncrementalPipeline.curationSink(
+      spark.readStream.schema(schema).parquet(src), store, out, s"$base/cp",
+      evalDir = Some(evalP)).start()
+    q.awaitTermination(120000)
+    // contaminated doc 11 is dropped from the curated output...
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(10L, 12L))
+    // ...but its content hash and signature ARE recorded (it was seen;
+    // an exact twin later must still be recognized as a dup)
+    assert(spark.read.parquet(s"$store/hashes").count() == 3L)
+    assert(spark.read.parquet(s"$store/simhashes").select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(10L, 11L, 12L))
+  }
 }
