@@ -11,14 +11,17 @@ import org.apache.spark.sql.SparkSession
   * Usage:
   *   runMain graft.Curate <documentsParquet> <outDir>
   *     [--min-tokens N] [--max-dup-frac F] [--min-alpha-frac F]
-  *     [--win N] [--stride N] [--eval PATH [--min-shared N] [--ngram N]]
+  *     [--win N] [--stride N]
+  *     [--eval PATH [--min-shared N] [--ngram N] [--bloom]]
   *     [--mix src:w,src:w,... --token-budget N] [--redact-pii]
   *     [--line-filter [--min-line-words N] [--min-lines N]]
   *
   * `--eval PATH` additionally decontaminates against a held-out eval
   * parquet (drops curated docs sharing >= min-shared distinct word
   * n-grams with it, --ngram tokens wide, default trigrams) before
-  * chunking.
+  * chunking. `--bloom` routes the same decision through the
+  * Bloom-prefiltered plan (row-identical output; the shape to pick
+  * when the eval shingle set is too big to broadcast).
   *
   * `--mix src0:0.5,src1:0.3 --token-budget N` applies the deterministic
   * data-mixture selection (Curation.mixtureSelect) to the curated
@@ -85,10 +88,15 @@ object Curate {
     // the deduped survivors (cheapest point: smallest corpus, and the
     // dropped docs never reach the chunker).
     val curated = flagValue("--eval") match {
-      case Some(evalPath) => graft.operators.Curation.decontaminate(
-        r.curated, spark.read.parquet(evalPath),
-        minShared = flagValue("--min-shared").map(_.toInt).getOrElse(8),
-        n = flagValue("--ngram").map(_.toInt).getOrElse(3))
+      case Some(evalPath) =>
+        import org.apache.spark.sql.DataFrame
+        val decon: (DataFrame, DataFrame, Int, Int) => DataFrame =
+          if (flags.contains("--bloom"))
+            graft.operators.Curation.decontaminateBloom(_, _, _, _)
+          else graft.operators.Curation.decontaminate(_, _, _, _)
+        decon(r.curated, spark.read.parquet(evalPath),
+          flagValue("--min-shared").map(_.toInt).getOrElse(8),
+          flagValue("--ngram").map(_.toInt).getOrElse(3))
       case None => r.curated
     }
     // Optional mixture selection: the curated survivors are packed into

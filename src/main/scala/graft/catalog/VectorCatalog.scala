@@ -631,6 +631,62 @@ object VectorCatalog {
                      ORDER BY adist, vec_id) AS rn FROM scored)
              WHERE rn <= 3 ORDER BY q_id, rn""")),
 
+    Q("v_outlier_mad",
+      // Embedding outlier detection, the pre-training filter that drops
+      // mislabeled / corrupted vectors: distance to the own-label
+      // centroid, flagged against a MEDIAN-based threshold (robust —
+      // a mean/stddev rule lets the outliers inflate their own gate).
+      // Everything stays exact: centroids and distances are
+      // micro-scaled BIGINTs (d2 <= 64 dims * (2e6)^2 ~ 2.6e14 < 2^53,
+      // so even its double image is exact), and the median of BIGINTs
+      // interpolates to .0/.5 halves identically on both engines — the
+      // `d2 * 10 > median * 11` decision (ratio > 1.1; this synthetic
+      // cloud is near-uniform, max ratio 1.125, so the tail gate
+      // demonstrates the mechanism — a real corpus would run 2-4x)
+      // is exact integer-vs-exact-half arithmetic, unsplittable by
+      // float noise.
+      //
+      // Scale shape: one partial-aggregated centroid pass (labels x
+      // dims rows, broadcast back), one per-vector distance aggregate,
+      // one label-keyed median over scalars.
+      (s, d) => {
+        val ev = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("dim", "x")))
+          .withColumn("vm",
+            expr("CAST(round(CAST(x AS double) * 1000000D, 0) AS bigint)"))
+        val cent = ev.groupBy("label", "dim")
+          .agg(expr("CAST(round(sum(vm) * 1.0 / count(1), 0) AS bigint)").as("cm"))
+        val d2 = ev.join(broadcast(cent), Seq("label", "dim"))
+          .groupBy("vec_id", "label")
+          .agg(sum((col("vm") - col("cm")) * (col("vm") - col("cm"))).as("d2"))
+        val med = d2.groupBy("label").agg(expr("median(d2)").as("med"))
+        d2.join(broadcast(med), Seq("label"))
+          .filter(col("d2") * 10 > col("med") * 11)
+          .select(col("label"), col("vec_id"), col("d2"),
+            round(col("med"), 1).as("med_d2"))
+          .orderBy("label", "vec_id")
+      },
+      Some("""WITH ev AS (
+               SELECT vec_id, label, CAST(i AS INT) - 1 AS dim,
+                 CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0, 0)
+                   AS BIGINT) AS vm
+               FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+             cent AS (
+               SELECT label, dim,
+                 CAST(round(CAST(sum(vm) AS BIGINT) * 1.0 / count(*), 0) AS BIGINT) AS cm
+               FROM ev GROUP BY 1, 2),
+             d2 AS (
+               SELECT vec_id, ev.label,
+                 CAST(sum((vm - cm) * (vm - cm)) AS BIGINT) AS d2
+               FROM ev JOIN cent ON ev.label = cent.label AND ev.dim = cent.dim
+               GROUP BY 1, 2),
+             med AS (SELECT label, median(d2) AS med FROM d2 GROUP BY 1)
+             SELECT d2.label AS label, vec_id, d2.d2 AS d2, round(med, 1) AS med_d2
+             FROM d2 JOIN med ON d2.label = med.label
+             WHERE d2.d2 * 10 > med * 11
+             ORDER BY d2.label, vec_id""")),
+
     Q("v_pca_power",
       // Top principal component of the embedding cloud by THREE power
       // iterations over the covariance matrix — the whitening /

@@ -289,6 +289,12 @@ class CurationSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/out2/curated").select("doc_id")
       .as[Long].collect().toSeq == Seq(1L))
 
+    // --eval --bloom: identical decision through the prefiltered plan
+    Curate.run(spark, Array(s"$base/docs", s"$base/out2b",
+      "--eval", s"$base/eval", "--bloom"))
+    assert(spark.read.parquet(s"$base/out2b/curated").select("doc_id")
+      .as[Long].collect().toSeq == Seq(1L))
+
     // --mix packs the curated survivors into per-source token budgets:
     // survivors 1 and 4 are 120 tokens each, and in md5 order doc 4
     // ("a87f...") precedes doc 1 ("c4ca..."), so a 150-token budget
