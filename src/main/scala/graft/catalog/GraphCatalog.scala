@@ -280,19 +280,20 @@ object GraphCatalog {
               FROM deg GROUP BY n_suppliers ORDER BY n_suppliers""")),
 
     // k-core cohesion over the part co-occurrence graph (the Cypher
-    // "dense community" ask): 5 synchronized peeling sweeps at k=80 —
-    // chosen INSIDE the sf0.01 degree distribution (min 42 / median
-    // 115) so the peel genuinely cascades (2000 -> 1857 nodes over 5
-    // sweeps as weakly-attached parts expose their neighbors) instead
-    // of fixing trivially. Oracle = the identical sweeps unrolled as a
-    // generated CTE chain (same technique as the PageRank oracle —
-    // different execution, identical set algebra per round).
+    // "dense community" ask): 5 synchronized peeling sweeps at k=70 —
+    // chosen INSIDE the degree distribution at BOTH test scales so the
+    // peel genuinely cascades without emptying the graph (sf0.001:
+    // 200 -> 123 nodes over 5 sweeps as weakly-attached parts expose
+    // their neighbors; sf0.01: 2000 -> 1971). Oracle = the identical
+    // sweeps unrolled as a generated CTE chain (same technique as the
+    // PageRank oracle — different execution, identical set algebra per
+    // round).
     Q("g_kcore",
       (s, d) => GraphAlgos.kCore(
           copartPairs(t(s, d, "lineitem").select("l_orderkey", "l_partkey")),
-          k = 80, rounds = 5)
+          k = 70, rounds = 5)
         .orderBy("node"),
-      Some(kcoreOracle(k = 80, rounds = 5))),
+      Some(kcoreOracle(k = 70, rounds = 5))),
 
     // Community detection by synchronized label propagation over the
     // SPARSIFIED co-occurrence graph (pairs sharing >= 2 orders: 1880
