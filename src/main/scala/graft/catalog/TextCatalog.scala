@@ -129,6 +129,32 @@ object TextCatalog {
                 $bandRows)"""
   }
 
+  /** Shared Spark minhash pipeline (the x_minhash_* family): 16
+    * minhash slots as 4 seeded md5s x 4 fixed-width 8-hex slices, and
+    * the 4 banded signature rows per doc. The 4 seeded md5s are
+    * materialized in a projection BEFORE the aggregate: aggregate
+    * expressions get no common-subexpression elimination, so
+    * min(substring(md5(..)..)) x16 would hash each shingle 16 times
+    * instead of 4. */
+  private def minhashParts(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    graft.functions.CharNGrams.register(s)
+    val docs = spread(t(s, d, "documents")).withColumn("norm", expr(sparkNorm))
+    val sh = docs
+      .select(col("doc_id"), explode(expr("char_ngrams(norm, 5)")).as("sh"))
+      .select(Seq(col("doc_id")) ++
+        (0 to 3).map(seed => md5(concat(lit(s"$seed:"), col("sh"))).as(s"h$seed")): _*)
+    val minhashes = for { seed <- 0 to 3; slice <- 0 to 3 } yield
+      min(substring(col(s"h$seed"), slice * 8 + 1, 8)).as(s"m${seed * 4 + slice}")
+    val mh = sh.groupBy("doc_id").agg(minhashes.head, minhashes.tail: _*)
+    val bands = mh.select(col("doc_id"),
+      explode(array((0 to 3).map(b => struct(lit(b).as("band"),
+        concat((0 to 3).map(i => col(s"m${4 * b + i}")): _*).as("band_sig"))): _*))
+        .as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+    (mh, bands)
+  }
+
   private val enW = "'the','a','of','and','to','in','is'"
   private val deW = "'der','die','das','und','ist','nicht'"
   private val frW = "'le','la','les','et','est','dans'"
@@ -364,24 +390,7 @@ object TextCatalog {
       //    partitions by the join key, so its exchange is reused by the
       //    join. `x_minhash_bucket_stats` logs what is dropped.
       (s, d) => {
-        graft.functions.CharNGrams.register(s)
-        val docs = spread(t(s, d, "documents")).withColumn("norm", expr(sparkNorm))
-        // The 4 seeded md5s are materialized in a projection BEFORE the
-        // aggregate: aggregate expressions get no common-subexpression
-        // elimination, so min(substring(md5(..)..)) x16 would hash each
-        // shingle 16 times instead of 4.
-        val sh = docs
-          .select(col("doc_id"), explode(expr("char_ngrams(norm, 5)")).as("sh"))
-          .select(Seq(col("doc_id")) ++
-            (0 to 3).map(seed => md5(concat(lit(s"$seed:"), col("sh"))).as(s"h$seed")): _*)
-        val minhashes = for { seed <- 0 to 3; slice <- 0 to 3 } yield
-          min(substring(col(s"h$seed"), slice * 8 + 1, 8)).as(s"m${seed * 4 + slice}")
-        val mh = sh.groupBy("doc_id").agg(minhashes.head, minhashes.tail: _*)
-        val bands = mh.select(col("doc_id"),
-          explode(array((0 to 3).map(b => struct(lit(b).as("band"),
-            concat((0 to 3).map(i => col(s"m${4 * b + i}")): _*).as("band_sig"))): _*))
-            .as("bs"))
-          .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+        val (_, bands) = minhashParts(s, d)
         val capped = bands
           .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "band_sig")))
           .filter(col("bucket_n") <= MaxBucket)
@@ -417,24 +426,7 @@ object TextCatalog {
       // population, the quadratic pressure (sum of per-bucket pair counts),
       // and exactly how many buckets/rows the MaxBucket cap removes.
       (s, d) => {
-        graft.functions.CharNGrams.register(s)
-        val docs = spread(t(s, d, "documents")).withColumn("norm", expr(sparkNorm))
-        // The 4 seeded md5s are materialized in a projection BEFORE the
-        // aggregate: aggregate expressions get no common-subexpression
-        // elimination, so min(substring(md5(..)..)) x16 would hash each
-        // shingle 16 times instead of 4.
-        val sh = docs
-          .select(col("doc_id"), explode(expr("char_ngrams(norm, 5)")).as("sh"))
-          .select(Seq(col("doc_id")) ++
-            (0 to 3).map(seed => md5(concat(lit(s"$seed:"), col("sh"))).as(s"h$seed")): _*)
-        val minhashes = for { seed <- 0 to 3; slice <- 0 to 3 } yield
-          min(substring(col(s"h$seed"), slice * 8 + 1, 8)).as(s"m${seed * 4 + slice}")
-        val mh = sh.groupBy("doc_id").agg(minhashes.head, minhashes.tail: _*)
-        val bands = mh.select(col("doc_id"),
-          explode(array((0 to 3).map(b => struct(lit(b).as("band"),
-            concat((0 to 3).map(i => col(s"m${4 * b + i}")): _*).as("band_sig"))): _*))
-            .as("bs"))
-          .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+        val (_, bands) = minhashParts(s, d)
         bands.groupBy("band", "band_sig").agg(count(lit(1)).as("n"))
           .groupBy()
           .agg(count(lit(1)).as("n_buckets"),
@@ -451,6 +443,100 @@ object TextCatalog {
                 CAST(sum(CASE WHEN n > $MaxBucket THEN 1 ELSE 0 END) AS BIGINT) AS dropped_buckets,
                 CAST(sum(CASE WHEN n > $MaxBucket THEN n ELSE 0 END) AS BIGINT) AS dropped_rows
               FROM bs""")),
+
+    Q("x_minhash_error",
+      // The estimator AUDIT that closes the minhash loop (build:
+      // x_minhash_lsh; pressure log: x_minhash_bucket_stats; this:
+      // does the sketch TELL THE TRUTH?): for every LSH candidate pair,
+      // the 16-slot signature agreement fraction (the minhash Jaccard
+      // estimate) against the EXACT shingle-set Jaccard, with the
+      // absolute estimator error per pair. At 100 TB the exact side of
+      // this audit runs on the candidate pairs only (LSH already
+      // reduced them to ~linear) — the audit costs one extra pass over
+      // the pair list, not the corpus.
+      (s, d) => {
+        val (mh, bands) = minhashParts(s, d)
+        val capped = bands
+          .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "band_sig")))
+          .filter(col("bucket_n") <= MaxBucket)
+        val cand = capped.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
+          .hint("merge")
+          .join(capped.select(col("doc_id").as("doc_b"), col("band"), col("band_sig"))
+            .hint("merge"), Seq("band", "band_sig"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        val a = mh.toDF(mh.columns.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
+        val b = mh.toDF(mh.columns.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
+        val agree = cand.join(broadcast(a), Seq("doc_a")).join(broadcast(b), Seq("doc_b"))
+          .withColumn("n_agree",
+            (0 to 15).map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+              .reduce(_ + _))
+          .select("doc_a", "doc_b", "n_agree")
+        graft.functions.CharNGrams.register(s)
+        val shd = spread(t(s, d, "documents"))
+          .select(col("doc_id"),
+            explode(expr(s"char_ngrams($sparkNorm, 5)")).as("sh"))
+          .distinct()
+        val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = cand
+          .join(shd.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+          .join(shd.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+        agree
+          .join(inter, Seq("doc_a", "doc_b"), "left")
+          .withColumn("ni", coalesce(col("ni"), lit(0L)))
+          .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))),
+            Seq("doc_a"))
+          .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))),
+            Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"), col("n_agree"),
+            round(col("n_agree") / 16.0, 4).as("est_jaccard"),
+            round(col("ni") * 1.0 / (col("na") + col("nb") - col("ni")), 4)
+              .as("exact_jaccard"),
+            round(abs(col("n_agree") / 16.0
+              - col("ni") * 1.0 / (col("na") + col("nb") - col("ni"))), 4)
+              .as("abs_err"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val agreeSum = (0 to 15).map(i =>
+          s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH $duckMinhashBandsCte,
+            capped AS (
+              SELECT doc_id, band, band_sig
+              FROM (SELECT *, count(*) OVER (PARTITION BY band, band_sig) AS bucket_n
+                    FROM bands)
+              WHERE bucket_n <= $MaxBucket),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM capped a JOIN capped b
+                ON a.band = b.band AND a.band_sig = b.band_sig
+                AND a.doc_id < b.doc_id),
+            agree AS (
+              SELECT doc_a, doc_b, $agreeSum AS n_agree
+              FROM cand JOIN mh a ON a.doc_id = doc_a
+                JOIN mh b ON b.doc_id = doc_b),
+            shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+            sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS ni
+              FROM cand c
+                JOIN shd x ON x.doc_id = c.doc_a
+                JOIN shd y ON y.doc_id = c.doc_b AND y.sh = x.sh
+              GROUP BY 1, 2)
+            SELECT agree.doc_a, agree.doc_b, n_agree,
+              round(n_agree / 16.0, 4) AS est_jaccard,
+              round(coalesce(ni, 0) * 1.0 / (na.n + nb.n - coalesce(ni, 0)), 4)
+                AS exact_jaccard,
+              round(abs(n_agree / 16.0
+                - coalesce(ni, 0) * 1.0 / (na.n + nb.n - coalesce(ni, 0))), 4)
+                AS abs_err
+            FROM agree
+              LEFT JOIN inter ON inter.doc_a = agree.doc_a AND inter.doc_b = agree.doc_b
+              JOIN sizes na ON na.doc_id = agree.doc_a
+              JOIN sizes nb ON nb.doc_id = agree.doc_b
+            ORDER BY agree.doc_a, agree.doc_b"""
+      }),
 
     Q("x_simhash",
       (s, d) => simhashTable(s, d).select("doc_id", "simhash").orderBy("doc_id"),

@@ -305,6 +305,106 @@ object VectorCatalog {
                    FROM sim)
              WHERE rn <= 3 ORDER BY q_id, rn""")),
 
+    Q("v_recall_audit",
+      // Recall@3 of the IVF index against brute force — the metric
+      // every ANN deployment tracks, computed with BOTH sides fully
+      // deterministic (raw-cosine order + id tie-break, the ranking
+      // rule every green v_* query already pins cross-engine). The
+      // brute-force side is the declared-baseline crossJoin: at 100 TB
+      // this audit runs over a SAMPLE of queries (here: the same 10
+      // the index queries use) — its cost is queries x corpus, not
+      // corpus², and it is the only honest way to measure what the
+      // nprobe/ncells trade-off forfeits.
+      (s, d) => {
+        graft.functions.DotProduct.register(s)
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").as("v"),
+            expr("sqrt(dot_product(embedding, embedding))").as("nrm"))
+        val cent = broadcast(e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("v").as("cent"),
+            col("nrm").as("cent_n")))
+        val wAssign = Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("cent_id").asc)
+        val assigned = e.crossJoin(cent)
+          .withColumn("ccos", cosCol("v", "cent", "nrm", "cent_n"))
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
+        val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 18)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+        val wProbe = Window.partitionBy("q_id")
+          .orderBy(col("pcos").desc, col("cent_id").asc)
+        val probes = q.crossJoin(cent)
+          .withColumn("pcos", cosCol("qv", "cent", "qn", "cent_n"))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= 2)
+          .select(col("q_id"), col("qv"), col("qn"), col("cent_id").as("cell"))
+        val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
+        val ivf = probes
+          .join(assigned.select(col("vec_id").as("c_id"), col("v").as("cv"),
+            col("nrm").as("cn"), col("cell")), Seq("cell"))
+          .filter(col("q_id") =!= col("c_id"))
+          .withColumn("cos", cosCol("qv", "cv", "qn", "cn"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("c_id"))
+        val bf = q
+          .crossJoin(e.select(col("vec_id").as("c_id"), col("v").as("cv"),
+            col("nrm").as("cn")))
+          .filter(col("q_id") =!= col("c_id"))
+          .withColumn("cos", cosCol("qv", "cv", "qn", "cn"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("c_id"))
+        bf.join(ivf.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .select(col("q_id"), col("n_hits"),
+            round(col("n_hits") / 3.0, 4).as("recall_at_3"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             cent AS (SELECT vec_id AS cent_id, v AS cent FROM e WHERE vec_id < 8),
+             asg AS (
+               SELECT vec_id, v, cell FROM (
+                 SELECT e.vec_id, e.v, cent_id AS cell, row_number() OVER (
+                     PARTITION BY e.vec_id ORDER BY
+                     list_dot_product(e.v, cent) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent, cent))) DESC,
+                     cent_id) AS rn
+                 FROM e, cent)
+               WHERE rn = 1),
+             q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id >= 8 AND vec_id < 18),
+             probes AS (
+               SELECT q_id, qv, cell FROM (
+                 SELECT q_id, qv, cent_id AS cell, row_number() OVER (
+                     PARTITION BY q_id ORDER BY
+                     list_dot_product(qv, cent) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cent, cent))) DESC,
+                     cent_id) AS rn
+                 FROM q, cent)
+               WHERE rn <= 2),
+             ivf AS (
+               SELECT q_id, c_id FROM (
+                 SELECT q_id, c_id, row_number() OVER (
+                     PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+                 FROM (SELECT q_id, asg.vec_id AS c_id,
+                         list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+                       FROM probes JOIN asg USING (cell)
+                       WHERE q_id <> asg.vec_id))
+               WHERE rn <= 3),
+             bf AS (
+               SELECT q_id, c_id FROM (
+                 SELECT q_id, c_id, row_number() OVER (
+                     PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+                 FROM (SELECT q_id, e.vec_id AS c_id,
+                         list_dot_product(qv, e.v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+                       FROM q, e WHERE e.vec_id <> q_id))
+               WHERE rn <= 3)
+             SELECT bf.q_id AS q_id, CAST(count(ivf.c_id) AS BIGINT) AS n_hits,
+               round(count(ivf.c_id) / 3.0, 4) AS recall_at_3
+             FROM bf LEFT JOIN ivf ON ivf.q_id = bf.q_id AND ivf.c_id = bf.c_id
+             GROUP BY bf.q_id
+             ORDER BY bf.q_id""")),
+
     Q("v_label_centroids",
       // Per-label centroid of the 64-dim embeddings — the k-means / IVF
       // training step as a pure relational program: posexplode to

@@ -262,26 +262,33 @@ object GraphAlgos {
     * itself toward its own coreness). Returns surviving `(node, deg)`
     * with deg the node's degree INSIDE the core.
     *
-    * Scale shape: each sweep is one degree aggregate plus two
-    * node-keyed semi-joins, all on the strictly-shrinking edge frame;
-    * lineage is cut per sweep. Nothing ever reaches the driver. */
+    * Scale shape: the symmetrized edge frame is materialized ONCE;
+    * what iterates is only the SURVIVOR NODE SET — survivor sets
+    * shrink monotonically, so restricting the original edges to the
+    * current set reproduces exactly the round's edge frame, and the
+    * node set is one narrow column (strictly smaller than the edge
+    * frame, broadcast whenever it fits — AQE picks it). Each sweep is
+    * therefore one degree aggregate + two node-set joins against the
+    * checkpointed edges; only the tiny survivor set is re-materialized
+    * per sweep. Nothing ever reaches the driver. */
   def kCore(edges: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    var e = edges.filter(col("u") =!= col("v"))
+    val e0 = edges.filter(col("u") =!= col("v"))
       .select(col("u").as("s"), col("v").as("d"))
       .union(edges.filter(col("u") =!= col("v"))
         .select(col("v").as("s"), col("u").as("d")))
       .distinct()
       .localCheckpoint()
+    var cur = e0
     for (_ <- 1 to rounds) {
-      val keep = e.groupBy("s").agg(count(lit(1)).as("deg"))
+      val keep = cur.groupBy("s").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("s")
-      e = e.join(keep, Seq("s"), "left_semi")
+        .localCheckpoint() // tiny: one column, <= one row per node
+      cur = e0.join(keep, Seq("s"), "left_semi")
         .join(keep.select(col("s").as("d")), Seq("d"), "left_semi")
-        .localCheckpoint()
     }
-    e.groupBy("s").agg(count(lit(1)).as("deg"))
+    cur.groupBy("s").agg(count(lit(1)).as("deg"))
       .select(col("s").as("node"), col("deg"))
   }
 
