@@ -179,6 +179,62 @@ object GraphCatalog {
               WHERE NOT EXISTS (SELECT 1 FROM und WHERE u = cn.a AND v = cn.b)
               ORDER BY n_common DESC, a, b LIMIT 20""")),
 
+    // Adamic-Adar link prediction — the weighted refinement of
+    // g_link_predict's raw common-neighbor count: each shared neighbor
+    // contributes 1/ln(degree), so a hub everyone trades through says
+    // almost nothing while an exclusive middleman says a lot. Same
+    // sparsified trade backbone, same non-adjacent-pair scan; one
+    // degree aggregate broadcast into the wedge join.
+    Q("g_adamic_adar",
+      (s, d) => {
+        val tr = tradeEdges(s, d).localCheckpoint()
+        val thr = tr.agg(avg("weight")).head().getDouble(0)
+        val und = tr.filter(col("weight") > thr)
+          .select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v"))
+          .distinct()
+          .localCheckpoint()
+        val sym = und.select(col("u").as("n"), col("v").as("m"))
+          .unionByName(und.select(col("v").as("n"), col("u").as("m")))
+        val deg = sym.groupBy("n").agg(count(lit(1)).as("deg"))
+        val aa = sym.select(col("n"), col("m").as("a"))
+          .join(sym.select(col("n"), col("m").as("b")), Seq("n"))
+          .filter(col("a") < col("b"))
+          .join(broadcast(deg), Seq("n"))
+          .filter(col("deg") > 1) // ln(1) = 0 would divide by zero
+          .groupBy("a", "b")
+          .agg(count(lit(1)).as("n_common"),
+            sum(expr("1.0 / ln(deg)")).as("aa_raw"))
+        aa.join(und, aa("a") === und("u") && aa("b") === und("v"), "left_anti")
+          .select(col("a"), col("b"), col("n_common"),
+            round(col("aa_raw"), 4).as("adamic_adar"))
+          .orderBy(col("adamic_adar").desc, col("a"), col("b"))
+          .limit(20)
+      },
+      Some("""WITH tr AS MATERIALIZED (
+                SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS w
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                WHERE c_nationkey <> s_nationkey
+                GROUP BY 1, 2),
+              und AS MATERIALIZED (
+                SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM tr WHERE w > (SELECT avg(w) FROM tr)),
+              sym AS (SELECT u AS n, v AS m FROM und
+                      UNION ALL SELECT v, u FROM und),
+              deg AS (SELECT n, count(*) AS deg FROM sym GROUP BY 1),
+              aa AS (SELECT e1.m AS a, e2.m AS b,
+                       count(*)::BIGINT AS n_common,
+                       sum(1.0 / ln(deg)) AS aa_raw
+                     FROM sym e1 JOIN sym e2 ON e1.n = e2.n AND e1.m < e2.m
+                       JOIN deg ON deg.n = e1.n
+                     WHERE deg > 1
+                     GROUP BY 1, 2)
+              SELECT a, b, n_common, round(aa_raw, 4) AS adamic_adar FROM aa
+              WHERE NOT EXISTS (SELECT 1 FROM und WHERE u = aa.a AND v = aa.b)
+              ORDER BY adamic_adar DESC, a, b LIMIT 20""")),
+
     // Per-part triangle counts in the co-occurrence graph. The Spark
     // side runs the degree-orientation algorithm (O(m^1.5) wedges); the
     // oracle enumerates triangles naively from each one's minimum

@@ -361,6 +361,35 @@ object RelationalCatalog {
       Some("""SELECT o_custkey AS custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
              INTERSECT
              SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-             ORDER BY custkey"""))
+             ORDER BY custkey""")),
+
+    Q("x_zorder_code",
+      // The Morton (Z-order) interleave behind Layout.zorderWrite,
+      // oracle-pinned: bit i of x -> position 2i, bit i of y -> 2i+1,
+      // over (l_partkey % 256, l_suppkey % 256). Verified as the
+      // 16-way code-space histogram plus exact min/max/sum of the
+      // codes — all integers, so any bit placed anywhere else breaks
+      // the hash. The code itself is what makes a multi-column
+      // clustered write possible: range-partitioning files by this key
+      // gives BOTH columns tight per-file parquet min/max stats.
+      (s, d) => t(s, d, "lineitem")
+        .withColumn("z", graft.operators.Layout.mortonCode(
+          pmod(col("l_partkey"), lit(256L)).cast("long"),
+          pmod(col("l_suppkey"), lit(256L)).cast("long")))
+        .groupBy(expr("CAST(z div 4096 AS INT)").as("bucket"))
+        .agg(count(lit(1)).as("n"), min("z").as("min_z"), max("z").as("max_z"),
+          sum("z").as("sum_z"))
+        .orderBy("bucket"),
+      Some("""WITH coded AS (
+               SELECT CAST(list_sum(list_transform(range(0, 8), i ->
+                   ((x >> i) & 1) * (1::BIGINT << CAST(2 * i AS INT))
+                 + ((y >> i) & 1) * (1::BIGINT << CAST(2 * i + 1 AS INT))))
+                 AS BIGINT) AS z
+               FROM (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y
+                     FROM lineitem))
+             SELECT CAST(z // 4096 AS INT) AS bucket, count(*) AS n,
+               CAST(min(z) AS BIGINT) AS min_z, CAST(max(z) AS BIGINT) AS max_z,
+               CAST(sum(z) AS BIGINT) AS sum_z
+             FROM coded GROUP BY 1 ORDER BY bucket"""))
   )
 }
