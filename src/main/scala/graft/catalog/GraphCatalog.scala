@@ -336,20 +336,46 @@ object GraphCatalog {
               FROM deg GROUP BY n_suppliers ORDER BY n_suppliers""")),
 
     // k-core cohesion over the part co-occurrence graph (the Cypher
-    // "dense community" ask): 5 synchronized peeling sweeps at k=70 —
-    // chosen INSIDE the degree distribution at BOTH test scales so the
-    // peel genuinely cascades without emptying the graph (sf0.001:
-    // 200 -> 123 nodes over 5 sweeps as weakly-attached parts expose
-    // their neighbors; sf0.01: 2000 -> 1971). Oracle = the identical
-    // sweeps unrolled as a generated CTE chain (same technique as the
-    // PageRank oracle — different execution, identical set algebra per
-    // round).
+    // "dense community" ask): synchronized peeling at k=70 run TO THE
+    // FIXED POINT (round-7 verdict #2 — the old fixed 5 sweeps stopped
+    // mid-cascade: at sf0.001 the true k=70 core is EMPTY, reached
+    // after 7 effective sweeps; at sf0.01 the cascade settles at 1971
+    // survivors after 2). Oracle = the identical sweeps unrolled as a
+    // generated CTE chain PAST the fixpoint (10 sweeps >= the measured
+    // depth at both scales; post-fixpoint sweeps are identities, so
+    // unrolling extra rounds is safe, not sloppy).
     Q("g_kcore",
       (s, d) => GraphAlgos.kCore(
           copartPairs(t(s, d, "lineitem").select("l_orderkey", "l_partkey")),
-          k = 70, rounds = 5)
+          k = 70)
         .orderBy("node"),
-      Some(kcoreOracle(k = 70, rounds = 5))),
+      Some(kcoreOracle(k = 70, rounds = 10))),
+
+    // Deep-cascade k-core witness: a constructed 8-clique with a
+    // 12-node chain hanging off it (node ids = the 20 smallest part
+    // keys, ranked — data-derived, so both engines build the SAME
+    // graph). At k=2 the chain peels exactly ONE node per sweep (only
+    // the current free end has degree < 2), so the fixpoint is 13
+    // sweeps away — any fixed sweep count <= 12 returns chain remnants
+    // that are NOT in the 2-core. The oracle unrolls 16 sweeps (> the
+    // 13-sweep fixpoint). The rank joins are non-equi but run over a
+    // 20-row broadcast side — a 20x20 nested-loop probe, not a data
+    // cartesian.
+    Q("g_kcore_deep",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ranked = t(s, d, "part").select("p_partkey")
+          .orderBy("p_partkey").limit(20)
+          .withColumn("r", row_number().over(Window.orderBy("p_partkey")))
+        val a = ranked.select(col("p_partkey").as("u"), col("r").as("ra"))
+        val b = ranked.select(col("p_partkey").as("v"), col("r").as("rb"))
+        val clique = a.join(broadcast(b),
+          col("ra") < col("rb") && col("rb") <= 8).select("u", "v")
+        val chain = a.join(broadcast(b),
+          col("rb") === col("ra") + 1 && col("ra") >= 8).select("u", "v")
+        GraphAlgos.kCore(clique.unionByName(chain), k = 2).orderBy("node")
+      },
+      Some(kcoreDeepOracle(rounds = 16))),
 
     // Community detection by synchronized label propagation over the
     // SPARSIFIED co-occurrence graph (pairs sharing >= 2 orders: 1880
@@ -403,8 +429,23 @@ object GraphCatalog {
          FROM l$rounds GROUP BY 1 ORDER BY community"""
   }
 
-  /** Generated unrolled k-core oracle: `rounds` peel sweeps, each a
-    * HAVING-filtered degree table + an edge restriction to survivors. */
+  /** Unrolled peel sweeps shared by the k-core oracles: each sweep is a
+    * HAVING-filtered degree table + an edge restriction to survivors,
+    * starting from a CTE named `e0`. Unrolling MORE sweeps than the
+    * fixpoint depth is safe — once no node drops, k_i = nodes(e_{i-1})
+    * and e_i = e_{i-1}. */
+  private def kcoreSweeps(k: Int, rounds: Int): String =
+    (1 to rounds).map { i =>
+      s""",
+         k$i AS MATERIALIZED (
+           SELECT s FROM e${i - 1} GROUP BY s HAVING count(*) >= $k),
+         e$i AS MATERIALIZED (
+           SELECT e.s, e.d FROM e${i - 1} e
+           JOIN k$i a ON e.s = a.s JOIN k$i b ON e.d = b.s)"""
+    }.mkString
+
+  /** Generated unrolled k-core oracle over the part co-occurrence
+    * graph. `rounds` must be >= the peel cascade's fixpoint depth. */
   private def kcoreOracle(k: Int, rounds: Int): String = {
     val head =
       """WITH pr AS MATERIALIZED (
@@ -413,15 +454,29 @@ object GraphCatalog {
              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
          e0 AS MATERIALIZED (
            SELECT u AS s, v AS d FROM pr UNION ALL SELECT v, u FROM pr)"""
-    val sweeps = (1 to rounds).map { i =>
-      s""",
-         k$i AS MATERIALIZED (
-           SELECT s FROM e${i - 1} GROUP BY s HAVING count(*) >= $k),
-         e$i AS MATERIALIZED (
-           SELECT e.s, e.d FROM e${i - 1} e
-           JOIN k$i a ON e.s = a.s JOIN k$i b ON e.d = b.s)"""
-    }.mkString
-    head + sweeps + s"""
+    head + kcoreSweeps(k, rounds) + s"""
+         SELECT s AS node, CAST(count(*) AS BIGINT) AS deg
+         FROM e$rounds GROUP BY s ORDER BY node"""
+  }
+
+  /** Oracle twin of g_kcore_deep's constructed clique+chain graph:
+    * same 20 ranked part keys, same clique (ranks 1..8) and chain
+    * (rank r -> r+1 for r >= 8) edges, k=2 sweeps unrolled past the
+    * 13-sweep fixpoint. */
+  private def kcoreDeepOracle(rounds: Int): String = {
+    val head =
+      """WITH ranked AS MATERIALIZED (
+           SELECT p_partkey, row_number() OVER (ORDER BY p_partkey) AS r
+           FROM (SELECT p_partkey FROM part ORDER BY p_partkey LIMIT 20)),
+         und AS MATERIALIZED (
+           SELECT a.p_partkey AS u, b.p_partkey AS v
+           FROM ranked a JOIN ranked b ON a.r < b.r AND b.r <= 8
+           UNION ALL
+           SELECT a.p_partkey, b.p_partkey
+           FROM ranked a JOIN ranked b ON b.r = a.r + 1 AND a.r >= 8),
+         e0 AS MATERIALIZED (
+           SELECT u AS s, v AS d FROM und UNION ALL SELECT v, u FROM und)"""
+    head + kcoreSweeps(k = 2, rounds) + s"""
          SELECT s AS node, CAST(count(*) AS BIGINT) AS deg
          FROM e$rounds GROUP BY s ORDER BY node"""
   }

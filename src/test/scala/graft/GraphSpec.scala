@@ -13,6 +13,20 @@ class GraphSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  /** Seeded random multigraphs (2-12 nodes, 1-30 edges, self-loops and
+    * duplicates allowed — the operators must handle both). Seeded so a
+    * property failure replays deterministically (round-7 advice: the
+    * previous unseeded `Gen.sample.get` draws were unreproducible and
+    * could throw on a failed sample). */
+  private def randomGraphs(seed: Long, count: Int): Seq[Seq[(Long, Long)]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(count) {
+      val n = 2 + rnd.nextInt(11)
+      val m = 1 + rnd.nextInt(30)
+      Seq.fill(m)((1L + rnd.nextInt(n), 1L + rnd.nextInt(n)))
+    }
+  }
+
   private def ranks(edges: Seq[(Long, Long)], iters: Int = 30): Map[Long, Double] =
     GraphAlgos.pageRank(
       edges.toDF("src", "dst").withColumn("weight", lit(1.0)), iters = iters)
@@ -150,14 +164,8 @@ class GraphSpec extends AnyFunSuite {
     // graphs across densities still kills the classic bugs (orientation
     // ties, duplicate edges, disconnected pieces) that fixed fixtures
     // miss.
-    import org.scalacheck.Gen
     val rnd = new scala.util.Random(42)
-    val graphGen = for {
-      n <- Gen.chooseNum(2, 12)
-      m <- Gen.chooseNum(1, 30)
-      es <- Gen.listOfN(m, Gen.zip(Gen.chooseNum(1, n), Gen.chooseNum(1, n)))
-    } yield es.map { case (a, b) => (a.toLong, b.toLong) }
-    val samples = Gen.listOfN(6, graphGen).sample.get
+    val samples = randomGraphs(seed = 101, count = 6)
     for (es <- samples) {
       val und = es.filter(e => e._1 != e._2)
         .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
@@ -203,14 +211,28 @@ class GraphSpec extends AnyFunSuite {
     assert(GraphAlgos.kCore((k5 ++ chain).toDF("u", "v"), k = 5).count() == 0)
   }
 
+  test("kCore: deep peel cascade (chain off a clique) runs to the true fixpoint") {
+    // K5 + a 12-node chain hanging off node 1. At k=2 only the chain's
+    // current free end has degree < 2, so each sweep peels exactly ONE
+    // node: the fixpoint is 12 effective sweeps away — deeper than the
+    // fixed 8-round loop this operator had before round 8, which would
+    // have returned four chain remnants that are NOT in the 2-core.
+    val k5 = (for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)).toSeq
+    val chain = (6L to 17L).map(i => (if (i == 6L) 1L else i - 1, i))
+    val core = GraphAlgos.kCore((k5 ++ chain).toDF("u", "v"), k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == (1L to 5L).map(_ -> 4L).toMap,
+      s"chain remnants survived: $core")
+    // maxRounds is a safety valve, not semantics: an under-budgeted run
+    // returns the partially-peeled graph (documented), never throws
+    val partial = GraphAlgos.kCore((k5 ++ chain).toDF("u", "v"), k = 2,
+      maxRounds = 3)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(partial.size > 5 && (1L to 5L).forall(partial))
+  }
+
   test("property: kCore matches local peeling to fixed point on random graphs") {
-    import org.scalacheck.Gen
-    val graphGen = for {
-      n <- Gen.chooseNum(2, 12)
-      m <- Gen.chooseNum(1, 30)
-      es <- Gen.listOfN(m, Gen.zip(Gen.chooseNum(1, n), Gen.chooseNum(1, n)))
-    } yield es.map { case (a, b) => (a.toLong, b.toLong) }
-    val samples = Gen.listOfN(5, graphGen).sample.get
+    val samples = randomGraphs(seed = 202, count = 5)
     for (es <- samples; k <- Seq(2, 3)) {
       // local peeling to the true fixed point
       var und = es.filter(e => e._1 != e._2)
@@ -226,7 +248,7 @@ class GraphSpec extends AnyFunSuite {
       }
       val naive = und.toSeq.flatMap(e => Seq(e._1, e._2))
         .groupBy(identity).map { case (n, v) => n -> v.size.toLong }
-      // 12 nodes peel to fixed point well inside the default 8 rounds
+      // the operator's early-exit loop must land on the same fixed point
       val got = GraphAlgos.kCore(es.toDF("u", "v"), k)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == naive, s"kCore diverged at k=$k on $es")
@@ -246,13 +268,7 @@ class GraphSpec extends AnyFunSuite {
   }
 
   test("property: labelPropagation matches local synchronized simulation") {
-    import org.scalacheck.Gen
-    val graphGen = for {
-      n <- Gen.chooseNum(2, 12)
-      m <- Gen.chooseNum(1, 30)
-      es <- Gen.listOfN(m, Gen.zip(Gen.chooseNum(1, n), Gen.chooseNum(1, n)))
-    } yield es.map { case (a, b) => (a.toLong, b.toLong) }
-    val samples = Gen.listOfN(5, graphGen).sample.get
+    val samples = randomGraphs(seed = 303, count = 5)
     for (es <- samples) {
       val und = es.filter(e => e._1 != e._2)
         .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
