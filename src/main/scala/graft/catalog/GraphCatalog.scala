@@ -119,18 +119,18 @@ object GraphCatalog {
 
     // Personalized PageRank: influence relative to ONE nation (the
     // random surfer restarts there; Cypher users ask this as "who
-    // matters around entity X"). Source = the minimum nation key, data
-    // derived so both engines pick the same node.
+    // matters around entity X"). Source = the minimum nation key,
+    // derived IN-PLAN by the operator (round-7 verdict #3: the old
+    // `agg(min).head()` pre-fetch was a separate driver job — a second
+    // full pass over the edge frame at scale), so both engines pick
+    // the same node with zero driver round-trips.
     Q("g_ppr_trade",
-      (s, d) => {
-        val edges = tradeEdges(s, d).localCheckpoint()
-        val source = edges.agg(least(min("src"), min("dst"))).head().get(0)
-        GraphAlgos.personalizedPageRank(edges, source,
-            iters = prIters, damping = damping.toDouble)
-          .select(col("node"),
-            floor(col("rank") * lit(1000000) + lit(0.5)).cast("long").as("rank_ppm"))
-          .orderBy("node")
-      },
+      (s, d) => GraphAlgos.personalizedPageRankMinSource(
+          tradeEdges(s, d).localCheckpoint(),
+          iters = prIters, damping = damping.toDouble)
+        .select(col("node"),
+          floor(col("rank") * lit(1000000) + lit(0.5)).cast("long").as("rank_ppm"))
+        .orderBy("node"),
       Some(rankOracle(
         "CASE WHEN node = (SELECT min(node) FROM nodes) THEN 1.0 ELSE 0.0 END"))),
 
@@ -144,8 +144,12 @@ object GraphCatalog {
     Q("g_link_predict",
       (s, d) => {
         val tr = tradeEdges(s, d).localCheckpoint()
-        val thr = tr.agg(avg("weight")).head().getDouble(0)
-        val und = tr.filter(col("weight") > thr)
+        // avg-weight threshold folded INTO the plan as a broadcast 1-row
+        // aggregate (round-7 verdict #3, same pattern as x_charlm_score's
+        // vocab size): the old `agg(avg).head()` was a separate driver
+        // job — a second full pass over the edge frame at scale.
+        val thr = broadcast(tr.agg(avg("weight").as("__thr")))
+        val und = tr.crossJoin(thr).filter(col("weight") > col("__thr"))
           .select(least(col("src"), col("dst")).as("u"),
             greatest(col("src"), col("dst")).as("v"))
           .distinct()
@@ -188,8 +192,9 @@ object GraphCatalog {
     Q("g_adamic_adar",
       (s, d) => {
         val tr = tradeEdges(s, d).localCheckpoint()
-        val thr = tr.agg(avg("weight")).head().getDouble(0)
-        val und = tr.filter(col("weight") > thr)
+        // in-plan avg threshold — see g_link_predict
+        val thr = broadcast(tr.agg(avg("weight").as("__thr")))
+        val und = tr.crossJoin(thr).filter(col("weight") > col("__thr"))
           .select(least(col("src"), col("dst")).as("u"),
             greatest(col("src"), col("dst")).as("v"))
           .distinct()
@@ -257,13 +262,16 @@ object GraphCatalog {
 
     // Bounded reachability (Cypher `shortestPath((a)-[*..3]-(b))`):
     // frontier BFS from the lowest part key over co-occurrence edges.
+    // The seed is a 1-row min aggregate FRAME, not a driver pre-fetch
+    // (round-7 verdict #3): the BFS's first checkpoint materializes it
+    // as part of the plan.
     Q("g_bfs_hops",
       (s, d) => {
         val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
         val pairs = copartPairs(li)
           .select(col("u").as("s"), col("v").as("d"))
-        val source = li.agg(min("l_partkey")).head().get(0)
-        GraphAlgos.bfsHops(pairs, source, maxHops = 3).orderBy("node")
+        GraphAlgos.bfsHopsFrom(pairs, li.agg(min("l_partkey").as("node")),
+          maxHops = 3).orderBy("node")
       },
       Some("""WITH RECURSIVE
               pr AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -290,8 +298,10 @@ object GraphCatalog {
           .select(col("src").as("s"), col("dst").as("d"),
             (lit(1.0) / col("weight")).as("w"))
           .localCheckpoint()
-        val source = edges.agg(min("s")).head().get(0)
-        GraphAlgos.shortestPaths(edges, source, maxHops = 4)
+        // seed = 1-row min aggregate frame, materialized by the
+        // relaxation's first checkpoint instead of a driver pre-fetch
+        GraphAlgos.shortestPathsFrom(edges, edges.agg(min("s").as("node")),
+            maxHops = 4)
           .select(col("node"),
             floor(col("dist") * lit(1000000) + lit(0.5)).cast("long").as("dist_ppm"))
           .orderBy("node")

@@ -76,15 +76,30 @@ object GraphAlgos {
     * machinery as [[pageRank]]. */
   def personalizedPageRank(edges: DataFrame, source: Any, iters: Int = 10,
       damping: Double = 0.85, localThreshold: Long = 1L << 20): DataFrame =
-    rankWithTeleport(edges, Some(source), iters, damping, localThreshold)
+    rankWithTeleport(edges, Some(Some(source)), iters, damping, localThreshold)
+
+  /** [[personalizedPageRank]] with the source derived IN the plan as
+    * the minimum node id: the teleport vector comes from a broadcast
+    * 1-row min aggregate cross-joined onto the node set, so no driver
+    * job fetches the source before the main plan starts (round-7
+    * verdict #3 — at 100x the pre-fetch was a second full pass over
+    * the edge frame). Row-identical to
+    * `personalizedPageRank(edges, <min node>)`. */
+  def personalizedPageRankMinSource(edges: DataFrame, iters: Int = 10,
+      damping: Double = 0.85, localThreshold: Long = 1L << 20): DataFrame =
+    rankWithTeleport(edges, Some(None), iters, damping, localThreshold)
 
   /** Shared rank core over a teleport vector t (uniform 1/N, or a point
     * mass at a source node):
     *
     *   rank' = (1-d) * t + d * (in_contributions + dangling_mass * t)
     *
-    * with rank0 = t. Uniform t reduces this to the classic formula. */
-  private def rankWithTeleport(edges: DataFrame, source: Option[Any],
+    * with rank0 = t. Uniform t reduces this to the classic formula.
+    *
+    * @param source None = uniform teleport; Some(Some(s)) = point mass
+    *        at the explicit node s; Some(None) = point mass at the
+    *        minimum node id, derived in-plan (no driver round-trip) */
+  private def rankWithTeleport(edges: DataFrame, source: Option[Option[Any]],
       iters: Int, damping: Double, localThreshold: Long): DataFrame = {
     val nodes0 = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
@@ -93,17 +108,22 @@ object GraphAlgos {
     val nNodes = nodes0.count()
     require(nNodes > 0, "pageRank: empty graph")
     val n = nNodes.toDouble
-    val teleCol = source match {
-      case None => lit(1.0 / n)
-      case Some(s) =>
+    val nodes = (source match {
+      case None => nodes0.withColumn("tele", lit(1.0 / n))
+      case Some(Some(s)) =>
         val srcLit = lit(s).cast(nodes0.schema.head.dataType)
         // an absent source would make the teleport vector all-zero and
         // every rank silently 0 — fail loudly instead
         require(!nodes0.filter(col("node") === srcLit).isEmpty,
           s"personalizedPageRank: source $s has no edges in the graph")
-        when(col("node") === srcLit, lit(1.0)).otherwise(lit(0.0))
-    }
-    val nodes = nodes0.withColumn("tele", teleCol).localCheckpoint()
+        nodes0.withColumn("tele",
+          when(col("node") === srcLit, lit(1.0)).otherwise(lit(0.0)))
+      case Some(None) => // min node, in-plan (always present by construction)
+        nodes0.crossJoin(broadcast(nodes0.agg(min("node").as("__src"))))
+          .withColumn("tele",
+            when(col("node") === col("__src"), lit(1.0)).otherwise(lit(0.0)))
+          .drop("__src")
+    }).localCheckpoint()
     // Pre-divide each edge's share of its source's out-mass: the
     // per-iteration join then multiplies by the current rank only.
     val outW = edges.groupBy("src").agg(sum("weight").as("out_w"))
@@ -372,12 +392,27 @@ object GraphAlgos {
     * Symmetrize the edge list first for undirected semantics. */
   def shortestPaths(edges: DataFrame, source: Any, maxHops: Int = 6,
       broadcastFrontierLimit: Long = 4L << 20): DataFrame = {
+    val e = edges.select(col("s"), col("d"), col("w"))
+    shortestPathsFrom(edges,
+      e.sparkSession.range(1).select(
+        lit(source).cast(e.schema("s").dataType).as("node")),
+      maxHops, broadcastFrontierLimit)
+  }
+
+  /** [[shortestPaths]] seeded by a DataFrame of source nodes (single
+    * column, any name) instead of a driver-side literal — lets the
+    * source be DERIVED in-plan (e.g. a 1-row min aggregate: no driver
+    * job runs before the relaxation starts; round-7 verdict #3), and
+    * generalizes to multi-source relaxation (dist = min over seeds). */
+  def shortestPathsFrom(edges: DataFrame, sourceNodes: DataFrame,
+      maxHops: Int = 6, broadcastFrontierLimit: Long = 4L << 20): DataFrame = {
     val e = edges.select(col("s"), col("d"), col("w")).localCheckpoint()
-    var dist = e.sparkSession.range(1).select(
-      lit(source).cast(e.schema("s").dataType).as("node"), lit(0.0).as("dist"))
+    var dist = sourceNodes
+      .select(col(sourceNodes.columns.head).cast(e.schema("s").dataType).as("node"))
+      .withColumn("dist", lit(0.0))
       .localCheckpoint()
     var frontier = dist
-    var frontierSize = 1L
+    var frontierSize = dist.count() // checkpointed: a metadata-cheap job
     var hop = 0
     while (hop < maxHops && frontierSize > 0) {
       hop += 1
@@ -419,18 +454,31 @@ object GraphAlgos {
     * @param source source node id (must match the edge id type)
     */
   def bfsHops(edges: DataFrame, source: Any, maxHops: Int = 6,
-      broadcastFrontierLimit: Long = 4L << 20): DataFrame = {
+      broadcastFrontierLimit: Long = 4L << 20): DataFrame =
+    bfsHopsFrom(edges,
+      edges.sparkSession.range(1).select(
+        lit(source).cast(edges.schema("s").dataType).as("node")),
+      maxHops, broadcastFrontierLimit)
+
+  /** [[bfsHops]] seeded by a DataFrame of source nodes (single column,
+    * any name) — the source can be DERIVED in-plan (a 1-row min
+    * aggregate instead of a driver pre-fetch; round-7 verdict #3), and
+    * multiple seed rows give multi-source BFS (hops = distance to the
+    * nearest seed). */
+  def bfsHopsFrom(edges: DataFrame, sourceNodes: DataFrame,
+      maxHops: Int = 6, broadcastFrontierLimit: Long = 4L << 20): DataFrame = {
     val sym = edges.select(col("s"), col("d"))
       .union(edges.select(col("d").as("s"), col("s").as("d")))
       .filter(col("s") =!= col("d"))
       .distinct()
       .localCheckpoint()
-    var settled = sym.sparkSession.range(1).select(
-      lit(source).cast(sym.schema("s").dataType).as("node"), lit(0).as("hops"))
+    var settled = sourceNodes
+      .select(col(sourceNodes.columns.head).cast(sym.schema("s").dataType).as("node"))
+      .withColumn("hops", lit(0))
       .localCheckpoint()
     var frontier = settled
-    var frontierSize = 1L
-    var settledSize = 1L
+    var frontierSize = settled.count() // checkpointed: metadata-cheap
+    var settledSize = frontierSize
     var hop = 0
     while (hop < maxHops && frontierSize > 0) {
       hop += 1

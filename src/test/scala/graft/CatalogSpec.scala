@@ -29,6 +29,51 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("graph catalog queries build without driver-scalar pre-fetch jobs") {
+    // Round-7 verdict #3: five GraphCatalog queries used to fetch a
+    // source node or avg-weight threshold with a separate
+    // `agg(...).head()` driver job before the main plan — a second full
+    // pass over the edge frame at scale. Folded in-plan, NO job whose
+    // call site is a scalar fetch (`head at` / `isEmpty at`) may fire
+    // while the query DataFrame is constructed; checkpoint, broadcast
+    // and the iterative operators' documented `count at` convergence
+    // probes remain legitimate. (Exact job counts are not pinned — AQE
+    // splits materializations into a host-dependent number of jobs.)
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val sites = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        sites.add(Option(j.properties.getProperty("callSite.short")).getOrElse(""))
+    }
+    def scalarFetchSitesDuring(f: => Unit): Seq[String] = {
+      sites.clear()
+      spark.sparkContext.addSparkListener(l)
+      try {
+        f
+        // listener events post asynchronously; wait until the set stops
+        // growing rather than racing the bus
+        var last = -1
+        var stable = 0
+        while (stable < 3) {
+          Thread.sleep(100)
+          val cur = sites.size()
+          if (cur == last) stable += 1 else { stable = 0; last = cur }
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      import scala.jdk.CollectionConverters._
+      sites.asScala.toSeq.filter(s =>
+        s.startsWith("head at") || s.startsWith("isEmpty at") ||
+          s.startsWith("first at"))
+    }
+    for (q <- Seq("g_ppr_trade", "g_link_predict", "g_adamic_adar",
+        "g_bfs_hops", "g_shortest_trade")) {
+      val bad = scalarFetchSitesDuring { SparkEntry.queries(q)(spark, dir) }
+      assert(bad.isEmpty,
+        s"$q construction ran driver-scalar fetch jobs: $bad")
+    }
+  }
+
   test("decimal money path agrees with the double path at 2dp per group") {
     // q1_pricing_decimal is exact by construction; the double path rounds
     // once at the end — the two may differ by at most one ulp of the 2dp

@@ -255,6 +255,38 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("in-plan source variants are row-identical to explicit-source ones") {
+    // Round-7 verdict #3: the catalog derives sources/thresholds inside
+    // the plan now; these folds must be pure plumbing, not semantics.
+    val edges = Seq((3L, 5L), (5L, 7L), (7L, 3L), (9L, 3L))
+      .toDF("src", "dst").withColumn("weight", lit(1.0))
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val explicit = m(GraphAlgos.personalizedPageRank(edges, 3L, iters = 10))
+    assert(m(GraphAlgos.personalizedPageRankMinSource(edges, iters = 10)) == explicit)
+    // distributed iteration path too (localThreshold = 0)
+    assert(m(GraphAlgos.personalizedPageRankMinSource(edges, iters = 10,
+      localThreshold = 0)) == explicit)
+    val be = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val bfsLit = GraphAlgos.bfsHops(be, 1L, maxHops = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val bfsAgg = GraphAlgos.bfsHopsFrom(be, be.agg(min("s").as("node")), maxHops = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(bfsAgg == bfsLit)
+    // multi-source BFS: hops = distance to the NEAREST seed
+    val multi = GraphAlgos.bfsHopsFrom(be,
+        Seq(1L, 4L).toDF("node"), maxHops = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(multi == Map(1L -> 0, 4L -> 0, 2L -> 1, 3L -> 1))
+    val we = Seq((1L, 2L, 1.0), (2L, 3L, 2.0)).toDF("s", "d", "w")
+    val spLit = GraphAlgos.shortestPaths(we, 1L, maxHops = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val spAgg = GraphAlgos.shortestPathsFrom(we, we.agg(min("s").as("node")),
+        maxHops = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(spAgg == spLit)
+  }
+
   test("labelPropagation: two triangles over a bridge settle into two communities") {
     // Triangle {1,2,3} + triangle {4,5,6} joined by bridge 3-4: sync
     // LPA with min tie-break stabilizes to communities {1,2,3}->1 and
