@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Lineage.CutOps
 
 /** Distributed connected components over an undirected edge list —
   * the clustering step of a near-duplicate dedup pipeline: near-dup
@@ -20,9 +21,8 @@ import org.apache.spark.sql.functions._
   * key (neighbor join + label-compression self-join), the shape that
   * scales to billions of edges. Convergence is detected with an
   * aggregate-only count (no driver-side row collection), and lineage
-  * is truncated each round with `localCheckpoint` so plans stay flat
-  * (on a cluster with a checkpoint dir, `checkpoint` is the durable
-  * variant).
+  * is truncated each round via [[Lineage.cut]] (reliable `checkpoint()`
+  * when a checkpoint dir is configured, `localCheckpoint()` otherwise).
   */
 object Components {
 
@@ -59,7 +59,7 @@ object Components {
       .union(edges.select(col(dst).as("s"), col(src).as("d")))
       .filter(col("s") =!= col("d"))
       .distinct()
-      .localCheckpoint()
+      .cutLineage()
     val integralIds = sym.schema.fields.forall(_.dataType match {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType => true
@@ -69,7 +69,7 @@ object Components {
       return localUnionFind(sym, sym.schema(0).dataType)
     var labels = sym.select(col("s").as("node")).distinct()
       .withColumn("comp", col("node"))
-      .localCheckpoint()
+      .cutLineage()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -85,7 +85,7 @@ object Components {
       val jumped = hopped
         .join(hopped.select(col("node").as("comp"), col("comp").as("ccomp")), Seq("comp"), "left")
         .select(col("node"), least(col("comp"), coalesce(col("ccomp"), col("comp"))).as("comp"))
-        .localCheckpoint()
+        .cutLineage()
       // Convergence = a full round changed nothing: then the hop was
       // already stable, i.e. every node's label <= all its neighbors'
       // labels, which across each edge in both directions means the

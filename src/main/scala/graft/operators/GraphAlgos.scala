@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import graft.operators.Lineage.CutOps
 import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
 
 /** Distributed graph analytics over DataFrame edge lists.
@@ -14,8 +15,9 @@ import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
   * first-class distributed implementations here. Everything below is
   * expressed as joins + aggregations over `(src, dst)` edge frames:
   * each round is a fixed number of key-shuffles, lineage is truncated
-  * with `localCheckpoint` (swap for `checkpoint` on a cluster with a
-  * checkpoint dir), and node rows never reach the driver outside the
+  * per round via [[Lineage.cut]] (reliable `checkpoint()` when the
+  * deployment configures a checkpoint dir, `localCheckpoint()`
+  * otherwise), and node rows never reach the driver outside the
   * explicitly size-gated small-graph paths.
   *
   * Size gates, like [[Components]]' union-find gate and the broadcast
@@ -104,7 +106,7 @@ object GraphAlgos {
     val nodes0 = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
+      .cutLineage()
     val nNodes = nodes0.count()
     require(nNodes > 0, "pageRank: empty graph")
     val n = nNodes.toDouble
@@ -123,13 +125,13 @@ object GraphAlgos {
           .withColumn("tele",
             when(col("node") === col("__src"), lit(1.0)).otherwise(lit(0.0)))
           .drop("__src")
-    }).localCheckpoint()
+    }).cutLineage()
     // Pre-divide each edge's share of its source's out-mass: the
     // per-iteration join then multiplies by the current rank only.
     val outW = edges.groupBy("src").agg(sum("weight").as("out_w"))
     val outNorm = edges.join(outW, "src")
       .select(col("src"), col("dst"), (col("weight") / col("out_w")).as("share"))
-      .localCheckpoint()
+      .cutLineage()
     if (localThreshold > 0 && outNorm.count() <= localThreshold)
       return localPageRank(outNorm, nodes, iters, damping)
     // Dangling nodes (no out-edges) are a property of the GRAPH, not the
@@ -138,9 +140,9 @@ object GraphAlgos {
     // whole Spark job each — is skipped.
     val danglingNodes = nodes
       .join(outW.select(col("src").as("node")), Seq("node"), "left_anti")
-      .localCheckpoint()
+      .cutLineage()
     val hasDangling = !danglingNodes.isEmpty
-    var ranks = nodes.select(col("node"), col("tele").as("rank")).localCheckpoint()
+    var ranks = nodes.select(col("node"), col("tele").as("rank")).cutLineage()
     for (_ <- 1 to iters) {
       // Dangling mass: total rank held by nodes with no out-edges.
       // head() on a 1-row aggregate, not a row collect.
@@ -157,7 +159,7 @@ object GraphAlgos {
             lit(damping) * (coalesce(col("in_mass"), lit(0.0)) +
               lit(dangling) * col("tele")))
             .as("rank"))
-        .localCheckpoint()
+        .cutLineage()
     }
     ranks
   }
@@ -229,7 +231,7 @@ object GraphAlgos {
     val und = edges.filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint()
+      .cutLineage()
     val fitsBroadcast = broadcastEdgeLimit > 0 && und.count() <= broadcastEdgeLimit
     // The degree table has at most one row per NODE — strictly smaller
     // than the edge set — so whenever the edge gate passes, both
@@ -248,7 +250,7 @@ object GraphAlgos {
           col("u")).otherwise(col("v")).as("lo"),
         when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
           col("v")).otherwise(col("u")).as("hi"))
-      .localCheckpoint()
+      .cutLineage()
     // Wedges a->(b,c) from the low-degree pivot, ordered so each
     // unordered pair is generated once; closed iff (b,c) is an edge.
     val e1 = oriented.select(col("lo").as("a"), col("hi").as("b"))
@@ -310,7 +312,7 @@ object GraphAlgos {
       .union(edges.filter(col("u") =!= col("v"))
         .select(col("v").as("s"), col("u").as("d")))
       .distinct()
-      .localCheckpoint()
+      .cutLineage()
     var cur = e0
     var survivors = -1L // unknown before the first sweep
     var round = 0
@@ -319,7 +321,7 @@ object GraphAlgos {
       round += 1
       val keep = cur.groupBy("s").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("s")
-        .localCheckpoint() // tiny: one column, <= one row per node
+        .cutLineage() // tiny: one column, <= one row per node
       val n = keep.count()
       if (n == survivors) converged = true // no drop this sweep: fixpoint
       else {
@@ -361,7 +363,7 @@ object GraphAlgos {
       .union(edges.filter(col("u") =!= col("v"))
         .select(col("v").as("s"), col("u").as("d")))
       .distinct()
-      .localCheckpoint()
+      .cutLineage()
     var labels = adj.select(col("s").as("node")).distinct()
       .withColumn("lbl", col("node"))
     val w = Window.partitionBy("node").orderBy(col("cnt").desc, col("lbl").asc)
@@ -373,7 +375,7 @@ object GraphAlgos {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select("node", "lbl")
-        .localCheckpoint()
+        .cutLineage()
     }
     labels
   }
@@ -406,11 +408,11 @@ object GraphAlgos {
     * generalizes to multi-source relaxation (dist = min over seeds). */
   def shortestPathsFrom(edges: DataFrame, sourceNodes: DataFrame,
       maxHops: Int = 6, broadcastFrontierLimit: Long = 4L << 20): DataFrame = {
-    val e = edges.select(col("s"), col("d"), col("w")).localCheckpoint()
+    val e = edges.select(col("s"), col("d"), col("w")).cutLineage()
     var dist = sourceNodes
       .select(col(sourceNodes.columns.head).cast(e.schema("s").dataType).as("node"))
       .withColumn("dist", lit(0.0))
-      .localCheckpoint()
+      .cutLineage()
     var frontier = dist
     var frontierSize = dist.count() // checkpointed: a metadata-cheap job
     var hop = 0
@@ -425,11 +427,11 @@ object GraphAlgos {
         .join(dist.select(col("node"), col("dist").as("cur")), Seq("node"), "left")
         .filter(col("cur").isNull || col("cand") < col("cur"))
         .select(col("node"), col("cand").as("dist"))
-        .localCheckpoint()
+        .cutLineage()
       frontierSize = improved.count()
       dist = dist.unionByName(improved)
         .groupBy("node").agg(min("dist").as("dist"))
-        .localCheckpoint()
+        .cutLineage()
       frontier = improved
     }
     dist
@@ -471,11 +473,11 @@ object GraphAlgos {
       .union(edges.select(col("d").as("s"), col("s").as("d")))
       .filter(col("s") =!= col("d"))
       .distinct()
-      .localCheckpoint()
+      .cutLineage()
     var settled = sourceNodes
       .select(col(sourceNodes.columns.head).cast(sym.schema("s").dataType).as("node"))
       .withColumn("hops", lit(0))
-      .localCheckpoint()
+      .cutLineage()
     var frontier = settled
     var frontierSize = settled.count() // checkpointed: metadata-cheap
     var settledSize = frontierSize
@@ -491,10 +493,10 @@ object GraphAlgos {
         .select(sym("d").as("node")).distinct()
         .join(dedup, Seq("node"), "left_anti")
         .withColumn("hops", lit(hop))
-        .localCheckpoint()
+        .cutLineage()
       frontierSize = next.count()
       settledSize += frontierSize
-      settled = settled.unionByName(next).localCheckpoint()
+      settled = settled.unionByName(next).cutLineage()
       frontier = next
     }
     settled

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Lineage.CutOps
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.expressions.Window
 
@@ -158,7 +159,7 @@ object IncrementalPipeline {
         // them, and the second write APPENDS to storeDir — without the
         // checkpoint its plan would re-read storeDir while writing to it
         // (and re-run the banded join).
-        val dupIds = matchedAgainstStore(batchSims, store).localCheckpoint()
+        val dupIds = matchedAgainstStore(batchSims, store).cutLineage()
         val survivors = withinBatch.join(dupIds, Seq("doc_id"), "left_anti")
         survivors.write.mode("append").parquet(outDir)
         batchSims.join(dupIds, Seq("doc_id"), "left_anti")
@@ -219,7 +220,7 @@ object IncrementalPipeline {
           else withinExact.select(col("__h")).limit(0)
         val exactSurvivors = withinExact
           .join(hashStore, Seq("__h"), "left_anti")
-          .localCheckpoint() // both writes below consume it; the hash
+          .cutLineage() // both writes below consume it; the hash
                              // store append must not re-read its own path
         // near-dup: within the batch, then against the signature store
         val withinNearDup = Curation.nearDupDedup(exactSurvivors.drop("__h"))
@@ -228,7 +229,7 @@ object IncrementalPipeline {
         val simStore =
           if (fileExists(spark, simStorePath)) spark.read.parquet(simStorePath)
           else batchSims.limit(0)
-        val dupIds = matchedAgainstStore(batchSims, simStore).localCheckpoint()
+        val dupIds = matchedAgainstStore(batchSims, simStore).cutLineage()
         val survivors = withinNearDup.join(dupIds, Seq("doc_id"), "left_anti")
         val curated = evalDir match {
           case Some(ed) if fileExists(spark, ed) =>
