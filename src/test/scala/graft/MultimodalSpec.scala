@@ -4,7 +4,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
 
-/** Multimodal binary-column plumbing (stubbed decode, real Spark shapes). */
+/** Multimodal binary-column plumbing: real byte-level header parsing
+  * (PNG/GIF/BMP/JPEG) and the real Spark batch shapes around it. */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
@@ -22,27 +23,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(media.filter(col("meta.n_bytes") <= 0).count() == 0)
   }
 
-  test("fake decode produces the decoded-metadata contract") {
-    val dec = media.select(col("asset_id"), Multimodal.fakeDecode(col("content")).as("d"))
-      .select(col("asset_id"), col("d.*"))
-    assert(dec.schema.fieldNames.toSeq == Seq("asset_id", "width", "height", "n_frames", "header_hex"))
-    val r = dec.orderBy("asset_id").limit(1).collect()(0)
-    assert(r.getInt(1) >= 64 && r.getInt(1) < 64 + 513)
-    assert(r.getString(4).nonEmpty)
-  }
-
-  test("fake decode accepts a derived/aliased payload column") {
-    // decode a TRANSFORMED payload (first 32 bytes, aliased) — the decoder
+  test("parseImageDims accepts a derived/aliased payload column") {
+    // parse a TRANSFORMED payload (first 64 bytes, aliased) — the parser
     // must work on any Column expression, not just a named table column
-    val dec = media.select(col("asset_id"),
-      Multimodal.fakeDecode(substring(col("content"), 1, 32).as("clip")).as("d"))
+    // (round-3 verdict #4 class of bug). Headers sit within the clip,
+    // so both parses must agree for every asset.
+    val clip = media.select(col("asset_id"),
+      Multimodal.parseImageDims(substring(col("content"), 1, 64).as("clip")).as("d"))
     val full = media.select(col("asset_id"),
-      Multimodal.fakeDecode(col("content")).as("d"))
-    // header is within the clip, so the fingerprint must agree with the
-    // full-payload decode for every asset
-    val joined = dec.select(col("asset_id"), col("d.header_hex").as("clip_hdr"))
-      .join(full.select(col("asset_id"), col("d.header_hex").as("full_hdr")), "asset_id")
-    assert(joined.filter(col("clip_hdr") =!= col("full_hdr")).count() == 0)
+      Multimodal.parseImageDims(col("content")).as("d"))
+    val joined = clip.select(col("asset_id"), col("d.fmt").as("clip_fmt"))
+      .join(full.select(col("asset_id"), col("d.fmt").as("full_fmt")), "asset_id")
+    assert(joined.count() == 500)
+    assert(joined.filter(col("clip_fmt") =!= col("full_fmt")).count() == 0)
   }
 
   test("frame sampling cuts payload into every-k-th fixed-size chunks") {
@@ -61,21 +54,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.columns.length == 9) // asset_id + 8 buckets
   }
 
+  private def bytes(hex: String): Array[Byte] =
+    hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
   test("parseImageDims reads real PNG/GIF/BMP headers byte-for-byte") {
     import spark.implicits._
     // Hand-built headers with KNOWN dimensions, byte orders per spec:
     // PNG 640x480 (big-endian u32), GIF 320x200 (little-endian u16),
-    // BMP 1024x768 (little-endian i32), plus a JPEG magic we don't
-    // parse (must yield 'unknown', not an error).
-    def bytes(hex: String): Array[Byte] =
-      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // BMP 1024x768 (little-endian i32).
     val png = bytes("89504E470D0A1A0A" + "0000000D" + "49484452" +
       "00000280" + "000001E0") // 640, 480
     val gif = "GIF89a".getBytes("US-ASCII") ++ bytes("4001" + "C800") // 320, 200
     val bmp = "BM".getBytes("US-ASCII") ++ bytes("00" * 16) ++
       bytes("00040000" + "00030000") // 1024, 768 little-endian
-    val jpg = bytes("FFD8FFE0")
-    val df = Seq(("png", png), ("gif", gif), ("bmp", bmp), ("jpg", jpg))
+    // top-down BMP: height stored NEGATIVE as two's-complement i32
+    // (round-7 advice: the old unsigned read NULLed it)
+    val bmpTd = "BM".getBytes("US-ASCII") ++ bytes("00" * 16) ++
+      bytes("00040000" + "00FDFFFF") // 1024, -768
+    val df = Seq(("png", png), ("gif", gif), ("bmp", bmp), ("bmp_td", bmpTd))
       .toDF("id", "img")
     val parsed = Multimodal.withImageDims(df, "img")
       .select("id", "fmt", "width", "height").collect()
@@ -84,6 +80,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(parsed("png") == (("png", Some(640), Some(480))))
     assert(parsed("gif") == (("gif", Some(320), Some(200))))
     assert(parsed("bmp") == (("bmp", Some(1024), Some(768))))
-    assert(parsed("jpg") == (("unknown", None, None)))
+    assert(parsed("bmp_td") == (("bmp", Some(1024), Some(-768))))
+  }
+
+  test("parseImageDims walks JPEG segment chains to the SOF frame header") {
+    import spark.implicits._
+    // Canonical baseline JPEG: SOI, APP0/JFIF (len 16), DQT (len 67),
+    // SOF0 (len 17) carrying precision 8, height 600, width 800 —
+    // dimensions sit three segments deep, exercising the marker walk.
+    val sof0 = "FFD8" +
+      "FFE0" + "0010" + "4A46494600" + "00" * 9 + // APP0, 14-byte payload
+      "FFDB" + "0043" + "00" * 65 +               // DQT, 65-byte payload
+      "FFC0" + "0011" + "08" + "0258" + "0320" + "00" * 10 // SOF0: h=600 w=800
+    // progressive variant: same chain, SOF2 marker, 1080x1920
+    val sof2 = "FFD8" +
+      "FFE1" + "0008" + "00" * 6 +                // APP1 stub
+      "FFC2" + "0011" + "08" + "0438" + "0780" + "00" * 10 // SOF2: h=1080 w=1920
+    // truncated chain: SOI + APP0 marker but no length bytes -> jpeg
+    // with null dims, never an error or a misaligned read
+    val trunc = "FFD8FFE0"
+    // pathological: 0xFF where a marker chain never yields SOF within
+    // the bounded walk -> null dims
+    val noSof = "FFD8" + ("FFE0" + "0004" + "0000") * 20
+    val df = Seq(("sof0", bytes(sof0)), ("sof2", bytes(sof2)),
+      ("trunc", bytes(trunc)), ("nosof", bytes(noSof))).toDF("id", "img")
+    val parsed = Multimodal.withImageDims(df, "img")
+      .select("id", "fmt", "width", "height").collect()
+      .map(r => r.getString(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(parsed("sof0") == (("jpeg", Some(800), Some(600))))
+    assert(parsed("sof2") == (("jpeg", Some(1920), Some(1080))))
+    assert(parsed("trunc") == (("jpeg", None, None)))
+    assert(parsed("nosof") == (("jpeg", None, None)))
   }
 }
