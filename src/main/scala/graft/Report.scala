@@ -23,7 +23,7 @@ import graft.query.{ReportQueries => RQ}
   *     --graph-rank [REL_TYPE] [--from TYPE:ID] |
   *     --graph-communities [REL_TYPE] | --graph-neighbors TYPE:ID [--hops N] |
   *     --graph-shortest FROM_TYPE:ID [TO_TYPE:ID] [--hops N] |
-  *     --graph-triangles [REL_TYPE])
+  *     --graph-triangles [REL_TYPE] | --graph-suggest [TYPE:ID])
   *     [--table users|contacts|companies|deals|activities]
   *     [--format ...] [--out PATH]
   *
@@ -204,6 +204,12 @@ object Report {
         }
       case Some("--graph-triangles") => // per-entity triangle cohesion
         GQ.triangleCohesion(edgesState, flagValue("--graph-triangles"))
+      case Some("--graph-suggest") => // Adamic-Adar link suggestions;
+        // optional TYPE:ID narrows to pairs involving that entity
+        val forEntity = flagValue("--graph-suggest").map { v =>
+          val Array(t, id) = v.split(":", 2); (t, id)
+        }
+        GQ.linkSuggestions(edgesState, forEntity)
       case other => sys.error(s"unknown or missing report flag: $other")
     }
 

@@ -128,6 +128,49 @@ object GraphQueries {
       .orderBy(col("distance"), col("entity_type"), col("entity_id"))
   }
 
+  /** Link prediction over the (optionally scoped) entity graph —
+    * Cypher's `MATCH (a)--(n)--(b) WHERE NOT (a)--(b)` recommendation,
+    * weighted Adamic-Adar style: each shared neighbor contributes
+    * 1/ln(degree), so an exclusive mutual contact says more than a hub
+    * everyone touches. Returns non-adjacent entity pairs ranked by
+    * score; `forEntity` narrows to suggestions involving one entity
+    * (the "who should this contact know" CLI ask). Shape mirrors the
+    * g_adamic_adar catalog query: one degree aggregate broadcast into
+    * the wedge self-join, an anti-join erasing existing edges — never
+    * all-pairs. */
+  def linkSuggestions(edges: DataFrame, forEntity: Option[(String, String)] = None,
+      relType: Option[String] = None, topK: Int = 20): DataFrame = {
+    val und = pairWeights(edges, relType)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val sym = und.select(col("u").as("n"), col("v").as("m"))
+      .unionByName(und.select(col("v").as("n"), col("u").as("m")))
+    val deg = sym.groupBy("n").agg(count(lit(1)).as("deg"))
+    val aa = sym.select(col("n"), col("m").as("a"))
+      .join(sym.select(col("n"), col("m").as("b")), Seq("n"))
+      .filter(col("a") < col("b"))
+      .join(broadcast(deg), Seq("n"))
+      .filter(col("deg") > 1) // ln(1) = 0 would divide by zero
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr("1.0 / ln(deg)")).as("aa_raw"))
+    val nonAdjacent = aa
+      .join(und, aa("a") === und("u") && aa("b") === und("v"), "left_anti")
+    val focused = forEntity.fold(nonAdjacent) { case (t, id) =>
+      val k = mkKey(t, id)
+      nonAdjacent.filter(col("a") === k || col("b") === k)
+    }
+    focused.select(
+        keyType(col("a")).as("a_type"), keyId(col("a")).as("a_id"),
+        keyType(col("b")).as("b_type"), keyId(col("b")).as("b_id"),
+        col("n_common"), round(col("aa_raw"), 4).as("adamic_adar"))
+      .orderBy(desc("adamic_adar"), col("a_type"), col("a_id"),
+        col("b_type"), col("b_id"))
+      .limit(topK)
+  }
+
   /** Triangle cohesion of the (optionally scoped) entity graph: how
     * many closed entity triples each entity participates in — the
     * Cypher `(a)--(b)--(c)--(a)` cohesion question. Entities in no

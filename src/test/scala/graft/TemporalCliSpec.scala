@@ -183,6 +183,27 @@ class TemporalCliSpec extends AnyFunSuite {
       ("HUBSPOT_Company", "co1")).forall(k => triMap.getOrElse(k, 0L) >= 1L))
   }
 
+  test("--graph-suggest ranks non-adjacent entity pairs by shared neighbors") {
+    // Adamic-Adar link prediction over the pipeline edge state (the
+    // Cypher `MATCH (a)--(n)--(b) WHERE NOT (a)--(b)` recommendation).
+    val all = runToCsv("--graph-suggest")
+    assert(all.count() > 0)
+    val scores = all.collect().map(_.getAs[String]("adamic_adar").toDouble)
+    assert(scores.sorted.reverse.toSeq == scores.toSeq) // best first
+    // narrowed to c2: its only neighbors are user_2 (OWNED_BY) and the
+    // shared deal d1 (ASSOCIATED_WITH)
+    val forC2 = runToCsv("--graph-suggest", "HUBSPOT_Contact:c2").collect()
+      .map(r => Set((r.getAs[String]("a_type"), r.getAs[String]("a_id")),
+        (r.getAs[String]("b_type"), r.getAs[String]("b_id"))))
+    assert(forC2.nonEmpty)
+    // every suggested pair involves the selected entity
+    assert(forC2.forall(_.contains(("HUBSPOT_Contact", "c2"))))
+    // c1 shares deal d1 with c2 but has no direct edge -> suggested
+    assert(forC2.exists(_.contains(("HUBSPOT_Contact", "c1"))))
+    // pairs that ARE edges never appear: c2 is directly related to d1
+    assert(!forC2.exists(_.contains(("HUBSPOT_Deal", "d1"))))
+  }
+
   test("--owner with an ambiguous needle lists candidates and exits 2") {
     // 'example' hits both fixture users via email
     val code = Report.run(spark, Array(dirs._1, "--owner", "example"))
