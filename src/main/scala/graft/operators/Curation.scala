@@ -289,7 +289,20 @@ object Curation {
   def decontaminateBloom(train: DataFrame, eval: DataFrame, minShared: Int = 8,
       n: Int = 3, mBits: Int = 1 << 17, k: Int = 5): DataFrame = {
     val evalSg = tokenNGrams(eval, n).select("sg").distinct()
-    val bloom = shingleBloom(evalSg, mBits, k)
+    decontaminateWithBloom(train, evalSg, shingleBloom(evalSg, mBits, k),
+      minShared, mBits, k, n)
+  }
+
+  /** [[decontaminateBloom]] probing a PRE-derived eval shingle set and
+    * its Bloom word array — for callers that test MANY train batches
+    * against ONE static eval corpus (the streaming curation sink):
+    * derive `evalSg`/`bloom` once, materialize them, and reuse per
+    * batch instead of re-scanning the eval corpus every trigger
+    * (round-7 advice). `mBits`/`k` must match the values `bloom` was
+    * built with. */
+  def decontaminateWithBloom(train: DataFrame, evalSg: DataFrame,
+      bloom: DataFrame, minShared: Int = 8, mBits: Int = 1 << 17, k: Int = 5,
+      n: Int = 3): DataFrame = {
     val candidates = tokenNGrams(train, n)
       .crossJoin(broadcast(bloom))
       .filter(expr(

@@ -197,7 +197,21 @@ object IncrementalPipeline {
   def curationSink(incomingDocs: DataFrame, storeDir: String, outDir: String,
       checkpointDir: String, minTokens: Int = 10, maxDupTokenFrac: Double = 0.5,
       minAlphaFrac: Double = 0.5,
-      evalDir: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
+      evalDir: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] = {
+    // The eval corpus is documented static: derive its distinct shingle
+    // set and Bloom word array ONCE here and materialize them, instead
+    // of re-scanning + re-aggregating the whole eval parquet inside
+    // every micro-batch (round-7 advice). Each trigger then pays one
+    // broadcast of the 1-row bloom + the shingle semi-join — never an
+    // eval-corpus scan.
+    val streamSpark = incomingDocs.sparkSession
+    import graft.operators.Curation
+    val evalStatic = evalDir.filter(fileExists(streamSpark, _)).map { ed =>
+      val evalSg = Curation
+        .tokenNGrams(streamSpark.read.parquet(ed), 3).select("sg").distinct()
+        .cutLineage()
+      (evalSg, Curation.shingleBloom(evalSg).cutLineage())
+    }
     incomingDocs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -231,10 +245,10 @@ object IncrementalPipeline {
           else batchSims.limit(0)
         val dupIds = matchedAgainstStore(batchSims, simStore).cutLineage()
         val survivors = withinNearDup.join(dupIds, Seq("doc_id"), "left_anti")
-        val curated = evalDir match {
-          case Some(ed) if fileExists(spark, ed) =>
-            Curation.decontaminateBloom(survivors, spark.read.parquet(ed))
-          case _ => survivors
+        val curated = evalStatic match {
+          case Some((evalSg, bloom)) =>
+            Curation.decontaminateWithBloom(survivors, evalSg, bloom)
+          case None => survivors
         }
         curated.write.mode("append").parquet(outDir)
         exactSurvivors.select("__h").write.mode("append").parquet(hashStorePath)
@@ -242,6 +256,7 @@ object IncrementalPipeline {
           .write.mode("append").parquet(simStorePath)
         ()
       }
+  }
 
   /** Batch doc_ids whose signature lands within hamming 8 of any store
     * signature: the 9x7-bit pigeonhole band join (two signatures within
