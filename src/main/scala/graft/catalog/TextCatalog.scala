@@ -703,6 +703,43 @@ object TextCatalog {
                 FROM scored)
               WHERE rn <= 3 ORDER BY doc_id, rn""")),
 
+    Q("x_weighted_sample",
+      // Deterministic WEIGHTED sampling without replacement
+      // (Efraimidis-Spirakis A-ES, the published weighted-reservoir
+      // algorithm): each doc draws an exponential key -ln(u)/w from a
+      // content-stable uniform u (first 6 md5 hex of doc_id over 2^24 —
+      // both engines derive the IDENTICAL double, so ln differs by at
+      // most ~1 ulp) with weight w = n_chars; the k smallest keys ARE a
+      // weighted sample without replacement. No rand(): reproducible
+      // run-to-run and engine-to-engine. Keys ship as e8 micro-ints
+      // (floor-exact, the g_pagerank convention). Scale shape: one
+      // row-local key expression + TakeOrderedAndProject — at 100 TB
+      // this draws a weighted sample with NO shuffle and no
+      // materialized randomness; the complement of x_stratified_sample
+      // (per-stratum keep-rate) for quality-weighted mixture draws.
+      (s, d) => {
+        val v = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+          .cast("double")
+        val u = (v + lit(0.5)) / lit(16777216.0)
+        val key = -log(u) / col("n_chars")
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            floor(key * lit(1e8) + lit(0.5)).cast("long").as("es_key_e8"))
+          .orderBy(col("es_key_e8"), col("doc_id"))
+          .limit(20)
+      },
+      Some("""SELECT doc_id, source, n_chars,
+             CAST(floor((-ln((
+                 (strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 1048576.0
+               + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 65536.0
+               + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 4096.0
+               + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1) * 256.0
+               + (strpos('0123456789abcdef', substring(h, 5, 1)) - 1) * 16.0
+               + (strpos('0123456789abcdef', substring(h, 6, 1)) - 1) * 1.0
+               + 0.5) / 16777216.0) / n_chars) * 1e8 + 0.5) AS BIGINT) AS es_key_e8
+             FROM documents, LATERAL (SELECT md5(CAST(doc_id AS VARCHAR)) AS h)
+             ORDER BY es_key_e8, doc_id LIMIT 20""")),
+
     Q("x_stratified_sample",
       // Deterministic stratified sampling for corpus curation: keep-rate
       // per source stratum, membership decided by a content-stable hash
