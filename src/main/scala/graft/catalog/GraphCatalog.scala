@@ -2,6 +2,7 @@ package graft.catalog
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Lineage.CutOps
 import graft.catalog.Q.t
 import graft.operators.GraphAlgos
 
@@ -107,8 +108,8 @@ object GraphCatalog {
 
     // Influence ranking of nations in the trade graph: who supplies the
     // nations that everyone buys from. The 4-way fact join is the heavy
-    // stage; the iteration runs on the localCheckpointed 25-node edge
-    // frame it produces.
+    // stage; the iteration runs on the lineage-cut 25-node edge frame
+    // it produces.
     Q("g_pagerank_trade",
       (s, d) => GraphAlgos.pageRank(tradeEdges(s, d),
           iters = prIters, damping = damping.toDouble)
@@ -126,7 +127,7 @@ object GraphCatalog {
     // the same node with zero driver round-trips.
     Q("g_ppr_trade",
       (s, d) => GraphAlgos.personalizedPageRankMinSource(
-          tradeEdges(s, d).localCheckpoint(),
+          tradeEdges(s, d).cutLineage(),
           iters = prIters, damping = damping.toDouble)
         .select(col("node"),
           floor(col("rank") * lit(1000000) + lit(0.5)).cast("long").as("rank_ppm"))
@@ -143,7 +144,7 @@ object GraphCatalog {
     // compute the SAME graph.
     Q("g_link_predict",
       (s, d) => {
-        val tr = tradeEdges(s, d).localCheckpoint()
+        val tr = tradeEdges(s, d).cutLineage()
         // avg-weight threshold folded INTO the plan as a broadcast 1-row
         // aggregate (round-7 verdict #3, same pattern as x_charlm_score's
         // vocab size): the old `agg(avg).head()` was a separate driver
@@ -153,7 +154,7 @@ object GraphCatalog {
           .select(least(col("src"), col("dst")).as("u"),
             greatest(col("src"), col("dst")).as("v"))
           .distinct()
-          .localCheckpoint()
+          .cutLineage()
         val sym = und.select(col("u").as("n"), col("v").as("m"))
           .unionByName(und.select(col("v").as("n"), col("u").as("m")))
         val cn = sym.select(col("n"), col("m").as("a"))
@@ -191,14 +192,14 @@ object GraphCatalog {
     // degree aggregate broadcast into the wedge join.
     Q("g_adamic_adar",
       (s, d) => {
-        val tr = tradeEdges(s, d).localCheckpoint()
+        val tr = tradeEdges(s, d).cutLineage()
         // in-plan avg threshold — see g_link_predict
         val thr = broadcast(tr.agg(avg("weight").as("__thr")))
         val und = tr.crossJoin(thr).filter(col("weight") > col("__thr"))
           .select(least(col("src"), col("dst")).as("u"),
             greatest(col("src"), col("dst")).as("v"))
           .distinct()
-          .localCheckpoint()
+          .cutLineage()
         val sym = und.select(col("u").as("n"), col("v").as("m"))
           .unionByName(und.select(col("v").as("n"), col("u").as("m")))
         val deg = sym.groupBy("n").agg(count(lit(1)).as("deg"))
@@ -297,7 +298,7 @@ object GraphCatalog {
         val edges = tradeEdges(s, d)
           .select(col("src").as("s"), col("dst").as("d"),
             (lit(1.0) / col("weight")).as("w"))
-          .localCheckpoint()
+          .cutLineage()
         // seed = 1-row min aggregate frame, materialized by the
         // relaxation's first checkpoint instead of a driver pre-fetch
         GraphAlgos.shortestPathsFrom(edges, edges.agg(min("s").as("node")),

@@ -2,6 +2,7 @@ package graft.catalog
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Lineage.CutOps
 import graft.catalog.Q.t
 
 /** Training-data-pipeline text operators over the `documents` table:
@@ -1252,7 +1253,7 @@ object TextCatalog {
         val bg = docs.select(col("doc_id"),
           explode(expr("char_ngrams(norm, 2)")).as("bg"))
         val counts = bg.groupBy("bg").agg(count(lit(1)).as("cnt"))
-          .localCheckpoint() // model reused by ctx/V/scoring — one derivation
+          .cutLineage() // model reused by ctx/V/scoring — one derivation
         val ctx = counts.groupBy(expr("substring(bg, 1, 1)").as("cx"))
           .agg(sum("cnt").as("ctx_n"))
         // Vocabulary size folded INTO the plan as a broadcast 1-row
@@ -1397,7 +1398,7 @@ object TextCatalog {
             explode(expr("transform(sequence(1, size(toks) - 2),"
               + " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")).as("sh"))
           .distinct()
-          .localCheckpoint() // shared by sizes + both join sides
+          .cutLineage() // shared by sizes + both join sides
         val sizes = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
         val a = sh.select(col("source").as("source_a"), col("sh"))
         val b = sh.select(col("source").as("source_b"), col("sh"))
@@ -1766,7 +1767,7 @@ object TextCatalog {
         s"transform(sequence(0, size(a) - $K),"
           + s" i -> xxhash64(concat_ws(' ', slice(a, i + 1, $K))))"))
         .as(Seq("pos", "h")))
-      .localCheckpoint() // both the dup-gram agg and the semi-join probe
+      .cutLineage() // both the dup-gram agg and the semi-join probe
     val dup = grams.groupBy("h").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select("h")
     val w = Window.partitionBy("doc_id").orderBy("pos")

@@ -2,6 +2,7 @@ package graft.catalog
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import graft.operators.Lineage.CutOps
 import org.apache.spark.sql.expressions.Window
 import graft.catalog.Q.t
 
@@ -492,7 +493,7 @@ object VectorCatalog {
           .withColumn("vm",
             expr("CAST(round(CAST(x AS double) * 1000000D, 0) AS bigint)"))
           .select("vec_id", "dim", "vm")
-          .localCheckpoint() // scanned by every iteration's two joins
+          .cutLineage() // scanned by every iteration's two joins
         var cent = ev.filter(col("vec_id") < 4)
           .select(col("vec_id").cast("int").as("cluster"), col("dim"),
             col("vm").as("cm"), lit(1L).as("n_vecs"))
@@ -630,7 +631,7 @@ object VectorCatalog {
             expr("CAST(round(CAST(x AS double) * 1000000D, 0) AS bigint)"))
           .withColumn("sub", expr("CAST(dim div 16 AS INT)"))
           .select("vec_id", "sub", "dim", "vm")
-          .localCheckpoint() // read by centroids, codebook, db and query paths
+          .cutLineage() // read by centroids, codebook, db and query paths
         val cent = ev.filter(col("vec_id") < 4)
           .select(col("vec_id").cast("int").as("cell"), col("dim"), col("vm").as("cm"))
         val book = ev.filter(col("vec_id") < 8)
@@ -819,14 +820,14 @@ object VectorCatalog {
           .agg(expr("CAST(round(sum(vm) * 1.0 / count(1), 0) AS bigint)").as("mu"))
         val cen = ev.join(broadcast(mean), Seq("dim"))
           .select(col("vec_id"), col("dim"), (col("vm") - col("mu")).as("cv"))
-          .localCheckpoint() // both sides of the covariance self-join
+          .cutLineage() // both sides of the covariance self-join
         val cov = cen.select(col("vec_id"), col("dim").as("i"), col("cv").as("ci"))
           .join(cen.select(col("vec_id"), col("dim").as("j"), col("cv").as("cj")),
             Seq("vec_id"))
           .groupBy("i", "j")
           .agg(expr("CAST(round(sum(ci * cj) * 1.0 / count(1), 0) AS bigint)")
             .as("c"))
-          .localCheckpoint() // scanned by each of the three iterations
+          .cutLineage() // scanned by each of the three iterations
         var x = cov.sparkSession.range(64)
           .select(col("id").cast("int").as("j"), lit(1000L).as("xj"))
         for (_ <- 1 to 3) {
