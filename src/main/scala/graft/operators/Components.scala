@@ -72,6 +72,7 @@ object Components {
       .cutLineage()
     var iter = 0
     var converged = false
+    val gc = new Lineage.RoundGc(edges.sparkSession)
     while (iter < maxIter && !converged) {
       // Hop: min label among the node itself and its neighbors.
       val neighborMin = sym
@@ -99,6 +100,7 @@ object Components {
           .filter(col("comp") =!= col("prev"))
           .isEmpty
       labels = jumped
+      gc.endRound()
     }
     labels
   }

@@ -34,6 +34,8 @@ import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
   */
 object GraphAlgos {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Weighted PageRank over a directed edge list.
     *
     * Semantics (matched exactly by the DuckDB oracle twin in
@@ -143,23 +145,34 @@ object GraphAlgos {
       .cutLineage()
     val hasDangling = !danglingNodes.isEmpty
     var ranks = nodes.select(col("node"), col("tele").as("rank")).cutLineage()
+    val gc = new Lineage.RoundGc(edges.sparkSession)
     for (_ <- 1 to iters) {
-      // Dangling mass: total rank held by nodes with no out-edges.
-      // head() on a 1-row aggregate, not a row collect.
-      val dangling =
-        if (!hasDangling) 0.0
-        else ranks.join(danglingNodes.select("node"), Seq("node"))
-          .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+      // Dangling mass: total rank held by nodes with no out-edges —
+      // folded IN-PLAN as a 1-row broadcast aggregate cross-joined into
+      // the rank update (round-8 verdict #2: the former per-iteration
+      // `agg(sum).head()` was a separate driver job — an extra pass over
+      // the rank frame, serialized through the driver, once per
+      // iteration on any graph with sinks). Now the mass aggregate is a
+      // sub-plan of the SAME job that materializes the next rank frame;
+      // the only per-iteration job is the lineage cut itself, dangling
+      // or not.
       val contrib = ranks.join(outNorm, ranks("node") === outNorm("src"))
         .groupBy(outNorm("dst").as("node"))
         .agg(sum(col("rank") * col("share")).as("in_mass"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
+      val joined = nodes.join(contrib, Seq("node"), "left")
+      val withMass =
+        if (!hasDangling) joined.withColumn("__dmass", lit(0.0))
+        else joined.crossJoin(broadcast(
+          ranks.join(danglingNodes.select("node"), Seq("node"))
+            .agg(coalesce(sum("rank"), lit(0.0)).as("__dmass"))))
+      ranks = withMass
         .select(col("node"),
           (lit(1 - damping) * col("tele") +
             lit(damping) * (coalesce(col("in_mass"), lit(0.0)) +
-              lit(dangling) * col("tele")))
+              col("__dmass") * col("tele")))
             .as("rank"))
         .cutLineage()
+      gc.endRound()
     }
     ranks
   }
@@ -333,6 +346,14 @@ object GraphAlgos {
           .join(keep.select(col("s").as("d")), Seq("d"), "left_semi")
       }
     }
+    // A round-cap exit returns a PARTIALLY-PEELED graph — rows provably
+    // not in the k-core. The scaladoc documents it, but call sites need
+    // a runtime signal too (round-8 advice): warn loudly so silently
+    // wrong cohesion output is at least attributable.
+    if (!converged)
+      log.warn(s"kCore(k=$k): round cap $maxRounds hit before the peel " +
+        s"fixpoint ($survivors survivors at exit) — result is a " +
+        "partially-peeled superset of the true core; raise maxRounds")
     cur.groupBy("s").agg(count(lit(1)).as("deg"))
       .select(col("s").as("node"), col("deg"))
   }
@@ -367,6 +388,7 @@ object GraphAlgos {
     var labels = adj.select(col("s").as("node")).distinct()
       .withColumn("lbl", col("node"))
     val w = Window.partitionBy("node").orderBy(col("cnt").desc, col("lbl").asc)
+    val gc = new Lineage.RoundGc(edges.sparkSession)
     for (_ <- 1 to rounds) {
       labels = adj
         .join(labels.select(col("node").as("d"), col("lbl")), Seq("d"))
@@ -376,6 +398,7 @@ object GraphAlgos {
         .filter(col("rn") === 1)
         .select("node", "lbl")
         .cutLineage()
+      gc.endRound()
     }
     labels
   }
@@ -409,13 +432,21 @@ object GraphAlgos {
   def shortestPathsFrom(edges: DataFrame, sourceNodes: DataFrame,
       maxHops: Int = 6, broadcastFrontierLimit: Long = 4L << 20): DataFrame = {
     val e = edges.select(col("s"), col("d"), col("w")).cutLineage()
+    // Seeds are DEDUPED (round-8 advice: a duplicated seed row would
+    // otherwise surface as repeated dist-0 rows whenever no relaxation
+    // round fires) — cheap, the seed set is small by construction. A
+    // seed absent from the graph is still reported at dist 0: the
+    // contract is "distance to the nearest seed", and a seed is at
+    // distance 0 from itself whether or not it has edges.
     var dist = sourceNodes
       .select(col(sourceNodes.columns.head).cast(e.schema("s").dataType).as("node"))
+      .distinct()
       .withColumn("dist", lit(0.0))
       .cutLineage()
     var frontier = dist
     var frontierSize = dist.count() // checkpointed: a metadata-cheap job
     var hop = 0
+    val gc = new Lineage.RoundGc(edges.sparkSession)
     while (hop < maxHops && frontierSize > 0) {
       hop += 1
       val probe =
@@ -433,6 +464,7 @@ object GraphAlgos {
         .groupBy("node").agg(min("dist").as("dist"))
         .cutLineage()
       frontier = improved
+      gc.endRound()
     }
     dist
   }
@@ -474,14 +506,18 @@ object GraphAlgos {
       .filter(col("s") =!= col("d"))
       .distinct()
       .cutLineage()
+    // Seeds deduped; absent seeds still report hops 0 (same contract as
+    // [[shortestPathsFrom]] — see the note there).
     var settled = sourceNodes
       .select(col(sourceNodes.columns.head).cast(sym.schema("s").dataType).as("node"))
+      .distinct()
       .withColumn("hops", lit(0))
       .cutLineage()
     var frontier = settled
     var frontierSize = settled.count() // checkpointed: metadata-cheap
     var settledSize = frontierSize
     var hop = 0
+    val gc = new Lineage.RoundGc(edges.sparkSession)
     while (hop < maxHops && frontierSize > 0) {
       hop += 1
       val probe =
@@ -498,6 +534,7 @@ object GraphAlgos {
       settledSize += frontierSize
       settled = settled.unionByName(next).cutLineage()
       frontier = next
+      gc.endRound()
     }
     settled
   }

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Lineage truncation for iterative operators, with a cluster-safe mode.
   *
@@ -33,5 +34,53 @@ object Lineage {
     * `.localCheckpoint()` call sites it replaces. */
   implicit class CutOps(private val df: DataFrame) extends AnyVal {
     def cutLineage(): DataFrame = cut(df)
+  }
+
+  /** Per-loop checkpoint garbage collection for reliable mode.
+    *
+    * Reliable `checkpoint()` leaves a durable dataset copy on the
+    * checkpoint store per [[cut]], and Spark only reclaims those with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` — and then
+    * only after the RDD is JVM-garbage-collected, which an iterative
+    * driver loop holding frame references defers indefinitely. On deep
+    * iterations (PageRank, BFS) and long-running streams that means
+    * unbounded checkpoint-store growth (round-8 advice, medium).
+    *
+    * This is the periodic-checkpointer pattern: a loop constructs one
+    * `RoundGc` before iterating and calls [[endRound]] at the bottom of
+    * each round, AFTER the round's cuts have materialized (cuts are
+    * eager). `endRound` deletes the files of the round BEFORE the one
+    * that just finished — by then provably dead for the loops here,
+    * whose round-r frames are last read while materializing round r+1
+    * (the returned final frame is never deleted: it belongs to the last
+    * or second-to-last generation, and only generations two back die).
+    * Files are discovered by diffing the checkpoint directory's
+    * `rdd-*` entries between rounds, so no Spark-internal API is
+    * touched; the diff assumes the driver runs ONE such loop at a time
+    * (concurrent checkpointing loops in one session would interleave
+    * their directory entries — hold them on separate sessions).
+    * No-ops entirely in localCheckpoint mode, where Spark's reference
+    * tracking already unpersists executor blocks. */
+  final class RoundGc(spark: SparkSession) {
+    private val sc = spark.sparkContext
+    private val dir: Option[Path] = sc.getCheckpointDir.map(new Path(_))
+    private val fs = dir.map(_.getFileSystem(sc.hadoopConfiguration))
+    private var seen: Set[String] = listNow()
+    private var prevGen: Set[String] = Set.empty
+
+    private def listNow(): Set[String] = (for (d <- dir; f <- fs) yield {
+      if (f.exists(d)) f.listStatus(d).map(_.getPath.toString).toSet
+      else Set.empty[String]
+    }).getOrElse(Set.empty)
+
+    /** Delete the previous round's checkpoint files; call at the bottom
+      * of each loop round, after the round's cuts are materialized. */
+    def endRound(): Unit = if (dir.isDefined) {
+      val now = listNow()
+      val curGen = now -- seen
+      for (f <- fs; p <- prevGen) f.delete(new Path(p), true)
+      seen = now -- prevGen // dir contents after the deletions above
+      prevGen = curGen
+    }
   }
 }

@@ -22,6 +22,8 @@ final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
   */
 object IncrementalPipeline {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Watermarked tumbling-window event counts (the shape a live
     * opens/clicks feed would use; T5/T6). */
   def windowedEventCounts(events: DataFrame, watermark: String = "10 minutes",
@@ -206,12 +208,31 @@ object IncrementalPipeline {
     // eval-corpus scan.
     val streamSpark = incomingDocs.sparkSession
     import graft.operators.Curation
-    val evalStatic = evalDir.filter(fileExists(streamSpark, _)).map { ed =>
+    // The eval corpus must EXIST before the stream starts: existence is
+    // sampled once, here — a corpus that lands after sink construction
+    // is not picked up (the derive-once design trades that for never
+    // re-scanning a static corpus per trigger). Warn loudly rather than
+    // run a whole stream lifetime silently undecontaminated (round-8
+    // advice).
+    val evalStatic = evalDir.filter { ed =>
+      val present = fileExists(streamSpark, ed)
+      if (!present) log.warn(s"curationSink: evalDir '$ed' does not exist " +
+        "at sink construction — decontamination is DISABLED for this " +
+        "stream's whole lifetime. Materialize the eval corpus before " +
+        "starting the stream.")
+      present
+    }.map { ed =>
       val evalSg = Curation
         .tokenNGrams(streamSpark.read.parquet(ed), 3).select("sg").distinct()
         .cutLineage()
       (evalSg, Curation.shingleBloom(evalSg).cutLineage())
     }
+    // Per-batch lineage cuts (exactSurvivors, dupIds) would otherwise
+    // accumulate one durable copy per micro-batch under a reliable
+    // checkpoint dir for the stream's whole lifetime (round-8 advice,
+    // medium) — the generation GC deletes batch n-1's files once batch
+    // n's cuts are materialized. No-op under localCheckpoint.
+    val gc = new graft.operators.Lineage.RoundGc(streamSpark)
     incomingDocs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -254,6 +275,8 @@ object IncrementalPipeline {
         exactSurvivors.select("__h").write.mode("append").parquet(hashStorePath)
         batchSims.join(dupIds, Seq("doc_id"), "left_anti")
           .write.mode("append").parquet(simStorePath)
+        gc.endRound() // this batch's cuts are fully consumed by the
+                      // writes above; the previous batch's are dead
         ()
       }
   }

@@ -69,4 +69,42 @@ class LineageSpec extends AnyFunSuite {
       assert(core.count() > 0)
     } finally sc.setCheckpointDir(null)
   }
+
+  test("RoundGc bounds reliable-checkpoint storage: dirs do not grow with iters") {
+    // Round-8 advice (medium): without per-round GC every iteration
+    // leaves a durable dataset copy under the checkpoint dir for the
+    // job's whole lifetime (Spark only reclaims them after JVM GC with
+    // the cleaner flag on). The loops now delete generation r-1 once
+    // generation r is materialized — so the number of rdd-* checkpoint
+    // dirs at the end is CONSTANT in the iteration count, while the
+    // returned frame (kept generation) still collects correctly.
+    val sc = spark.sparkContext
+    val edges = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst").withColumn("weight", lit(1.0))
+    def rddDirsUnder(root: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles).map(_.toSeq.flatMap(c => c +: walk(c))).getOrElse(Nil)
+      walk(new java.io.File(root)).count(f =>
+        f.isDirectory && f.getName.startsWith("rdd-"))
+    }
+    val want = GraphAlgos.pageRank(edges, iters = 12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def runWithDir(iters: Int): (Int, Map[Long, Double]) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-gc").toString
+      sc.setCheckpointDir(dir)
+      try {
+        val got = GraphAlgos.pageRank(edges, iters = iters, localThreshold = 0)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        (rddDirsUnder(dir), got)
+      } finally sc.setCheckpointDir(null)
+    }
+    val (dirs3, _) = runWithDir(3)
+    val (dirs12, got12) = runWithDir(12)
+    // identical footprint at 3 and 12 iterations = per-round copies die
+    assert(dirs12 == dirs3,
+      s"checkpoint dirs grew with iteration count: $dirs3 at 3 iters, $dirs12 at 12")
+    // and the kept generation still backs the returned frame
+    assert(got12.keySet == want.keySet)
+    want.foreach { case (k, v) => assert(math.abs(got12(k) - v) < 1e-12) }
+  }
 }
