@@ -135,9 +135,11 @@ object GraphQueries {
     * everyone touches. Returns non-adjacent entity pairs ranked by
     * score; `forEntity` narrows to suggestions involving one entity
     * (the "who should this contact know" CLI ask). Shape mirrors the
-    * g_adamic_adar catalog query: one degree aggregate broadcast into
-    * the wedge self-join, an anti-join erasing existing edges — never
-    * all-pairs. */
+    * g_adamic_adar catalog query: one degree aggregate joined into the
+    * wedge self-join (AQE broadcasts it when it fits — no forced hint),
+    * an anti-join erasing existing edges — never all-pairs; focused
+    * mode pivots only on the entity's neighbor set, so the wedge input
+    * is the 2-hop frontier rather than the full edge set. */
   def linkSuggestions(edges: DataFrame, forEntity: Option[(String, String)] = None,
       relType: Option[String] = None, topK: Int = 20): DataFrame = {
     val und = pairWeights(edges, relType)
@@ -147,20 +149,46 @@ object GraphQueries {
       .distinct()
     val sym = und.select(col("u").as("n"), col("v").as("m"))
       .unionByName(und.select(col("v").as("n"), col("u").as("m")))
+    // One row per NODE — usually broadcastable, but NOT unconditionally:
+    // at 100x the entity count a forced broadcast hint is a driver/
+    // executor OOM (round-8 verdict #1a). No hint: AQE broadcasts it
+    // whenever it actually fits, and degrades to a shuffle join when it
+    // does not.
     val deg = sym.groupBy("n").agg(count(lit(1)).as("deg"))
-    val aa = sym.select(col("n"), col("m").as("a"))
-      .join(sym.select(col("n"), col("m").as("b")), Seq("n"))
-      .filter(col("a") < col("b"))
-      .join(broadcast(deg), Seq("n"))
-      .filter(col("deg") > 1) // ln(1) = 0 would divide by zero
-      .groupBy("a", "b")
-      .agg(count(lit(1)).as("n_common"),
-        sum(expr("1.0 / ln(deg)")).as("aa_raw"))
-    val nonAdjacent = aa
-      .join(und, aa("a") === und("u") && aa("b") === und("v"), "left_anti")
-    val focused = forEntity.fold(nonAdjacent) { case (t, id) =>
-      val k = mkKey(t, id)
-      nonAdjacent.filter(col("a") === k || col("b") === k)
+    val focused = forEntity match {
+      case None =>
+        val aa = sym.select(col("n"), col("m").as("a"))
+          .join(sym.select(col("n"), col("m").as("b")), Seq("n"))
+          .filter(col("a") < col("b"))
+          .join(deg, Seq("n"))
+          .filter(col("deg") > 1) // ln(1) = 0 would divide by zero
+          .groupBy("a", "b")
+          .agg(count(lit(1)).as("n_common"),
+            sum(expr("1.0 / ln(deg)")).as("aa_raw"))
+        aa.join(und, aa("a") === und("u") && aa("b") === und("v"), "left_anti")
+      case Some((t, id)) =>
+        // Focused mode seeds the wedge from the entity's NEIGHBOR SET —
+        // the user asks about one entity and pays for its 2-hop
+        // frontier, not the whole graph's all-pairs wedge aggregation
+        // (round-8 verdict #1b: the focus filter used to be applied
+        // AFTER the full wedge join + aggregate). Same arithmetic as
+        // the unfocused plan restricted to pairs containing the entity:
+        // every common neighbor of (k, partner) is a neighbor of k, so
+        // pivoting only on N(k) loses nothing.
+        val k = mkKey(t, id)
+        val nbrs = sym.filter(col("n") === k).select(col("m").as("n"))
+        val scored = nbrs.join(sym, Seq("n")) // (n in N(k), m = partner)
+          .filter(col("m") =!= k)
+          .join(deg, Seq("n"))
+          .filter(col("deg") > 1)
+          .groupBy("m")
+          .agg(count(lit(1)).as("n_common"),
+            sum(expr("1.0 / ln(deg)")).as("aa_raw"))
+          .select(least(col("m"), lit(k)).as("a"),
+            greatest(col("m"), lit(k)).as("b"),
+            col("n_common"), col("aa_raw"))
+        scored.join(und,
+          scored("a") === und("u") && scored("b") === und("v"), "left_anti")
     }
     focused.select(
         keyType(col("a")).as("a_type"), keyId(col("a")).as("a_id"),
