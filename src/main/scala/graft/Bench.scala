@@ -86,6 +86,17 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val qseq = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Bench-set == catalog-set, structurally (round-8 verdict #3: the
+    // r08 artifact covered 123 of 124 queries because a query landed
+    // after the bench ran — the artifact must make that drift visible
+    // and the full run must refuse to silently under-cover). An
+    // unrestricted run benches EXACTLY the catalog; the artifact also
+    // records n_queries so a stale artifact is self-evident against
+    // the catalog size.
+    if (only.isEmpty)
+      require(qseq.map(_._1).toSet == SparkEntry.queries.keySet &&
+        qseq.size == SparkEntry.queries.size,
+        "bench set diverged from SparkEntry.queries")
     def pass(): Seq[(String, Double, Option[String])] = qseq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }
@@ -142,7 +153,7 @@ object Bench {
     // goes to a file, and the printed line stays compact — every per-query
     // min, the honesty fields, and the path of the full file — small enough
     // (~3 KB at 121 queries) that tail capture keeps all of it.
-    val common = s""""queries":$qs,"n_failed":${results.count(_._3.nonEmpty)},"failed":$failed,"n_rounds":$rounds,"steal_pct":${f3(stealPct)},"load_1m":$loads,"spread_median":${f3(spreadMedian)},"contended":$contended,"sf":"$sfDir""""
+    val common = s""""queries":$qs,"n_queries":${results.size},"n_catalog":${SparkEntry.queries.size},"n_failed":${results.count(_._3.nonEmpty)},"failed":$failed,"n_rounds":$rounds,"steal_pct":${f3(stealPct)},"load_1m":$loads,"spread_median":${f3(spreadMedian)},"contended":$contended,"sf":"$sfDir""""
     val fullPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench-out.json"))
     val fullJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec","rounds":$rs,$common}"""

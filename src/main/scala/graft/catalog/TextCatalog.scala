@@ -713,7 +713,13 @@ object TextCatalog {
       // most ~1 ulp) with weight w = n_chars; the k smallest keys ARE a
       // weighted sample without replacement. No rand(): reproducible
       // run-to-run and engine-to-engine. Keys ship as e8 micro-ints
-      // (floor-exact, the g_pagerank convention). Scale shape: one
+      // (floor-exact, the g_pagerank convention; WeightedSampleSpec
+      // AUDITS the residual floor-flip risk on the real fixtures — the
+      // measured distance of every key*1e8+0.5 from an integer boundary
+      // is >10^3 x the propagated 4-ulp ln() divergence bound at all
+      // three SFs, and the 20th/21st keys differ by >= 30 micro-units,
+      // so neither the emitted column nor top-20 membership can flip on
+      // a 1-ulp libm difference). Scale shape: one
       // row-local key expression + TakeOrderedAndProject — at 100 TB
       // this draws a weighted sample with NO shuffle and no
       // materialized randomness; the complement of x_stratified_sample
