@@ -287,6 +287,34 @@ object GraphCatalog {
               SELECT node, min(hops) AS hops FROM walk
               GROUP BY node ORDER BY node""")),
 
+    // Neighborhood function via HyperBall (Boldi-Rosa-Vigna): per-hop
+    // totals of per-node HyperLogLog ball-size estimates over the part
+    // co-occurrence graph — the standard effective-diameter /
+    // reachability-profile sketch for graphs too big to BFS per node
+    // (exact per-node balls are O(n * edges); the sketch is `hops`
+    // rounds of one join + one max-merge over an n x 16 register
+    // frame). Composes two already-proven families: manual HLL register
+    // arithmetic (a_hll_manual) + unrolled frontier iteration
+    // (g_kcore's oracle pattern). Parity: per-node estimates floor to
+    // e3 micro-ints BEFORE the integer sum (double-summing 2000 node
+    // estimates would be partition-order-dependent; integer sums are
+    // not), registers derive from md5 (identical across engines), the
+    // 2^-rho sums are exact dyadic rationals, and the one ln() branch
+    // takes 15 enumerable inputs all >= 2e-3 from a rounding boundary
+    // (see GraphAlgos.neighborhoodFunction scaladoc).
+    Q("g_neighborhood_func",
+      (s, d) => {
+        val pairs = copartPairs(t(s, d, "lineitem").select("l_orderkey", "l_partkey"))
+          .select(col("u").as("s"), col("v").as("d"))
+        GraphAlgos.neighborhoodFunction(pairs, hops = 3)
+          .select(col("h"),
+            floor(col("est") * lit(1000) + lit(0.5)).cast("long").as("est_e3"))
+          .groupBy("h")
+          .agg(count(lit(1)).as("n_nodes"), sum("est_e3").as("sum_est_e3"))
+          .orderBy("h")
+      },
+      Some(neighborhoodOracle(hops = 3))),
+
     // Weighted shortest paths (Cypher's weighted shortestPath): cheapest
     // trade route from the minimum nation, edge cost = 1/volume (heavy
     // trade = short hop), paths bounded at 4 edges. Micro-distance
@@ -454,6 +482,59 @@ object GraphCatalog {
            SELECT e.s, e.d FROM e${i - 1} e
            JOIN k$i a ON e.s = a.s JOIN k$i b ON e.d = b.s)"""
     }.mkString
+
+  /** Generated unrolled HyperBall oracle: the operator's register
+    * iteration as a CTE chain. Register derivation mirrors
+    * GraphAlgos.neighborhoodFunction bit for bit — md5 hex parsed with
+    * the x_weighted_sample strpos pattern, the leading-zero CASE is the
+    * SAME generated text (GraphAlgos.lz32CaseSql), 2^-rho terms are
+    * 1.0/(1<<rho), and per-node estimates floor to e3 micro-ints before
+    * the integer per-hop sum. */
+  private def neighborhoodOracle(hops: Int): String = {
+    val lz = GraphAlgos.lz32CaseSql("w")
+    val hx = "strpos('0123456789abcdef', substring(h, %d, 1)) - 1"
+    val wTerms = (2 to 9).zipWithIndex.map { case (pos, i) =>
+      s"(${hx.format(pos)}) * ${1L << (4 * (7 - i))}.0"
+    }.mkString(" + ")
+    val head = s"""WITH pr AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      sym AS MATERIALIZED (SELECT u AS s, v AS d FROM pr UNION SELECT v, u FROM pr),
+      s0 AS MATERIALIZED (
+        SELECT node, CAST(${hx.format(1)} AS INT) AS idx, 1 + ($lz) AS rho
+        FROM (SELECT node, h, CAST($wTerms AS BIGINT) AS w
+              FROM (SELECT node, md5(CAST(node AS VARCHAR)) AS h
+                    FROM (SELECT DISTINCT s AS node FROM sym))))"""
+    val sweeps = (1 to hops).map { i =>
+      s""",
+      s$i AS MATERIALIZED (
+        SELECT node, idx, max(rho) AS rho FROM (
+          SELECT * FROM s${i - 1}
+          UNION ALL
+          SELECT sym.s AS node, p.idx, p.rho
+          FROM s${i - 1} p JOIN sym ON p.node = sym.d)
+        GROUP BY node, idx)"""
+    }.mkString
+    val ests = (0 to hops).map { i =>
+      s""",
+      e$i AS MATERIALIZED (
+        SELECT $i AS h, node,
+          CASE WHEN (16 - count(*)) > 0
+                AND 172.288 / (sum(1.0 / CAST(1::BIGINT << rho AS DOUBLE))
+                               + (16 - count(*))::DOUBLE) <= 40.0
+               THEN 16.0 * ln(16.0 / (16 - count(*)))
+               ELSE 172.288 / (sum(1.0 / CAST(1::BIGINT << rho AS DOUBLE))
+                               + (16 - count(*))::DOUBLE)
+          END AS est
+        FROM s$i GROUP BY node)"""
+    }.mkString
+    val unionAll = (0 to hops).map(i => s"SELECT * FROM e$i").mkString(" UNION ALL ")
+    head + sweeps + ests + s"""
+      SELECT h, CAST(count(*) AS BIGINT) AS n_nodes,
+        CAST(sum(CAST(floor(est * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_est_e3
+      FROM ($unionAll) GROUP BY h ORDER BY h"""
+  }
 
   /** Generated unrolled k-core oracle over the part co-occurrence
     * graph. `rounds` must be >= the peel cascade's fixpoint depth. */

@@ -347,6 +347,37 @@ class GraphSpec extends AnyFunSuite {
     local.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-12) }
   }
 
+  test("neighborhoodFunction: HyperBall estimates track exact BFS ball sizes") {
+    // Path 1-2-3-4-5-6 with a branch 1-7-8: exact ball sizes are
+    // hand-checkable; the sketch (m=16, linear-counting small range)
+    // must start exactly at ln-of-one-register for h=0, grow
+    // monotonically (registers only accumulate), and stay within the
+    // m=16 error envelope of the exact counts everywhere.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (1L, 7L), (7L, 8L)).toDF("s", "d")
+    val est = GraphAlgos.neighborhoodFunction(edges, hops = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // exact balls by local BFS over the symmetric adjacency
+    val adj = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (1L, 7L), (7L, 8L))
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def ball(v: Long, h: Int): Set[Long] =
+      (1 to h).foldLeft(Set(v))((s, _) => s ++ s.flatMap(adj.getOrElse(_, Set.empty)))
+    val nodes = adj.keySet
+    assert(est.keySet == (for (h <- 0 to 3; v <- nodes) yield (h, v)).toSet)
+    val h0 = 16.0 * math.log(16.0 / 15.0) // one register set, V = 15
+    nodes.foreach(v => assert(math.abs(est((0, v)) - h0) < 1e-12))
+    for (v <- nodes; h <- 1 to 3) {
+      val exact = ball(v, h).size.toDouble
+      val e = est((h, v))
+      assert(e >= est((h - 1, v)) - 1e-9, s"estimate shrank at ($h, $v)")
+      assert(e > 0.4 * exact && e < 2.5 * exact,
+        s"estimate $e for node $v at h=$h is outside the envelope of exact $exact")
+    }
+    // the h=3 ball of node 1 covers all 8 nodes: estimate lands near 8
+    assert(math.abs(est((3, 1L)) - 8.0) < 4.0)
+  }
+
   test("labelPropagation: two triangles over a bridge settle into two communities") {
     // Triangle {1,2,3} + triangle {4,5,6} joined by bridge 3-4: sync
     // LPA with min tie-break stabilizes to communities {1,2,3}->1 and
