@@ -63,6 +63,36 @@ object IncrementalPipeline {
         ()
       }
 
+  /** Watermarked SESSION-WINDOW aggregation — the fully declarative
+    * streaming twin of the batch `w5_sessionize` gaps-and-islands query
+    * (Spark's native `session_window` gap windows; round-8 verdict #6).
+    * Complements [[sessionizeStream]]: that one carries custom typed
+    * state and emits a session the moment a later event proves the gap,
+    * but — like every `flatMapGroupsWithState` operator — it does NOT
+    * drop late input itself. THIS operator is where the watermark
+    * contract lives: a row older than the watermark is discarded by the
+    * stateful aggregation (it can no longer change a window that may
+    * already have been emitted), a late row still inside the watermark
+    * MERGES into (or extends) its session, and a session is emitted
+    * exactly once, when the watermark passes its end. State is bounded
+    * by watermark + open sessions; at 100 TB-scale event rates that is
+    * the knob that keeps the store finite.
+    *
+    * @param events    streaming frame with (user_id, ts, ...) columns
+    * @param gap       session gap — events within `gap` of each other
+    *                  share a session (w5's 30-minute convention)
+    * @param watermark lateness horizon: rows older than max(ts) minus
+    *                  this are dropped */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
   /** Custom-state streaming sessionization via `flatMapGroupsWithState`
     * (the `KeyValueGroupedDataset` custom-state path) — the streaming face
     * of the batch `w5_sessionize` gaps-and-islands query. A completed

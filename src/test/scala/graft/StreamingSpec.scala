@@ -82,6 +82,42 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("session_window sink: late row beyond watermark dropped, inside it merged") {
+    // Round-8 verdict #6: the watermark CONTRACT, both sides. With a
+    // 1-hour watermark and 30-minute gap: after the stream has seen
+    // 19:00 the watermark stands at 18:00 — an event at 18:30 is late
+    // but INSIDE the horizon and must merge into the open session; an
+    // event at 17:00 is beyond it and must vanish without a trace.
+    import graft.streaming.SessionEvent
+    implicit val sql = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessionEvent]
+    def ev(u: Long, t: String) = SessionEvent(u, java.sql.Timestamp.valueOf(t))
+    val q = IncrementalPipeline.sessionWindowCounts(
+        input.toDF(), gap = "30 minutes", watermark = "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("swin").start()
+    // batch 1: open user 1's session and advance the watermark to 18:00
+    input.addData(ev(1, "2024-01-01 18:40:00"), ev(1, "2024-01-01 19:00:00"))
+    q.processAllAvailable()
+    // batch 2: one late-but-inside row (merges), one beyond-watermark row
+    // (dropped by the stateful aggregation)
+    input.addData(ev(1, "2024-01-01 18:30:00"), ev(1, "2024-01-01 17:00:00"))
+    q.processAllAvailable()
+    // batches 3-4: push the watermark past the session end so append
+    // mode finalizes and emits it
+    input.addData(ev(2, "2024-01-01 23:00:00"))
+    q.processAllAvailable()
+    input.addData(ev(2, "2024-01-01 23:10:00"))
+    q.processAllAvailable()
+    val u1 = spark.table("swin").collect()
+      .filter(_.getLong(2) == 1L)
+      .map(r => (r.getTimestamp(0).toString, r.getLong(3)))
+    q.stop()
+    // exactly one session: 18:30 merged in (3 events, start pulled back
+    // to 18:30), 17:00 contributed nothing anywhere
+    assert(u1.toSeq == Seq(("2024-01-01 18:30:00.0", 3L)),
+      s"expected one merged 3-event session from 18:30, got ${u1.toSeq}")
+  }
+
   test("streaming dedup keeps one row per key within watermark") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup").toString
     val batch = graft.catalog.Q.t(spark, "/root/testdata/sf0.001", "events")
