@@ -435,13 +435,64 @@ object GraphCatalog {
           .agg(count(lit(1)).as("n_nodes"))
           .orderBy("community")
       },
-      Some(labelPropOracle(rounds = 4)))
+      Some(labelPropOracle(rounds = 4))),
+
+    // Modularity audit of the g_labelprop partition: per-community
+    // Newman-Q accounting in EXACT integer form (contribution =
+    // (4*m*m_c - d_c^2) / (4*m^2), emitted as numerator + shared
+    // denominator BIGINTs — no float ever; see
+    // GraphAlgos.modularityByCommunity). The "is the community
+    // structure real" check that follows any community detection: a
+    // partition with sum(contrib_num) <= 0 is no better than random.
+    // The edge count m folds in-plan as a 1-row broadcast (no driver
+    // scalar); everything else is node- or community-keyed.
+    Q("g_modularity",
+      (s, d) => {
+        val edges = copartPairs(t(s, d, "lineitem")
+            .select("l_orderkey", "l_partkey"))
+          .groupBy("u", "v").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2)
+          .select("u", "v")
+        val labels = GraphAlgos.labelPropagation(edges, rounds = 4)
+        GraphAlgos.modularityByCommunity(edges, labels).orderBy("community")
+      },
+      Some(modularityOracle(rounds = 4))),
+
+    // Effective diameter from the HyperBall sketch (the readout
+    // g_neighborhood_func's per-hop totals exist FOR): the smallest h
+    // whose summed ball-size estimates reach 90% of the h_max total —
+    // computed on the e3 micro-int per-hop sums, so the 90% test is
+    // pure BIGINT arithmetic (10 * N(h) >= 9 * N(h_max)) and the one
+    // window runs over the (hops+1)-row per-hop frame, never the graph.
+    Q("g_eff_diameter",
+      (s, d) => {
+        val pairs = copartPairs(t(s, d, "lineitem")
+            .select("l_orderkey", "l_partkey"))
+          .select(col("u").as("s"), col("v").as("d"))
+        val nf = GraphAlgos.neighborhoodFunction(pairs, hops = 3)
+          .select(col("h"),
+            floor(col("est") * lit(1000) + lit(0.5)).cast("long").as("e3"))
+          .groupBy("h").agg(sum("e3").as("sum_est_e3"))
+        val w = org.apache.spark.sql.expressions.Window.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        nf.withColumn("nmax",
+            max(when(col("h") === lit(3), col("sum_est_e3"))).over(w))
+          .withColumn("reach_ppm", expr("(1000000 * sum_est_e3) div nmax"))
+          .withColumn("eff_diameter",
+            min(when(expr("10 * sum_est_e3 >= 9 * nmax"), col("h"))).over(w)
+              .cast("long"))
+          .select("h", "sum_est_e3", "reach_ppm", "eff_diameter")
+          .orderBy("h")
+      },
+      Some(effDiameterOracle(hops = 3)))
   )
 
-  /** Generated unrolled label-propagation oracle: per round, each
-    * node's new label = argmax (count desc, label asc) over neighbor
-    * labels. */
-  private def labelPropOracle(rounds: Int): String = {
+  /** Shared CTE chain of the label-propagation oracles: the sparsified
+    * co-occurrence graph (pr/e0) + `rounds` unrolled synchronized
+    * sweeps; per round, each node's new label = argmax (count desc,
+    * label asc) over neighbor labels. Ends at CTE `l{rounds}`. */
+  private def labelPropCtes(rounds: Int): String = {
     val head =
       """WITH po AS MATERIALIZED (
            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -463,10 +514,41 @@ object GraphCatalog {
              GROUP BY e.s, l.lbl)
            WHERE rn = 1)"""
     }.mkString
-    head + sweeps + s"""
+    head + sweeps
+  }
+
+  private def labelPropOracle(rounds: Int): String =
+    labelPropCtes(rounds) + s"""
          SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes
          FROM l$rounds GROUP BY 1 ORDER BY community"""
-  }
+
+  /** Oracle twin of g_modularity: the labelprop chain, then the exact
+    * integer Newman-Q accounting over its final labels (see
+    * GraphAlgos.modularityByCommunity for the rational form). */
+  private def modularityOracle(rounds: Int): String =
+    labelPropCtes(rounds) + s""",
+         m AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m FROM pr),
+         deg AS MATERIALIZED (
+           SELECT s AS node, CAST(count(*) AS BIGINT) AS deg
+           FROM e0 GROUP BY s),
+         cs AS (
+           SELECT l.lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(deg.deg) AS BIGINT) AS deg_sum
+           FROM l$rounds l JOIN deg ON l.node = deg.node GROUP BY 1),
+         ie AS (
+           SELECT la.lbl AS community, CAST(count(*) AS BIGINT) AS intra_edges
+           FROM pr JOIN l$rounds la ON pr.u = la.node
+             JOIN l$rounds lb ON pr.v = lb.node
+           WHERE la.lbl = lb.lbl GROUP BY 1)
+         SELECT cs.community, cs.n_nodes,
+           CAST(coalesce(ie.intra_edges, 0) AS BIGINT) AS intra_edges,
+           cs.deg_sum,
+           CAST(4 * m.m * coalesce(ie.intra_edges, 0)
+                - cs.deg_sum * cs.deg_sum AS BIGINT) AS contrib_num,
+           CAST(4 * m.m * m.m AS BIGINT) AS denom
+         FROM cs LEFT JOIN ie ON cs.community = ie.community
+         CROSS JOIN m
+         ORDER BY cs.community"""
 
   /** Unrolled peel sweeps shared by the k-core oracles: each sweep is a
     * HAVING-filtered degree table + an edge restriction to survivors,
@@ -491,6 +573,34 @@ object GraphCatalog {
     * 1.0/(1<<rho), and per-node estimates floor to e3 micro-ints before
     * the integer per-hop sum. */
   private def neighborhoodOracle(hops: Int): String = {
+    val (ctes, unionAll) = neighborhoodParts(hops)
+    ctes + s"""
+      SELECT h, CAST(count(*) AS BIGINT) AS n_nodes,
+        CAST(sum(CAST(floor(est * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_est_e3
+      FROM ($unionAll) GROUP BY h ORDER BY h"""
+  }
+
+  /** Oracle twin of g_eff_diameter: the HyperBall chain's per-hop e3
+    * sums, then the pure-BIGINT 90%-reach test over the per-hop frame. */
+  private def effDiameterOracle(hops: Int): String = {
+    val (ctes, unionAll) = neighborhoodParts(hops)
+    ctes + s""",
+      nf AS MATERIALIZED (
+        SELECT h, CAST(sum(CAST(floor(est * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+            AS sum_est_e3
+        FROM ($unionAll) GROUP BY h),
+      lastnf AS (SELECT sum_est_e3 AS nmax FROM nf WHERE h = $hops),
+      eff AS (SELECT CAST(min(h) AS BIGINT) AS eff_diameter
+              FROM nf CROSS JOIN lastnf WHERE 10 * sum_est_e3 >= 9 * nmax)
+      SELECT h, sum_est_e3,
+        CAST((1000000 * sum_est_e3) // nmax AS BIGINT) AS reach_ppm,
+        eff_diameter
+      FROM nf CROSS JOIN lastnf CROSS JOIN eff ORDER BY h"""
+  }
+
+  /** The shared HyperBall CTE chain: (ctes ending at e0..e{hops},
+    * union-all text over them). */
+  private def neighborhoodParts(hops: Int): (String, String) = {
     val lz = GraphAlgos.lz32CaseSql("w")
     val hx = "strpos('0123456789abcdef', substring(h, %d, 1)) - 1"
     val wTerms = (2 to 9).zipWithIndex.map { case (pos, i) =>
@@ -530,10 +640,7 @@ object GraphCatalog {
         FROM s$i GROUP BY node)"""
     }.mkString
     val unionAll = (0 to hops).map(i => s"SELECT * FROM e$i").mkString(" UNION ALL ")
-    head + sweeps + ests + s"""
-      SELECT h, CAST(count(*) AS BIGINT) AS n_nodes,
-        CAST(sum(CAST(floor(est * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_est_e3
-      FROM ($unionAll) GROUP BY h ORDER BY h"""
+    (head + sweeps + ests, unionAll)
   }
 
   /** Generated unrolled k-core oracle over the part co-occurrence

@@ -161,6 +161,19 @@ object TextCatalog {
   private val frW = "'le','la','les','et','est','dans'"
   private val esW = "'el','los','las','es','y','por'"
 
+  /** Fixed query terms for `x_bm25_topk` (all present in the synthetic
+    * vocabulary at every SF). */
+  private val Bm25Terms = Seq("spark", "query", "vector")
+
+  /** One BM25 term's score as shared Spark-SQL/DuckDB expression TEXT:
+    * identical text -> identical parse tree -> identical IEEE
+    * exact-rounded double on both engines (see x_bm25_topk). */
+  private def bm25Term(tf: String, df: String): String =
+    s"((n - $df + 0.5) / ($df + 0.5)) * ($tf * (1.2 + 1)) / ($tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"
+
+  private val Bm25Score =
+    s"${bm25Term("tf1", "df1")} + ${bm25Term("tf2", "df2")} + ${bm25Term("tf3", "df3")}"
+
   val all: Seq[Q] = Seq(
 
     Q("x_exact_dedup",
@@ -1756,7 +1769,145 @@ object TextCatalog {
               CAST(min(cnt) - true_cnt AS BIGINT) AS overcount
             FROM probed JOIN sketch USING (seed, bucket)
             GROUP BY tok, true_cnt ORDER BY tok"""
-      })
+      }),
+
+    Q("x_mixture_temperature",
+      // Temperature-scaled source weighting (alpha = 0.5), the standard
+      // rebalancing step multilingual / multi-source training mixes run
+      // before sampling: raw source shares w_s ~ n_s get flattened to
+      // w_s ~ n_s^alpha so small sources are upsampled relative to
+      // their raw mass. Parity is integer-exact: sqrt is an IEEE
+      // correctly-rounded op (identical doubles on both engines, unlike
+      // ln/pow), each source's weight floors ONCE to a micro-int
+      // (w_e6), and every share/boost after that is pure BIGINT
+      // arithmetic — the normalizing denominator is a sum of INTEGERS,
+      // so aggregation order cannot move a ulp. (1e6 * w_e6 stays in
+      // BIGINT up to ~8.5e12 w_e6 ~ 7e25 corpus tokens.)
+      // Scale shape: one map-side-combinable per-source aggregate; the
+      // unpartitioned windows run over THAT frame (<= #sources rows,
+      // never the corpus), so the single-partition exchange is a
+      // constant-size reduction at any data size.
+      (s, d) => {
+        val per = t(s, d, "documents")
+          .withColumn("ntok", expr(s"size(split($sparkNorm, ' '))").cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
+        val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        per
+          .withColumn("w_e6",
+            floor(sqrt(col("n_tokens").cast("double")) * lit(1000000) + lit(0.5))
+              .cast("long"))
+          .withColumn("tot_tok", sum("n_tokens").over(w))
+          .withColumn("tot_w", sum("w_e6").over(w))
+          .withColumn("raw_ppm", expr("(1000000 * n_tokens) div tot_tok"))
+          .withColumn("temp_ppm", expr("(1000000 * w_e6) div tot_w"))
+          .withColumn("boost_ppm", expr("(1000000 * temp_ppm) div raw_ppm"))
+          .select("source", "n_docs", "n_tokens", "w_e6",
+            "raw_ppm", "temp_ppm", "boost_ppm")
+          .orderBy("source")
+      },
+      Some(s"""WITH per AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(ntok) AS BIGINT) AS n_tokens
+                FROM (SELECT source,
+                        CAST(len(string_split($duckNorm, ' ')) AS BIGINT) AS ntok
+                      FROM documents)
+                GROUP BY source),
+              wtd AS (
+                SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5)
+                    AS BIGINT) AS w_e6
+                FROM per),
+              tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tok,
+                             CAST(sum(w_e6) AS BIGINT) AS tot_w FROM wtd)
+              SELECT source, n_docs, n_tokens, w_e6,
+                CAST((1000000 * n_tokens) // tot_tok AS BIGINT) AS raw_ppm,
+                CAST((1000000 * w_e6) // tot_w AS BIGINT) AS temp_ppm,
+                CAST((1000000 * ((1000000 * w_e6) // tot_w))
+                  // ((1000000 * n_tokens) // tot_tok) AS BIGINT) AS boost_ppm
+              FROM wtd CROSS JOIN tot ORDER BY source""")),
+
+    Q("x_bm25_topk",
+      // BM25-style lexical retrieval for a fixed 3-term query: the
+      // classic tf-saturation * idf ranking (Robertson k1 = 1.2,
+      // b = 0.75 length normalization) that hybrid search runs next to
+      // the vector path. Engine parity without trusting libm: ln-idf is
+      // replaced by its rational core (N - df + 0.5) / (df + 0.5) —
+      // monotone in the classic idf, so per-term ordering is preserved
+      // — and the WHOLE score is then a fixed tree of IEEE
+      // exact-rounded ops (+ - * /) evaluated from the SAME expression
+      // text on both engines, so the unrounded doubles are
+      // bit-identical (the same discipline as x_tfidf_topk, extended
+      // from integers to a fixed float expression). Scale shape: the
+      // tf explode filters to the query terms BEFORE aggregating (the
+      // shuffle carries only query-term hits); doc-length stats and the
+      // 3 dfs fold in-plan as 1-row broadcast cross joins (no driver
+      // scalar fetch); the top-10 is TakeOrderedAndProject — the only
+      // window runs over the 10 surviving rows.
+      (s, d) => {
+        val dd = spread(t(s, d, "documents"))
+          .select(col("doc_id"), expr(s"split($sparkNorm, ' ')").as("toks"))
+        val base = dd.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+        val tf = dd.select(col("doc_id"), explode(col("toks")).as("tok"))
+          .filter(col("tok").isin(Bm25Terms: _*))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val piv = base.join(tf, Seq("doc_id"), "left")
+          .groupBy("doc_id", "dl")
+          .agg(
+            coalesce(max(when(col("tok") === Bm25Terms(0), col("tf"))), lit(0L)).as("tf1"),
+            coalesce(max(when(col("tok") === Bm25Terms(1), col("tf"))), lit(0L)).as("tf2"),
+            coalesce(max(when(col("tok") === Bm25Terms(2), col("tf"))), lit(0L)).as("tf3"))
+        val stats = base.agg(count(lit(1)).as("n"), sum("dl").as("sum_dl"))
+          .select(col("n"), expr("CAST(sum_dl AS DOUBLE) / n").as("avgdl"))
+        val dfs = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+          .agg(
+            coalesce(max(when(col("tok") === Bm25Terms(0), col("df"))), lit(0L)).as("df1"),
+            coalesce(max(when(col("tok") === Bm25Terms(1), col("df"))), lit(0L)).as("df2"),
+            coalesce(max(when(col("tok") === Bm25Terms(2), col("df"))), lit(0L)).as("df3"))
+        piv.crossJoin(broadcast(stats)).crossJoin(broadcast(dfs))
+          .withColumn("score", expr(Bm25Score))
+          .orderBy(round(col("score"), 4).desc, col("doc_id").asc)
+          .limit(10)
+          .withColumn("rn", row_number().over(
+            Window.orderBy(round(col("score"), 4).desc, col("doc_id").asc)))
+          .select(col("rn"), col("doc_id"), col("dl"),
+            col("tf1").as("tf_spark"), col("tf2").as("tf_query"),
+            col("tf3").as("tf_vector"),
+            round(col("score"), 4).as("bm25"))
+          .orderBy("rn")
+      },
+      Some(s"""WITH dd AS (
+                SELECT doc_id, string_split($duckNorm, ' ') AS toks FROM documents),
+              base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM dd),
+              tf AS (
+                SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM dd)
+                WHERE tok IN ('${Bm25Terms(0)}', '${Bm25Terms(1)}', '${Bm25Terms(2)}')
+                GROUP BY 1, 2),
+              piv AS (
+                SELECT b.doc_id, b.dl,
+                  CAST(coalesce(max(CASE WHEN tok = '${Bm25Terms(0)}' THEN tf END), 0) AS BIGINT) AS tf1,
+                  CAST(coalesce(max(CASE WHEN tok = '${Bm25Terms(1)}' THEN tf END), 0) AS BIGINT) AS tf2,
+                  CAST(coalesce(max(CASE WHEN tok = '${Bm25Terms(2)}' THEN tf END), 0) AS BIGINT) AS tf3
+                FROM base b LEFT JOIN tf ON b.doc_id = tf.doc_id
+                GROUP BY 1, 2),
+              stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                               CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS BIGINT) AS avgdl
+                        FROM base),
+              dfs AS (
+                SELECT
+                  CAST(coalesce(max(CASE WHEN tok = '${Bm25Terms(0)}' THEN df END), 0) AS BIGINT) AS df1,
+                  CAST(coalesce(max(CASE WHEN tok = '${Bm25Terms(1)}' THEN df END), 0) AS BIGINT) AS df2,
+                  CAST(coalesce(max(CASE WHEN tok = '${Bm25Terms(2)}' THEN df END), 0) AS BIGINT) AS df3
+                FROM (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)),
+              scored AS (
+                SELECT doc_id, dl, tf1, tf2, tf3, $Bm25Score AS score
+                FROM piv CROSS JOIN stats CROSS JOIN dfs)
+              SELECT rn, doc_id, dl, tf1 AS tf_spark, tf2 AS tf_query,
+                tf3 AS tf_vector, round(score, 4) AS bm25
+              FROM (SELECT *, row_number() OVER (
+                      ORDER BY round(score, 4) DESC, doc_id) AS rn
+                    FROM scored)
+              WHERE rn <= 10 ORDER BY rn"""))
   )
 
   /** The repeated-span table shared by `x_repeated_spans` and

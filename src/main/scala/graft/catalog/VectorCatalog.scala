@@ -969,6 +969,96 @@ object VectorCatalog {
              CAST(1 + n_chars % 2048 AS INT) AS width,
              CAST(1 + (n_chars * 5) % 2048 AS INT) AS height
              FROM documents ORDER BY doc_id"""))
+  ) ++ Seq(
+
+    Q("v_hamming_ann",
+      // Binary (sign) quantization ANN — the third rung of the
+      // quantization ladder next to v_int8_quantize and v_pq_codes:
+      // each 64-dim vector compresses to a 64-bit sign code (bit i set
+      // iff dim i >= 0), candidate ranking is Hamming distance =
+      // popcount(xor) over the codes, and only the top-32 survivors per
+      // query are reranked by exact cosine. The scale argument is the
+      // point: the first-pass scan reads 8-byte codes instead of
+      // 256-byte float vectors (32x less IO/shuffle), xor+popcount is a
+      // handful of ALU ops inside whole-stage codegen, and the exact
+      // rerank touches 32 vectors per query via an id join — the
+      // embedding column is never cross-joined. Codes are packed as two
+      // 32-bit halves in BIGINTs so no sum ever reaches the sign bit
+      // (DuckDB errors on BIGINT overflow; Spark would wrap silently —
+      // split halves keep both engines exact). All first-pass values
+      // are integers; the rerank reuses the dot_product kernel whose
+      // left-to-right fold matches list_dot_product to the ulp.
+      (s, d) => {
+        graft.functions.DotProduct.register(s)
+        def pack(lo: Int, hi: Int) =
+          s"""aggregate(sequence($lo, $hi), CAST(0 AS BIGINT), (acc, i) ->
+               acc + (CASE WHEN element_at(embedding, i + 1) >= 0
+                      THEN shiftleft(CAST(1 AS BIGINT), i - $lo)
+                      ELSE CAST(0 AS BIGINT) END))"""
+        val emb = t(s, d, "embeddings")
+        val codes = emb
+          .select(col("vec_id"), expr(pack(0, 31)).as("lo"), expr(pack(32, 63)).as("hi"))
+          .cutLineage() // the 8-byte-per-vector code table, scanned by both sides below
+        val q = codes.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("lo").as("qlo"), col("hi").as("qhi"))
+        val c = codes
+          .select(col("vec_id").as("c_id"), col("lo").as("clo"), col("hi").as("chi"))
+        val wH = Window.partitionBy("q_id").orderBy(col("hamming").asc, col("c_id").asc)
+        val cand = q.crossJoin(c).filter(col("q_id") =!= col("c_id"))
+          .withColumn("hamming",
+            expr("CAST(bit_count(qlo ^ clo) + bit_count(qhi ^ chi) AS BIGINT)"))
+          .withColumn("hrn", row_number().over(wH))
+          .filter(col("hrn") <= 32)
+          .select("q_id", "c_id", "hamming")
+        val vecs = emb.select(col("vec_id"), col("embedding").as("v"),
+          expr("sqrt(dot_product(embedding, embedding))").as("nrm"))
+        val wC = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
+        cand
+          .join(vecs.select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qn")), Seq("q_id"))
+          .join(vecs.select(col("vec_id").as("c_id"), col("v").as("cv"),
+            col("nrm").as("cn")), Seq("c_id"))
+          .withColumn("cos", cosCol("qv", "cv", "qn", "cn"))
+          .withColumn("rn", row_number().over(wC))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("rn"), col("c_id").as("neighbor_id"),
+            col("hamming"), round(col("cos"), 4).as("cosine"))
+          .orderBy("q_id", "rn")
+      },
+      Some(s"""WITH codes AS (
+                SELECT vec_id,
+                  CAST(sum(CASE WHEN e >= 0 AND i <= 32
+                       THEN CAST(1::BIGINT << (i - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS lo,
+                  CAST(sum(CASE WHEN e >= 0 AND i > 32
+                       THEN CAST(1::BIGINT << (i - 33) AS BIGINT) ELSE 0 END) AS BIGINT) AS hi
+                FROM (SELECT vec_id, unnest(embedding) AS e,
+                        generate_subscripts(embedding, 1) AS i FROM embeddings)
+                GROUP BY vec_id),
+              q AS (SELECT vec_id AS q_id, lo AS qlo, hi AS qhi FROM codes
+                    WHERE vec_id < 10),
+              c AS (SELECT vec_id AS c_id, lo AS clo, hi AS chi FROM codes),
+              ham AS (
+                SELECT q_id, c_id,
+                  CAST(bit_count(xor(qlo, clo)) + bit_count(xor(qhi, chi)) AS BIGINT)
+                    AS hamming
+                FROM q, c WHERE q_id <> c_id),
+              cand AS (
+                SELECT q_id, c_id, hamming FROM (
+                  SELECT *, row_number() OVER (
+                      PARTITION BY q_id ORDER BY hamming, c_id) AS hrn
+                  FROM ham)
+                WHERE hrn <= 32),
+              e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              qe AS (SELECT vec_id AS q_id, v AS qv FROM e),
+              ce AS (SELECT vec_id AS c_id, v AS cv FROM e),
+              sim AS (
+                SELECT cand.q_id, cand.c_id, cand.hamming, $duckCos AS cos
+                FROM cand JOIN qe USING (q_id) JOIN ce USING (c_id))
+              SELECT q_id, rn, c_id AS neighbor_id, hamming, round(cos, 4) AS cosine
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+                    FROM sim)
+              WHERE rn <= 5 ORDER BY q_id, rn"""))
   )
 
   /** Synthesized PNG/GIF/BMP header bytes (format by doc_id % 3,

@@ -390,6 +390,33 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
   }
 
+  test("modularityByCommunity: two triangles over a bridge, exact rationals") {
+    // Same graph as the LPA test: m = 7 edges; communities {1,2,3} and
+    // {4,5,6} each have 3 intra edges and degree sum 7 (the bridge adds
+    // one degree to nodes 3 and 4). Per community:
+    //   contrib_num = 4*m*m_c - d_c^2 = 4*7*3 - 49 = 35, denom = 4*49 = 196
+    // so Q = (35 + 35) / 196 = 5/14 — positive, as a real split must be.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L),
+      (3L, 4L)).toDF("u", "v")
+    val labels = GraphAlgos.labelPropagation(edges, rounds = 4)
+    val got = GraphAlgos.modularityByCommunity(edges, labels)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got == Map(
+      1L -> ((3L, 3L, 7L, 35L, 196L)),
+      3L -> ((3L, 3L, 7L, 35L, 196L))))
+    // and an anti-structure check: everyone in ONE community has Q = 0
+    // minus the degree variance term -> strictly negative contribution
+    // is impossible when the partition is the whole graph (m_c = m),
+    // contrib = 4m^2 - (2m)^2 = 0.
+    val one = edges.select(col("u").as("node")).union(edges.select(col("v").as("node")))
+      .distinct().withColumn("lbl", lit(9L))
+    val whole = GraphAlgos.modularityByCommunity(edges, one).collect()
+    assert(whole.length == 1 && whole.head.getLong(4) == 0L)
+  }
+
   test("property: labelPropagation matches local synchronized simulation") {
     val samples = randomGraphs(seed = 303, count = 5)
     for (es <- samples) {
