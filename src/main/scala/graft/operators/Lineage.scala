@@ -25,10 +25,22 @@ object Lineage {
 
   /** Cut `df`'s lineage: reliable `checkpoint()` under the configured
     * checkpoint dir when one is set, else `localCheckpoint()`. Both
-    * eager. */
+    * eager.
+    *
+    * Reliable mode persists the frame around the checkpoint call:
+    * `Dataset.checkpoint()` runs the materializing action and THEN a
+    * separate write job over the same RDD, so an unpersisted plan is
+    * computed twice per cut (round-8 advice, medium). With the
+    * transient MEMORY_AND_DISK persist the write job reads the cached
+    * blocks instead of re-running the round's joins; the cache is
+    * dropped as soon as the durable copy exists, so steady-state memory
+    * holds at most one round's frame. */
   def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try df.checkpoint()
+      finally df.unpersist(blocking = false)
+    } else df.localCheckpoint()
 
   /** `.cutLineage()` as a chainable postfix, mirroring the
     * `.localCheckpoint()` call sites it replaces. */

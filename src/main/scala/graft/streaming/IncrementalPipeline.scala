@@ -343,6 +343,42 @@ object IncrementalPipeline {
   def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Watermarked STREAM-STREAM interval join — the attribution shape of
+    * the reference's email funnel (a click event credits the open event
+    * it followed, `transformers/graph_transformer.py:432-462` builds
+    * exactly this open->click linkage batch-side): each click joins the
+    * same user's open that happened at most `horizon` before it. This
+    * is the one stateful-join family the rest of the module doesn't
+    * cover — [[enrichStream]] is stream-static, the sinks are
+    * aggregations; here BOTH sides are unbounded and Spark must hold
+    * join state.
+    *
+    * The watermark contract is what makes it finite at 100 TB event
+    * rates: with watermarks on both event-time columns and a range
+    * condition bounded on both ends, Spark derives a state watermark
+    * per side — an open is evicted once the click watermark passes
+    * `open_ts + horizon` (it can never match again), and a click older
+    * than its own watermark is dropped at ingestion. Without the range
+    * bound the open state would grow forever; the `horizon` bound IS
+    * the state-size knob.
+    *
+    * @param opens     streaming (user_id, ts) frame — the earlier event
+    * @param clicks    streaming (user_id, ts) frame — the later event
+    * @param horizon   max open->click delay that still attributes
+    * @param watermark lateness horizon for both streams */
+  def attributionJoin(opens: DataFrame, clicks: DataFrame,
+      horizon: String = "1 hour", watermark: String = "1 hour"): DataFrame = {
+    val o = opens.select(col("user_id").as("o_user"), col("ts").as("open_ts"))
+      .withWatermark("open_ts", watermark)
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    o.join(c,
+        expr(s"""o_user = c_user
+                 AND click_ts >= open_ts
+                 AND click_ts <= open_ts + interval $horizon"""))
+      .select(col("o_user").as("user_id"), col("open_ts"), col("click_ts"))
+  }
+
   private def fileExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)

@@ -118,6 +118,41 @@ class StreamingSpec extends AnyFunSuite {
       s"expected one merged 3-event session from 18:30, got ${u1.toSeq}")
   }
 
+  test("stream-stream interval join: in-horizon click attributes, beyond-watermark click dropped") {
+    // Both sides unbounded: a click joins the same user's open at most
+    // 1 hour before it. Contract under test: (a) an in-horizon click
+    // matches and emits immediately (append inner join); (b) a pair
+    // outside the horizon does NOT match; (c) once both watermarks have
+    // advanced past an open's matchable range, a late click for it is
+    // dropped — the join state for that open is provably gone.
+    import graft.streaming.SessionEvent
+    implicit val sql = spark.sqlContext
+    val opens = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessionEvent]
+    val clicks = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessionEvent]
+    def ev(u: Long, t: String) = SessionEvent(u, java.sql.Timestamp.valueOf(t))
+    val q = IncrementalPipeline.attributionJoin(
+        opens.toDF(), clicks.toDF(), horizon = "1 hour", watermark = "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("attrib").start()
+    // (a) open 10:00, click 10:20 -> one attributed pair
+    opens.addData(ev(1, "2024-01-01 10:00:00"))
+    clicks.addData(ev(1, "2024-01-01 10:20:00"))
+    q.processAllAvailable()
+    // (b) advance both watermarks far past 10:00; the 20:00/21:30 pair
+    // is 90 minutes apart -> outside the horizon, no match
+    opens.addData(ev(9, "2024-01-01 20:00:00"))
+    clicks.addData(ev(9, "2024-01-01 21:30:00"))
+    q.processAllAvailable()
+    // (c) click watermark now ~20:30: a 10:25 click is late beyond the
+    // horizon and its open's state was evicted -> contributes nothing
+    clicks.addData(ev(1, "2024-01-01 10:25:00"))
+    q.processAllAvailable()
+    val rows = spark.table("attrib").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString))
+    q.stop()
+    assert(rows.toSeq == Seq((1L, "2024-01-01 10:00:00.0", "2024-01-01 10:20:00.0")),
+      s"expected exactly the one in-horizon attribution, got ${rows.toSeq}")
+  }
+
   test("streaming dedup keeps one row per key within watermark") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup").toString
     val batch = graft.catalog.Q.t(spark, "/root/testdata/sf0.001", "events")
