@@ -485,7 +485,53 @@ object GraphCatalog {
           .select("h", "sum_est_e3", "reach_ppm", "eff_diameter")
           .orderBy("h")
       },
-      Some(effDiameterOracle(hops = 3)))
+      Some(effDiameterOracle(hops = 3))),
+
+    // Sampled harmonic closeness (Eppstein-Wang pivot estimate): hop
+    // distances from k = 4 pivot seeds to every node, then per node the
+    // harmonic sum over reached pivots — THE centrality family that
+    // survives 100 TB graphs, because cost is k BFS sweeps instead of
+    // the all-pairs O(n * edges). Seeds derive in-plan (a 4-row
+    // TakeOrderedAndProject over distinct part keys — no driver
+    // fetch); per-pivot terms are exact integer micro-units
+    // (1000000 div hops), so the per-node sum is a BIGINT aggregation
+    // no partition order can move.
+    Q("g_closeness_sampled",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+        val pairs = copartPairs(li)
+          .select(col("u").as("s"), col("v").as("d"))
+        val seeds = li.select("l_partkey").distinct()
+          .orderBy("l_partkey").limit(4)
+        GraphAlgos.bfsHopsPerSeed(pairs, seeds, maxHops = 4)
+          .filter(col("hops") > 0)
+          .groupBy("node")
+          .agg(count(lit(1)).as("n_reached"),
+            sum(expr("1000000 div hops")).as("harmonic_e6"))
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE
+              pr AS MATERIALIZED (
+                SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+              sym AS MATERIALIZED (
+                SELECT u AS s, v AS d FROM pr UNION ALL SELECT v, u FROM pr),
+              seeds AS MATERIALIZED (
+                SELECT l_partkey AS seed FROM (
+                  SELECT DISTINCT l_partkey FROM lineitem ORDER BY 1 LIMIT 4)),
+              walk(seed, node, hops) AS (
+                SELECT seed, seed, 0 FROM seeds
+                UNION
+                SELECT w.seed, sym.d, w.hops + 1
+                FROM walk w JOIN sym ON sym.s = w.node
+                WHERE w.hops < 4),
+              dist AS (SELECT seed, node, min(hops) AS hops
+                       FROM walk GROUP BY 1, 2)
+              SELECT node, CAST(count(*) AS BIGINT) AS n_reached,
+                CAST(sum(1000000 // hops) AS BIGINT) AS harmonic_e6
+              FROM dist WHERE hops > 0
+              GROUP BY node ORDER BY node"""))
   )
 
   /** Shared CTE chain of the label-propagation oracles: the sparsified

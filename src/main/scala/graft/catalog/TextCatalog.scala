@@ -1907,7 +1907,111 @@ object TextCatalog {
               FROM (SELECT *, row_number() OVER (
                       ORDER BY round(score, 4) DESC, doc_id) AS rn
                     FROM scored)
-              WHERE rn <= 10 ORDER BY rn"""))
+              WHERE rn <= 10 ORDER BY rn""")),
+
+    Q("x_ngram_novelty",
+      // Per-document n-gram novelty: the fraction of a doc's distinct
+      // word trigrams whose FIRST corpus occurrence (min doc_id) is
+      // this doc — the "how much new text does this doc add"
+      // curation signal (the streaming-order cousin of dedup: a doc of
+      // entirely already-seen trigrams is a rephrase/copy even when no
+      // single near-dup pair fires). Integer-exact: counts and a ppm
+      // integer division, nothing else. Scale shape: one distinct
+      // (doc, trigram) shuffle (Curation.tokenTrigrams, the
+      // decontamination unit), one trigram-keyed min-aggregate (the
+      // first-occurrence table), one trigram-keyed join back — all
+      // linear in corpus trigrams, never doc x doc.
+      (s, d) => {
+        val sh = graft.operators.Curation.tokenTrigrams(
+          spread(t(s, d, "documents")))
+        val first = sh.groupBy("sg").agg(min("doc_id").as("first_doc"))
+        sh.join(first, Seq("sg"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("first_doc") === col("doc_id"), lit(1L))
+              .otherwise(lit(0L))).as("n_novel"))
+          .withColumn("novelty_ppm", expr("(1000000 * n_novel) div n_shingles"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sh AS (
+                SELECT DISTINCT doc_id, sg FROM (
+                  SELECT doc_id,
+                    unnest(list_transform(range(1, len(toks) - 1),
+                      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sg
+                  FROM (SELECT doc_id, string_split($duckNorm, ' ') AS toks
+                        FROM documents)
+                  WHERE len(toks) > 2)),
+              fo AS (SELECT sg, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+                CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_novel,
+                CAST((1000000 * sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END))
+                  // count(*) AS BIGINT) AS novelty_ppm
+              FROM sh JOIN fo USING (sg)
+              GROUP BY doc_id ORDER BY doc_id""")),
+
+    Q("x_dsir_weight",
+      // DSIR-style importance weighting (Xie et al.: resample raw data
+      // toward a target domain by hashed-n-gram likelihood ratios),
+      // restated integer-exact: src0 is the target domain, every other
+      // doc scores sum over its distinct word bigrams of the
+      // Laplace-smoothed document-frequency ratio
+      // (1e6 * (tgt_df + 1)) div (raw_df + 1) — the monotone integer
+      // surrogate of the log-ratio (per-bigram, the classic
+      // log(p_tgt/p_raw) ranks identically; summing the micro-int
+      // ratios instead of logs trades the product form for an
+      // aggregation no partition order or libm can move). Top-20
+      // target-most docs = the resampling head. Scale shape: one
+      // distinct bigram explode, one bigram-keyed df aggregate, one
+      // bigram-keyed join back, TakeOrderedAndProject top-20.
+      (s, d) => {
+        val bg = graft.operators.Curation.tokenNGrams(
+          spread(t(s, d, "documents")), n = 2)
+        val keyed = bg.join(
+          t(s, d, "documents").select("doc_id", "source"), Seq("doc_id"))
+        val stats = keyed.groupBy("sg").agg(
+          count(lit(1)).as("raw_df"),
+          sum(when(col("source") === "src0", lit(1L)).otherwise(lit(0L)))
+            .as("tgt_df"))
+        keyed.filter(col("source") =!= "src0")
+          .join(stats, Seq("sg"))
+          .withColumn("w_e6", expr("(1000000 * (tgt_df + 1)) div (raw_df + 1)"))
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n_bigrams"), sum("w_e6").as("importance_e6"))
+          .orderBy(col("importance_e6").desc, col("doc_id").asc)
+          .limit(20)
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("importance_e6").desc, col("doc_id").asc)))
+          .select("rn", "doc_id", "source", "n_bigrams", "importance_e6")
+          .orderBy("rn")
+      },
+      Some(s"""WITH bg AS (
+                SELECT DISTINCT doc_id, sg FROM (
+                  SELECT doc_id,
+                    unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1])) AS sg
+                  FROM (SELECT doc_id, string_split($duckNorm, ' ') AS toks
+                        FROM documents)
+                  WHERE len(toks) > 1)),
+              keyed AS (
+                SELECT bg.doc_id, bg.sg, d.source
+                FROM bg JOIN documents d USING (doc_id)),
+              stats AS (
+                SELECT sg, CAST(count(*) AS BIGINT) AS raw_df,
+                  CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+                    AS tgt_df
+                FROM keyed GROUP BY 1),
+              scored AS (
+                SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_bigrams,
+                  CAST(sum((1000000 * (tgt_df + 1)) // (raw_df + 1)) AS BIGINT)
+                    AS importance_e6
+                FROM keyed JOIN stats USING (sg)
+                WHERE source <> 'src0' GROUP BY 1, 2)
+              SELECT rn, doc_id, source, n_bigrams, importance_e6
+              FROM (SELECT *, row_number() OVER (
+                      ORDER BY importance_e6 DESC, doc_id) AS rn
+                    FROM scored)
+              WHERE rn <= 20 ORDER BY rn"""))
   )
 
   /** The repeated-span table shared by `x_repeated_spans` and

@@ -1058,6 +1058,74 @@ object VectorCatalog {
               FROM (SELECT *, row_number() OVER (
                       PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
                     FROM sim)
+              WHERE rn <= 5 ORDER BY q_id, rn""")),
+
+    Q("v_mrl_prefix_ann",
+      // Matryoshka-style prefix-dimension ANN: coarse-rank candidates
+      // by the dot product of the FIRST 16 dims only (MRL-trained
+      // embeddings front-load information, so a prefix is a valid
+      // coarse score), rerank the top-32 by exact full-dim cosine.
+      // Fourth rung of the quantization/truncation ladder (int8 ->
+      // PQ -> binary sign -> prefix dims); at scale the coarse pass
+      // scans a 64-byte prefix column instead of 256-byte vectors, and
+      // the full embedding is read only for the 32 survivors per query
+      // via an id join. Parity: both the 16-dim and 64-dim dot products
+      // run the left-to-right fold (dot_product kernel /
+      // list_dot_product), so scores are bit-identical; the coarse rank
+      // is carried as the integer prn.
+      (s, d) => {
+        graft.functions.DotProduct.register(s)
+        val emb = t(s, d, "embeddings")
+        val pre = emb
+          .select(col("vec_id"), expr("slice(embedding, 1, 16)").as("p"))
+          .cutLineage() // the prefix table — the only thing the coarse pass scans
+        val q = pre.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("p").as("qp"))
+        val c = pre.select(col("vec_id").as("c_id"), col("p").as("cp"))
+        val wP = Window.partitionBy("q_id").orderBy(col("pdot").desc, col("c_id").asc)
+        val cand = q.crossJoin(c).filter(col("q_id") =!= col("c_id"))
+          .withColumn("pdot", expr("dot_product(qp, cp)"))
+          .withColumn("prn", row_number().over(wP))
+          .filter(col("prn") <= 32)
+          .select("q_id", "c_id", "prn")
+        val vecs = emb.select(col("vec_id"), col("embedding").as("v"),
+          expr("sqrt(dot_product(embedding, embedding))").as("nrm"))
+        val wC = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
+        cand
+          .join(vecs.select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qn")), Seq("q_id"))
+          .join(vecs.select(col("vec_id").as("c_id"), col("v").as("cv"),
+            col("nrm").as("cn")), Seq("c_id"))
+          .withColumn("cos", cosCol("qv", "cv", "qn", "cn"))
+          .withColumn("rn", row_number().over(wC))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("rn"), col("c_id").as("neighbor_id"),
+            col("prn"), round(col("cos"), 4).as("cosine"))
+          .orderBy("q_id", "rn")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                      FROM embeddings),
+              pre AS (SELECT vec_id, v[1:16] AS p FROM e),
+              q AS (SELECT vec_id AS q_id, p AS qp FROM pre WHERE vec_id < 10),
+              c AS (SELECT vec_id AS c_id, p AS cp FROM pre),
+              coarse AS (
+                SELECT q_id, c_id, list_dot_product(qp, cp) AS pdot
+                FROM q, c WHERE q_id <> c_id),
+              cand AS (
+                SELECT q_id, c_id, prn FROM (
+                  SELECT *, row_number() OVER (
+                      PARTITION BY q_id ORDER BY pdot DESC, c_id) AS prn
+                  FROM coarse)
+                WHERE prn <= 32),
+              qe AS (SELECT vec_id AS q_id, v AS qv FROM e),
+              ce AS (SELECT vec_id AS c_id, v AS cv FROM e),
+              sim AS (
+                SELECT cand.q_id, cand.c_id, cand.prn, $duckCos AS cos
+                FROM cand JOIN qe USING (q_id) JOIN ce USING (c_id))
+              SELECT q_id, rn, c_id AS neighbor_id, prn, round(cos, 4) AS cosine
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+                    FROM sim)
               WHERE rn <= 5 ORDER BY q_id, rn"""))
   )
 

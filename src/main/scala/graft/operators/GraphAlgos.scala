@@ -630,6 +630,57 @@ object GraphAlgos {
     out
   }
 
+  /** [[bfsHopsFrom]] with the seed IDENTITY kept: returns (seed, node,
+    * hops) — every node's hop distance to EACH seed separately, not to
+    * the nearest one. This is the k-source distance table behind
+    * sampled centrality estimates (closeness/harmonic per Eppstein-
+    * Wang: k pivot BFS runs instead of the O(n*edges) all-pairs sweep —
+    * the only way centrality is ever computed on a 100 TB graph).
+    *
+    * Same frontier discipline as [[bfsHopsFrom]]: the symmetric edge
+    * list is checkpointed once and probed in place while the frontier
+    * (now keyed (seed, node), at most k times larger) fits the
+    * broadcast gate; the settled anti-join is (seed, node)-keyed.
+    * Per-round cost is O(k * edges touched at that radius). */
+  def bfsHopsPerSeed(edges: DataFrame, seeds: DataFrame, maxHops: Int = 6,
+      broadcastFrontierLimit: Long = 4L << 20): DataFrame = {
+    val sym = edges.select(col("s"), col("d"))
+      .union(edges.select(col("d").as("s"), col("s").as("d")))
+      .filter(col("s") =!= col("d"))
+      .distinct()
+      .cutLineage()
+    var settled = seeds
+      .select(col(seeds.columns.head).cast(sym.schema("s").dataType).as("seed"))
+      .distinct()
+      .withColumn("node", col("seed"))
+      .withColumn("hops", lit(0))
+      .cutLineage()
+    var frontier = settled
+    var frontierSize = settled.count() // checkpointed: metadata-cheap
+    var settledSize = frontierSize
+    var hop = 0
+    val gc = new Lineage.RoundGc(edges.sparkSession)
+    while (hop < maxHops && frontierSize > 0) {
+      hop += 1
+      val probe =
+        if (frontierSize <= broadcastFrontierLimit) broadcast(frontier) else frontier
+      val seen = settled.select("seed", "node")
+      val dedup =
+        if (settledSize <= broadcastFrontierLimit) broadcast(seen) else seen
+      val next = probe.join(sym, probe("node") === sym("s"))
+        .select(probe("seed"), sym("d").as("node")).distinct()
+        .join(dedup, Seq("seed", "node"), "left_anti")
+        .withColumn("hops", lit(hop))
+        .cutLineage()
+      frontierSize = next.count()
+      settledSize += frontierSize
+      settled = settled.unionByName(next).cutLineage()
+      frontier = next
+      gc.endRound()
+    }
+    settled
+  }
+
   /** Per-community modularity accounting for a partition `labels`
     * (node, lbl) of the undirected graph `edges` (u, v pairs) — the
     * standard "is this community structure real" audit run after any

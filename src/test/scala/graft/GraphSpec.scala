@@ -390,6 +390,26 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
   }
 
+  test("bfsHopsPerSeed: per-seed distances on a path, not nearest-seed") {
+    // Path 1-2-3-4-5 with seeds {1, 5}: bfsHopsFrom would report
+    // node 3 at hops 2 (nearest seed); the per-seed table must carry
+    // BOTH (1,3,2) and (5,3,2) — that identity is what centrality
+    // estimates sum over.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
+    val seeds = Seq(1L, 5L).toDF("node")
+    val got = GraphAlgos.bfsHopsPerSeed(edges, seeds, maxHops = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val want = (for {
+      s <- Seq(1L, 5L); n <- 1L to 5L
+    } yield (s, n) -> (if (s == 1L) (n - 1).toInt else (5 - n).toInt)).toMap
+    assert(got == want)
+    // hop bound binds per seed: maxHops = 1 keeps only the seeds + direct
+    // neighbors of each
+    val bounded = GraphAlgos.bfsHopsPerSeed(edges, seeds, maxHops = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bounded == Set((1L, 1L), (1L, 2L), (5L, 5L), (5L, 4L)))
+  }
+
   test("modularityByCommunity: two triangles over a bridge, exact rationals") {
     // Same graph as the LPA test: m = 7 edges; communities {1,2,3} and
     // {4,5,6} each have 3 intra edges and degree sum 7 (the bridge adds
