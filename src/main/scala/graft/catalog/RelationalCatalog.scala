@@ -390,6 +390,76 @@ object RelationalCatalog {
              SELECT CAST(z // 4096 AS INT) AS bucket, count(*) AS n,
                CAST(min(z) AS BIGINT) AS min_z, CAST(max(z) AS BIGINT) AS max_z,
                CAST(sum(z) AS BIGINT) AS sum_z
-             FROM coded GROUP BY 1 ORDER BY bucket"""))
+             FROM coded GROUP BY 1 ORDER BY bucket""")),
+
+    Q("j13_interval_overlap",
+      // Interval-overlap join WITHOUT an equi-key, made scale-shaped by
+      // the binning decomposition (operators/IntervalJoin.overlapJoin):
+      // per-user event sessions (the w5_sessionize gaps-and-islands
+      // intervals, epoch-second bounds) overlap-joined against six
+      // 2-hour audit windows derived IN-PLAN from the corpus min
+      // timestamp (1-row broadcast, no driver fetch). The operator
+      // explodes both sides onto 1-hour buckets and joins on the bucket
+      // id — an EQUI join with the overlap predicate as residual — so
+      // Spark never plans the quadratic nested loop a raw range
+      // condition forces; each pair survives only in the canonical
+      // bucket of the later start, so no pair-universe distinct. The
+      // oracle states the naive quadratic join (correct at oracle
+      // scale); IntervalJoinSpec proves binned == naive on random
+      // fixtures and pins the equi-join plan shape.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts")
+        val sessions = t(s, d, "events").select(col("user_id"), col("ts"))
+          .withColumn("gap_us",
+            expr("unix_micros(ts)") - lag(expr("unix_micros(ts)"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_no", sum("new_sess").over(w))
+          .groupBy("user_id", "session_no")
+          .agg(expr("min(unix_micros(ts)) div 1000000").as("s_start"),
+            expr("max(unix_micros(ts)) div 1000000").as("s_end"))
+        val windows = broadcast(t(s, d, "events")
+          .agg(expr("min(unix_micros(ts)) div 1000000").as("m0"))
+          .select(explode(sequence(lit(0), lit(5))).as("i"), col("m0"))
+          .select(col("i").cast("long").as("w_id"),
+            (col("m0") + col("i") * lit(21600L)).as("w_start"),
+            (col("m0") + col("i") * lit(21600L) + lit(7200L)).as("w_end")))
+        graft.operators.IntervalJoin.overlapJoin(
+            sessions, windows,
+            "user_id", "s_start", "s_end", "w_id", "w_start", "w_end",
+            bucket = 3600L)
+          .groupBy("w_id", "w_start")
+          .agg(count(lit(1)).as("n_sessions"),
+            countDistinct("user_id").as("n_users"))
+          .orderBy("w_id")
+      },
+      Some("""WITH s AS (
+               SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS new_sess
+               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             s2 AS (
+               SELECT user_id, ts,
+                 CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
+                   AS session_no
+               FROM s),
+             sess AS (
+               SELECT user_id, session_no,
+                 CAST(min(epoch_us(ts)) // 1000000 AS BIGINT) AS s_start,
+                 CAST(max(epoch_us(ts)) // 1000000 AS BIGINT) AS s_end
+               FROM s2 GROUP BY 1, 2),
+             m AS (SELECT CAST(min(epoch_us(ts)) // 1000000 AS BIGINT) AS m0
+                   FROM events),
+             w AS (SELECT CAST(i AS BIGINT) AS w_id,
+                     m0 + i * 21600 AS w_start,
+                     m0 + i * 21600 + 7200 AS w_end
+                   FROM m, UNNEST(range(0, 6)) AS t(i))
+             SELECT w_id, w_start, CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             FROM w JOIN sess ON s_start <= w_end AND w_start <= s_end
+             GROUP BY 1, 2 ORDER BY w_id"""))
   )
 }
