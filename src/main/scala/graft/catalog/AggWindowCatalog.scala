@@ -853,6 +853,67 @@ object AggWindowCatalog {
                round(cume_dist() OVER w, 4) AS cume
              FROM spend JOIN customer ON o_custkey = c_custkey
              WINDOW w AS (PARTITION BY c_nationkey ORDER BY spend DESC, o_custkey)
-             ORDER BY nationkey, quartile, custkey"""))
+             ORDER BY nationkey, quartile, custkey""")),
+
+    Q("a_kmv_distinct",
+      // K-minimum-values distinct sketch (Bar-Yossef et al.) — the
+      // third auditable cardinality sketch next to a_approx_distinct
+      // (engine-native) and a_hll_manual (register HLL). KMV keeps the
+      // k smallest hash values of a set; with hashes uniform on
+      // [0, 2^48), distinct ~ (k-1) * 2^48 / h_(k) — and unlike HLL the
+      // sketch supports set union/intersection by merging value lists,
+      // which is why dedup planners carry it. Everything here is
+      // integer-exact: the 48-bit hash rebuilds from md5 hex on both
+      // engines, the estimator is one BIGINT division, the error column
+      // an integer ppm. k = 16 -> ~25% rsd, honest in err_ppm. Scale
+      // shape: one distinct, then a per-group sort ranking only for the
+      // kth element (the same per-group ordered shape as w2); at fleet
+      // scale the per-partition top-k pre-aggregation variant applies.
+      (s, d) => {
+        val w = Window.partitionBy("flag").orderBy(col("h").asc)
+        val kth = t(s, d, "lineitem")
+          .select(col("l_returnflag").as("flag"), col("l_partkey")).distinct()
+          .withColumn("h", expr(
+            "CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 12), 16, 10) AS BIGINT)"))
+          .select("flag", "h").distinct()
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 16)
+          .select(col("flag"), col("h").as("kth"))
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag").as("flag"))
+          .agg(countDistinct("l_partkey").as("n_exact"))
+          .join(kth, Seq("flag"))
+          .withColumn("est_kmv", expr("(15 * 281474976710656L) div kth"))
+          .withColumn("err_ppm",
+            expr("(1000000 * abs(est_kmv - n_exact)) div n_exact"))
+          .select("flag", "n_exact", "kth", "est_kmv", "err_ppm")
+          .orderBy("flag")
+      },
+      Some {
+        // DuckDB has no base-16 conv: rebuild the 48-bit value nibble by
+        // nibble (the x_cms_estimate technique, 12 hex chars).
+        val nib = (i: Int) => s"(strpos('0123456789abcdef', substring(h, $i, 1)) - 1)"
+        val h48 = (1 to 12).map(i => s"${nib(i)} * ${1L << (4 * (12 - i))}")
+          .mkString("CAST(", " + ", " AS BIGINT)")
+        s"""WITH vals AS (
+              SELECT DISTINCT l_returnflag AS flag, l_partkey FROM lineitem),
+            hs AS (
+              SELECT DISTINCT flag, $h48 AS h FROM (
+                SELECT flag, md5(CAST(l_partkey AS VARCHAR)) AS h FROM vals)),
+            kth AS (
+              SELECT flag, h AS kth FROM (
+                SELECT flag, h, row_number() OVER (
+                    PARTITION BY flag ORDER BY h) AS rn
+                FROM hs)
+              WHERE rn = 16),
+            ex AS (SELECT l_returnflag AS flag,
+                     CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
+                   FROM lineitem GROUP BY 1)
+            SELECT ex.flag, ex.n_exact, kth.kth,
+              CAST((15 * 281474976710656) // kth AS BIGINT) AS est_kmv,
+              CAST((1000000 * abs((15 * 281474976710656) // kth - n_exact))
+                // n_exact AS BIGINT) AS err_ppm
+            FROM ex JOIN kth USING (flag) ORDER BY ex.flag"""
+      })
   )
 }

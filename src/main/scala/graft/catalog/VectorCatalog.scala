@@ -990,40 +990,8 @@ object VectorCatalog {
       // left-to-right fold matches list_dot_product to the ulp.
       (s, d) => {
         graft.functions.DotProduct.register(s)
-        def pack(lo: Int, hi: Int) =
-          s"""aggregate(sequence($lo, $hi), CAST(0 AS BIGINT), (acc, i) ->
-               acc + (CASE WHEN element_at(embedding, i + 1) >= 0
-                      THEN shiftleft(CAST(1 AS BIGINT), i - $lo)
-                      ELSE CAST(0 AS BIGINT) END))"""
-        val emb = t(s, d, "embeddings")
-        val codes = emb
-          .select(col("vec_id"), expr(pack(0, 31)).as("lo"), expr(pack(32, 63)).as("hi"))
-          .cutLineage() // the 8-byte-per-vector code table, scanned by both sides below
-        val q = codes.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("lo").as("qlo"), col("hi").as("qhi"))
-        val c = codes
-          .select(col("vec_id").as("c_id"), col("lo").as("clo"), col("hi").as("chi"))
-        val wH = Window.partitionBy("q_id").orderBy(col("hamming").asc, col("c_id").asc)
-        val cand = q.crossJoin(c).filter(col("q_id") =!= col("c_id"))
-          .withColumn("hamming",
-            expr("CAST(bit_count(qlo ^ clo) + bit_count(qhi ^ chi) AS BIGINT)"))
-          .withColumn("hrn", row_number().over(wH))
-          .filter(col("hrn") <= 32)
-          .select("q_id", "c_id", "hamming")
-        val vecs = emb.select(col("vec_id"), col("embedding").as("v"),
-          expr("sqrt(dot_product(embedding, embedding))").as("nrm"))
-        val wC = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
-        cand
-          .join(vecs.select(col("vec_id").as("q_id"), col("v").as("qv"),
-            col("nrm").as("qn")), Seq("q_id"))
-          .join(vecs.select(col("vec_id").as("c_id"), col("v").as("cv"),
-            col("nrm").as("cn")), Seq("c_id"))
-          .withColumn("cos", cosCol("qv", "cv", "qn", "cn"))
-          .withColumn("rn", row_number().over(wC))
-          .filter(col("rn") <= 5)
-          .select(col("q_id"), col("rn"), col("c_id").as("neighbor_id"),
-            col("hamming"), round(col("cos"), 4).as("cosine"))
-          .orderBy("q_id", "rn")
+        val cand = hammingCandidates(s, d)
+        exactRerank(s, d, cand, Seq("hamming"))
       },
       Some(s"""WITH codes AS (
                 SELECT vec_id,
@@ -1075,33 +1043,8 @@ object VectorCatalog {
       // is carried as the integer prn.
       (s, d) => {
         graft.functions.DotProduct.register(s)
-        val emb = t(s, d, "embeddings")
-        val pre = emb
-          .select(col("vec_id"), expr("slice(embedding, 1, 16)").as("p"))
-          .cutLineage() // the prefix table — the only thing the coarse pass scans
-        val q = pre.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("p").as("qp"))
-        val c = pre.select(col("vec_id").as("c_id"), col("p").as("cp"))
-        val wP = Window.partitionBy("q_id").orderBy(col("pdot").desc, col("c_id").asc)
-        val cand = q.crossJoin(c).filter(col("q_id") =!= col("c_id"))
-          .withColumn("pdot", expr("dot_product(qp, cp)"))
-          .withColumn("prn", row_number().over(wP))
-          .filter(col("prn") <= 32)
-          .select("q_id", "c_id", "prn")
-        val vecs = emb.select(col("vec_id"), col("embedding").as("v"),
-          expr("sqrt(dot_product(embedding, embedding))").as("nrm"))
-        val wC = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
-        cand
-          .join(vecs.select(col("vec_id").as("q_id"), col("v").as("qv"),
-            col("nrm").as("qn")), Seq("q_id"))
-          .join(vecs.select(col("vec_id").as("c_id"), col("v").as("cv"),
-            col("nrm").as("cn")), Seq("c_id"))
-          .withColumn("cos", cosCol("qv", "cv", "qn", "cn"))
-          .withColumn("rn", row_number().over(wC))
-          .filter(col("rn") <= 5)
-          .select(col("q_id"), col("rn"), col("c_id").as("neighbor_id"),
-            col("prn"), round(col("cos"), 4).as("cosine"))
-          .orderBy("q_id", "rn")
+        val cand = prefixCandidates(s, d)
+        exactRerank(s, d, cand, Seq("prn"))
       },
       Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                       FROM embeddings),
@@ -1126,8 +1069,165 @@ object VectorCatalog {
               FROM (SELECT *, row_number() OVER (
                       PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
                     FROM sim)
+              WHERE rn <= 5 ORDER BY q_id, rn""")),
+
+    Q("v_rrf_fusion",
+      // Reciprocal-rank fusion (the standard hybrid-search combiner):
+      // merge the two coarse ANN rankings — Hamming-over-sign-codes and
+      // first-16-dim prefix dot — by rrf_e6 = sum of 1e6/(60 + rank)
+      // over the lists a candidate appears in (k = 60, the published
+      // constant). RRF needs only RANKS, never comparable scores, which
+      // is exactly why it is the fusion of choice across heterogeneous
+      // retrievers (lexical + vector, or two quantization ladders, as
+      // here) — and ranks are integers, so the whole query is
+      // hash-exact with zero float ops. Scale shape: both candidate
+      // stages scan their compact code/prefix tables (shared with
+      // v_hamming_ann / v_mrl_prefix_ann), the fusion is a (q, c)-keyed
+      // full outer join of two 32-row-per-query lists.
+      (s, d) => {
+        graft.functions.DotProduct.register(s)
+        val h = hammingCandidates(s, d)
+          .withColumn("r_ham", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("hamming").asc, col("c_id").asc)))
+          .select("q_id", "c_id", "r_ham")
+        val p = prefixCandidates(s, d).withColumnRenamed("prn", "r_pre")
+        h.join(p, Seq("q_id", "c_id"), "full_outer")
+          .withColumn("rrf_e6", expr(
+            "CASE WHEN r_ham IS NULL THEN 0 ELSE 1000000 div (60 + r_ham) END" +
+              " + CASE WHEN r_pre IS NULL THEN 0 ELSE 1000000 div (60 + r_pre) END"))
+          .withColumn("r_ham", coalesce(col("r_ham"), lit(0)))
+          .withColumn("r_pre", coalesce(col("r_pre"), lit(0)))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("rrf_e6").desc, col("c_id").asc)))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("rn"), col("c_id").as("neighbor_id"),
+            col("r_ham"), col("r_pre"), col("rrf_e6"))
+          .orderBy("q_id", "rn")
+      },
+      Some(s"""WITH codes AS (
+                SELECT vec_id,
+                  CAST(sum(CASE WHEN e >= 0 AND i <= 32
+                       THEN CAST(1::BIGINT << (i - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS lo,
+                  CAST(sum(CASE WHEN e >= 0 AND i > 32
+                       THEN CAST(1::BIGINT << (i - 33) AS BIGINT) ELSE 0 END) AS BIGINT) AS hi
+                FROM (SELECT vec_id, unnest(embedding) AS e,
+                        generate_subscripts(embedding, 1) AS i FROM embeddings)
+                GROUP BY vec_id),
+              hq AS (SELECT vec_id AS q_id, lo AS qlo, hi AS qhi FROM codes
+                     WHERE vec_id < 10),
+              hc AS (SELECT vec_id AS c_id, lo AS clo, hi AS chi FROM codes),
+              ham AS (
+                SELECT q_id, c_id,
+                  bit_count(xor(qlo, clo)) + bit_count(xor(qhi, chi)) AS hamming
+                FROM hq, hc WHERE q_id <> c_id),
+              hcand AS (
+                SELECT q_id, c_id, hrn AS r_ham FROM (
+                  SELECT *, row_number() OVER (
+                      PARTITION BY q_id ORDER BY hamming, c_id) AS hrn
+                  FROM ham)
+                WHERE hrn <= 32),
+              e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              pre AS (SELECT vec_id, v[1:16] AS p FROM e),
+              pq AS (SELECT vec_id AS q_id, p AS qp FROM pre WHERE vec_id < 10),
+              pc AS (SELECT vec_id AS c_id, p AS cp FROM pre),
+              coarse AS (
+                SELECT q_id, c_id, list_dot_product(qp, cp) AS pdot
+                FROM pq, pc WHERE q_id <> c_id),
+              pcand AS (
+                SELECT q_id, c_id, prn AS r_pre FROM (
+                  SELECT *, row_number() OVER (
+                      PARTITION BY q_id ORDER BY pdot DESC, c_id) AS prn
+                  FROM coarse)
+                WHERE prn <= 32),
+              fused AS (
+                SELECT coalesce(h.q_id, p.q_id) AS q_id,
+                  coalesce(h.c_id, p.c_id) AS c_id,
+                  coalesce(h.r_ham, 0) AS r_ham,
+                  coalesce(p.r_pre, 0) AS r_pre,
+                  (CASE WHEN h.r_ham IS NULL THEN 0
+                        ELSE 1000000 // (60 + h.r_ham) END
+                   + CASE WHEN p.r_pre IS NULL THEN 0
+                          ELSE 1000000 // (60 + p.r_pre) END) AS rrf_e6
+                FROM hcand h FULL JOIN pcand p
+                  ON h.q_id = p.q_id AND h.c_id = p.c_id)
+              SELECT q_id, rn, c_id AS neighbor_id,
+                CAST(r_ham AS BIGINT) AS r_ham, CAST(r_pre AS BIGINT) AS r_pre,
+                CAST(rrf_e6 AS BIGINT) AS rrf_e6
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY q_id ORDER BY rrf_e6 DESC, c_id) AS rn
+                    FROM fused)
               WHERE rn <= 5 ORDER BY q_id, rn"""))
   )
+
+  /** Top-32 candidates per query (vec_id < 10) by Hamming distance over
+    * 64-bit sign codes — the coarse stage shared by v_hamming_ann and
+    * v_rrf_fusion. Returns (q_id, c_id, hamming); scans the 8-byte code
+    * table only, never the embeddings. */
+  private def hammingCandidates(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    def pack(lo: Int, hi: Int) =
+      s"""aggregate(sequence($lo, $hi), CAST(0 AS BIGINT), (acc, i) ->
+           acc + (CASE WHEN element_at(embedding, i + 1) >= 0
+                  THEN shiftleft(CAST(1 AS BIGINT), i - $lo)
+                  ELSE CAST(0 AS BIGINT) END))"""
+    val codes = t(s, d, "embeddings")
+      .select(col("vec_id"), expr(pack(0, 31)).as("lo"), expr(pack(32, 63)).as("hi"))
+      .cutLineage() // the 8-byte-per-vector code table, scanned by both sides below
+    val q = codes.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("lo").as("qlo"), col("hi").as("qhi"))
+    val c = codes
+      .select(col("vec_id").as("c_id"), col("lo").as("clo"), col("hi").as("chi"))
+    val wH = Window.partitionBy("q_id").orderBy(col("hamming").asc, col("c_id").asc)
+    q.crossJoin(c).filter(col("q_id") =!= col("c_id"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(qlo ^ clo) + bit_count(qhi ^ chi) AS BIGINT)"))
+      .withColumn("hrn", row_number().over(wH))
+      .filter(col("hrn") <= 32)
+      .select("q_id", "c_id", "hamming")
+  }
+
+  /** Top-32 candidates per query (vec_id < 10) by first-16-dim dot
+    * product — the coarse stage shared by v_mrl_prefix_ann and
+    * v_rrf_fusion. Returns (q_id, c_id, prn); scans the 64-byte prefix
+    * table only. */
+  private def prefixCandidates(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val pre = t(s, d, "embeddings")
+      .select(col("vec_id"), expr("slice(embedding, 1, 16)").as("p"))
+      .cutLineage() // the prefix table — the only thing the coarse pass scans
+    val q = pre.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("p").as("qp"))
+    val c = pre.select(col("vec_id").as("c_id"), col("p").as("cp"))
+    val wP = Window.partitionBy("q_id").orderBy(col("pdot").desc, col("c_id").asc)
+    q.crossJoin(c).filter(col("q_id") =!= col("c_id"))
+      .withColumn("pdot", expr("dot_product(qp, cp)"))
+      .withColumn("prn", row_number().over(wP))
+      .filter(col("prn") <= 32)
+      .select("q_id", "c_id", "prn")
+  }
+
+  /** Exact-cosine rerank of a (q_id, c_id, ...) candidate table: joins
+    * the survivors back to the embeddings BY ID (never a cross join),
+    * keeps the top-5 per query, carries `extra` candidate columns
+    * through. */
+  private def exactRerank(s: org.apache.spark.sql.SparkSession, d: String,
+      cand: org.apache.spark.sql.DataFrame,
+      extra: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val vecs = t(s, d, "embeddings").select(col("vec_id"), col("embedding").as("v"),
+      expr("sqrt(dot_product(embedding, embedding))").as("nrm"))
+    val wC = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
+    cand
+      .join(vecs.select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn")), Seq("q_id"))
+      .join(vecs.select(col("vec_id").as("c_id"), col("v").as("cv"),
+        col("nrm").as("cn")), Seq("c_id"))
+      .withColumn("cos", cosCol("qv", "cv", "qn", "cn"))
+      .withColumn("rn", row_number().over(wC))
+      .filter(col("rn") <= 5)
+      .select(Seq(col("q_id"), col("rn"), col("c_id").as("neighbor_id")) ++
+        extra.map(col) :+ round(col("cos"), 4).as("cosine"): _*)
+      .orderBy("q_id", "rn")
+  }
 
   /** Synthesized PNG/GIF/BMP header bytes (format by doc_id % 3,
     * dimensions from n_chars) shared by mm_decode_meta and
