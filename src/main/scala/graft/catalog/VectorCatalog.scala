@@ -968,7 +968,59 @@ object VectorCatalog {
       Some("""SELECT doc_id, 'jpeg' AS fmt,
              CAST(1 + n_chars % 2048 AS INT) AS width,
              CAST(1 + (n_chars * 5) % 2048 AS INT) AS height
-             FROM documents ORDER BY doc_id"""))
+             FROM documents ORDER BY doc_id""")),
+
+    Q("mm_wav_meta",
+      // Audio-modality metadata without a codec: each doc synthesizes a
+      // canonical 44-byte PCM WAV header (RIFF/WAVE/fmt/data chunks,
+      // all little-endian fields built byte-by-byte from doc columns)
+      // and Multimodal.parseWavMeta reads it back — channels, sample
+      // rate, bits, data size, and duration in integer milliseconds
+      // from the container's own byte rate. The oracle recomputes every
+      // field arithmetically from the same doc columns, so one wrong
+      // byte order, offset, or the PCM-format check breaks the hash.
+      // Row-local, zero shuffles — the mm_image_dims shape for audio.
+      (s, d) => {
+        def byteHexAt(v: org.apache.spark.sql.Column, i: Int) =
+          lpad(hex(shiftright(v, 8 * i) % 256), 2, "0")
+        def le16(v: org.apache.spark.sql.Column) =
+          unhex(concat(byteHexAt(v, 0), byteHexAt(v, 1)))
+        def le32(v: org.apache.spark.sql.Column) =
+          unhex(concat(byteHexAt(v, 0), byteHexAt(v, 1),
+            byteHexAt(v, 2), byteHexAt(v, 3)))
+        val channels = (lit(1) + col("doc_id") % 2).cast("long")
+        val rate = (lit(8000) + (col("n_chars") % 5) * lit(8000)).cast("long")
+        val nSamples = (lit(1000) + col("n_chars") * lit(7)).cast("long")
+        val byteRate = rate * channels * lit(2L)
+        val dataSize = nSamples * channels * lit(2L)
+        val wav = concat(
+          unhex(lit("52494646")), le32(lit(36L) + dataSize), // RIFF size
+          unhex(lit("57415645")),                            // WAVE
+          unhex(lit("666D7420")), le32(lit(16L)),            // fmt , PCM len
+          le16(lit(1L)), le16(channels), le32(rate), le32(byteRate),
+          le16(channels * lit(2L)), le16(lit(16L)),          // align, bits
+          unhex(lit("64617461")), le32(dataSize))            // data chunk
+        t(s, d, "documents")
+          .withColumn("m", graft.multimodal.Multimodal.parseWavMeta(wav))
+          .select(col("doc_id"), col("m.fmt").as("fmt"),
+            col("m.channels").as("channels"),
+            col("m.sample_rate").as("sample_rate"), col("m.bits").as("bits"),
+            col("m.data_bytes").as("data_bytes"),
+            col("m.duration_ms").as("duration_ms"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (
+               SELECT doc_id,
+                 CAST(1 + doc_id % 2 AS INT) AS channels,
+                 CAST(8000 + (n_chars % 5) * 8000 AS BIGINT) AS sample_rate,
+                 CAST(1000 + n_chars * 7 AS BIGINT) AS n_samples
+               FROM documents)
+             SELECT doc_id, 'wav' AS fmt, channels, sample_rate,
+               CAST(16 AS INT) AS bits,
+               CAST(n_samples * channels * 2 AS BIGINT) AS data_bytes,
+               CAST((1000 * n_samples * channels * 2)
+                 // (sample_rate * channels * 2) AS BIGINT) AS duration_ms
+             FROM f ORDER BY doc_id"""))
   ) ++ Seq(
 
     Q("v_hamming_ann",

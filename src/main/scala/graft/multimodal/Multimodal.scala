@@ -101,6 +101,53 @@ object Multimodal {
         lit(null).cast("int").as("width"), lit(null).cast("int").as("height")))
   }
 
+  /** Parse a canonical PCM WAV (RIFF) header as a pure Column
+    * expression — the audio modality's twin of [[parseImageDims]], no
+    * codec required for metadata:
+    *
+    *   bytes 1-4  "RIFF"            9-12  "WAVE"     13-16 "fmt "
+    *   21-22 audio format LE u16 (1 = PCM)
+    *   23-24 channels LE u16        25-28 sample rate LE u32
+    *   29-32 byte rate LE u32       35-36 bits/sample LE u16
+    *   37-40 "data"                 41-44 data size LE u32
+    *
+    * Returns struct(fmt, channels, sample_rate, bits, data_bytes,
+    * duration_ms) — duration from the container's own byte rate as
+    * integer milliseconds (1000 * data_bytes div byte_rate, exact on
+    * any engine). A payload that is not RIFF/WAVE/PCM yields
+    * ('unknown', nulls) rather than failing the row. */
+  def parseWavMeta(content: Column): Column = {
+    def byteHex(off: Int): Column = hex(substring(content, off, 1))
+    def leU16(off: Int): Column =
+      conv(concat(byteHex(off + 1), byteHex(off)), 16, 10).cast("int")
+    def leU32(off: Int): Column =
+      conv(concat(byteHex(off + 3), byteHex(off + 2),
+        byteHex(off + 1), byteHex(off)), 16, 10).cast("long")
+    val isWav =
+      hex(substring(content, 1, 4)) === "52494646" && // RIFF
+        hex(substring(content, 9, 4)) === "57415645" && // WAVE
+        hex(substring(content, 13, 4)) === "666D7420" && // "fmt "
+        leU16(21) === 1 // PCM
+    val nulls = struct(lit("unknown").as("fmt"),
+      lit(null).cast("int").as("channels"),
+      lit(null).cast("long").as("sample_rate"),
+      lit(null).cast("int").as("bits"),
+      lit(null).cast("long").as("data_bytes"),
+      lit(null).cast("long").as("duration_ms"))
+    // exact integer milliseconds: subtract the remainder before the
+    // double division so the quotient is an exactly-representable
+    // integer (a bare `/`-then-cast can round up across a boundary)
+    val ms1000 = lit(1000L) * leU32(41)
+    val durMs = ((ms1000 - pmod(ms1000, leU32(29))) / leU32(29)).cast("long")
+    when(isWav, struct(lit("wav").as("fmt"),
+        leU16(23).as("channels"),
+        leU32(25).as("sample_rate"),
+        leU16(35).as("bits"),
+        leU32(41).as("data_bytes"),
+        durMs.as("duration_ms")))
+      .otherwise(nulls)
+  }
+
   /** Segments a JPEG marker walk will visit before giving up. Real
     * files put SOF within the first handful of segments (JFIF/EXIF
     * APPn blocks, quantization/Huffman tables, then the frame header);

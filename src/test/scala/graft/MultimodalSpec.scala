@@ -113,4 +113,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(parsed("trunc") == (("jpeg", None, None)))
     assert(parsed("nosof") == (("jpeg", None, None)))
   }
+
+  test("parseWavMeta reads a PCM header byte-for-byte and rejects non-WAV") {
+    import spark.implicits._
+    // hand-built canonical header: 2 ch, 44100 Hz, 16-bit, 88200 data
+    // bytes -> byte rate 176400, duration 500 ms exactly
+    val ok = "52494646" + "00000000" + "57415645" + "666D7420" +
+      "10000000" + "0100" + "0200" + "44AC0000" + "10B10200" + "0400" +
+      "1000" + "64617461" + "98580100"
+    // same bytes but audio format 3 (IEEE float, not PCM) -> rejected;
+    // patch the exact field (byte 21-22 = hex chars 40-43), not the
+    // first textual "0100" (that pattern also occurs inside the fmt
+    // chunk-size bytes)
+    val notPcm = ok.substring(0, 40) + "0300" + ok.substring(44)
+    // RIFF magic but AVI container -> rejected
+    val avi = "52494646" + "00000000" + "41564920" + ok.drop(24)
+    val df = Seq(("ok", bytes(ok)), ("notpcm", bytes(notPcm)),
+      ("avi", bytes(avi)), ("junk", bytes("DEADBEEF" * 12))).toDF("id", "wav")
+    val parsed = df.select(col("id"),
+        Multimodal.parseWavMeta(col("wav")).as("m"))
+      .select("id", "m.fmt", "m.channels", "m.sample_rate", "m.duration_ms")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))
+      .toMap
+    assert(parsed("ok") == (("wav", Some(2), Some(44100L), Some(500L))))
+    assert(parsed("notpcm")._1 == "unknown" && parsed("notpcm")._2.isEmpty)
+    assert(parsed("avi")._1 == "unknown")
+    assert(parsed("junk")._1 == "unknown")
+  }
 }
