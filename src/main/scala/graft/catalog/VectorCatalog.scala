@@ -1020,7 +1020,36 @@ object VectorCatalog {
                CAST(n_samples * channels * 2 AS BIGINT) AS data_bytes,
                CAST((1000 * n_samples * channels * 2)
                  // (sample_rate * channels * 2) AS BIGINT) AS duration_ms
-             FROM f ORDER BY doc_id"""))
+             FROM f ORDER BY doc_id""")),
+
+    Q("mm_frame_sample",
+      // Video-modality plumbing, oracle-gated: treat each doc's text as
+      // an opaque frame container (fixed 64-char frames), keep every
+      // 3rd frame, fingerprint the sampled frame bytes — the
+      // frame-extraction shape (row-local explode + offset slicing +
+      // per-frame hash) a real decoder UDF plugs into, with the codec
+      // replaced by substring arithmetic both engines state
+      // identically. The pipeline point: frame sampling happens
+      // ROW-LOCALLY before anything shuffles, so a 100 TB video corpus
+      // moves only sampled frames (1/k of the bytes) into downstream
+      // dedup/embedding stages.
+      (s, d) => t(s, d, "documents")
+        .withColumn("n_frames", expr("greatest(length(text) div 64, 1)"))
+        .select(col("doc_id"), col("n_chars"),
+          explode(expr("sequence(0, CAST(n_frames - 1 AS INT))")).as("frame_no"),
+          col("text"))
+        .filter(col("frame_no") % 3 === 0)
+        .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+          md5(expr("substring(text, frame_no * 64 + 1, 64)")).as("frame_md5"))
+        .orderBy("doc_id", "frame_no"),
+      Some("""SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+               md5(substring(text, CAST(frame_no * 64 + 1 AS INT), 64)) AS frame_md5
+             FROM (
+               SELECT doc_id, text,
+                 unnest(range(0, greatest(length(text) // 64, 1))) AS frame_no
+               FROM documents)
+             WHERE frame_no % 3 = 0
+             ORDER BY doc_id, frame_no"""))
   ) ++ Seq(
 
     Q("v_hamming_ann",

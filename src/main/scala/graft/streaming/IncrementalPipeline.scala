@@ -365,9 +365,16 @@ object IncrementalPipeline {
     * @param opens     streaming (user_id, ts) frame — the earlier event
     * @param clicks    streaming (user_id, ts) frame — the later event
     * @param horizon   max open->click delay that still attributes
-    * @param watermark lateness horizon for both streams */
+    * @param watermark lateness horizon for both streams
+    * @param joinType  "inner" (matched pairs only) or "left_outer" —
+    *                  the funnel-loss view: an open that the watermark
+    *                  proves can no longer match emits ONCE with a null
+    *                  click_ts when its state is evicted, so
+    *                  opened-but-never-clicked is a first-class output
+    *                  row, not an absence */
   def attributionJoin(opens: DataFrame, clicks: DataFrame,
-      horizon: String = "1 hour", watermark: String = "1 hour"): DataFrame = {
+      horizon: String = "1 hour", watermark: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     val o = opens.select(col("user_id").as("o_user"), col("ts").as("open_ts"))
       .withWatermark("open_ts", watermark)
     val c = clicks.select(col("user_id").as("c_user"), col("ts").as("click_ts"))
@@ -375,7 +382,8 @@ object IncrementalPipeline {
     o.join(c,
         expr(s"""o_user = c_user
                  AND click_ts >= open_ts
-                 AND click_ts <= open_ts + interval $horizon"""))
+                 AND click_ts <= open_ts + interval $horizon"""),
+        joinType)
       .select(col("o_user").as("user_id"), col("open_ts"), col("click_ts"))
   }
 

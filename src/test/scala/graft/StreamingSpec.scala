@@ -153,6 +153,45 @@ class StreamingSpec extends AnyFunSuite {
       s"expected exactly the one in-horizon attribution, got ${rows.toSeq}")
   }
 
+  test("left-outer attribution: never-clicked open emits once with null click") {
+    // The funnel-loss contract: an open the watermark proves can no
+    // longer match must surface as a row with a null click_ts (emitted
+    // when its join state evicts), while matched pairs emit normally
+    // and clicks without opens emit nothing (left side is opens).
+    import graft.streaming.SessionEvent
+    implicit val sql = spark.sqlContext
+    val opens = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessionEvent]
+    val clicks = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessionEvent]
+    def ev(u: Long, t: String) = SessionEvent(u, java.sql.Timestamp.valueOf(t))
+    val q = IncrementalPipeline.attributionJoin(
+        opens.toDF(), clicks.toDF(), horizon = "1 hour", watermark = "1 hour",
+        joinType = "left_outer")
+      .writeStream.outputMode("append").format("memory").queryName("attribo").start()
+    // user 3 opens and never clicks; user 9 clicks with no open
+    opens.addData(ev(3, "2024-01-01 10:00:00"))
+    clicks.addData(ev(9, "2024-01-01 10:05:00"))
+    q.processAllAvailable()
+    // matched pair far ahead advances both watermarks past user 3's range
+    opens.addData(ev(8, "2024-01-01 20:00:00"))
+    clicks.addData(ev(8, "2024-01-01 20:10:00"))
+    q.processAllAvailable()
+    // one more advance so eviction-time outer emission flushes
+    opens.addData(ev(7, "2024-01-01 23:00:00"))
+    clicks.addData(ev(7, "2024-01-01 23:05:00"))
+    q.processAllAvailable()
+    val rows = spark.table("attribo").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        Option(r.getTimestamp(2)).map(_.toString)))
+      .sortBy(_._1)
+    q.stop()
+    val u3 = rows.filter(_._1 == 3L)
+    assert(u3.toSeq == Seq((3L, "2024-01-01 10:00:00.0", None)),
+      s"expected exactly one null-click row for the lost open, got ${rows.toSeq}")
+    assert(rows.exists(r => r._1 == 8L && r._3.contains("2024-01-01 20:10:00.0")),
+      s"matched pair missing: ${rows.toSeq}")
+    assert(!rows.exists(_._1 == 9L), s"open-less click leaked: ${rows.toSeq}")
+  }
+
   test("streaming dedup keeps one row per key within watermark") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup").toString
     val batch = graft.catalog.Q.t(spark, "/root/testdata/sf0.001", "events")
