@@ -914,6 +914,70 @@ object AggWindowCatalog {
               CAST((1000000 * abs((15 * 281474976710656) // kth - n_exact))
                 // n_exact AS BIGINT) AS err_ppm
             FROM ex JOIN kth USING (flag) ORDER BY ex.flag"""
-      })
+      }),
+
+    Q("w8_forward_fill",
+      // Time-grid forward fill (gap filling): per user, an hour grid
+      // spanning their activity, each empty slot carrying the last
+      // observed value forward — the standard densification step for
+      // sensor/metric series before feature windows. Values are
+      // snapped to integer cents ONCE at the event (floor(v*100+0.5)
+      // of the stored double — deterministic), so the filled series
+      // and its per-user sums are pure BIGINT — no float accumulation
+      // across slots. Scale shape: the grid explode is span-bounded
+      // (one row per user-hour), the per-slot argmax and the
+      // forward-fill window share the user_id partitioning, and the
+      // final rollup returns one row per user.
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            expr("unix_micros(ts) div 3600000000").as("slot"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v_e2"))
+        val wSlot = Window.partitionBy("user_id", "slot")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val obs = ev.withColumn("rn", row_number().over(wSlot))
+          .filter(col("rn") === 1).select("user_id", "slot", "v_e2")
+        val grid = ev.groupBy("user_id")
+          .agg(min("slot").as("mins"), max("slot").as("maxs"))
+          .select(col("user_id"), explode(expr("sequence(mins, maxs)")).as("slot"))
+        val wFf = Window.partitionBy("user_id").orderBy("slot")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(obs, Seq("user_id", "slot"), "left")
+          .withColumn("ff", last("v_e2", ignoreNulls = true).over(wFf))
+          .withColumn("is_filled",
+            (col("v_e2").isNull && col("ff").isNotNull).cast("int"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_slots"), count("v_e2").as("n_obs"),
+            sum("is_filled").as("n_filled"), sum("ff").as("sum_ff_e2"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (
+               SELECT user_id, ts, event_id,
+                 epoch_us(ts) // 3600000000 AS slot,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_e2
+               FROM events),
+             obs AS (
+               SELECT user_id, slot, v_e2 FROM (
+                 SELECT *, row_number() OVER (
+                     PARTITION BY user_id, slot
+                     ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM ev)
+               WHERE rn = 1),
+             bounds AS (SELECT user_id, min(slot) AS mins, max(slot) AS maxs
+                        FROM ev GROUP BY 1),
+             grid AS (SELECT user_id, unnest(range(mins, maxs + 1)) AS slot
+                      FROM bounds),
+             j AS (SELECT g.user_id, g.slot, obs.v_e2
+                   FROM grid g LEFT JOIN obs USING (user_id, slot)),
+             f AS (SELECT *, last_value(v_e2 IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY slot
+                     ROWS UNBOUNDED PRECEDING) AS ff
+                   FROM j)
+             SELECT user_id, CAST(count(*) AS BIGINT) AS n_slots,
+               CAST(count(v_e2) AS BIGINT) AS n_obs,
+               CAST(sum(CASE WHEN v_e2 IS NULL AND ff IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+               CAST(sum(ff) AS BIGINT) AS sum_ff_e2
+             FROM f GROUP BY user_id ORDER BY user_id"""))
   )
 }

@@ -531,8 +531,77 @@ object GraphCatalog {
               SELECT node, CAST(count(*) AS BIGINT) AS n_reached,
                 CAST(sum(1000000 // hops) AS BIGINT) AS harmonic_e6
               FROM dist WHERE hops > 0
-              GROUP BY node ORDER BY node"""))
+              GROUP BY node ORDER BY node""")),
+
+    // Deterministic random-walk sampling (DeepWalk/node2vec corpus
+    // prep) over the sparsified co-occurrence graph: 4-step walks from
+    // the 25 smallest nodes, neighbor choice = md5(cur, step, start)
+    // mod degree over the rank-ordered neighbor list — content-derived
+    // "randomness", so the walks are engine- and run-reproducible (the
+    // property that makes walk corpora verifiable and resumable at
+    // scale). One ranked-adjacency build + one node-keyed join per
+    // step; the oracle unrolls the same joins with the identical
+    // md5-nibble arithmetic.
+    Q("g_random_walks",
+      (s, d) => {
+        val edges = copartPairs(t(s, d, "lineitem")
+            .select("l_orderkey", "l_partkey"))
+          .groupBy("u", "v").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2)
+          .select("u", "v")
+        val starts = edges.select(col("u").as("n"))
+          .union(edges.select(col("v").as("n")))
+          .distinct().orderBy("n").limit(25)
+        GraphAlgos.deterministicWalks(edges, starts, steps = 4)
+          .orderBy("start", "step")
+      },
+      Some(randomWalkOracle(steps = 4)))
   )
+
+  /** Oracle twin of g_random_walks: ranked adjacency + the walk steps
+    * unrolled, choice arithmetic identical to
+    * GraphAlgos.deterministicWalks (md5 first-12-hex rebuilt nibble by
+    * nibble — DuckDB has no base-16 conv). */
+  private def randomWalkOracle(steps: Int): String = {
+    val nib = (i: Int) => s"(strpos('0123456789abcdef', substring(h, $i, 1)) - 1)"
+    val h48 = (1 to 12).map(i => s"${nib(i)} * ${1L << (4 * (12 - i))}")
+      .mkString("(", " + ", ")")
+    val head =
+      """WITH po AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS MATERIALIZED (
+           SELECT a.l_partkey AS u, b.l_partkey AS v
+           FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e0 AS MATERIALIZED (
+           SELECT u AS s, v AS d FROM pr UNION ALL SELECT v, u FROM pr),
+         adjr AS MATERIALIZED (
+           SELECT s, d, row_number() OVER (PARTITION BY s ORDER BY d) AS rn,
+             count(*) OVER (PARTITION BY s) AS deg
+           FROM e0),
+         starts AS MATERIALIZED (
+           SELECT s AS start FROM (SELECT DISTINCT s FROM e0 ORDER BY s LIMIT 25)),
+         w0 AS (SELECT start, start AS cur, 0 AS step FROM starts)"""
+    val walks = (1 to steps).map { tt =>
+      s""",
+         c$tt AS (
+           SELECT start, cur, deg, CAST($h48 AS BIGINT) AS hv FROM (
+             SELECT w.start, w.cur, g.deg,
+               md5(CAST(w.cur AS VARCHAR) || ':' || '$tt' || ':'
+                 || CAST(w.start AS VARCHAR)) AS h
+             FROM w${tt - 1} w
+             JOIN (SELECT DISTINCT s, deg FROM adjr) g ON g.s = w.cur)),
+         w$tt AS (
+           SELECT c.start, a.d AS cur, $tt AS step
+           FROM c$tt c JOIN adjr a
+             ON a.s = c.cur AND a.rn = 1 + (c.hv % c.deg))"""
+    }.mkString
+    val unionAll = (0 to steps).map(i => s"SELECT * FROM w$i").mkString(" UNION ALL ")
+    head + walks + s"""
+         SELECT start, step, cur AS node FROM ($unionAll)
+         ORDER BY start, step"""
+  }
 
   /** Shared CTE chain of the label-propagation oracles: the sparsified
     * co-occurrence graph (pr/e0) + `rounds` unrolled synchronized

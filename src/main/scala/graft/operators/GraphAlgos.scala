@@ -681,6 +681,55 @@ object GraphAlgos {
     settled
   }
 
+  /** Deterministic random-walk sampling — the corpus-prep step graph
+    * embedding pipelines (DeepWalk/node2vec) run before training: from
+    * each start node, a length-`steps` walk whose "random" neighbor
+    * choice at step t is content-derived — index = md5(cur, t, start)
+    * mod degree over the node's rank-ordered neighbor list — so the
+    * SAME walks come out on every engine and every run (true rand()
+    * would be unverifiable AND non-resumable at scale).
+    *
+    * Scale shape: the ranked adjacency (neighbor rank + degree per
+    * node) is built ONCE (one window over the node-keyed edge frame);
+    * each step is one equi-join of the walk frontier against it —
+    * `steps` node-keyed joins total, no iteration-dependent state
+    * growth (the frontier stays |starts| rows).
+    *
+    * @param edges  undirected (u, v) pairs
+    * @param starts 1-column frame of walk start nodes
+    * @param steps  walk length in edges */
+  def deterministicWalks(edges: DataFrame, starts: DataFrame,
+      steps: Int = 4): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    val e = edges.filter(col("u") =!= col("v")).select("u", "v").distinct()
+    val sym = e.select(col("u").as("s"), col("v").as("d"))
+      .union(e.select(col("v").as("s"), col("u").as("d")))
+    val wN = org.apache.spark.sql.expressions.Window
+      .partitionBy("s").orderBy(col("d").asc)
+    val adj = sym
+      .withColumn("rn", row_number().over(wN))
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("s")))
+      .cutLineage()
+    var walk = starts
+      .select(col(starts.columns.head).cast(adj.schema("s").dataType).as("start"))
+      .distinct()
+      .withColumn("cur", col("start"))
+      .withColumn("step", lit(0))
+    var out = walk
+    for (t <- 1 to steps) {
+      walk = walk
+        .join(adj, walk("cur") === adj("s") &&
+          adj("rn") === expr(
+            s"""1 + pmod(CAST(conv(substring(
+                 md5(concat(CAST(cur AS STRING), ':', '$t', ':', CAST(start AS STRING))),
+                 1, 12), 16, 10) AS BIGINT), deg)"""))
+        .select(col("start"), col("d").as("cur"), lit(t).as("step"))
+      out = out.unionByName(walk)
+    }
+    out.select(col("start"), col("step"), col("cur").as("node"))
+  }
+
   /** Per-community modularity accounting for a partition `labels`
     * (node, lbl) of the undirected graph `edges` (u, v pairs) — the
     * standard "is this community structure real" audit run after any
