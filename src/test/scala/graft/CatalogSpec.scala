@@ -71,7 +71,11 @@ class CatalogSpec extends AnyFunSuite {
           s.startsWith("first at"))
     }
     for (q <- Seq("g_ppr_trade", "g_link_predict", "g_adamic_adar",
-        "g_bfs_hops", "g_shortest_trade")) {
+        "g_bfs_hops", "g_shortest_trade",
+        // round-9 additions: seeds/edge-counts/pivots must also fold
+        // in-plan (1-row broadcasts), never driver-fetch
+        "g_modularity", "g_closeness_sampled", "g_random_walks",
+        "x_bm25_topk", "j13_interval_overlap")) {
       val bad = scalarFetchSitesDuring { SparkEntry.queries(q)(spark, dir) }
       assert(bad.isEmpty,
         s"$q construction ran driver-scalar fetch jobs: $bad")
