@@ -978,6 +978,109 @@ object AggWindowCatalog {
                CAST(sum(CASE WHEN v_e2 IS NULL AND ff IS NOT NULL
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
                CAST(sum(ff) AS BIGINT) AS sum_ff_e2
-             FROM f GROUP BY user_id ORDER BY user_id"""))
+             FROM f GROUP BY user_id ORDER BY user_id""")),
+
+    Q("a_kmv_union",
+      // KMV MERGEABILITY — the property that makes the sketch a
+      // distributed primitive: the global sketch is just the k smallest
+      // of the UNION of the per-group sketches' values (never the raw
+      // data), so per-partition/per-source sketches combine with a
+      // union + top-k, exactly how a 1000-executor distinct-count
+      // rolls up. Built here from a_kmv_distinct's three per-flag
+      // sketches; the global estimate is audited against the exact
+      // corpus-wide distinct count, all BIGINT.
+      (s, d) => {
+        val wF = Window.partitionBy("flag").orderBy(col("h").asc)
+        val sketches = t(s, d, "lineitem")
+          .select(col("l_returnflag").as("flag"), col("l_partkey")).distinct()
+          .withColumn("h", expr(
+            "CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 12), 16, 10) AS BIGINT)"))
+          .select("flag", "h").distinct()
+          .withColumn("rn", row_number().over(wF))
+          .filter(col("rn") <= 16)
+        val wG = Window.orderBy(col("h").asc) // 48 sketch values, not the corpus
+        val merged = sketches.select("h").distinct()
+          .withColumn("grn", row_number().over(wG))
+          .filter(col("grn") === 16)
+          .select(col("h").as("kth"))
+        t(s, d, "lineitem")
+          .agg(countDistinct("l_partkey").as("n_exact"))
+          .crossJoin(broadcast(merged))
+          .withColumn("est_kmv", expr("(15 * 281474976710656L) div kth"))
+          .withColumn("err_ppm",
+            expr("(1000000 * abs(est_kmv - n_exact)) div n_exact"))
+          .select("n_exact", "kth", "est_kmv", "err_ppm")
+      },
+      Some {
+        val nib = (i: Int) => s"(strpos('0123456789abcdef', substring(h, $i, 1)) - 1)"
+        val h48 = (1 to 12).map(i => s"${nib(i)} * ${1L << (4 * (12 - i))}")
+          .mkString("CAST(", " + ", " AS BIGINT)")
+        s"""WITH vals AS (
+              SELECT DISTINCT l_returnflag AS flag, l_partkey FROM lineitem),
+            hs AS (
+              SELECT DISTINCT flag, $h48 AS h FROM (
+                SELECT flag, md5(CAST(l_partkey AS VARCHAR)) AS h FROM vals)),
+            sk AS (
+              SELECT flag, h FROM (
+                SELECT flag, h, row_number() OVER (
+                    PARTITION BY flag ORDER BY h) AS rn
+                FROM hs)
+              WHERE rn <= 16),
+            mg AS (
+              SELECT h AS kth FROM (
+                SELECT h, row_number() OVER (ORDER BY h) AS grn
+                FROM (SELECT DISTINCT h FROM sk))
+              WHERE grn = 16),
+            ex AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
+                   FROM lineitem)
+            SELECT n_exact, kth,
+              CAST((15 * 281474976710656) // kth AS BIGINT) AS est_kmv,
+              CAST((1000000 * abs((15 * 281474976710656) // kth - n_exact))
+                // n_exact AS BIGINT) AS err_ppm
+            FROM ex CROSS JOIN mg"""
+      }),
+
+    Q("w9_anomaly_hours",
+      // Per-user anomalous-hour detection with INTEGER z-scores: an
+      // hour is anomalous when its event count sits more than 3 sigma
+      // above that user's hourly mean. The 3-sigma test cross-
+      // multiplies the variance instead of dividing —
+      //   (c*n - sum)^2 > 9 * (n*sum_sq - sum^2)  [and c*n > sum]
+      // — so mean and variance never materialize as floats and the
+      // whole detector is BIGINT-exact on any engine (counts are
+      // integers; that is the trick). The stats window and the rollup
+      // share the user_id partitioning: one shuffle.
+      (s, d) => {
+        val hourly = t(s, d, "events")
+          .groupBy(col("user_id"),
+            expr("unix_micros(ts) div 3600000000").as("slot"))
+          .agg(count(lit(1)).as("c"))
+        val wU = Window.partitionBy("user_id")
+        hourly
+          .withColumn("n", count(lit(1)).over(wU))
+          .withColumn("s", sum("c").over(wU))
+          .withColumn("ss", sum(expr("c * c")).over(wU))
+          .withColumn("anom", (expr("c * n > s") &&
+            expr("(c * n - s) * (c * n - s) > 9 * (n * ss - s * s)")).cast("int"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_hours"), max("c").as("max_c"),
+            sum("anom").as("n_anomalous"))
+          .orderBy("user_id")
+      },
+      Some("""WITH hourly AS (
+               SELECT user_id, epoch_us(ts) // 3600000000 AS slot,
+                 CAST(count(*) AS BIGINT) AS c
+               FROM events GROUP BY 1, 2),
+             st AS (
+               SELECT *, CAST(count(*) OVER w AS BIGINT) AS n,
+                 CAST(sum(c) OVER w AS BIGINT) AS s,
+                 CAST(sum(c * c) OVER w AS BIGINT) AS ss
+               FROM hourly WINDOW w AS (PARTITION BY user_id))
+             SELECT user_id, CAST(count(*) AS BIGINT) AS n_hours,
+               CAST(max(c) AS BIGINT) AS max_c,
+               CAST(sum(CASE WHEN c * n > s
+                         AND (c * n - s) * (c * n - s) > 9 * (n * ss - s * s)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous
+             FROM st GROUP BY user_id ORDER BY user_id"""))
   )
 }

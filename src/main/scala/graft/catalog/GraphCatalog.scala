@@ -555,7 +555,39 @@ object GraphCatalog {
         GraphAlgos.deterministicWalks(edges, starts, steps = 4)
           .orderBy("start", "step")
       },
-      Some(randomWalkOracle(steps = 4)))
+      Some(randomWalkOracle(steps = 4))),
+
+    // Skip-gram pair extraction over the deterministic walks — the
+    // actual TRAINING INPUT of DeepWalk/node2vec (center, context)
+    // co-occurrence within a +-2 window along each walk. Walks are
+    // |starts| x (steps+1) rows, so the per-start self-join is bounded
+    // by the walk length, not the graph; the pair counts aggregate
+    // map-side and the top-k is TakeOrderedAndProject.
+    Q("g_walk_skipgrams",
+      (s, d) => {
+        val edges = copartPairs(t(s, d, "lineitem")
+            .select("l_orderkey", "l_partkey"))
+          .groupBy("u", "v").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2)
+          .select("u", "v")
+        val starts = edges.select(col("u").as("n"))
+          .union(edges.select(col("v").as("n")))
+          .distinct().orderBy("n").limit(25)
+        val wk = GraphAlgos.deterministicWalks(edges, starts, steps = 4)
+        val a = wk.select(col("start"), col("step").as("sa"), col("node").as("center"))
+        val b = wk.select(col("start"), col("step").as("sb"), col("node").as("context"))
+        a.join(b, Seq("start"))
+          .filter(col("sa") =!= col("sb") && abs(col("sa") - col("sb")) <= 2)
+          .groupBy("center", "context").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("center").asc, col("context").asc)
+          .limit(20)
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("cnt").desc, col("center").asc, col("context").asc)))
+          .select("rn", "center", "context", "cnt")
+          .orderBy("rn")
+      },
+      Some(skipgramOracle(steps = 4, window = 2, topK = 20)))
   )
 
   /** Oracle twin of g_random_walks: ranked adjacency + the walk steps
@@ -563,6 +595,33 @@ object GraphCatalog {
     * GraphAlgos.deterministicWalks (md5 first-12-hex rebuilt nibble by
     * nibble — DuckDB has no base-16 conv). */
   private def randomWalkOracle(steps: Int): String = {
+    val (ctes, unionAll) = randomWalkCtes(steps)
+    ctes + s"""
+         SELECT start, step, cur AS node FROM ($unionAll)
+         ORDER BY start, step"""
+  }
+
+  /** Oracle twin of g_walk_skipgrams: the walk chain, then window-2
+    * skip-gram pair extraction as a per-start self-join on step
+    * distance. */
+  private def skipgramOracle(steps: Int, window: Int, topK: Int): String = {
+    val (ctes, unionAll) = randomWalkCtes(steps)
+    ctes + s""",
+         wk AS (SELECT start, step, cur AS node FROM ($unionAll)),
+         pairs AS (
+           SELECT a.node AS center, b.node AS context
+           FROM wk a JOIN wk b
+             ON a.start = b.start AND a.step <> b.step
+            AND abs(a.step - b.step) <= $window)
+         SELECT rn, center, context, cnt FROM (
+           SELECT *, row_number() OVER (
+               ORDER BY cnt DESC, center, context) AS rn
+           FROM (SELECT center, context, CAST(count(*) AS BIGINT) AS cnt
+                 FROM pairs GROUP BY 1, 2))
+         WHERE rn <= $topK ORDER BY rn"""
+  }
+
+  private def randomWalkCtes(steps: Int): (String, String) = {
     val nib = (i: Int) => s"(strpos('0123456789abcdef', substring(h, $i, 1)) - 1)"
     val h48 = (1 to 12).map(i => s"${nib(i)} * ${1L << (4 * (12 - i))}")
       .mkString("(", " + ", ")")
@@ -598,9 +657,7 @@ object GraphCatalog {
              ON a.s = c.cur AND a.rn = 1 + (c.hv % c.deg))"""
     }.mkString
     val unionAll = (0 to steps).map(i => s"SELECT * FROM w$i").mkString(" UNION ALL ")
-    head + walks + s"""
-         SELECT start, step, cur AS node FROM ($unionAll)
-         ORDER BY start, step"""
+    (head + walks, unionAll)
   }
 
   /** Shared CTE chain of the label-propagation oracles: the sparsified
