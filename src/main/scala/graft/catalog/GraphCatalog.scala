@@ -587,8 +587,103 @@ object GraphCatalog {
           .select("rn", "center", "context", "cnt")
           .orderBy("rn")
       },
-      Some(skipgramOracle(steps = 4, window = 2, topK = 20)))
+      Some(skipgramOracle(steps = 4, window = 2, topK = 20))),
+
+    // k-truss decomposition (edge-level cohesion, one notch stronger
+    // than k-core): corpus-grounded 3-truss of the sparsified
+    // co-occurrence graph — keep edges lying in >= 1 triangle among
+    // survivors, iterated to fixpoint (the sweep-1 drop of
+    // triangle-free edges cascades). Oracle = the sweeps unrolled past
+    // the measured fixpoint (over-unrolling is stable: e_i = e_{i-1}
+    // once converged).
+    Q("g_ktruss",
+      (s, d) => {
+        val edges = copartPairs(t(s, d, "lineitem")
+            .select("l_orderkey", "l_partkey"))
+          .groupBy("u", "v").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2)
+          .select("u", "v")
+        GraphAlgos.kTruss(edges, k = 3).orderBy("node")
+      },
+      Some(ktrussOracle(k = 3, rounds = 6))),
+
+    // The k-truss FIXPOINT witness (the g_kcore_deep pattern): a
+    // 10-cell triangle ladder + a disjoint K5, built from the 25
+    // smallest part keys. Under k = 4 the ladder peels over THREE
+    // dependent sweeps (ends first, then the edges whose support they
+    // carried, then the stragglers) while the K5 — every edge support
+    // 3 — survives untouched: a single-pass support filter would
+    // return 30+ ladder edges; only the true fixpoint returns exactly
+    // the K5.
+    Q("g_ktruss_deep",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ranked = t(s, d, "part").select("p_partkey")
+          .orderBy("p_partkey").limit(25)
+          .withColumn("r", row_number().over(Window.orderBy("p_partkey")))
+        val a = ranked.select(col("p_partkey").as("u"), col("r").as("ra"))
+        val b = ranked.select(col("p_partkey").as("v"), col("r").as("rb"))
+        val edges = a.join(broadcast(b),
+          (col("ra") <= 10 && col("rb") === col("ra") + 10) ||          // rungs
+            (col("ra") <= 9 && col("rb") === col("ra") + 1) ||          // a-rail
+            (col("ra").between(11, 19) && col("rb") === col("ra") + 1) || // b-rail
+            (col("ra") <= 9 && col("rb") === col("ra") + 11) ||         // diagonals
+            (col("ra") >= 21 && col("rb") > col("ra") && col("rb") <= 25)) // K5
+          .select("u", "v")
+        GraphAlgos.kTruss(edges, k = 4).orderBy("node")
+      },
+      Some(ktrussDeepOracle(k = 4, rounds = 6)))
   )
+
+  /** Unrolled k-truss sweeps from a CTE named `e0` holding distinct
+    * (u < v) edges: per sweep, wedge-join the symmetrized survivors on
+    * the shared center, keep closed pairs with support >= k-2. */
+  private def ktrussSweeps(k: Int, rounds: Int): String =
+    (1 to rounds).map { i =>
+      s""",
+         sym$i AS MATERIALIZED (
+           SELECT u AS a, v AS b FROM e${i - 1}
+           UNION ALL SELECT v, u FROM e${i - 1}),
+         e$i AS MATERIALIZED (
+           SELECT s.u, s.v FROM (
+             SELECT w.u, w.v, count(*) AS c
+             FROM (SELECT x.b AS u, y.b AS v
+                   FROM sym$i x JOIN sym$i y ON x.a = y.a AND x.b < y.b) w
+             JOIN e${i - 1} t ON w.u = t.u AND w.v = t.v
+             GROUP BY 1, 2) s
+           WHERE s.c >= ${k - 2})"""
+    }.mkString
+
+  private def ktrussFinal(rounds: Int): String =
+    s"""
+         SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+           SELECT u AS node FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+         GROUP BY 1 ORDER BY node"""
+
+  private def ktrussOracle(k: Int, rounds: Int): String =
+    """WITH po AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS MATERIALIZED (
+           SELECT a.l_partkey AS u, b.l_partkey AS v
+           FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e0 AS MATERIALIZED (SELECT u, v FROM pr)""" +
+      ktrussSweeps(k, rounds) + ktrussFinal(rounds)
+
+  private def ktrussDeepOracle(k: Int, rounds: Int): String =
+    """WITH ranked AS MATERIALIZED (
+           SELECT p_partkey, row_number() OVER (ORDER BY p_partkey) AS r
+           FROM (SELECT p_partkey FROM part ORDER BY p_partkey LIMIT 25)),
+         e0 AS MATERIALIZED (
+           SELECT a.p_partkey AS u, b.p_partkey AS v
+           FROM ranked a JOIN ranked b ON
+                (a.r <= 10 AND b.r = a.r + 10)
+             OR (a.r <= 9 AND b.r = a.r + 1)
+             OR (a.r BETWEEN 11 AND 19 AND b.r = a.r + 1)
+             OR (a.r <= 9 AND b.r = a.r + 11)
+             OR (a.r >= 21 AND b.r > a.r AND b.r <= 25))""" +
+      ktrussSweeps(k, rounds) + ktrussFinal(rounds)
 
   /** Oracle twin of g_random_walks: ranked adjacency + the walk steps
     * unrolled, choice arithmetic identical to

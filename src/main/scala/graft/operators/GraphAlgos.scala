@@ -681,6 +681,69 @@ object GraphAlgos {
     settled
   }
 
+  /** k-truss decomposition — the EDGE-level cohesion peel next to
+    * [[kCore]]'s node-level one: keep exactly the edges supported by
+    * at least k-2 triangles among surviving edges, iterating because
+    * every removal can strip support from its triangle partners (the
+    * cascade). The truss is the standard community-core primitive one
+    * level stronger than k-core (every k-truss edge lies in a
+    * (k-1)-core, not vice versa).
+    *
+    * Per sweep: one symmetrize of the surviving (u < v) edge frame,
+    * one wedge self-join on the shared center, one left-semi closure
+    * probe against the survivors, one (u, v) count aggregate, one
+    * HAVING-style filter — all edge-keyed; the one `count()` per sweep
+    * is the convergence test and materializes the checkpoint the next
+    * sweep needs anyway. The wedge join is the cost center (the same
+    * term as one triangle enumeration over the CURRENT survivor set,
+    * which shrinks every sweep); at cluster scale the degree
+    * orientation used by trianglesPerNode applies verbatim if the
+    * first sweeps dominate.
+    *
+    * Returns surviving `(node, deg)` — each node's degree inside the
+    * truss (kCore's output shape). k <= 2 returns the deduped input
+    * degrees (every edge is trivially a 2-truss). A cascade deeper
+    * than `maxRounds` logs a warning and returns the partial peel. */
+  def kTruss(edges: DataFrame, k: Int, maxRounds: Int = 4096): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    var cur = edges.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .cutLineage()
+    if (k > 2) {
+      var n = cur.count()
+      var converged = false
+      var round = 0
+      val gc = new Lineage.RoundGc(edges.sparkSession)
+      while (!converged && (maxRounds <= 0 || round < maxRounds)) {
+        round += 1
+        val sym = cur.select(col("u").as("a"), col("v").as("b"))
+          .union(cur.select(col("v").as("a"), col("u").as("b")))
+        val wedges = sym.as("x").join(sym.as("y"),
+            col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+          .select(col("x.b").as("u"), col("y.b").as("v"))
+        val kept = wedges.join(cur, Seq("u", "v"), "left_semi")
+          .groupBy("u", "v").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= k - 2)
+          .select("u", "v")
+          .cutLineage()
+        val m = kept.count()
+        converged = m == n
+        n = m
+        cur = kept
+        gc.endRound()
+      }
+      if (!converged)
+        logger.warn(s"kTruss(k=$k): round cap $maxRounds hit before the " +
+          s"peel fixpoint ($n survivors at exit) — result is a " +
+          "partially-peeled superset of the true truss; raise maxRounds")
+    }
+    cur.select(col("u").as("node"))
+      .union(cur.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+  }
+
   /** Deterministic random-walk sampling — the corpus-prep step graph
     * embedding pipelines (DeepWalk/node2vec) run before training: from
     * each start node, a length-`steps` walk whose "random" neighbor

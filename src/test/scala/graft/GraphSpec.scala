@@ -410,6 +410,29 @@ class GraphSpec extends AnyFunSuite {
     assert(bounded == Set((1L, 1L), (1L, 2L), (5L, 5L), (5L, 4L)))
   }
 
+  test("kTruss: ladder cascades away over dependent sweeps, K5 survives") {
+    // 10-cell triangle ladder (a_i-b_i rungs, rails, diagonals: every
+    // interior edge in exactly 2 triangles) + disjoint K5. k=4 demands
+    // support >= 2: the ladder peels over THREE dependent sweeps while
+    // K5 (support 3 everywhere) is untouched. A single-pass support
+    // filter would keep the ladder's interior — only the fixpoint
+    // returns exactly the K5.
+    val n = 10
+    def A(i: Int) = i.toLong; def B(i: Int) = (100 + i).toLong
+    val ladder =
+      (1 to n).map(i => (A(i), B(i))) ++
+        (1 until n).flatMap(i => Seq((A(i), A(i + 1)), (B(i), B(i + 1)), (A(i), B(i + 1))))
+    val k5 = (for { a <- 200 to 204; b <- (a + 1) to 204 } yield (a.toLong, b.toLong))
+    val edges = (ladder ++ k5).toDF("u", "v")
+    val got = GraphAlgos.kTruss(edges, k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (200 to 204).map(_.toLong -> 4L).toMap)
+    // k = 2 keeps everything (every edge is a 2-truss): degree of a1 is 3
+    val all2 = GraphAlgos.kTruss(edges, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(all2(A(1)) == 3L && all2(200L) == 4L && all2.size == 2 * n + 5)
+  }
+
   test("modularityByCommunity: two triangles over a bridge, exact rationals") {
     // Same graph as the LPA test: m = 7 edges; communities {1,2,3} and
     // {4,5,6} each have 3 intra edges and degree sum 7 (the bridge adds
