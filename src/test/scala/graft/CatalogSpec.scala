@@ -75,7 +75,8 @@ class CatalogSpec extends AnyFunSuite {
         // round-9 additions: seeds/edge-counts/pivots must also fold
         // in-plan (1-row broadcasts), never driver-fetch
         "g_modularity", "g_closeness_sampled", "g_random_walks",
-        "x_bm25_topk", "j13_interval_overlap")) {
+        "x_bm25_topk", "j13_interval_overlap",
+        "g_ktruss", "g_walk_skipgrams", "a_kmv_union")) {
       val bad = scalarFetchSitesDuring { SparkEntry.queries(q)(spark, dir) }
       assert(bad.isEmpty,
         s"$q construction ran driver-scalar fetch jobs: $bad")
