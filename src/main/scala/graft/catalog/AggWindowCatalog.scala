@@ -1040,6 +1040,87 @@ object AggWindowCatalog {
             FROM ex CROSS JOIN mg"""
       }),
 
+    Q("a_hll_union",
+      // HLL MERGEABILITY — a_kmv_union's twin for the register sketch:
+      // the union of HLL sketches is the REGISTER-WISE MAX of the
+      // per-group register tables (never the raw data), which is how
+      // per-partition distinct sketches combine up a cluster's
+      // aggregation tree. Built from a_hll_manual's three per-flag
+      // register tables; the merged estimate runs the identical
+      // scaled-integer harmonic arithmetic and is audited against the
+      // exact corpus-wide distinct.
+      (s, d) => {
+        val vals = t(s, d, "lineitem")
+          .select(col("l_returnflag").as("flag"), col("l_partkey")).distinct()
+          .withColumn("h", md5(col("l_partkey").cast("string")))
+          .withColumn("idx", expr("CAST(conv(substring(h, 1, 2), 16, 10) AS INT) % 64"))
+          .withColumn("bits", expr("substring(h, 3, 16)"))
+          .withColumn("z", length(regexp_extract(col("bits"), "^(0*)", 1)))
+          .withColumn("rho", least(
+            col("z") * 4 + expr(
+              """CASE substring(bits, z + 1, 1)
+                 WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                 WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+                 ELSE 0 END""") + 1,
+            lit(40)))
+        val perFlag = vals.groupBy("flag", "idx").agg(max("rho").as("m"))
+        val merged = perFlag.groupBy("idx").agg(max("m").as("m"))
+        val est = merged.agg(
+            sum(expr("shiftleft(CAST(1 AS BIGINT), 40 - m)")).as("s_present"),
+            count(lit(1)).as("n_regs"))
+          .withColumn("v", lit(64) - col("n_regs"))
+          .withColumn("s_scaled",
+            col("s_present") + col("v") * lit(1099511627776L))
+          .withColumn("e_raw", expr(
+            "CAST(0.709 AS DOUBLE) * 4096.0 * 1099511627776.0 / s_scaled"))
+          .withColumn("est", when(col("e_raw") <= 160.0 && col("v") > 0,
+            expr("64.0 * ln(64.0 / v)")).otherwise(col("e_raw")))
+        t(s, d, "lineitem")
+          .agg(countDistinct("l_partkey").as("n_exact"))
+          .crossJoin(broadcast(est.select("est")))
+          .select(col("n_exact"), round(col("est"), 2).as("n_hll"),
+            round(abs(col("est") - col("n_exact")) / col("n_exact"), 4)
+              .as("rel_err"))
+      },
+      Some("""WITH vals AS (
+               SELECT flag, idx, bits,
+                 length(regexp_extract(bits, '^(0*)', 1)) AS z
+               FROM (
+                 SELECT flag,
+                   CAST((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) AS INT)
+                     % 64 AS idx,
+                   substring(h, 3, 16) AS bits
+                 FROM (SELECT DISTINCT l_returnflag AS flag, l_partkey FROM lineitem),
+                   LATERAL (SELECT md5(CAST(l_partkey AS VARCHAR)) AS h))),
+             rhos AS (
+               SELECT flag, idx, least(z * 4 +
+                 CASE substring(bits, z + 1, 1)
+                   WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                   WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+                   ELSE 0 END + 1, 40) AS rho
+               FROM vals),
+             regs AS (SELECT flag, idx, max(rho) AS m FROM rhos GROUP BY 1, 2),
+             merged AS (SELECT idx, max(m) AS m FROM regs GROUP BY 1),
+             agg AS (
+               SELECT CAST(sum(1::BIGINT << (40 - m)) AS BIGINT) AS s_present,
+                 count(*) AS n_regs
+               FROM merged),
+             est AS (
+               SELECT CASE WHEN e_raw <= 160.0 AND v > 0
+                           THEN 64.0 * ln(64.0 / v)
+                      ELSE e_raw END AS est
+               FROM (SELECT 64 - n_regs AS v,
+                       CAST(0.709 AS DOUBLE) * 4096.0 * 1099511627776.0
+                         / (s_present + (64 - n_regs) * 1099511627776) AS e_raw
+                     FROM agg)),
+             exact AS (
+               SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
+               FROM lineitem)
+             SELECT n_exact, round(est, 2) AS n_hll,
+               round(abs(est - n_exact) / n_exact, 4) AS rel_err
+             FROM exact CROSS JOIN est""")),
+
     Q("w9_anomaly_hours",
       // Per-user anomalous-hour detection with INTEGER z-scores: an
       // hour is anomalous when its event count sits more than 3 sigma

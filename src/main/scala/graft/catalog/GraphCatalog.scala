@@ -589,6 +589,36 @@ object GraphCatalog {
       },
       Some(skipgramOracle(steps = 4, window = 2, topK = 20))),
 
+    // Walk-visit centrality — the sampling-based centrality estimate
+    // (nodes that deterministic walks keep landing on are the traffic
+    // carriers; the walk-count proxy used when exact betweenness'
+    // all-pairs cost is off the table). 6-step walks from 50 in-plan
+    // pivots; visits and distinct-walk counts are integers, top-20 is
+    // TakeOrderedAndProject.
+    Q("g_walk_centrality",
+      (s, d) => {
+        val edges = copartPairs(t(s, d, "lineitem")
+            .select("l_orderkey", "l_partkey"))
+          .groupBy("u", "v").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2)
+          .select("u", "v")
+        val starts = edges.select(col("u").as("n"))
+          .union(edges.select(col("v").as("n")))
+          .distinct().orderBy("n").limit(50)
+        GraphAlgos.deterministicWalks(edges, starts, steps = 6)
+          .groupBy("node")
+          .agg(count(lit(1)).as("visits"),
+            countDistinct("start").as("n_walks"))
+          .orderBy(col("visits").desc, col("node").asc)
+          .limit(20)
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("visits").desc, col("node").asc)))
+          .select("rn", "node", "visits", "n_walks")
+          .orderBy("rn")
+      },
+      Some(walkCentralityOracle(steps = 6, startsLimit = 50, topK = 20))),
+
     // k-truss decomposition (edge-level cohesion, one notch stronger
     // than k-core): corpus-grounded 3-truss of the sparsified
     // co-occurrence graph — keep edges lying in >= 1 triangle among
@@ -716,12 +746,25 @@ object GraphCatalog {
          WHERE rn <= $topK ORDER BY rn"""
   }
 
-  private def randomWalkCtes(steps: Int): (String, String) = {
+  /** Oracle twin of g_walk_centrality: walk chain + integer visit
+    * counts, top-k. */
+  private def walkCentralityOracle(steps: Int, startsLimit: Int, topK: Int): String = {
+    val (ctes, unionAll) = randomWalkCtes(steps, startsLimit)
+    ctes + s"""
+         SELECT rn, node, visits, n_walks FROM (
+           SELECT *, row_number() OVER (ORDER BY visits DESC, node) AS rn
+           FROM (SELECT cur AS node, CAST(count(*) AS BIGINT) AS visits,
+                   CAST(count(DISTINCT start) AS BIGINT) AS n_walks
+                 FROM ($unionAll) GROUP BY 1))
+         WHERE rn <= $topK ORDER BY rn"""
+  }
+
+  private def randomWalkCtes(steps: Int, startsLimit: Int = 25): (String, String) = {
     val nib = (i: Int) => s"(strpos('0123456789abcdef', substring(h, $i, 1)) - 1)"
     val h48 = (1 to 12).map(i => s"${nib(i)} * ${1L << (4 * (12 - i))}")
       .mkString("(", " + ", ")")
     val head =
-      """WITH po AS MATERIALIZED (
+      s"""WITH po AS MATERIALIZED (
            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          pr AS MATERIALIZED (
            SELECT a.l_partkey AS u, b.l_partkey AS v
@@ -735,7 +778,7 @@ object GraphCatalog {
              count(*) OVER (PARTITION BY s) AS deg
            FROM e0),
          starts AS MATERIALIZED (
-           SELECT s AS start FROM (SELECT DISTINCT s FROM e0 ORDER BY s LIMIT 25)),
+           SELECT s AS start FROM (SELECT DISTINCT s FROM e0 ORDER BY s LIMIT $startsLimit)),
          w0 AS (SELECT start, start AS cur, 0 AS step FROM starts)"""
     val walks = (1 to steps).map { tt =>
       s""",

@@ -161,6 +161,63 @@ object TextCatalog {
   private val frW = "'le','la','les','et','est','dans'"
   private val esW = "'el','los','las','es','y','por'"
 
+  /** Per-doc char-bigram LM scores (doc_id, n_bigrams, avg_logp@4dp) —
+    * the shared pipeline of x_charlm_score and x_ccnet_buckets; see
+    * x_charlm_score's comment for the two-pass shape and the ln-ulp
+    * headroom argument. */
+  private def charlmDocScores(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.CharNGrams.register(s)
+    val docs = spread(t(s, d, "documents"))
+      .withColumn("norm", expr(sparkNorm))
+      .filter(expr("length(norm) >= 2"))
+    val bg = docs.select(col("doc_id"),
+      explode(expr("char_ngrams(norm, 2)")).as("bg"))
+    val counts = bg.groupBy("bg").agg(count(lit(1)).as("cnt"))
+      .cutLineage() // model reused by ctx/V/scoring — one derivation
+    val ctx = counts.groupBy(expr("substring(bg, 1, 1)").as("cx"))
+      .agg(sum("cnt").as("ctx_n"))
+    // Vocabulary size folded INTO the plan as a broadcast 1-row
+    // aggregate (round-5 verdict #6): the old .distinct().count() was
+    // a driver round-trip between the count pass and the scoring
+    // pass — same value, one extra job. Both derive from the KB-sized
+    // model table, so this is plan hygiene, not a scale fix.
+    val v = counts.agg(
+      countDistinct(expr("substring(bg, 2, 1)")).as("v"))
+    val model = counts.withColumn("cx", expr("substring(bg, 1, 1)"))
+      .join(ctx, "cx")
+      .crossJoin(broadcast(v))
+      .select(col("bg"),
+        log((col("cnt") + lit(1)) / (col("ctx_n") + col("v"))).as("logp"))
+    bg.join(broadcast(model), "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg("logp"), 4).as("avg_logp"))
+  }
+
+  /** DuckDB twin of [[charlmDocScores]], ending at CTE `scored`. */
+  private lazy val duckCharlmScored: String =
+    s"""base AS MATERIALIZED (
+                SELECT doc_id, $duckNorm AS norm FROM documents
+                WHERE length($duckNorm) >= 2),
+              bg AS MATERIALIZED (
+                SELECT doc_id, substring(norm, CAST(i AS INT), 2) AS bg
+                FROM base, UNNEST(range(1, length(norm))) AS t(i)),
+              counts AS MATERIALIZED (
+                SELECT bg, count(*) AS cnt FROM bg GROUP BY bg),
+              ctx AS (SELECT substring(bg, 1, 1) AS cx, sum(cnt) AS ctx_n
+                      FROM counts GROUP BY 1),
+              vsize AS (SELECT count(DISTINCT substring(bg, 2, 1)) AS v FROM counts),
+              model AS (SELECT counts.bg,
+                  ln((counts.cnt + 1) / (ctx.ctx_n + (SELECT v FROM vsize)))
+                    AS logp
+                FROM counts JOIN ctx ON substring(counts.bg, 1, 1) = ctx.cx),
+              scored AS MATERIALIZED (
+                SELECT bg.doc_id, count(*) AS n_bigrams,
+                  round(avg(model.logp), 4) AS avg_logp
+                FROM bg JOIN model ON bg.bg = model.bg
+                GROUP BY bg.doc_id)"""
+
   /** Fixed query terms for `x_bm25_topk` (all present in the synthetic
     * vocabulary at every SF). */
   private val Bm25Terms = Seq("spark", "query", "vector")
@@ -1264,54 +1321,39 @@ object TextCatalog {
       // so the heavy streams never shuffle beyond one tiny aggregation.
       // ln() on identical doubles differs by <= ~1 ulp across engines;
       // the 4dp round has ~1e-11 of headroom over the accumulated error.
+      (s, d) => charlmDocScores(s, d).orderBy("doc_id"),
+      Some(s"""WITH $duckCharlmScored
+              SELECT doc_id, n_bigrams, avg_logp FROM scored
+              ORDER BY doc_id""")),
+
+    Q("x_ccnet_buckets",
+      // CCNet-style perplexity bucketing: rank every doc by its LM
+      // score (x_charlm_score's char-bigram proxy) and split the corpus
+      // into head/middle/tail terciles — the published CCNet recipe
+      // keeps/weights buckets differently downstream. The ntile runs
+      // over the ROUNDED score with doc_id as total tiebreak, so the
+      // assignment is deterministic on both engines; output is the
+      // source x bucket composition matrix a mixture designer reads.
+      // (Terciles-by-global-sort is the oracle-parity formulation; at
+      // fleet scale the cutoffs come from approx quantiles and the
+      // bucketing becomes a row-local comparison.)
       (s, d) => {
-        graft.functions.CharNGrams.register(s)
-        val docs = spread(t(s, d, "documents"))
-          .withColumn("norm", expr(sparkNorm))
-          .filter(expr("length(norm) >= 2"))
-        val bg = docs.select(col("doc_id"),
-          explode(expr("char_ngrams(norm, 2)")).as("bg"))
-        val counts = bg.groupBy("bg").agg(count(lit(1)).as("cnt"))
-          .cutLineage() // model reused by ctx/V/scoring — one derivation
-        val ctx = counts.groupBy(expr("substring(bg, 1, 1)").as("cx"))
-          .agg(sum("cnt").as("ctx_n"))
-        // Vocabulary size folded INTO the plan as a broadcast 1-row
-        // aggregate (round-5 verdict #6): the old .distinct().count() was
-        // a driver round-trip between the count pass and the scoring
-        // pass — same value, one extra job. Both derive from the KB-sized
-        // model table, so this is plan hygiene, not a scale fix.
-        val v = counts.agg(
-          countDistinct(expr("substring(bg, 2, 1)")).as("v"))
-        val model = counts.withColumn("cx", expr("substring(bg, 1, 1)"))
-          .join(ctx, "cx")
-          .crossJoin(broadcast(v))
-          .select(col("bg"),
-            log((col("cnt") + lit(1)) / (col("ctx_n") + col("v"))).as("logp"))
-        bg.join(broadcast(model), "bg")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"),
-            round(avg("logp"), 4).as("avg_logp"))
-          .orderBy("doc_id")
+        val wB = Window.orderBy(col("avg_logp").desc, col("doc_id").asc)
+        charlmDocScores(s, d)
+          .join(t(s, d, "documents").select("doc_id", "source"), Seq("doc_id"))
+          .withColumn("bucket", ntile(3).over(wB))
+          .groupBy("source", "bucket")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("source", "bucket")
       },
-      Some(s"""WITH base AS MATERIALIZED (
-                SELECT doc_id, $duckNorm AS norm FROM documents
-                WHERE length($duckNorm) >= 2),
-              bg AS MATERIALIZED (
-                SELECT doc_id, substring(norm, CAST(i AS INT), 2) AS bg
-                FROM base, UNNEST(range(1, length(norm))) AS t(i)),
-              counts AS MATERIALIZED (
-                SELECT bg, count(*) AS cnt FROM bg GROUP BY bg),
-              ctx AS (SELECT substring(bg, 1, 1) AS cx, sum(cnt) AS ctx_n
-                      FROM counts GROUP BY 1),
-              vsize AS (SELECT count(DISTINCT substring(bg, 2, 1)) AS v FROM counts),
-              model AS (SELECT counts.bg,
-                  ln((counts.cnt + 1) / (ctx.ctx_n + (SELECT v FROM vsize)))
-                    AS logp
-                FROM counts JOIN ctx ON substring(counts.bg, 1, 1) = ctx.cx)
-              SELECT bg.doc_id, count(*) AS n_bigrams,
-                round(avg(model.logp), 4) AS avg_logp
-              FROM bg JOIN model ON bg.bg = model.bg
-              GROUP BY bg.doc_id ORDER BY bg.doc_id""")),
+      Some(s"""WITH $duckCharlmScored,
+              b AS (SELECT sc.doc_id, dd.source,
+                      ntile(3) OVER (ORDER BY sc.avg_logp DESC, sc.doc_id)
+                        AS bucket
+                    FROM scored sc JOIN documents dd USING (doc_id))
+              SELECT source, CAST(bucket AS INT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_docs
+              FROM b GROUP BY 1, 2 ORDER BY source, bucket""")),
 
     Q("x_redact_pii",
       // Cross-engine gate for Curation.redactPii (round-5 verdict #2:
