@@ -10,7 +10,8 @@ import graft.query.{ReportQueries => RQ}
   *
   * Usage:
   *   runMain graft.Report <rawDir> (--all-owners | --find-owner NAME |
-  *     --owner NAME [--entity contacts|companies|deals|combined|summary] |
+  *     --owner NAME [--entity contacts|companies|deals|combined|summary]
+  *       [--pick N] |
   *     --recent-forms [--days N] | --recent-email [--days N] |
   *     --recent-activity NAME [--days N] | --engagement-history EMAIL |
   *     --ownership [USER_EMAIL] | --schema | --rel-types |
@@ -30,7 +31,9 @@ import graft.query.{ReportQueries => RQ}
   * `--owner` with a needle matching more than one user does NOT silently
   * run against all of them (the reference prompts interactively,
   * report.py:39-87): it prints the candidate list and exits with code 2
-  * so a script can disambiguate and retry with a tighter needle.
+  * so a script can disambiguate and retry — either with a tighter
+  * needle, or with `--pick N` to select the Nth candidate from that
+  * same list (the non-interactive twin of the reference's prompt loop).
   */
 object Report {
 
@@ -106,17 +109,31 @@ object Report {
       case Some("--owner") =>
         val name = flagValue("--owner").get
         val matches = RQ.findOwner(g, name)
-        if (matches.limit(2).count() > 1) {
-          println(s"[report] owner needle '$name' is ambiguous; candidates:")
-          sink(matches, format, out)
-          return ExitAmbiguousOwner
-        }
+        // The reference resolves an ambiguous needle by PROMPTING for a
+        // 1-based pick from the candidate list (report.py:39-87). The
+        // scriptable equivalent is `--pick N`: N indexes the same
+        // candidate list (ordered by hubspot_id, as --find-owner prints
+        // it) and the run proceeds against exactly that user. Without
+        // --pick, ambiguity still lists candidates and exits 2.
+        val needle = if (matches.limit(2).count() > 1) {
+          flagValue("--pick").map(_.toInt) match {
+            case Some(n) =>
+              val ids = matches.select("hubspot_id").collect() // tiny owner dim
+              if (n < 1 || n > ids.length)
+                sys.error(s"--pick $n out of range 1..${ids.length}")
+              "id:" + ids(n - 1).getString(0)
+            case None =>
+              println(s"[report] owner needle '$name' is ambiguous; candidates:")
+              sink(matches, format, out)
+              return ExitAmbiguousOwner
+          }
+        } else name
         flagValue("--entity").getOrElse("summary") match {
-          case "contacts" => RQ.contactsByOwner(g, name)
-          case "companies" => RQ.companiesByOwner(g, name)
-          case "deals" => RQ.dealsByOwner(g, name)
-          case "combined" => RQ.combinedByOwner(g, name)
-          case _ => RQ.ownerSummary(g, name)
+          case "contacts" => RQ.contactsByOwner(g, needle)
+          case "companies" => RQ.companiesByOwner(g, needle)
+          case "deals" => RQ.dealsByOwner(g, needle)
+          case "combined" => RQ.combinedByOwner(g, needle)
+          case _ => RQ.ownerSummary(g, needle)
         }
       case Some("--recent-forms") => RQ.recentFormSubmissions(g, asOf, days)
       case Some("--recent-email") => RQ.recentEmailActivity(g, asOf, days)

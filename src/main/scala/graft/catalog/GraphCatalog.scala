@@ -487,6 +487,39 @@ object GraphCatalog {
       },
       Some(effDiameterOracle(hops = 3))),
 
+    // Harmonic centrality from the SAME HyperBall registers (the
+    // per-NODE readout, where g_eff_diameter is the per-GRAPH one):
+    // Boldi-Vigna estimate sum_h (|ball(v,h)| - |ball(v,h-1)|) / h —
+    // nodes whose reachable set grows EARLY score high. This is the
+    // centrality that works on 100 TB graphs: exact harmonic
+    // centrality is all-pairs BFS, the sketch is the `hops` register
+    // rounds already paid for the neighborhood function plus one
+    // 4-column pivot over the (node, h, est) frame. Parity: per-node
+    // estimates floor to e3 micro-ints BEFORE differencing, and the
+    // 1/h weights become the integer multipliers (6, 3, 2) = 6/h —
+    // the score is pure BIGINT arithmetic; top-20 ties break on node.
+    Q("g_harmonic_hyperball",
+      (s, d) => {
+        val pairs = copartPairs(t(s, d, "lineitem")
+            .select("l_orderkey", "l_partkey"))
+          .select(col("u").as("s"), col("v").as("d"))
+        val nf = GraphAlgos.neighborhoodFunction(pairs, hops = 3)
+          .select(col("node"), col("h"),
+            floor(col("est") * lit(1000) + lit(0.5)).cast("long").as("e3"))
+        nf.groupBy("node")
+          .agg(max(when(col("h") === 0, col("e3"))).as("b0"),
+            max(when(col("h") === 1, col("e3"))).as("b1"),
+            max(when(col("h") === 2, col("e3"))).as("b2"),
+            max(when(col("h") === 3, col("e3"))).as("b3"))
+          .select(col("node"),
+            ((col("b1") - col("b0")) * lit(6L) + (col("b2") - col("b1")) * lit(3L)
+              + (col("b3") - col("b2")) * lit(2L)).as("harm_e3x6"),
+            col("b3").as("ball3_e3"))
+          .orderBy(desc("harm_e3x6"), asc("node"))
+          .limit(20)
+      },
+      Some(harmonicOracle(hops = 3))),
+
     // Sampled harmonic closeness (Eppstein-Wang pivot estimate): hop
     // distances from k = 4 pivot seeds to every node, then per node the
     // harmonic sum over reached pivots — THE centrality family that
@@ -906,6 +939,30 @@ object GraphCatalog {
         CAST((1000000 * sum_est_e3) // nmax AS BIGINT) AS reach_ppm,
         eff_diameter
       FROM nf CROSS JOIN lastnf CROSS JOIN eff ORDER BY h"""
+  }
+
+  /** Oracle twin of g_harmonic_hyperball: the HyperBall chain's
+    * per-node e3 ball estimates pivoted by hop, then the integer
+    * harmonic weighting (6/h multipliers for h = 1..3) and a top-20. */
+  private def harmonicOracle(hops: Int): String = {
+    require(hops == 3, "harmonic readout is written for hops = 3")
+    val (ctes, unionAll) = neighborhoodParts(hops)
+    ctes + s""",
+      pe AS MATERIALIZED (
+        SELECT h, node, CAST(floor(est * 1000 + 0.5) AS BIGINT) AS e3
+        FROM ($unionAll)),
+      pv AS (
+        SELECT node,
+          max(CASE WHEN h = 0 THEN e3 END) AS b0,
+          max(CASE WHEN h = 1 THEN e3 END) AS b1,
+          max(CASE WHEN h = 2 THEN e3 END) AS b2,
+          max(CASE WHEN h = 3 THEN e3 END) AS b3
+        FROM pe GROUP BY node)
+      SELECT node,
+        CAST((b1 - b0) * 6 + (b2 - b1) * 3 + (b3 - b2) * 2 AS BIGINT)
+          AS harm_e3x6,
+        b3 AS ball3_e3
+      FROM pv ORDER BY harm_e3x6 DESC, node LIMIT 20"""
   }
 
   /** The shared HyperBall CTE chain: (ctes ending at e0..e{hops},

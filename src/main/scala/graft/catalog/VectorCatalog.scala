@@ -552,6 +552,73 @@ object VectorCatalog {
              FROM ev JOIN a2 USING (vec_id) GROUP BY 1, 2
              ORDER BY cluster, dim""")),
 
+    Q("v_density_prune",
+      // Cluster-based prototypicality pruning (the SemDeDup /
+      // "Beyond neural scaling laws" curation step): assign every
+      // vector to its nearest seed centroid, then per cluster KEEP the
+      // 8 HARDEST examples — the ones farthest from their centroid.
+      // The scaling-laws result is that when data outgrows compute,
+      // dropping the most prototypical (centroid-hugging) examples
+      // costs the least; this query is that selection as a relational
+      // program. Arithmetic is the v_kmeans_iter micro-int scheme:
+      // vectors round to 1e-6 BIGINTs, distances are integer sums, so
+      // assignment, ranking, and the hash compare are order-immune.
+      //
+      // Scale shape: the k*64-row centroid table broadcasts into the
+      // assignment join (the embedding corpus never shuffles for it);
+      // the per-cluster top-k is one window partitioned by cluster —
+      // k partitions of n/k rows, the same shape as w2_top3_per_cust.
+      (s, d) => {
+        val ev = t(s, d, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .withColumn("vm",
+            expr("CAST(round(CAST(x AS double) * 1000000D, 0) AS bigint)"))
+          .select("vec_id", "dim", "vm")
+        val cent = ev.filter(col("vec_id") < 4)
+          .select(col("vec_id").cast("int").as("cluster"), col("dim"),
+            col("vm").as("cm"))
+        val aw = Window.partitionBy("vec_id")
+          .orderBy(col("d2").asc, col("cluster").asc)
+        val assigned = ev
+          .join(broadcast(cent), Seq("dim"))
+          .groupBy("vec_id", "cluster")
+          .agg(sum((col("vm") - col("cm")) * (col("vm") - col("cm"))).as("d2"))
+          .withColumn("rn", row_number().over(aw))
+          .filter(col("rn") === 1)
+          .select("vec_id", "cluster", "d2")
+        val hw = Window.partitionBy("cluster")
+          .orderBy(col("d2").desc, col("vec_id").asc)
+        assigned.withColumn("hard_rank", row_number().over(hw))
+          .filter(col("hard_rank") <= 8)
+          .select(col("cluster"), col("hard_rank"), col("vec_id"), col("d2"))
+          .orderBy("cluster", "hard_rank")
+      },
+      Some("""WITH ev AS MATERIALIZED (
+               SELECT vec_id, CAST(i AS INT) - 1 AS dim,
+                 CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0, 0)
+                   AS BIGINT) AS vm
+               FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+             c0 AS MATERIALIZED (
+               SELECT CAST(vec_id AS INT) AS cluster, dim, vm AS cm
+               FROM ev WHERE vec_id < 4),
+             d1 AS MATERIALIZED (
+               SELECT ev.vec_id, c0.cluster,
+                 CAST(sum((vm - cm) * (vm - cm)) AS BIGINT) AS d2
+               FROM ev JOIN c0 USING (dim) GROUP BY 1, 2),
+             a1 AS MATERIALIZED (
+               SELECT vec_id, cluster, d2 FROM (
+                 SELECT vec_id, cluster, d2,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+                 FROM d1)
+               WHERE rn = 1)
+             SELECT cluster, hard_rank, vec_id, d2 FROM (
+               SELECT cluster, vec_id, d2,
+                 CAST(row_number() OVER (PARTITION BY cluster
+                   ORDER BY d2 DESC, vec_id) AS INT) AS hard_rank
+               FROM a1)
+             WHERE hard_rank <= 8
+             ORDER BY cluster, hard_rank""")),
+
     Q("v_pq_codes",
       // Product quantization — THE storage format for web-scale ANN
       // (IVF-PQ): the 64-dim vector splits into 4 independent 16-dim
@@ -1049,7 +1116,73 @@ object VectorCatalog {
                  unnest(range(0, greatest(length(text) // 64, 1))) AS frame_no
                FROM documents)
              WHERE frame_no % 3 = 0
-             ORDER BY doc_id, frame_no"""))
+             ORDER BY doc_id, frame_no""")),
+
+    Q("mm_aspect_buckets",
+      // Aspect-ratio bucketing — the batching step of a multimodal
+      // training pipeline (NovelAI/SDXL style): images only batch
+      // together when resized to a shared shape, so each image is
+      // assigned to the aspect bucket nearest its width/height ratio
+      // and each bucket carries a fixed target resolution. Ratios are
+      // compared as integer parts-per-million (1e6*w div h) against
+      // literal thresholds, so bucket assignment is pure BIGINT
+      // arithmetic on the REAL parsed header dimensions (the
+      // mm_image_dims byte walk, not metadata columns). Row-local
+      // bucketing + a 5-group aggregate: at 100 TB the bucket column
+      // is the repartition key batch assembly shuffles on, and that
+      // shuffle moves only (bucket, dims) pairs, never pixel bytes.
+      (s, d) => {
+        val buck = graft.multimodal.Multimodal.withImageDims(
+            t(s, d, "documents").withColumn("img", synthImageHeader), "img")
+          .withColumn("r_ppm",
+            expr("CAST(1000000 * CAST(width AS BIGINT) AS BIGINT) div height"))
+          .withColumn("bucket",
+            when(col("r_ppm") < 600000L, lit("tall_1x2"))
+              .when(col("r_ppm") < 900000L, lit("portrait_3x4"))
+              .when(col("r_ppm") <= 1111111L, lit("square_1x1"))
+              .when(col("r_ppm") <= 1666666L, lit("landscape_4x3"))
+              .otherwise(lit("wide_2x1")))
+        buck.groupBy("bucket")
+          .agg(max(when(col("bucket") === "tall_1x2", 512)
+              .when(col("bucket") === "portrait_3x4", 640)
+              .when(col("bucket") === "square_1x1", 768)
+              .when(col("bucket") === "landscape_4x3", 832)
+              .otherwise(1024)).as("target_w"),
+            max(when(col("bucket") === "tall_1x2", 1024)
+              .when(col("bucket") === "portrait_3x4", 832)
+              .when(col("bucket") === "square_1x1", 768)
+              .when(col("bucket") === "landscape_4x3", 640)
+              .otherwise(512)).as("target_h"),
+            count(lit(1)).as("n_images"),
+            sum(col("width").cast("long") * col("height")).as("sum_src_pixels"),
+            min("r_ppm").as("min_r_ppm"), max("r_ppm").as("max_r_ppm"))
+          .orderBy("bucket")
+      },
+      Some("""WITH dims AS (
+               SELECT doc_id,
+                 CAST(1 + n_chars % 1024 AS BIGINT) AS w,
+                 CAST(1 + (n_chars * 7) % 1024 AS BIGINT) AS h
+               FROM documents),
+             b AS (
+               SELECT w, h, (1000000 * w) // h AS r_ppm,
+                 CASE WHEN (1000000 * w) // h < 600000 THEN 'tall_1x2'
+                      WHEN (1000000 * w) // h < 900000 THEN 'portrait_3x4'
+                      WHEN (1000000 * w) // h <= 1111111 THEN 'square_1x1'
+                      WHEN (1000000 * w) // h <= 1666666 THEN 'landscape_4x3'
+                      ELSE 'wide_2x1' END AS bucket
+               FROM dims)
+             SELECT bucket,
+               CAST(CASE bucket WHEN 'tall_1x2' THEN 512 WHEN 'portrait_3x4' THEN 640
+                 WHEN 'square_1x1' THEN 768 WHEN 'landscape_4x3' THEN 832
+                 ELSE 1024 END AS INT) AS target_w,
+               CAST(CASE bucket WHEN 'tall_1x2' THEN 1024 WHEN 'portrait_3x4' THEN 832
+                 WHEN 'square_1x1' THEN 768 WHEN 'landscape_4x3' THEN 640
+                 ELSE 512 END AS INT) AS target_h,
+               CAST(count(*) AS BIGINT) AS n_images,
+               CAST(sum(w * h) AS BIGINT) AS sum_src_pixels,
+               CAST(min(r_ppm) AS BIGINT) AS min_r_ppm,
+               CAST(max(r_ppm) AS BIGINT) AS max_r_ppm
+             FROM b GROUP BY bucket ORDER BY bucket"""))
   ) ++ Seq(
 
     Q("v_hamming_ann",

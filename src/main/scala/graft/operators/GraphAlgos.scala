@@ -575,10 +575,17 @@ object GraphAlgos {
     * linear-counting correction m * ln(m / V) — without it, tiny balls
     * (the common case at small h) read ~11x too big.
     *
-    * Scale shape: state is one sparse (node, idx, rho) frame —
-    * registers appear only once hit. Per round: one join keyed on the
-    * edge destination + one (node, idx) max-aggregation, lineage cut
-    * per round. NO RoundGc here, deliberately: the result unions the
+    * Scale shape: state is one PIVOTED (node, r0..r15) frame — the 16
+    * registers live as 16 int columns of a single row per node, not as
+    * up to 16 sparse (node, idx, rho) rows. That keeps the per-round
+    * edge join at exactly |E| output rows (the sparse layout multiplies
+    * every edge by the source's register count, approaching 16x|E| once
+    * balls saturate) and turns the merge into 16 codegen'd max()
+    * aggregates with map-side partial aggregation — the shuffle after
+    * the join carries one pre-merged row per (node, mapper), not one
+    * row per (edge, register). Per round: one join keyed on the edge
+    * destination + one 16-column max-aggregation, lineage cut per
+    * round. NO RoundGc here, deliberately: the result unions the
     * per-hop estimate frames, each of which reads its own round's
     * checkpoint lazily — every generation must survive until the
     * caller consumes the result (hops is small, 3-6, so retention is
@@ -596,34 +603,44 @@ object GraphAlgos {
       .distinct()
       .cutLineage()
     val h = md5(col("node").cast("string"))
-    val w = conv(substring(h, 2, 8), 16, 10).cast("long")
+    val regCols = (0 until 16).map(i => s"r$i")
+    // r_i = rho when the node's md5-derived register index is i, else 0
+    // (0 = never hit; a present register always has rho >= 1).
     var state = sym.select(col("s").as("node")).distinct()
-      .withColumn("idx", conv(substring(h, 1, 1), 16, 10).cast("int"))
-      .withColumn("__w", w)
-      .withColumn("rho", expr(s"1 + ${lz32CaseSql("__w")}"))
-      .drop("__w")
+      .withColumn("__i", conv(substring(h, 1, 1), 16, 10).cast("int"))
+      .withColumn("__w", conv(substring(h, 2, 8), 16, 10).cast("long"))
+      .withColumn("__r", expr(s"1 + ${lz32CaseSql("__w")}"))
+      .select(col("node") +: (0 until 16).map(i =>
+        when(col("__i") === lit(i), col("__r")).otherwise(lit(0))
+          .as(s"r$i")): _*)
       .cutLineage()
-    def estimates(s: DataFrame, atHop: Int): DataFrame = s
-      .groupBy("node")
-      .agg(count(lit(1)).as("npres"),
-        // 2^-rho as 1.0/(1L << rho): exact dyadic rationals (rho <= 33,
-        // partial sums need <= 37 bits), so partition order is moot
-        expr("sum(1.0 / cast(shiftleft(cast(1 as bigint), rho) as double))")
-          .as("spres"))
-      .select(lit(atHop).as("h"), col("node"),
-        (lit(16) - col("npres")).as("v"),
-        (col("spres") + (lit(16) - col("npres")).cast("double")).as("s"))
-      .select(col("h"), col("node"),
-        when(col("v") > 0 && lit(172.288) / col("s") <= lit(40.0),
-          lit(16.0) * log(lit(16.0) / col("v")))
-          .otherwise(lit(172.288) / col("s"))
-          .as("est"))
+    def estimates(s: DataFrame, atHop: Int): DataFrame = {
+      val npres = regCols.map(c =>
+        when(col(c) > 0, lit(1)).otherwise(lit(0))).reduce(_ + _)
+      // 2^-rho as 1.0/(1L << rho): exact dyadic rationals (rho <= 33,
+      // partial sums need <= 37 bits), so summation order is moot —
+      // this fixed expression tree equals the sparse layout's sum()
+      val spres = regCols.map(c =>
+        when(col(c) > 0,
+          lit(1.0) / expr(s"cast(shiftleft(cast(1 as bigint), $c) as double)"))
+          .otherwise(lit(0.0))).reduce(_ + _)
+      s.select(lit(atHop).as("h"), col("node"),
+          (lit(16) - npres).as("v"),
+          (spres + (lit(16) - npres).cast("double")).as("s"))
+        .select(col("h"), col("node"),
+          when(col("v") > 0 && lit(172.288) / col("s") <= lit(40.0),
+            lit(16.0) * log(lit(16.0) / col("v")))
+            .otherwise(lit(172.288) / col("s"))
+            .as("est"))
+    }
     var out = estimates(state, 0)
     for (hop <- 1 to hops) {
       state = state
         .unionByName(sym.join(state.withColumnRenamed("node", "d"), Seq("d"))
-          .select(col("s").as("node"), col("idx"), col("rho")))
-        .groupBy("node", "idx").agg(max("rho").as("rho"))
+          .select(col("s").as("node") +: regCols.map(col): _*))
+        .groupBy("node")
+        .agg(max(regCols.head).as(regCols.head),
+          regCols.tail.map(c => max(c).as(c)): _*)
         .cutLineage()
       out = out.unionByName(estimates(state, hop))
     }

@@ -21,9 +21,16 @@ object ReportQueries {
 
   private def ownerName: Column = concat_ws(" ", col("first_name"), col("last_name"))
 
-  /** The WHERE every per-owner report shares (reporting/queries.py:20-21). */
+  /** The WHERE every per-owner report shares (reporting/queries.py:20-21).
+    * An `id:<hubspot_id>` needle selects that exact user — the scriptable
+    * form of the reference's interactive disambiguation pick
+    * (report.py:39-87): the CLI lists candidates, the caller re-runs
+    * with `--pick N`, and Report resolves N to this exact-id needle. */
   private def ownerNameFilter(needle: String): Column =
-    col("first_name").contains(needle) || col("last_name").contains(needle)
+    if (needle.startsWith("id:"))
+      col("hubspot_id") === needle.stripPrefix("id:")
+    else
+      col("first_name").contains(needle) || col("last_name").contains(needle)
 
   /** Matching owners projected to the broadcastable join dimension. */
   private def matchedOwners(g: GraphTables, needle: String): DataFrame =

@@ -76,7 +76,8 @@ class CatalogSpec extends AnyFunSuite {
         // in-plan (1-row broadcasts), never driver-fetch
         "g_modularity", "g_closeness_sampled", "g_random_walks",
         "x_bm25_topk", "j13_interval_overlap",
-        "g_ktruss", "g_walk_skipgrams", "a_kmv_union")) {
+        "g_ktruss", "g_walk_skipgrams", "a_kmv_union",
+        "g_harmonic_hyperball")) {
       val bad = scalarFetchSitesDuring { SparkEntry.queries(q)(spark, dir) }
       assert(bad.isEmpty,
         s"$q construction ran driver-scalar fetch jobs: $bad")

@@ -215,4 +215,26 @@ class TemporalCliSpec extends AnyFunSuite {
     assert(ok == 0)
     assert(spark.read.option("header", "true").csv(s"$out/r").count() == 1)
   }
+
+  test("--owner --pick N resolves an ambiguous needle to the Nth candidate") {
+    // 'example' is ambiguous (both fixture users); pick 1 = user_1
+    // (candidates are ordered by hubspot_id, as --find-owner prints
+    // them), so the run proceeds exactly as an unambiguous John run
+    val out = java.nio.file.Files.createTempDirectory("graft-tcli-pick").toString
+    val code = Report.run(spark, Array(dirs._1, "--owner", "example",
+      "--pick", "1", "--entity", "contacts",
+      "--format", "csv", "--out", s"$out/r"))
+    assert(code == 0)
+    val rows = spark.read.option("header", "true").csv(s"$out/r").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("owner_email") == "john.doe@example.com")
+    // a pick beyond the candidate list is an explicit error, not a
+    // silent empty report
+    val bad = intercept[RuntimeException] {
+      Report.run(spark, Array(dirs._1, "--owner", "example",
+        "--pick", "9", "--entity", "contacts",
+        "--format", "csv", "--out", s"$out/r2"))
+    }
+    assert(bad.getMessage.contains("out of range"))
+  }
 }
