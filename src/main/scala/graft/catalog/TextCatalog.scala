@@ -738,6 +738,79 @@ object TextCatalog {
                                 FROM documents)))
               ORDER BY doc_id""")),
 
+    Q("x_cdc_chunks",
+      // Content-defined chunking (the FastCDC / rsync boundary rule):
+      // cut wherever the 8-byte rolling hash satisfies h % 64 == 0, so
+      // chunk boundaries follow CONTENT, not offsets — insert one byte
+      // early in a document and every fixed-size chunk after it
+      // changes, but CDC boundaries resynchronize within ~one chunk.
+      // That stability is why dedup storage and incremental-sync
+      // pipelines chunk this way before hashing. Cuts land at the end
+      // (i+7) of each matching window, strictly inside the doc, plus
+      // one final cut at the doc end; per-doc outputs are chunk count,
+      // first cut, max chunk length, centi-chars mean chunk length,
+      // and the md5 of the first chunk (which proves the extraction,
+      // not just the arithmetic). Row-local array algebra over the
+      // native O(n) RollingHash expression — zero shuffles at any
+      // corpus size; the oracle recomputes every window hash O(n*k)
+      // from the direct Horner definition.
+      (s, d) => {
+        graft.functions.RollingHash.register(s)
+        t(s, d, "documents")
+          .withColumn("a", expr(s"regexp_replace($sparkNorm, '[^\\\\x00-\\\\x7f]', '')"))
+          .withColumn("hs", expr("rolling_hash(a, 8)"))
+          .withColumn("la", length(col("a")).cast("long"))
+          // guard: sequence(1, 0) in Spark DESCENDS — never build it
+          .withColumn("cuts", expr(
+            """concat(
+                 CASE WHEN size(hs) >= 1
+                   THEN filter(transform(sequence(1, size(hs)),
+                          i -> IF(element_at(hs, i) % 64 = 0 AND i + 7 < la,
+                                  CAST(i + 7 AS BIGINT), NULL)),
+                        x -> x IS NOT NULL)
+                   ELSE CAST(array() AS array<bigint>) END,
+                 array(la))"""))
+          .withColumn("lens", expr(
+            """transform(sequence(1, size(cuts)),
+                 k -> IF(k = 1, element_at(cuts, 1),
+                         element_at(cuts, k) - element_at(cuts, k - 1)))"""))
+          .select(col("doc_id"),
+            size(col("cuts")).cast("long").as("n_chunks"),
+            expr("element_at(cuts, 1)").as("first_cut"),
+            expr("array_max(lens)").as("max_chunk"),
+            expr("(100 * la) div size(cuts)").as("mean_chunk_c2"),
+            md5(expr("substring(a, 1, CAST(element_at(cuts, 1) AS INT))"))
+              .as("first_chunk_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, CAST(len(cuts) AS BIGINT) AS n_chunks,
+              cuts[1] AS first_cut,
+              list_max(list_transform(range(1, len(cuts) + 1),
+                k -> CASE WHEN k = 1 THEN cuts[1]
+                     ELSE cuts[CAST(k AS INT)] - cuts[CAST(k AS INT) - 1] END))
+                AS max_chunk,
+              CAST((100 * la) // len(cuts) AS BIGINT) AS mean_chunk_c2,
+              md5(substring(a, 1, CAST(cuts[1] AS INT))) AS first_chunk_md5
+              FROM (SELECT doc_id, a, la,
+                      list_append(
+                        list_filter(
+                          list_transform(range(1, len(hs) + 1),
+                            i -> CASE WHEN hs[CAST(i AS INT)] % 64 = 0
+                                      AND i + 7 < la
+                                 THEN CAST(i + 7 AS BIGINT) END),
+                          x -> x IS NOT NULL),
+                        la) AS cuts
+                    FROM (SELECT doc_id, a, CAST(length(a) AS BIGINT) AS la,
+                            list_transform(range(1, length(a) - 6),
+                              i -> list_reduce(
+                                     list_transform(range(CAST(i AS INT), CAST(i AS INT) + 8),
+                                       j -> CAST(ascii(substring(a, CAST(j AS INT), 1)) AS BIGINT)),
+                                     (x, y) -> (x * 257 + y) % 1000000007)) AS hs
+                          FROM (SELECT doc_id,
+                                  regexp_replace($duckNorm, '[^\\x00-\\x7f]', '', 'g') AS a
+                                FROM documents)))
+              ORDER BY doc_id""")),
+
     Q("x_tfidf_topk",
       // Top-3 most characteristic tokens per document by an
       // integer-scaled tf-df score (tf * 1e6 div df). For a fixed corpus
@@ -967,6 +1040,54 @@ object TextCatalog {
                           FROM documents)),
                 UNNEST(range(0, (n - 1) // 48 + 1)) AS u(i)
               ORDER BY doc_id, chunk_idx""")),
+
+    Q("x_chunk_dedup",
+      // Cross-document chunk-level dedup, keep-first (the C4 recipe,
+      // which dedups at sub-document granularity so boilerplate shared
+      // by otherwise-distinct pages is dropped exactly once): docs
+      // split into disjoint 16-token chunks, each chunk occurrence
+      // survives iff it is the globally FIRST occurrence of its md5
+      // (document order, then position order). Output is the per-doc
+      // survival profile — chunk count, kept count, dropped ppm — the
+      // numbers a curation run reports per shard. Scale shape: chunking
+      // is row-local fan-out; the only shuffle is the keep-first window
+      // keyed on the chunk hash, which is uniformly distributed by
+      // construction (md5), so no salting is ever needed; at 100 TB
+      // this is THE canonical single-shuffle dedup pass.
+      (s, d) => {
+        val chunks = t(s, d, "documents")
+          .withColumn("toks", expr(s"split($sparkNorm, ' ')"))
+          .withColumn("n", size(col("toks")))
+          .withColumn("ch", expr(
+            """transform(sequence(0, (n - 1) div 16),
+                 c -> md5(array_join(slice(toks, c * 16 + 1, 16), ' ')))"""))
+          .select(col("doc_id"), posexplode(col("ch")).as(Seq("chunk_no", "h")))
+        val w = Window.partitionBy("h")
+          .orderBy(col("doc_id").asc, col("chunk_no").asc)
+        chunks.withColumn("rn", row_number().over(w))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+          .withColumn("drop_ppm",
+            expr("1000000 * (n_chunks - n_kept) div n_chunks"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+              CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              CAST(1000000 * (count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS drop_ppm
+              FROM (SELECT doc_id, c AS chunk_no,
+                      row_number() OVER (PARTITION BY h ORDER BY doc_id, c) AS rn
+                    FROM (SELECT doc_id, c,
+                            md5(array_to_string(
+                              list_slice(toks, CAST(c * 16 + 1 AS INT),
+                                CAST(least(c * 16 + 16, n) AS INT)), ' ')) AS h
+                          FROM (SELECT doc_id, toks, len(toks) AS n
+                                FROM (SELECT doc_id,
+                                        string_split($duckNorm, ' ') AS toks
+                                      FROM documents)),
+                            UNNEST(range(0, (n - 1) // 16 + 1)) AS u(c)))
+              GROUP BY doc_id ORDER BY doc_id""")),
 
     Q("x_vocab_topk",
       // Vocabulary construction (the tokenizer-training first step):
