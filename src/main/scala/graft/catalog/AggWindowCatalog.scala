@@ -1162,6 +1162,68 @@ object AggWindowCatalog {
                CAST(sum(CASE WHEN c * n > s
                          AND (c * n - s) * (c * n - s) > 9 * (n * ss - s * s)
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous
-             FROM st GROUP BY user_id ORDER BY user_id"""))
+             FROM st GROUP BY user_id ORDER BY user_id""")),
+
+    Q("w10_ewma",
+      // Exponential smoothing over each user's event-value series — the
+      // trend estimator every time-series monitor runs — with the
+      // geometric weights made EXACT: an 8-tap truncated kernel whose
+      // weights are the integers 2^(7-k) (newest tap heaviest, ratio
+      // 1/2), so the smoothed value is (100 * sum(v_k * 2^(7-k))) div
+      // sum(present 2^(7-k)) — pure BIGINT arithmetic with the partial
+      // kernel renormalized at series heads, where a true infinite-tail
+      // EWMA would carry float drift that no hash compare tolerates.
+      // Values snap to integer cents once (the w8 convention). The lag
+      // taps, the latest-row pick, and the per-user count all share
+      // the user_id partitioning: ONE shuffle end-to-end at any event
+      // volume (the w6 shape with 8 taps instead of 1).
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val taps = (0 to 7).map { k =>
+          val tap = if (k == 0) col("v_e2") else lag(col("v_e2"), k).over(w)
+          (tap, lit(1L << (7 - k)))
+        }
+        val num = taps.map { case (tap, wt) => coalesce(tap, lit(0L)) * wt }
+          .reduce(_ + _)
+        val den = taps.map { case (tap, wt) =>
+          when(tap.isNotNull, wt).otherwise(lit(0L)) }.reduce(_ + _)
+        val latest = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v_e2"))
+          .withColumn("__num", num)
+          .withColumn("__den", den)
+          .withColumn("ewma_c4", expr("(100 * __num) div __den"))
+          .withColumn("n_events",
+            count(lit(1)).over(Window.partitionBy("user_id")))
+          .withColumn("rn", row_number().over(latest))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("n_events"),
+            col("ewma_c4").as("last_ewma_c4"))
+          .orderBy("user_id")
+      },
+      Some {
+        val num = (0 to 7).map { k =>
+          val tap = if (k == 0) "v" else s"lag(v, $k) OVER w"
+          s"coalesce($tap, 0) * ${1L << (7 - k)}"
+        }.mkString(" + ")
+        val den = (0 to 7).map { k =>
+          val tap = if (k == 0) "v" else s"lag(v, $k) OVER w"
+          s"CASE WHEN $tap IS NOT NULL THEN ${1L << (7 - k)} ELSE 0 END"
+        }.mkString(" + ")
+        s"""SELECT user_id, n_events, ewma_c4 AS last_ewma_c4 FROM (
+             SELECT user_id,
+               CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events,
+               CAST((100 * ($num)) // ($den) AS BIGINT) AS ewma_c4,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+             FROM (SELECT user_id, ts, event_id,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                   FROM events)
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+           WHERE rn = 1 ORDER BY user_id"""
+      })
   )
 }
