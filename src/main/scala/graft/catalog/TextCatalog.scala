@@ -1041,6 +1041,107 @@ object TextCatalog {
                 UNNEST(range(0, (n - 1) // 48 + 1)) AS u(i)
               ORDER BY doc_id, chunk_idx""")),
 
+    Q("x_bpe_train",
+      // The BPE tokenizer-TRAINING inner loop (Sennrich et al.), two
+      // merges unrolled — where x_token_bpe only counts with a
+      // BPE-flavored regex, this query LEARNS merges from the corpus:
+      // build the word-frequency table, count adjacent symbol pairs
+      // weighted by word frequency, merge the most frequent pair
+      // corpus-wide, recount, merge again. The parity trick that keeps
+      // both engines bit-identical: a word's symbol sequence is its
+      // chars joined by chr(31), so "apply merge (a,b)" is the plain
+      // string replace of a||US||b with a||b — and literal replace() is
+      // leftmost non-overlapping in BOTH engines, which IS the BPE
+      // greedy merge rule. Ties break lexicographically. Scale shape:
+      // pair counting is a map-side-combinable groupBy over the
+      // VOCABULARY (not the corpus — the word-frequency rollup shrank
+      // it first, the same reason fastBPE trains on counted vocabs);
+      // each round's argmax is a 1-row TakeOrdered broadcast-crossed
+      // into the merge projection, no driver fetch.
+      (s, d) => {
+        val us = "chr(31)"
+        val words = t(s, d, "documents")
+          .withColumn("a", expr(s"regexp_replace($sparkNorm, '[^\\\\x00-\\\\x7f]', '')"))
+          .select(explode(expr("regexp_extract_all(a, '[a-z]+', 0)")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+          .withColumn("s", expr(s"array_join(regexp_extract_all(w, '.', 0), $us)"))
+          .cutLineage() // both rounds' pair counts re-read this
+        def pairCounts(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
+          .withColumn("sy", expr(s"split(s, $us)"))
+          .withColumn("pr", expr(
+            """CASE WHEN size(sy) >= 2
+                 THEN transform(sequence(1, size(sy) - 1),
+                        i -> struct(element_at(sy, i) AS a,
+                                    element_at(sy, i + 1) AS b))
+                 ELSE CAST(array() AS array<struct<a:string,b:string>>) END"""))
+          .select(col("freq"), explode(col("pr")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("freq").as("cnt"))
+        def best(pc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+          pc.orderBy(col("cnt").desc, col("a").asc, col("b").asc).limit(1)
+        def applyMerge(df: org.apache.spark.sql.DataFrame, m: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
+          .crossJoin(broadcast(m.select(col("a").as("__ma"), col("b").as("__mb"))))
+          .withColumn("s", expr(
+            s"replace(s, __ma || $us || __mb, __ma || __mb)"))
+          .drop("__ma", "__mb")
+        def stats(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
+          .agg(sum(expr(s"freq * size(split(s, $us))")).as("corpus_symbols_after"))
+        val m1 = best(pairCounts(words))
+        val sep1 = applyMerge(words, m1).cutLineage()
+        val m2 = best(pairCounts(sep1))
+        val sep2 = applyMerge(sep1, m2)
+        def row(no: Int, m: org.apache.spark.sql.DataFrame, after: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = m
+          .crossJoin(broadcast(after))
+          .select(lit(no.toLong).as("merge_no"), col("a").as("merge_a"),
+            col("b").as("merge_b"), col("cnt").as("pair_count"),
+            col("corpus_symbols_after"))
+        row(1, m1, stats(sep1)).unionByName(row(2, m2, stats(sep2)))
+          .orderBy("merge_no")
+      },
+      Some(s"""WITH toks AS (
+                SELECT unnest(regexp_extract_all(a, '[a-z]+')) AS w
+                FROM (SELECT regexp_replace($duckNorm, '[^\\x00-\\x7f]', '', 'g') AS a
+                      FROM documents)),
+              w0 AS MATERIALIZED (
+                SELECT w, count(*) AS freq,
+                  array_to_string(regexp_extract_all(w, '.'), chr(31)) AS s
+                FROM toks GROUP BY w),
+              p1 AS (
+                SELECT sy[CAST(i AS INT)] AS a, sy[CAST(i AS INT) + 1] AS b,
+                  CAST(sum(freq) AS BIGINT) AS cnt
+                FROM (SELECT freq, string_split(s, chr(31)) AS sy FROM w0),
+                  UNNEST(range(1, len(sy))) AS u(i)
+                GROUP BY 1, 2),
+              m1 AS MATERIALIZED (
+                SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+              sep1 AS MATERIALIZED (
+                SELECT freq, replace(s, (SELECT a || chr(31) || b FROM m1),
+                  (SELECT a || b FROM m1)) AS s
+                FROM w0),
+              p2 AS (
+                SELECT sy[CAST(i AS INT)] AS a, sy[CAST(i AS INT) + 1] AS b,
+                  CAST(sum(freq) AS BIGINT) AS cnt
+                FROM (SELECT freq, string_split(s, chr(31)) AS sy FROM sep1),
+                  UNNEST(range(1, len(sy))) AS u(i)
+                GROUP BY 1, 2),
+              m2 AS MATERIALIZED (
+                SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+              sep2 AS (
+                SELECT freq, replace(s, (SELECT a || chr(31) || b FROM m2),
+                  (SELECT a || b FROM m2)) AS s
+                FROM sep1)
+              SELECT CAST(1 AS BIGINT) AS merge_no, a AS merge_a, b AS merge_b,
+                cnt AS pair_count,
+                (SELECT CAST(sum(freq * len(string_split(s, chr(31)))) AS BIGINT)
+                 FROM sep1) AS corpus_symbols_after
+              FROM m1
+              UNION ALL
+              SELECT CAST(2 AS BIGINT), a, b, cnt,
+                (SELECT CAST(sum(freq * len(string_split(s, chr(31)))) AS BIGINT)
+                 FROM sep2)
+              FROM m2
+              ORDER BY merge_no""")),
+
     Q("x_chunk_dedup",
       // Cross-document chunk-level dedup, keep-first (the C4 recipe,
       // which dedups at sub-document granularity so boilerplate shared

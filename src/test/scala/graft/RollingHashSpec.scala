@@ -73,4 +73,50 @@ class RollingHashSpec extends AnyFunSuite {
       .groupBy("h").count().count()
     assert(n > 0)
   }
+
+  /** The x_cdc_chunks cut rule over an ASCII string: window-end
+    * positions of windows whose hash % 64 == 0 (strictly inside), plus
+    * the final doc end. */
+  private def cdcCuts = expr(
+    """concat(
+         CASE WHEN size(hs) >= 1
+           THEN filter(transform(sequence(1, size(hs)),
+                  i -> IF(element_at(hs, i) % 64 = 0
+                          AND i + 7 < length(s), CAST(i + 7 AS BIGINT), NULL)),
+                x -> x IS NOT NULL)
+           ELSE CAST(array() AS array<bigint>) END,
+         array(CAST(length(s) AS BIGINT)))""")
+
+  test("CDC boundaries resynchronize after a prefix edit (the contract " +
+    "fixed-size chunking cannot meet)") {
+    RollingHash.register(spark)
+    // 40 real docs; perturb each by PREPENDING one char — every
+    // fixed-offset chunk would change, but content-defined cuts must
+    // realign: tail cuts (expressed as distance from doc END) may lose
+    // alignment only near the edit, never past the first shared cut.
+    val docs = graft.catalog.Q.t(spark, "/root/testdata/sf0.001", "documents")
+      .limit(40)
+      .select(col("doc_id"),
+        regexp_replace(lower(col("text")), "[^\\x00-\\x7f]", "").as("s"))
+    def cutsFromEnd(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("hs", expr("rolling_hash(s, 8)"))
+      .withColumn("cuts", cdcCuts)
+      .select(col("doc_id"),
+        expr("transform(cuts, c -> length(s) - c)").as("from_end"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Long](1).toSet).toMap
+    val base = cutsFromEnd(docs)
+    val edited = cutsFromEnd(docs.withColumn("s", concat(lit("z"), col("s"))))
+    var resynced = 0
+    for ((id, b) <- base) {
+      val e = edited(id)
+      // every original cut except possibly those within one expected
+      // chunk length (~64+8 chars) of the edit survives the edit
+      val deep = b.filter(_ < b.max - 72)
+      assert(deep.subsetOf(e),
+        s"doc $id lost deep CDC cuts after a 1-char prefix edit: ${deep -- e}")
+      if (deep.nonEmpty) resynced += 1
+    }
+    assert(resynced > 0, "fixture produced no deep cuts to check")
+  }
 }
