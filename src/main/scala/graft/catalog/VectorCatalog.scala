@@ -406,6 +406,118 @@ object VectorCatalog {
              GROUP BY bf.q_id
              ORDER BY bf.q_id""")),
 
+    Q("v_ivf_probe_sweep",
+      // The nprobe COST/RECALL KNOB measured in one plan: recall@3 of
+      // the IVF index at nprobe = 1, 2, 4 against the same brute-force
+      // truth — the curve an ANN deployment reads before picking its
+      // operating point (more probed cells = more candidates scanned =
+      // higher recall, linearly more IO). The probe ranking is computed
+      // ONCE (one window over queries x 8 cells); the three sweep
+      // levels are a literal 3-row explode crossed in, so the scan and
+      // ranking stages are shared and only the tiny per-(level, query)
+      // top-3 differs. Hits and recall are integers (ppm), immune to
+      // float-sum order on both engines.
+      (s, d) => {
+        graft.functions.DotProduct.register(s)
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").as("v"),
+            expr("sqrt(dot_product(embedding, embedding))").as("nrm"))
+        val cent = broadcast(e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("v").as("cent"),
+            col("nrm").as("cent_n")))
+        val wAssign = Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("cent_id").asc)
+        val assigned = e.crossJoin(cent)
+          .withColumn("ccos", cosCol("v", "cent", "nrm", "cent_n"))
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
+        val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 18)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+        val wProbe = Window.partitionBy("q_id")
+          .orderBy(col("pcos").desc, col("cent_id").asc)
+        val probeRank = q.crossJoin(cent)
+          .withColumn("pcos", cosCol("qv", "cent", "qn", "cent_n"))
+          .withColumn("prn", row_number().over(wProbe))
+          .filter(col("prn") <= 4)
+          .select(col("q_id"), col("qv"), col("qn"), col("prn"),
+            col("cent_id").as("cell"))
+        val levels = s.range(1)
+          .select(explode(array(lit(1), lit(2), lit(4))).as("nprobe"))
+        val swept = probeRank
+          .crossJoin(broadcast(levels))
+          .filter(col("prn") <= col("nprobe"))
+        val wTop = Window.partitionBy("nprobe", "q_id")
+          .orderBy(col("cos").desc, col("c_id").asc)
+        val ivf = swept
+          .join(assigned.select(col("vec_id").as("c_id"), col("v").as("cv"),
+            col("nrm").as("cn"), col("cell")), Seq("cell"))
+          .filter(col("q_id") =!= col("c_id"))
+          .withColumn("cos", cosCol("qv", "cv", "qn", "cn"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 3)
+          .select(col("nprobe"), col("q_id"), col("c_id"))
+        val wBf = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("c_id").asc)
+        val bf = q
+          .crossJoin(e.select(col("vec_id").as("c_id"), col("v").as("cv"),
+            col("nrm").as("cn")))
+          .filter(col("q_id") =!= col("c_id"))
+          .withColumn("cos", cosCol("qv", "cv", "qn", "cn"))
+          .withColumn("rn", row_number().over(wBf))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("c_id"))
+        ivf.join(bf, Seq("q_id", "c_id"))
+          .groupBy("nprobe")
+          .agg(count(lit(1)).as("n_hits"))
+          .withColumn("recall_ppm", expr("1000000 * n_hits div 30"))
+          .select(col("nprobe").cast("long").as("nprobe"),
+            col("n_hits"), col("recall_ppm"))
+          .orderBy("nprobe")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             cent AS (SELECT vec_id AS cent_id, v AS cent FROM e WHERE vec_id < 8),
+             asg AS (
+               SELECT vec_id, v, cell FROM (
+                 SELECT e.vec_id, e.v, cent_id AS cell, row_number() OVER (
+                     PARTITION BY e.vec_id ORDER BY
+                     list_dot_product(e.v, cent) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent, cent))) DESC,
+                     cent_id) AS rn
+                 FROM e, cent)
+               WHERE rn = 1),
+             q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id >= 8 AND vec_id < 18),
+             pr AS (
+               SELECT q_id, qv, cell, prn FROM (
+                 SELECT q_id, qv, cent_id AS cell, row_number() OVER (
+                     PARTITION BY q_id ORDER BY
+                     list_dot_product(qv, cent) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cent, cent))) DESC,
+                     cent_id) AS prn
+                 FROM q, cent)
+               WHERE prn <= 4),
+             lv AS (SELECT unnest([1, 2, 4]) AS nprobe),
+             ivf AS (
+               SELECT nprobe, q_id, c_id FROM (
+                 SELECT nprobe, q_id, c_id, row_number() OVER (
+                     PARTITION BY nprobe, q_id ORDER BY cos DESC, c_id) AS rn
+                 FROM (SELECT lv.nprobe, pr.q_id, asg.vec_id AS c_id,
+                         list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+                       FROM pr JOIN asg USING (cell) CROSS JOIN lv
+                       WHERE pr.prn <= lv.nprobe AND pr.q_id <> asg.vec_id))
+               WHERE rn <= 3),
+             bf AS (
+               SELECT q_id, c_id FROM (
+                 SELECT q_id, c_id, row_number() OVER (
+                     PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+                 FROM (SELECT q_id, e.vec_id AS c_id,
+                         list_dot_product(qv, e.v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+                       FROM q, e WHERE e.vec_id <> q_id))
+               WHERE rn <= 3)
+             SELECT CAST(nprobe AS BIGINT) AS nprobe,
+               CAST(count(*) AS BIGINT) AS n_hits,
+               CAST(1000000 * count(*) // 30 AS BIGINT) AS recall_ppm
+             FROM ivf JOIN bf USING (q_id, c_id)
+             GROUP BY nprobe ORDER BY nprobe""")),
+
     Q("v_label_centroids",
       // Per-label centroid of the 64-dim embeddings — the k-means / IVF
       // training step as a pure relational program: posexplode to
@@ -1182,7 +1294,88 @@ object VectorCatalog {
                CAST(sum(w * h) AS BIGINT) AS sum_src_pixels,
                CAST(min(r_ppm) AS BIGINT) AS min_r_ppm,
                CAST(max(r_ppm) AS BIGINT) AS max_r_ppm
-             FROM b GROUP BY bucket ORDER BY bucket"""))
+             FROM b GROUP BY bucket ORDER BY bucket""")),
+
+    Q("mm_resize_plan",
+      // The resize/crop GEOMETRY of the vision-ingest pipeline, exact:
+      // every image maps to its aspect bucket's target (the
+      // mm_aspect_buckets ladder), then cover-resize + center-crop —
+      // scale by max(tw/w, th/h) so the target is fully covered, then
+      // crop the overhang symmetrically. All arithmetic is integer
+      // rationals: the axis choice compares tw*h vs th*w (exact
+      // cross-multiplication, no division), the scaled far-axis
+      // dimension is a ceiling division (h*tw + w - 1) div w, and the
+      // crop offset halves the overhang with integer div. This is the
+      // per-row plan a decode+resize kernel executes downstream — at
+      // 100 TB the geometry computes row-locally from header dims
+      // ALONE (zero shuffles, pixel bytes untouched), so batch
+      // assembly can route images before any decoder runs.
+      (s, d) => {
+        val dims = graft.multimodal.Multimodal.withImageDims(
+            t(s, d, "documents").withColumn("img", synthImageHeader), "img")
+          .withColumn("w", col("width").cast("long"))
+          .withColumn("h", col("height").cast("long"))
+          .withColumn("r_ppm", expr("(1000000 * w) div h"))
+          .withColumn("bucket",
+            when(col("r_ppm") < 600000L, lit("tall_1x2"))
+              .when(col("r_ppm") < 900000L, lit("portrait_3x4"))
+              .when(col("r_ppm") <= 1111111L, lit("square_1x1"))
+              .when(col("r_ppm") <= 1666666L, lit("landscape_4x3"))
+              .otherwise(lit("wide_2x1")))
+          .withColumn("tw", expr(
+            """CASE bucket WHEN 'tall_1x2' THEN 512L WHEN 'portrait_3x4' THEN 640L
+               WHEN 'square_1x1' THEN 768L WHEN 'landscape_4x3' THEN 832L
+               ELSE 1024L END"""))
+          .withColumn("th", expr(
+            """CASE bucket WHEN 'tall_1x2' THEN 1024L WHEN 'portrait_3x4' THEN 832L
+               WHEN 'square_1x1' THEN 768L WHEN 'landscape_4x3' THEN 640L
+               ELSE 512L END"""))
+        dims
+          .withColumn("rw", expr(
+            "CASE WHEN tw * h >= th * w THEN tw ELSE (w * th + h - 1) div h END"))
+          .withColumn("rh", expr(
+            "CASE WHEN tw * h >= th * w THEN (h * tw + w - 1) div w ELSE th END"))
+          .select(col("doc_id"), col("bucket"),
+            col("w").as("src_w"), col("h").as("src_h"),
+            col("rw").as("resize_w"), col("rh").as("resize_h"),
+            expr("(rw - tw) div 2").as("crop_x"),
+            expr("(rh - th) div 2").as("crop_y"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH dims AS (
+               SELECT doc_id,
+                 CAST(1 + n_chars % 1024 AS BIGINT) AS w,
+                 CAST(1 + (n_chars * 7) % 1024 AS BIGINT) AS h
+               FROM documents),
+             b AS (
+               SELECT doc_id, w, h,
+                 CASE WHEN (1000000 * w) // h < 600000 THEN 'tall_1x2'
+                      WHEN (1000000 * w) // h < 900000 THEN 'portrait_3x4'
+                      WHEN (1000000 * w) // h <= 1111111 THEN 'square_1x1'
+                      WHEN (1000000 * w) // h <= 1666666 THEN 'landscape_4x3'
+                      ELSE 'wide_2x1' END AS bucket
+               FROM dims),
+             tgt AS (
+               SELECT *,
+                 CAST(CASE bucket WHEN 'tall_1x2' THEN 512 WHEN 'portrait_3x4' THEN 640
+                   WHEN 'square_1x1' THEN 768 WHEN 'landscape_4x3' THEN 832
+                   ELSE 1024 END AS BIGINT) AS tw,
+                 CAST(CASE bucket WHEN 'tall_1x2' THEN 1024 WHEN 'portrait_3x4' THEN 832
+                   WHEN 'square_1x1' THEN 768 WHEN 'landscape_4x3' THEN 640
+                   ELSE 512 END AS BIGINT) AS th
+               FROM b),
+             geo AS (
+               SELECT *,
+                 CASE WHEN tw * h >= th * w THEN tw
+                      ELSE (w * th + h - 1) // h END AS rw,
+                 CASE WHEN tw * h >= th * w THEN (h * tw + w - 1) // w
+                      ELSE th END AS rh
+               FROM tgt)
+             SELECT doc_id, bucket, w AS src_w, h AS src_h,
+               rw AS resize_w, rh AS resize_h,
+               (rw - tw) // 2 AS crop_x, (rh - th) // 2 AS crop_y
+             FROM geo ORDER BY doc_id""")),
+
   ) ++ Seq(
 
     Q("v_hamming_ann",
