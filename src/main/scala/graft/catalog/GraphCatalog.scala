@@ -261,6 +261,115 @@ object GraphCatalog {
                     SELECT b FROM tri UNION ALL SELECT c FROM tri)
               GROUP BY node ORDER BY node""")),
 
+    // Local clustering coefficient — the per-node cohesion ratio
+    // c(v) = 2*tri(v) / (deg(v) * (deg(v)-1)) that separates hub
+    // nodes bridging many communities (low c) from nodes inside dense
+    // pockets (high c). Reuses the degree-oriented triangle operator;
+    // the ratio is exact integer ppm (2e6 * tri div deg*(deg-1)), so
+    // no float division can drift between engines. Scale shape: the
+    // triangle pass dominates (see g_triangles_copart); degrees add
+    // one map-side-combinable aggregate sharing the node key.
+    Q("g_clustering_coeff",
+      (s, d) => {
+        val pr = copartPairs(t(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey")).distinct()
+        val deg = pr.select(col("u").as("node"))
+          .union(pr.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        val tri = GraphAlgos.trianglesPerNode(pr)
+        deg.join(tri, Seq("node"), "left")
+          .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+          .filter(col("deg") >= 2)
+          .withColumn("coeff_ppm",
+            expr("2000000 * n_triangles div (deg * (deg - 1))"))
+          .select("node", "deg", "n_triangles", "coeff_ppm")
+          .orderBy("node")
+      },
+      Some("""WITH pr AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+              deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+                        SELECT u AS node FROM pr UNION ALL SELECT v FROM pr)
+                      GROUP BY node),
+              tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM pr e1 JOIN pr e2 ON e2.u = e1.u AND e2.v > e1.v
+                JOIN pr e3 ON e3.u = e1.v AND e3.v = e2.v),
+              tpn AS (SELECT node, count(*)::BIGINT AS n_triangles
+                FROM (SELECT a AS node FROM tri UNION ALL
+                      SELECT b FROM tri UNION ALL SELECT c FROM tri)
+                GROUP BY node)
+              SELECT deg.node AS node, deg,
+                coalesce(n_triangles, 0) AS n_triangles,
+                CAST(2000000 * coalesce(n_triangles, 0)
+                  // (deg * (deg - 1)) AS BIGINT) AS coeff_ppm
+              FROM deg LEFT JOIN tpn ON deg.node = tpn.node
+              WHERE deg >= 2 ORDER BY node""")),
+
+    // Degree assortativity (Newman's r): the Pearson correlation of
+    // endpoint degrees across directed edge instances — positive on
+    // social-style graphs (hubs attach to hubs), negative on
+    // hub-and-spoke topologies; THE one-number mixing diagnostic read
+    // before choosing partition/skew strategies for a graph workload.
+    // All five sufficient statistics are exact BIGINT sums (degrees
+    // are integers; n*sxy - sx*sy style cross-multiplication, the
+    // w9_anomaly_hours trick), so the single final sqrt/division sees
+    // bit-identical operands on both engines and the 4dp round
+    // matches.
+    Q("g_assortativity",
+      (s, d) => {
+        val pr = copartPairs(t(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey")).distinct()
+        val sym = pr.select(col("u").as("s"), col("v").as("d"))
+          .union(pr.select(col("v").as("s"), col("u").as("d")))
+        val deg = sym.groupBy(col("s").as("node"))
+          .agg(count(lit(1)).as("dg"))
+        sym
+          .join(deg.select(col("node").as("s"), col("dg").as("du")), Seq("s"))
+          .join(deg.select(col("node").as("d"), col("dg").as("dv")), Seq("d"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("du")).as("sx"), sum(col("dv")).as("sy"),
+            sum(col("du") * col("dv")).as("sxy"),
+            sum(col("du") * col("du")).as("sxx"),
+            sum(col("dv") * col("dv")).as("syy"))
+          // the five sums are exact BIGINTs well inside 2^53, so the
+          // long->double casts below are exact and every subsequent op
+          // is one correctly-rounded IEEE step on identical operands —
+          // staying in BIGINT would overflow n*sxy at sf1 scale
+          // (DuckDB errors, Spark wraps)
+          .select(col("n"), col("sxy"), col("sxx"),
+            round((col("n").cast("double") * col("sxy").cast("double")
+                - col("sx").cast("double") * col("sy").cast("double")) /
+              sqrt((col("n").cast("double") * col("sxx").cast("double")
+                  - col("sx").cast("double") * col("sx").cast("double")) *
+                (col("n").cast("double") * col("syy").cast("double")
+                  - col("sy").cast("double") * col("sy").cast("double"))),
+              4).as("assortativity_4dp"))
+      },
+      Some("""WITH pr AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+              sym AS (SELECT u AS s, v AS d FROM pr
+                      UNION ALL SELECT v, u FROM pr),
+              deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS dg
+                      FROM sym GROUP BY s),
+              st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(a.dg) AS BIGINT) AS sx,
+                       CAST(sum(b.dg) AS BIGINT) AS sy,
+                       CAST(sum(a.dg * b.dg) AS BIGINT) AS sxy,
+                       CAST(sum(a.dg * a.dg) AS BIGINT) AS sxx,
+                       CAST(sum(b.dg * b.dg) AS BIGINT) AS syy
+                     FROM sym JOIN deg a ON sym.s = a.node
+                       JOIN deg b ON sym.d = b.node)
+              SELECT n, sxy, sxx,
+                round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                    (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                  4) AS assortativity_4dp
+              FROM st""")),
+
     // Bounded reachability (Cypher `shortestPath((a)-[*..3]-(b))`):
     // frontier BFS from the lowest part key over co-occurrence edges.
     // The seed is a 1-row min aggregate FRAME, not a driver pre-fetch
