@@ -199,6 +199,66 @@ object IncrementalPipeline {
         ()
       }
 
+  /** Cross-batch CHUNK-level dedup against a persisted chunk-hash
+    * store — the streaming face of x_chunk_dedup (the C4 sub-document
+    * recipe): per micro-batch, (1) split each doc into disjoint
+    * 16-token chunks, (2) keep-first within the batch (doc order, then
+    * position), (3) drop chunks whose md5 is already in the store —
+    * boilerplate that arrived in ANY earlier batch is dropped exactly
+    * once per corpus, not once per batch — then (4) reassemble each
+    * doc's surviving chunks in position order, append the cleaned docs
+    * to `outDir` and the surviving chunk hashes to the store. The
+    * store holds one 16-byte md5 per KEPT chunk (no text): at 100 TB
+    * it is the same GB-scale, hash-keyed anti-join layout as
+    * [[nearDupDedupSink]]'s signature store, and chunk md5s are
+    * uniform so the join never needs salting. Same at-least-once
+    * caveat as the other sinks: the two appends are not atomic;
+    * consumers collapse replays by doc_id. */
+  def chunkDedupSink(incomingDocs: DataFrame, storeDir: String, outDir: String,
+      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    incomingDocs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val chunks = batch
+          .withColumn("toks",
+            expr(s"split(${graft.operators.Curation.NormSql}, ' ')"))
+          .withColumn("n", size(col("toks")))
+          .withColumn("ch", expr(
+            """transform(sequence(0, (n - 1) div 16),
+                 c -> struct(c AS chunk_no,
+                             array_join(slice(toks, c * 16 + 1, 16), ' ') AS txt))"""))
+          .select(col("doc_id"), explode(col("ch")).as("c"))
+          .select(col("doc_id"), col("c.chunk_no").as("chunk_no"),
+            col("c.txt").as("txt"), md5(col("c.txt")).as("h"))
+        val w = Window.partitionBy("h")
+          .orderBy(col("doc_id").asc, col("chunk_no").asc)
+        val firsts = chunks.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+        val store =
+          if (fileExists(spark, storeDir)) spark.read.parquet(storeDir)
+          else firsts.select("h").limit(0)
+        // one materialization: both appends below consume the fresh set,
+        // and the store append must not re-read storeDir mid-write
+        val fresh = firsts.join(store, Seq("h"), "left_anti").cutLineage()
+        val cleaned = fresh
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            expr("array_join(transform(" +
+              "sort_array(collect_list(struct(chunk_no, txt))), p -> p.txt), ' ')")
+              .as("text_kept"))
+        chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+          .join(cleaned, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_chunks"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("text_kept"), lit("")).as("text_kept"))
+          .write.mode("append").parquet(outDir)
+        fresh.select("h").write.mode("append").parquet(storeDir)
+        ()
+      }
+
   /** Full streaming curation ingest — the streaming face of
     * `Curation.curate`: per micro-batch,
     *

@@ -263,6 +263,49 @@ class StreamingSpec extends AnyFunSuite {
       .toSeq == Seq(1L, 3L, 5L))
   }
 
+  test("streaming chunk dedup: store drops cross-batch repeated chunks " +
+    "and keeps novel ones") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ckd").toString
+    val (src, store, out) = (s"$base/src", s"$base/store", s"$base/out")
+    // 2 chunks of 16 tokens each per text; B repeats A's FIRST chunk
+    // (boilerplate) and adds a novel second chunk
+    val chunkA1 = (0 until 16).map(i => s"head$i").mkString(" ")
+    val chunkA2 = (0 until 16).map(i => s"bodya$i").mkString(" ")
+    val chunkB2 = (0 until 16).map(i => s"bodyb$i").mkString(" ")
+    val schema = Seq((0L, "", "")).toDF("doc_id", "source", "text").schema
+
+    def runBatch(rows: Seq[(Long, String, String)], cp: String): Unit = {
+      rows.toDF("doc_id", "source", "text").write.mode("overwrite").parquet(src)
+      val q = IncrementalPipeline.chunkDedupSink(
+        spark.readStream.schema(schema).parquet(src), store, out, cp).start()
+      q.awaitTermination(120000)
+    }
+
+    // batch 1: doc 1 = A1+A2, doc 2 repeats A1 in-batch plus its own body
+    runBatch(Seq((1L, "s", s"$chunkA1 $chunkA2"),
+      (2L, "s", s"$chunkA1 $chunkB2")), s"$base/cp1")
+    val b1 = spark.read.parquet(out)
+      .select("doc_id", "n_chunks", "n_kept", "text_kept")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    assert(b1(1L) == ((2L, 2L, s"$chunkA1 $chunkA2"))) // first doc keeps all
+    assert(b1(2L) == ((2L, 1L, chunkB2))) // in-batch keep-first drops A1
+    // batch 2: doc 3 repeats the SAME boilerplate (cross-batch, via the
+    // store) plus a novel chunk; doc 4 repeats doc 2's body entirely
+    val chunkC2 = (0 until 16).map(i => s"bodyc$i").mkString(" ")
+    runBatch(Seq((3L, "s", s"$chunkA1 $chunkC2"),
+      (4L, "s", chunkB2)), s"$base/cp2")
+    val b2 = spark.read.parquet(out)
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= 3L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("text_kept")))).toMap
+    assert(b2(3L) == ((2L, 1L, chunkC2))) // store dropped the boilerplate
+    assert(b2(4L) == ((1L, 0L, "")))      // fully-duplicate doc -> empty
+    // the store holds exactly the four distinct kept chunk hashes
+    assert(spark.read.parquet(store).distinct().count() == 4)
+  }
+
   test("streaming curation sink: quality + exact + near-dup across batches") {
     val base = java.nio.file.Files.createTempDirectory("graft-cur-sink").toString
     val (src, store, out) = (s"$base/src", s"$base/store", s"$base/out")
