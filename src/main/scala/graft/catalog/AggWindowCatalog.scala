@@ -659,6 +659,44 @@ object AggWindowCatalog {
              count(*) AS n, round(sum(value), 2) AS total_value
              FROM events GROUP BY 1 ORDER BY k""")),
 
+    Q("perf_salted_join",
+      // Skew-safe REPLICATED (salted) join — the join-side twin of
+      // perf_salted_agg's two-phase trick: the same synthetic hot key
+      // (user_id < 50 collapses onto key 0, ~a third of the stream),
+      // joined to a per-key dimension. A plain shuffle join sends every
+      // hot-key fact row to ONE reducer; here the fact side carries an
+      // 8-way salt and each dim row is replicated across all 8 salts,
+      // so the join key becomes (k, salt) and the hot key spreads over
+      // 8 reducers. The shuffle_hash hint keeps the exchange REAL in
+      // this catalog run (a 1.5k-row dim would otherwise broadcast and
+      // the salt would be inert — the pattern exists precisely for dims
+      // ABOVE the broadcast threshold; AQE's skew-join handles sort-
+      // merge skew automatically, but replicated salting is the form
+      // that also works for hash joins and pre-Spark-3 engines).
+      // Results are IDENTICAL to the plain join the oracle runs.
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .withColumn("k",
+            when(col("user_id") < 50, 0L).otherwise(col("user_id")))
+          .withColumn("salt", (col("event_id") % 8).cast("int"))
+        val dimSalted = t(s, d, "customer")
+          .select(col("c_custkey").as("k"), col("c_mktsegment"))
+          .withColumn("salt", explode(expr("sequence(0, 7)")))
+          .withColumn("salt", col("salt").cast("int"))
+        ev.join(dimSalted.hint("shuffle_hash"), Seq("k", "salt"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_events"),
+            round(sum("value"), 2).as("total_value"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_events,
+             round(sum(value), 2) AS total_value
+             FROM (SELECT CASE WHEN user_id < 50 THEN 0 ELSE user_id END AS k,
+                     value
+                   FROM events) e
+             JOIN customer c ON c.c_custkey = e.k
+             GROUP BY 1 ORDER BY 1""")),
+
     Q("t8_asof_state",
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)

@@ -1041,6 +1041,56 @@ object TextCatalog {
                 UNNEST(range(0, (n - 1) // 48 + 1)) AS u(i)
               ORDER BY doc_id, chunk_idx""")),
 
+    Q("x_url_canonicalize",
+      // URL canonicalization — the dedup key derivation every web
+      // corpus runs before URL-level dedup (CommonCrawl/C4 keep one
+      // page per canonical URL): lowercase the scheme and host
+      // (case-insensitive per RFC 3986) but NOT the path, drop the
+      // fragment, strip utm_* tracking parameters, and re-join the
+      // surviving query. Each doc synthesizes a deliberately MESSY url
+      // (upper-cased scheme/host, two utm_ params interleaved with
+      // real ones, a fragment) and the Spark side recovers the clean
+      // form by piece-wise regex parsing; the oracle states the
+      // expected canonical string ARITHMETICALLY from the same doc
+      // columns (the mm_decode_meta construct->parse->expect pattern),
+      // so any wrong capture group or over-eager strip breaks the
+      // hash. Row-local, zero shuffles.
+      (s, d) => {
+        val u0 = concat(lit("HTTPS://"), upper(col("source")),
+          lit(".Example.COM/"), col("lang"), lit("/doc/"), col("doc_id"),
+          lit("?utm_source=news&id="), col("n_chars"),
+          lit("&utm_campaign=x&ref="), col("doc_id") % 7,
+          lit("#sec"), col("n_chars") % 5)
+        t(s, d, "documents")
+          .withColumn("u0", u0)
+          .withColumn("scheme",
+            lower(regexp_extract(col("u0"), "^([A-Za-z]+)://", 1)))
+          .withColumn("host",
+            lower(regexp_extract(col("u0"), "^[A-Za-z]+://([^/?#]+)", 1)))
+          .withColumn("path",
+            regexp_extract(col("u0"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1))
+          .withColumn("q", regexp_extract(col("u0"), "\\?([^#]*)", 1))
+          .withColumn("qc",
+            regexp_replace(regexp_replace(col("q"),
+              "utm_[a-z]+=[^&]*&", ""), "&?utm_[a-z]+=[^&]*$", ""))
+          .withColumn("canon_url",
+            concat(col("scheme"), lit("://"), col("host"), col("path"),
+              when(col("qc") =!= "", concat(lit("?"), col("qc")))
+                .otherwise(lit(""))))
+          .select(col("doc_id"), col("host"), col("canon_url"),
+            md5(col("canon_url")).as("url_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             source || '.example.com' AS host,
+             'https://' || source || '.example.com/' || lang || '/doc/'
+               || doc_id || '?id=' || n_chars || '&ref=' || (doc_id % 7)
+               AS canon_url,
+             md5('https://' || source || '.example.com/' || lang || '/doc/'
+               || doc_id || '?id=' || n_chars || '&ref=' || (doc_id % 7))
+               AS url_md5
+             FROM documents ORDER BY doc_id""")),
+
     Q("x_bpe_train",
       // The BPE tokenizer-TRAINING inner loop (Sennrich et al.), two
       // merges unrolled — where x_token_bpe only counts with a
