@@ -15,6 +15,7 @@ import org.apache.spark.sql.SparkSession
   *     [--eval PATH [--min-shared N] [--ngram N] [--bloom]]
   *     [--mix src:w,src:w,... --token-budget N] [--redact-pii]
   *     [--line-filter [--min-line-words N] [--min-lines N]]
+  *     [--chunk-dedup [--chunk-tokens N]]
   *
   * `--eval PATH` additionally decontaminates against a held-out eval
   * parquet (drops curated docs sharing >= min-shared distinct word
@@ -64,12 +65,26 @@ object Curate {
     // Line-level C4 filtering runs after redaction (rules read the
     // redacted text) and before any per-document scoring or hashing, so
     // dedup keys are computed over the boilerplate-free text.
-    val docs =
+    val docsLined =
       if (flags.contains("--line-filter"))
         graft.operators.Curation.c4LineFilter(docsRedacted,
           minWords = flagValue("--min-line-words").map(_.toInt).getOrElse(5),
           minLines = flagValue("--min-lines").map(_.toInt).getOrElse(2))
       else docsRedacted
+    // Chunk-level (sub-document) dedup runs before per-document scoring
+    // and hashing, like the line filter: boilerplate shared across docs
+    // is dropped once globally, and downstream dedup keys see the
+    // cleaned text. Fully-duplicate docs collapse to empty text and are
+    // dropped here (the quality gate would reject them anyway, but an
+    // explicit filter keeps the funnel stats attributable).
+    val docs =
+      if (flags.contains("--chunk-dedup")) {
+        import org.apache.spark.sql.functions.col
+        graft.operators.Curation.chunkDedup(docsLined,
+            n = flagValue("--chunk-tokens").map(_.toInt).getOrElse(16))
+          .filter(col("n_chunks_kept") > 0)
+          .drop("n_chunks", "n_chunks_kept")
+      } else docsLined
     val win = flagValue("--win").map(_.toInt).getOrElse(64)
     val stride = flagValue("--stride").map(_.toInt).getOrElse(48)
     // Validated up front: with non-ANSI SQL a zero/negative stride turns

@@ -135,6 +135,63 @@ object GraphCatalog {
       Some(rankOracle(
         "CASE WHEN node = (SELECT min(node) FROM nodes) THEN 1.0 ELSE 0.0 END"))),
 
+    // HITS hubs & authorities (Kleinberg) on the DIRECTED trade graph
+    // — the other classic eigenvector-style ranking next to PageRank,
+    // and the one that separates the two roles PageRank conflates: a
+    // nation that BUYS from many well-supplied nations is a hub, one
+    // that SUPPLIES many well-buying nations is an authority. Two
+    // power-iteration steps from h0 = 1, UNNORMALIZED: with a fixed
+    // iteration count the raw mutual-reinforcement sums are integers
+    // (a1 = in-degree, then alternating integer sums), rank
+    // identically to the L2-normalized scores, and make the whole
+    // query BIGINT-exact — no per-round float normalization for a hash
+    // compare to trip on. Per half-step: one edge join + one
+    // map-side-partial aggregate on the node key.
+    Q("g_hits_trade",
+      (s, d) => {
+        val e = tradeEdges(s, d).select("src", "dst").distinct().cutLineage()
+        val nodes = e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node"))).distinct()
+        val a1 = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("a"))
+        val h1 = e.join(a1.withColumnRenamed("node", "dst"), Seq("dst"), "left")
+          .groupBy(col("src").as("node"))
+          .agg(sum(coalesce(col("a"), lit(0L))).as("h"))
+        val a2 = e.join(h1.withColumnRenamed("node", "src"), Seq("src"), "left")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(coalesce(col("h"), lit(0L))).as("a"))
+        val h2 = e.join(a2.withColumnRenamed("node", "dst"), Seq("dst"), "left")
+          .groupBy(col("src").as("node"))
+          .agg(sum(coalesce(col("a"), lit(0L))).as("h"))
+        nodes.join(a2, Seq("node"), "left").join(h2, Seq("node"), "left")
+          .select(col("node"), coalesce(col("a"), lit(0L)).as("auth_score"),
+            coalesce(col("h"), lit(0L)).as("hub_score"))
+          .orderBy("node")
+      },
+      Some("""WITH t AS MATERIALIZED (
+               SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               JOIN supplier ON l_suppkey = s_suppkey
+               WHERE c_nationkey <> s_nationkey),
+             nodes AS (SELECT src AS node FROM t UNION SELECT dst FROM t),
+             a1 AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS a
+                    FROM t GROUP BY dst),
+             h1 AS (SELECT t.src AS node,
+                      CAST(sum(coalesce(a1.a, 0)) AS BIGINT) AS h
+                    FROM t LEFT JOIN a1 ON t.dst = a1.node GROUP BY t.src),
+             a2 AS (SELECT t.dst AS node,
+                      CAST(sum(coalesce(h1.h, 0)) AS BIGINT) AS a
+                    FROM t LEFT JOIN h1 ON t.src = h1.node GROUP BY t.dst),
+             h2 AS (SELECT t.src AS node,
+                      CAST(sum(coalesce(a2.a, 0)) AS BIGINT) AS h
+                    FROM t LEFT JOIN a2 ON t.dst = a2.node GROUP BY t.src)
+             SELECT nodes.node AS node,
+               CAST(coalesce(a2.a, 0) AS BIGINT) AS auth_score,
+               CAST(coalesce(h2.h, 0) AS BIGINT) AS hub_score
+             FROM nodes LEFT JOIN a2 ON nodes.node = a2.node
+               LEFT JOIN h2 ON nodes.node = h2.node
+             ORDER BY node""")),
+
     // Link prediction by common neighbors (Cypher's classic
     // `MATCH (a)--(n)--(b) WHERE NOT (a)--(b)` recommendation): over the
     // above-average-weight trade adjacency, rank non-adjacent nation

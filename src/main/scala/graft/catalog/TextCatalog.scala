@@ -1206,13 +1206,11 @@ object TextCatalog {
       // construction (md5), so no salting is ever needed; at 100 TB
       // this is THE canonical single-shuffle dedup pass.
       (s, d) => {
-        val chunks = t(s, d, "documents")
-          .withColumn("toks", expr(s"split($sparkNorm, ' ')"))
-          .withColumn("n", size(col("toks")))
-          .withColumn("ch", expr(
-            """transform(sequence(0, (n - 1) div 16),
-                 c -> md5(array_join(slice(toks, c * 16 + 1, 16), ' ')))"""))
-          .select(col("doc_id"), posexplode(col("ch")).as(Seq("chunk_no", "h")))
+        // chunking via the product operator (Curation.docChunks — the
+        // same rows the Curate CLI and chunkDedupSink consume)
+        val chunks = graft.operators.Curation
+          .docChunks(t(s, d, "documents"))
+          .select("doc_id", "chunk_no", "h")
         val w = Window.partitionBy("h")
           .orderBy(col("doc_id").asc, col("chunk_no").asc)
         chunks.withColumn("rn", row_number().over(w))

@@ -205,6 +205,54 @@ object Curation {
         least(lit(win), col("__n") - col("start_tok") + 1).as("n_chunk_tokens"),
         expr(s"array_join(slice(__toks, start_tok, $win), ' ')").as("chunk_text"))
 
+  /** Disjoint `n`-token chunks of each doc's normalized text with
+    * their md5 — the C4 sub-document dedup unit, shared by the
+    * x_chunk_dedup catalog query, the streaming chunkDedupSink, and
+    * batch [[chunkDedup]]. Row-local fan-out; one row per chunk. */
+  def docChunks(docs: DataFrame, n: Int = 16): DataFrame = {
+    require(n >= 1, s"chunk size must be >= 1, got $n")
+    docs
+      .withColumn("__toks", expr(s"split($NormSql, ' ')"))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("__ch", expr(
+        s"""transform(sequence(0, (__n - 1) div $n),
+             c -> struct(c AS chunk_no,
+                         array_join(slice(__toks, c * $n + 1, $n), ' ') AS txt))"""))
+      .select(col("doc_id"), explode(col("__ch")).as("__c"))
+      .select(col("doc_id"), col("__c.chunk_no").as("chunk_no"),
+        col("__c.txt").as("txt"), md5(col("__c.txt")).as("h"))
+  }
+
+  /** Cross-document chunk-level dedup, keep-first (the C4 recipe; the
+    * batch face of the x_chunk_dedup catalog stats and the
+    * chunkDedupSink stream): a chunk occurrence survives iff it is the
+    * globally FIRST occurrence of its md5 (doc order, then position).
+    * `text` is rewritten to the surviving chunks in position order
+    * (possibly empty for fully-duplicate docs — callers filter if they
+    * want drops); n_chunks / n_chunks_kept counters are added, all
+    * other columns pass through. ONE shuffle: the keep-first window on
+    * the uniformly-distributed chunk hash. */
+  def chunkDedup(docs: DataFrame, n: Int = 16): DataFrame = {
+    val w = Window.partitionBy("h")
+      .orderBy(col("doc_id").asc, col("chunk_no").asc)
+    val rebuilt = docChunks(docs, n)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks_kept"),
+        expr("array_join(transform(" +
+          "sort_array(collect_list(struct(chunk_no, txt))), p -> p.txt), ' ')")
+          .as("__text"))
+    val counts = docChunks(docs, n).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"))
+    docs.drop("text")
+      .join(counts, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .withColumn("text", coalesce(col("__text"), lit("")))
+      .withColumn("n_chunks_kept", coalesce(col("n_chunks_kept"), lit(0L)))
+      .drop("__text")
+  }
+
   /** Distinct word n-gram shingles per document — the overlap unit the
     * decontamination literature keys on (n-gram collision with a held-out
     * eval set; published pipelines use n in 2..13 depending on the eval

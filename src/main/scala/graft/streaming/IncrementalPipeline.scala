@@ -222,17 +222,7 @@ object IncrementalPipeline {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val chunks = batch
-          .withColumn("toks",
-            expr(s"split(${graft.operators.Curation.NormSql}, ' ')"))
-          .withColumn("n", size(col("toks")))
-          .withColumn("ch", expr(
-            """transform(sequence(0, (n - 1) div 16),
-                 c -> struct(c AS chunk_no,
-                             array_join(slice(toks, c * 16 + 1, 16), ' ') AS txt))"""))
-          .select(col("doc_id"), explode(col("ch")).as("c"))
-          .select(col("doc_id"), col("c.chunk_no").as("chunk_no"),
-            col("c.txt").as("txt"), md5(col("c.txt")).as("h"))
+        val chunks = graft.operators.Curation.docChunks(batch)
         val w = Window.partitionBy("h")
           .orderBy(col("doc_id").asc, col("chunk_no").asc)
         val firsts = chunks.withColumn("rn", row_number().over(w))

@@ -270,6 +270,27 @@ class CurationSpec extends AnyFunSuite {
       Set("doc_id", "source", "n_lines", "n_lines_kept", "text"))
   }
 
+  test("chunkDedup keeps first chunk occurrences, rebuilds text in order") {
+    val c1 = (0 until 16).map(i => s"head$i").mkString(" ")  // shared boilerplate
+    val c2 = (0 until 16).map(i => s"bodya$i").mkString(" ")
+    val c3 = (0 until 16).map(i => s"bodyb$i").mkString(" ")
+    val rows = Seq(
+      (1L, "s", s"$c1 $c2"), // first doc: keeps both chunks
+      (2L, "s", s"$c1 $c3"), // repeats the boilerplate, keeps its body
+      (3L, "s", c2)          // fully duplicate of doc 1's body -> empty
+    ).toDF("doc_id", "source", "text")
+    val got = Curation.chunkDedup(rows).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_chunks_kept"),
+          r.getAs[String]("text")))).toMap
+    assert(got(1L) == ((2L, 2L, s"$c1 $c2")))
+    assert(got(2L) == ((2L, 1L, c3)))
+    assert(got(3L) == ((1L, 0L, "")))
+    // non-text columns pass through
+    assert(Curation.chunkDedup(rows).columns.toSet ==
+      Set("doc_id", "source", "n_chunks", "n_chunks_kept", "text"))
+  }
+
   test("Curate CLI end-to-end: parquet in -> curated/chunks/stats out") {
     val base = java.nio.file.Files.createTempDirectory("graft-curate").toString
     docs.write.mode("overwrite").parquet(s"$base/docs")
