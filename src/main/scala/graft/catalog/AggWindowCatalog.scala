@@ -1202,6 +1202,41 @@ object AggWindowCatalog {
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous
              FROM st GROUP BY user_id ORDER BY user_id""")),
 
+    Q("w12_gap_islands",
+      // Gaps-and-islands: maximal runs of CONSECUTIVE active hours per
+      // user — the classic row_number-difference grouping (slot minus
+      // per-user rank is constant exactly within a consecutive run),
+      // the pattern behind uptime stretches, streak analytics, and
+      // slot-based sessionization where w5's timestamp-gap rule
+      // doesn't apply. Slots are integer epoch-hours, so the grouping
+      // key, bounds and lengths are all BIGINT-exact. One user-keyed
+      // shuffle shared by the distinct, the rank window, and the
+      // island rollup.
+      (s, d) => {
+        val slots = t(s, d, "events")
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 3600000000").as("slot"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("slot")
+        slots
+          .withColumn("grp", col("slot") - row_number().over(w))
+          .groupBy("user_id", "grp")
+          .agg(min("slot").as("island_start"), max("slot").as("island_end"),
+            count(lit(1)).as("n_hours"))
+          .select("user_id", "island_start", "island_end", "n_hours")
+          .orderBy("user_id", "island_start")
+      },
+      Some("""SELECT user_id, min(slot) AS island_start,
+             max(slot) AS island_end, CAST(count(*) AS BIGINT) AS n_hours
+             FROM (SELECT user_id, slot,
+                     slot - row_number() OVER (PARTITION BY user_id
+                       ORDER BY slot) AS grp
+                   FROM (SELECT DISTINCT user_id,
+                           epoch_us(ts) // 3600000000 AS slot
+                         FROM events))
+             GROUP BY user_id, grp
+             ORDER BY user_id, island_start""")),
+
     Q("w10_ewma",
       // Exponential smoothing over each user's event-value series — the
       // trend estimator every time-series monitor runs — with the

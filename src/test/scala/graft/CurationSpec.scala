@@ -358,6 +358,20 @@ class CurationSpec extends AnyFunSuite {
     assert(curLined(0).getAs[Long]("n_lines_kept") == 30L)
     assert(!curLined(0).getAs[String]("text").contains("short tail"))
 
+    // --chunk-dedup drops cross-doc repeated 16-token chunks before
+    // scoring: doc 2 (exact twin of 1) collapses to empty text and is
+    // dropped at the chunk stage itself; doc 3 (2 tokens changed in the
+    // first chunk) keeps only its differing chunks, and the loss of
+    // alpha0..alpha15-style shared chunks shows in its curated text
+    Curate.run(spark, Array(s"$base/docs", s"$base/out8", "--chunk-dedup"))
+    val curChunked = spark.read.parquet(s"$base/out8/curated")
+    val ids8 = curChunked.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids8.contains(1L) && ids8.contains(4L) && !ids8.contains(2L))
+    val d3txt = curChunked.filter(col("doc_id") === 3L)
+      .select("text").as[String].collect()
+    // doc 3 survives with only chunks not already claimed by doc 1
+    assert(d3txt.forall(t => t.contains("zeta0") && !t.contains("alpha16")))
+
     // window-geometry flags are validated up front: --stride 0 would
     // otherwise NULL the chunker's sequence() and silently write an
     // empty chunks output
