@@ -1041,6 +1041,85 @@ object TextCatalog {
                 UNNEST(range(0, (n - 1) // 48 + 1)) AS u(i)
               ORDER BY doc_id, chunk_idx""")),
 
+    Q("x_epoch_shuffle",
+      // Deterministic per-epoch corpus permutation — the data-loader
+      // shuffle of a multi-epoch training run as a query: epoch e
+      // orders the corpus by md5(e || ':' || doc_id), so every epoch
+      // is a DIFFERENT but fully reproducible (and resumable — any
+      // worker can recompute its slice) permutation, with no rand()
+      // state to coordinate across a cluster. The first 10 docs of
+      // epochs 0-2 are the verified sample; per-epoch ranking is one
+      // WindowGroupLimit-optimized window over the (epoch x corpus)
+      // frame. At 100 TB the same expression is the SORT KEY of the
+      // shard writer — the permutation never materializes, shards
+      // just write in key order.
+      (s, d) => {
+        val epochs = s.range(1)
+          .select(explode(array(lit(0), lit(1), lit(2))).as("epoch"))
+        val w = Window.partitionBy("epoch").orderBy(col("shuffle_key").asc)
+        t(s, d, "documents").select(col("doc_id"))
+          .crossJoin(broadcast(epochs))
+          .withColumn("shuffle_key",
+            md5(concat(col("epoch"), lit(":"), col("doc_id"))))
+          .withColumn("pos", row_number().over(w))
+          .filter(col("pos") <= 10)
+          .select(col("epoch").cast("long").as("epoch"), col("pos"),
+            col("doc_id"), col("shuffle_key"))
+          .orderBy("epoch", "pos")
+      },
+      Some("""SELECT CAST(epoch AS BIGINT) AS epoch, pos, doc_id, shuffle_key
+             FROM (SELECT epoch, doc_id, shuffle_key,
+                     CAST(row_number() OVER (PARTITION BY epoch
+                       ORDER BY shuffle_key) AS INT) AS pos
+                   FROM (SELECT epoch, doc_id,
+                           md5(epoch || ':' || doc_id) AS shuffle_key
+                         FROM documents, (SELECT unnest([0, 1, 2]) AS epoch)))
+             WHERE pos <= 10
+             ORDER BY epoch, pos""")),
+
+    Q("x_length_batching",
+      // Length-grouped batching (the pad-waste optimization every
+      // trainer applies): docs are ranked into 8 equal-depth
+      // token-length buckets (ntile), and each bucket reports the
+      // PADDING WASTE a batch padded to the bucket max would pay —
+      // sum(max_len - len) — next to its token mass. The comparison a
+      // data engineer actually reads: waste under length-grouping vs
+      // the single-bucket alternative (the global max padding
+      // everything). All integers; ntile ties broken by doc_id so
+      // both engines assign identical buckets. One shuffle: the
+      // ntile's global ordering over (len, doc_id) — at corpus scale
+      // the same split points come from approx quantiles and the
+      // assignment becomes a row-local range lookup.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("n_toks",
+            expr(s"size(split($sparkNorm, ' '))").cast("long"))
+        val w = Window.orderBy(col("n_toks").asc, col("doc_id").asc)
+        docs.withColumn("bucket", ntile(8).over(w))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            min("n_toks").as("min_toks"), max("n_toks").as("max_toks"),
+            sum("n_toks").as("sum_toks"))
+          .withColumn("pad_waste",
+            col("n_docs") * col("max_toks") - col("sum_toks"))
+          .select(col("bucket").cast("long").as("bucket"), col("n_docs"),
+            col("min_toks"), col("max_toks"), col("sum_toks"),
+            col("pad_waste"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT CAST(bucket AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             min(n_toks) AS min_toks, max(n_toks) AS max_toks,
+             CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+             CAST(count(*) * max(n_toks) - sum(n_toks) AS BIGINT) AS pad_waste
+             FROM (SELECT doc_id, n_toks,
+                     ntile(8) OVER (ORDER BY n_toks, doc_id) AS bucket
+                   FROM (SELECT doc_id,
+                           CAST(len(string_split(""" + duckNorm + """, ' '))
+                             AS BIGINT) AS n_toks
+                         FROM documents))
+             GROUP BY bucket ORDER BY bucket""")),
+
     Q("x_url_canonicalize",
       // URL canonicalization — the dedup key derivation every web
       // corpus runs before URL-level dedup (CommonCrawl/C4 keep one
