@@ -1549,6 +1549,63 @@ object TextCatalog {
                 count(DISTINCT doc_id) AS n_docs
               FROM sharded GROUP BY shard ORDER BY shard""")),
 
+    Q("x_shard_manifest",
+      // Data-versioning manifest per training shard — the provenance
+      // artifact a reproducible run records next to its shards: per
+      // shard, the counts PLUS a content fingerprint (md5 over the
+      // shard's chunk md5s in sorted order — order-canonical, so two
+      // runs that produce the same chunk SET get the same fingerprint
+      // regardless of write order). A changed doc, a dropped chunk, or
+      // a shard-assignment drift all flip the fingerprint, which is
+      // what makes "same data?" a constant-size comparison between
+      // runs. At catalog scale the per-shard digest folds a sorted
+      // collect_list (KBs); at 100 TB the same column becomes a
+      // two-level Merkle (per-partition sorted digest, then digest of
+      // digests) — mergeable up the aggregation tree like the
+      // sketches.
+      (s, d) => {
+        val chunks = graft.operators.Curation.chunkWindows(
+          t(s, d, "documents"))
+        graft.operators.Curation.shardAssign(chunks, nShards = 8,
+            keyCols = Seq("doc_id", "chunk_idx"))
+          .withColumn("chunk_md5", md5(col("chunk_text")))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(col("n_chunk_tokens").cast("long")).as("n_tokens"),
+            countDistinct("doc_id").as("n_docs"),
+            md5(expr(
+              "concat_ws('', sort_array(collect_list(chunk_md5)))"))
+              .as("manifest_md5"))
+          .select(col("shard").cast("long").as("shard"), col("n_chunks"),
+            col("n_tokens"), col("n_docs"), col("manifest_md5"))
+          .orderBy("shard")
+      },
+      Some(s"""WITH chunks AS (
+                SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                  CAST(least(64, n - (1 + i * 48) + 1) AS BIGINT) AS n_chunk_tokens,
+                  md5(array_to_string(list_slice(toks, 1 + i * 48,
+                    least(1 + i * 48 + 63, n)), ' ')) AS chunk_md5
+                FROM (SELECT doc_id, toks, len(toks) AS n
+                      FROM (SELECT doc_id, string_split($duckNorm, ' ') AS toks
+                            FROM documents)),
+                  UNNEST(range(0, (n - 1) // 48 + 1)) AS u(i)),
+              sharded AS (
+                SELECT doc_id, n_chunk_tokens, chunk_md5,
+                  CAST(((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096
+                    + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 256
+                    + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1)) % 8 AS INT)
+                    AS shard
+                FROM (SELECT *, md5(CAST(doc_id AS VARCHAR) || ':' ||
+                        CAST(chunk_idx AS VARCHAR)) AS h FROM chunks))
+              SELECT CAST(shard AS BIGINT) AS shard,
+                CAST(count(*) AS BIGINT) AS n_chunks,
+                CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                md5(string_agg(chunk_md5, '' ORDER BY chunk_md5))
+                  AS manifest_md5
+              FROM sharded GROUP BY shard ORDER BY shard""")),
+
     Q("x_decontaminate_bigram",
       // Curation.decontaminate's n-gram width is a real knob (published
       // pipelines sweep n per eval suite): same removal op as

@@ -237,6 +237,68 @@ object VectorCatalog {
                 (SELECT count(*) FROM surv) AS n_survivors,
                 (SELECT count(*) FROM e) - (SELECT count(*) FROM surv) AS n_dropped""")),
 
+    Q("v_dedup_threshold_sweep",
+      // The semantic-dedup THRESHOLD KNOB measured in one plan — the
+      // tuning audit run before committing to a cosine cutoff (too low
+      // = real data destroyed, too high = near-dups survive): for
+      // thresholds 0.20 / 0.40 / 0.60, how many same-bucket pairs
+      // qualify and how many distinct docs get flagged. Pair cosines
+      // are computed ONCE over the LSH-bucket block join (never
+      // all-pairs — the v_semantic_dedup blocking); the three
+      // thresholds are a broadcast 3-row explode over the scored
+      // pairs, so the sweep costs one filter more than a single
+      // operating point. Counts are integers; cosine-vs-literal
+      // compares see identical doubles on both engines.
+      (s, d) => {
+        graft.functions.DotProduct.register(s)
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").as("v"),
+            expr("sqrt(dot_product(embedding, embedding))").as("nrm"),
+            expr(bucketExpr("embedding", "element_at")).as("bucket"))
+        val pairsCos = e.select(col("vec_id").as("doc_a"), col("v").as("qv"),
+            col("nrm").as("qn"), col("bucket"))
+          .join(e.select(col("vec_id").as("doc_b"), col("v").as("cv"),
+            col("nrm").as("cn"), col("bucket")), Seq("bucket"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            cosCol("qv", "cv", "qn", "cn").as("cos"))
+        val thr = s.range(1)
+          .select(explode(array(lit(20L), lit(40L), lit(60L))).as("thr_e2"))
+        val hits = pairsCos.crossJoin(broadcast(thr))
+          .filter(col("cos") >= col("thr_e2").cast("double") / 100.0)
+        val nPairs = hits.groupBy("thr_e2").agg(count(lit(1)).as("n_pairs"))
+        val nDocs = hits
+          .select(col("thr_e2"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+          .groupBy("thr_e2").agg(countDistinct("doc").as("n_docs_flagged"))
+        nPairs.join(nDocs, Seq("thr_e2"))
+          .select("thr_e2", "n_pairs", "n_docs_flagged")
+          .orderBy("thr_e2")
+      },
+      Some(s"""WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  ${bucketExpr("embedding", "list_extract")} AS bucket
+                FROM embeddings),
+              pc AS (
+                SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                  list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))) AS cos
+                FROM e a JOIN e b
+                  ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+              hits AS (
+                SELECT thr_e2, doc_a, doc_b FROM pc,
+                  (SELECT unnest([20, 40, 60]) AS thr_e2)
+                WHERE cos >= CAST(thr_e2 AS DOUBLE) / 100.0)
+              SELECT CAST(thr_e2 AS BIGINT) AS thr_e2, n_pairs, n_docs_flagged
+              FROM (SELECT thr_e2, CAST(count(*) AS BIGINT) AS n_pairs
+                    FROM hits GROUP BY thr_e2) p
+              JOIN (SELECT thr_e2,
+                      CAST(count(DISTINCT doc) AS BIGINT) AS n_docs_flagged
+                    FROM (SELECT thr_e2, unnest([doc_a, doc_b]) AS doc
+                          FROM hits)
+                    GROUP BY thr_e2) f USING (thr_e2)
+              ORDER BY thr_e2""")),
+
     Q("v_ivf_ann",
       // IVF ANN in the driver gate (round-1 verdict #7): same
       // coarse-quantize -> inverted-lists -> probe-nProbe-cells shape as
