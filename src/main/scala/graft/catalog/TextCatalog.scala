@@ -1079,46 +1079,50 @@ object TextCatalog {
 
     Q("x_length_batching",
       // Length-grouped batching (the pad-waste optimization every
-      // trainer applies): docs are ranked into 8 equal-depth
-      // token-length buckets (ntile), and each bucket reports the
-      // PADDING WASTE a batch padded to the bucket max would pay —
-      // sum(max_len - len) — next to its token mass. The comparison a
-      // data engineer actually reads: waste under length-grouping vs
-      // the single-bucket alternative (the global max padding
-      // everything). All integers; ntile ties broken by doc_id so
-      // both engines assign identical buckets. One shuffle: the
-      // ntile's global ordering over (len, doc_id) — at corpus scale
-      // the same split points come from approx quantiles and the
-      // assignment becomes a row-local range lookup.
+      // trainer applies): per SOURCE, docs are ranked into 4
+      // equal-depth token-length buckets (ntile), and each bucket
+      // reports the PADDING WASTE a batch padded to the bucket max
+      // would pay — sum(max_len - len) — next to its token mass. The
+      // comparison a data engineer actually reads: waste under
+      // length-grouping vs padding the whole stratum to its max. All
+      // integers; ntile ties broken by doc_id so both engines assign
+      // identical buckets. Per-source windows keep w7's stratified
+      // discipline (a GLOBAL ntile would funnel the corpus through
+      // one partition — the anti-pattern this catalog documents at
+      // w7_ntile_buckets); batch assembly is per-source/shard in
+      // practice anyway, and the window + rollup share the source
+      // partitioning: one shuffle end-to-end.
       (s, d) => {
         val docs = t(s, d, "documents")
           .withColumn("n_toks",
             expr(s"size(split($sparkNorm, ' '))").cast("long"))
-        val w = Window.orderBy(col("n_toks").asc, col("doc_id").asc)
-        docs.withColumn("bucket", ntile(8).over(w))
-          .groupBy("bucket")
+        val w = Window.partitionBy("source")
+          .orderBy(col("n_toks").asc, col("doc_id").asc)
+        docs.withColumn("bucket", ntile(4).over(w))
+          .groupBy("source", "bucket")
           .agg(count(lit(1)).as("n_docs"),
             min("n_toks").as("min_toks"), max("n_toks").as("max_toks"),
             sum("n_toks").as("sum_toks"))
           .withColumn("pad_waste",
             col("n_docs") * col("max_toks") - col("sum_toks"))
-          .select(col("bucket").cast("long").as("bucket"), col("n_docs"),
-            col("min_toks"), col("max_toks"), col("sum_toks"),
-            col("pad_waste"))
-          .orderBy("bucket")
+          .select(col("source"), col("bucket").cast("long").as("bucket"),
+            col("n_docs"), col("min_toks"), col("max_toks"),
+            col("sum_toks"), col("pad_waste"))
+          .orderBy("source", "bucket")
       },
-      Some("""SELECT CAST(bucket AS BIGINT) AS bucket,
+      Some("""SELECT source, CAST(bucket AS BIGINT) AS bucket,
              CAST(count(*) AS BIGINT) AS n_docs,
              min(n_toks) AS min_toks, max(n_toks) AS max_toks,
              CAST(sum(n_toks) AS BIGINT) AS sum_toks,
              CAST(count(*) * max(n_toks) - sum(n_toks) AS BIGINT) AS pad_waste
-             FROM (SELECT doc_id, n_toks,
-                     ntile(8) OVER (ORDER BY n_toks, doc_id) AS bucket
-                   FROM (SELECT doc_id,
+             FROM (SELECT source, doc_id, n_toks,
+                     ntile(4) OVER (PARTITION BY source
+                       ORDER BY n_toks, doc_id) AS bucket
+                   FROM (SELECT source, doc_id,
                            CAST(len(string_split(""" + duckNorm + """, ' '))
                              AS BIGINT) AS n_toks
                          FROM documents))
-             GROUP BY bucket ORDER BY bucket""")),
+             GROUP BY source, bucket ORDER BY source, bucket""")),
 
     Q("x_url_canonicalize",
       // URL canonicalization — the dedup key derivation every web
