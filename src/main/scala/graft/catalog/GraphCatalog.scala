@@ -427,6 +427,72 @@ object GraphCatalog {
                   4) AS assortativity_4dp
               FROM st""")),
 
+    // GraphSAGE-style neighbor sampling: per seed, a DETERMINISTIC
+    // bounded fan-out frontier (<= 3 neighbors at hop 1, <= 2 per
+    // hop-1 node at hop 2) ranked by md5(seed:...:neighbor) — the
+    // minibatch sampler GNN training runs over 100 TB graphs, where
+    // full neighborhoods are power-law unbounded and true rand()
+    // cannot be reproduced across executors or resumed across runs.
+    // Content-derived ranking makes every worker recompute the same
+    // sample (the x_epoch_shuffle / deterministicWalks discipline).
+    // Scale shape: seeds broadcast into the adjacency join; per hop
+    // one edge join + one WindowGroupLimit-bounded rank per parent —
+    // cost is O(seeds * fanout), never O(graph).
+    Q("g_sage_sampling",
+      (s, d) => {
+        val pr = copartPairs(t(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey")).distinct()
+        val sym = pr.select(col("u").as("s"), col("v").as("d"))
+          .union(pr.select(col("v").as("s"), col("u").as("d")))
+          .cutLineage() // both hops join it
+        val seeds = sym.select(col("s").as("seed")).distinct()
+          .orderBy("seed").limit(4)
+        val w1 = org.apache.spark.sql.expressions.Window.partitionBy("seed")
+          .orderBy(col("rkey").asc, col("d").asc)
+        val h1 = broadcast(seeds).join(sym, col("seed") === col("s"))
+          .withColumn("rkey", md5(concat(col("seed"), lit(":"), col("d"))))
+          .withColumn("rk", row_number().over(w1))
+          .filter(col("rk") <= 3)
+          .select(col("seed"), lit(1L).as("hop"), col("seed").as("parent"),
+            col("d").as("node"), col("rk").cast("long").as("rk"))
+        val w2 = org.apache.spark.sql.expressions.Window.partitionBy("seed", "parent")
+          .orderBy(col("rkey").asc, col("d").asc)
+        val h2 = broadcast(h1.select(col("seed"), col("node").as("parent")))
+          .join(sym, col("parent") === col("s"))
+          .withColumn("rkey",
+            md5(concat_ws(":", col("seed"), col("parent"), col("d"))))
+          .withColumn("rk", row_number().over(w2))
+          .filter(col("rk") <= 2)
+          .select(col("seed"), lit(2L).as("hop"), col("parent"),
+            col("d").as("node"), col("rk").cast("long").as("rk"))
+        h1.unionByName(h2).orderBy("seed", "hop", "parent", "rk")
+      },
+      Some("""WITH pr AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+              sym AS (SELECT u AS s, v AS d FROM pr
+                      UNION ALL SELECT v, u FROM pr),
+              seeds AS (SELECT DISTINCT s AS seed FROM sym
+                        ORDER BY seed LIMIT 4),
+              h1 AS (
+                SELECT seed, CAST(1 AS BIGINT) AS hop, seed AS parent,
+                  d AS node, CAST(rk AS BIGINT) AS rk
+                FROM (SELECT seed, d, row_number() OVER (PARTITION BY seed
+                        ORDER BY md5(seed || ':' || d), d) AS rk
+                      FROM seeds JOIN sym ON seed = sym.s)
+                WHERE rk <= 3),
+              h2 AS (
+                SELECT seed, CAST(2 AS BIGINT) AS hop, parent,
+                  d AS node, CAST(rk AS BIGINT) AS rk
+                FROM (SELECT h1.seed, h1.node AS parent, sym.d,
+                        row_number() OVER (PARTITION BY h1.seed, h1.node
+                          ORDER BY md5(h1.seed || ':' || h1.node || ':' || sym.d),
+                            sym.d) AS rk
+                      FROM h1 JOIN sym ON h1.node = sym.s)
+                WHERE rk <= 2)
+              SELECT * FROM h1 UNION ALL SELECT * FROM h2
+              ORDER BY seed, hop, parent, rk""")),
+
     // Bounded reachability (Cypher `shortestPath((a)-[*..3]-(b))`):
     // frontier BFS from the lowest part key over co-occurrence edges.
     // The seed is a 1-row min aggregate FRAME, not a driver pre-fetch

@@ -77,7 +77,7 @@ class CatalogSpec extends AnyFunSuite {
         "g_modularity", "g_closeness_sampled", "g_random_walks",
         "x_bm25_topk", "j13_interval_overlap",
         "g_ktruss", "g_walk_skipgrams", "a_kmv_union",
-        "g_harmonic_hyperball")) {
+        "g_harmonic_hyperball", "g_sage_sampling")) {
       val bad = scalarFetchSitesDuring { SparkEntry.queries(q)(spark, dir) }
       assert(bad.isEmpty,
         s"$q construction ran driver-scalar fetch jobs: $bad")
