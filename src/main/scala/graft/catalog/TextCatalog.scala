@@ -1041,6 +1041,105 @@ object TextCatalog {
                 UNNEST(range(0, (n - 1) // 48 + 1)) AS u(i)
               ORDER BY doc_id, chunk_idx""")),
 
+    Q("x_context_datastore",
+      // kNN-LM datastore construction (Khandelwal et al.): every token
+      // position contributes a (4-token context -> next token) entry;
+      // the store's health metrics are what a retrieval-LM deployment
+      // reads before committing memory to it — per hot context, how
+      // often it occurs, how many DISTINCT continuations it has (low =
+      // memorizable boilerplate, high = genuinely ambiguous), and the
+      // dominant continuation. Row-local array fan-out, one (context,
+      // next) aggregate, one context rollup with an integer argmax,
+      // top-10 via TakeOrderedAndProject. Catalog-scale keys the
+      // group on the context STRING; the 100 TB path keys shuffles on
+      // xxhash64(context) like x_repeated_spans (8 bytes per entry in
+      // flight, strings only for the surviving top rows).
+      (s, d) => {
+        val pairs = t(s, d, "documents")
+          .withColumn("toks", expr(s"split($sparkNorm, ' ')"))
+          .withColumn("n", size(col("toks")))
+          .withColumn("ps", expr(
+            """CASE WHEN n >= 5
+                 THEN transform(sequence(5, n),
+                   i -> struct(concat_ws(' ', slice(toks, i - 4, 4)) AS ctx,
+                               element_at(toks, i) AS nxt))
+                 ELSE CAST(array() AS array<struct<ctx:string,nxt:string>>) END"""))
+          .select(explode(col("ps")).as("p"))
+          .select(col("p.ctx").as("ctx"), col("p.nxt").as("nxt"))
+        val perNext = pairs.groupBy("ctx", "nxt").agg(count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("ctx")
+          .orderBy(col("c").desc, col("nxt").asc)
+        perNext
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_occurrences",
+            sum("c").over(org.apache.spark.sql.expressions.Window
+              .partitionBy("ctx")))
+          .withColumn("n_distinct_next",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy("ctx")))
+          .filter(col("rn") === 1)
+          .select(col("ctx"), col("n_occurrences"),
+            col("n_distinct_next").cast("long").as("n_distinct_next"),
+            col("nxt").as("top_next"), col("c").as("top_next_count"))
+          .orderBy(col("n_occurrences").desc, col("ctx").asc)
+          .limit(10)
+      },
+      Some(s"""WITH pairs AS (
+                SELECT array_to_string(toks[CAST(i - 4 AS INT):CAST(i - 1 AS INT)], ' ') AS ctx,
+                  toks[CAST(i AS INT)] AS nxt
+                FROM (SELECT toks, len(toks) AS n
+                      FROM (SELECT string_split($duckNorm, ' ') AS toks
+                            FROM documents)),
+                  UNNEST(range(5, n + 1)) AS u(i)),
+              pn AS (SELECT ctx, nxt, CAST(count(*) AS BIGINT) AS c
+                     FROM pairs GROUP BY ctx, nxt)
+              SELECT ctx, n_occurrences, n_distinct_next, top_next,
+                top_next_count
+              FROM (SELECT ctx,
+                      CAST(sum(c) OVER (PARTITION BY ctx) AS BIGINT)
+                        AS n_occurrences,
+                      CAST(count(*) OVER (PARTITION BY ctx) AS BIGINT)
+                        AS n_distinct_next,
+                      nxt AS top_next, c AS top_next_count,
+                      row_number() OVER (PARTITION BY ctx
+                        ORDER BY c DESC, nxt) AS rn
+                    FROM pn)
+              WHERE rn = 1
+              ORDER BY n_occurrences DESC, ctx LIMIT 10""")),
+
+    Q("x_blocklist_filter",
+      // Blocklist (badwords) filtering — the C4 safety stage: flag
+      // documents containing any blocklisted token (word-boundary =
+      // token-exact, not substring, so 'classic' never trips 'ass'),
+      // report per-source flag rates and total hit counts. Row-local
+      // array predicates + one small per-source aggregate; at 100 TB
+      // a real blocklist (hundreds of terms) broadcasts and the
+      // membership test stays inside codegen.
+      (s, d) => {
+        val bl = "array('spam', 'slow', 'dup')"
+        t(s, d, "documents")
+          .withColumn("toks", expr(s"split($sparkNorm, ' ')"))
+          .withColumn("hits",
+            expr(s"size(filter(toks, t -> array_contains($bl, t)))").cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_flagged"),
+            sum("hits").as("n_hits"))
+          .withColumn("flagged_ppm", expr("1000000 * n_flagged div n_docs"))
+          .orderBy("source")
+      },
+      Some(s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_flagged,
+              CAST(sum(hits) AS BIGINT) AS n_hits,
+              CAST(1000000 * sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS flagged_ppm
+              FROM (SELECT source,
+                      CAST(len(list_filter(string_split($duckNorm, ' '),
+                        t -> t IN ('spam', 'slow', 'dup'))) AS BIGINT) AS hits
+                    FROM documents)
+              GROUP BY source ORDER BY source""")),
+
     Q("x_epoch_shuffle",
       // Deterministic per-epoch corpus permutation — the data-loader
       // shuffle of a multi-epoch training run as a query: epoch e
