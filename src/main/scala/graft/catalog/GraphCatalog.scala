@@ -148,25 +148,10 @@ object GraphCatalog {
     // compare to trip on. Per half-step: one edge join + one
     // map-side-partial aggregate on the node key.
     Q("g_hits_trade",
-      (s, d) => {
-        val e = tradeEdges(s, d).select("src", "dst").distinct().cutLineage()
-        val nodes = e.select(col("src").as("node"))
-          .union(e.select(col("dst").as("node"))).distinct()
-        val a1 = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("a"))
-        val h1 = e.join(a1.withColumnRenamed("node", "dst"), Seq("dst"), "left")
-          .groupBy(col("src").as("node"))
-          .agg(sum(coalesce(col("a"), lit(0L))).as("h"))
-        val a2 = e.join(h1.withColumnRenamed("node", "src"), Seq("src"), "left")
-          .groupBy(col("dst").as("node"))
-          .agg(sum(coalesce(col("h"), lit(0L))).as("a"))
-        val h2 = e.join(a2.withColumnRenamed("node", "dst"), Seq("dst"), "left")
-          .groupBy(col("src").as("node"))
-          .agg(sum(coalesce(col("a"), lit(0L))).as("h"))
-        nodes.join(a2, Seq("node"), "left").join(h2, Seq("node"), "left")
-          .select(col("node"), coalesce(col("a"), lit(0L)).as("auth_score"),
-            coalesce(col("h"), lit(0L)).as("hub_score"))
-          .orderBy("node")
-      },
+      (s, d) => GraphAlgos.hits(
+          tradeEdges(s, d).select(col("src").as("s"), col("dst").as("d")),
+          steps = 2)
+        .orderBy("node"),
       Some("""WITH t AS MATERIALIZED (
                SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -373,35 +358,11 @@ object GraphCatalog {
     // bit-identical operands on both engines and the 4dp round
     // matches.
     Q("g_assortativity",
-      (s, d) => {
-        val pr = copartPairs(t(s, d, "lineitem")
-          .select("l_orderkey", "l_partkey")).distinct()
-        val sym = pr.select(col("u").as("s"), col("v").as("d"))
-          .union(pr.select(col("v").as("s"), col("u").as("d")))
-        val deg = sym.groupBy(col("s").as("node"))
-          .agg(count(lit(1)).as("dg"))
-        sym
-          .join(deg.select(col("node").as("s"), col("dg").as("du")), Seq("s"))
-          .join(deg.select(col("node").as("d"), col("dg").as("dv")), Seq("d"))
-          .agg(count(lit(1)).as("n"),
-            sum(col("du")).as("sx"), sum(col("dv")).as("sy"),
-            sum(col("du") * col("dv")).as("sxy"),
-            sum(col("du") * col("du")).as("sxx"),
-            sum(col("dv") * col("dv")).as("syy"))
-          // the five sums are exact BIGINTs well inside 2^53, so the
-          // long->double casts below are exact and every subsequent op
-          // is one correctly-rounded IEEE step on identical operands —
-          // staying in BIGINT would overflow n*sxy at sf1 scale
-          // (DuckDB errors, Spark wraps)
-          .select(col("n"), col("sxy"), col("sxx"),
-            round((col("n").cast("double") * col("sxy").cast("double")
-                - col("sx").cast("double") * col("sy").cast("double")) /
-              sqrt((col("n").cast("double") * col("sxx").cast("double")
-                  - col("sx").cast("double") * col("sx").cast("double")) *
-                (col("n").cast("double") * col("syy").cast("double")
-                  - col("sy").cast("double") * col("sy").cast("double"))),
-              4).as("assortativity_4dp"))
-      },
+      (s, d) => GraphAlgos.degreeAssortativity(
+          copartPairs(t(s, d, "lineitem")
+            .select("l_orderkey", "l_partkey")).distinct())
+        .select(col("n"), col("sxy"), col("sxx"),
+          round(col("r"), 4).as("assortativity_4dp")),
       Some("""WITH pr AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
                 FROM lineitem a JOIN lineitem b
                   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
@@ -442,30 +403,11 @@ object GraphCatalog {
       (s, d) => {
         val pr = copartPairs(t(s, d, "lineitem")
           .select("l_orderkey", "l_partkey")).distinct()
-        val sym = pr.select(col("u").as("s"), col("v").as("d"))
-          .union(pr.select(col("v").as("s"), col("u").as("d")))
-          .cutLineage() // both hops join it
-        val seeds = sym.select(col("s").as("seed")).distinct()
+        val seeds = pr.select(col("u").as("seed"))
+          .union(pr.select(col("v").as("seed"))).distinct()
           .orderBy("seed").limit(4)
-        val w1 = org.apache.spark.sql.expressions.Window.partitionBy("seed")
-          .orderBy(col("rkey").asc, col("d").asc)
-        val h1 = broadcast(seeds).join(sym, col("seed") === col("s"))
-          .withColumn("rkey", md5(concat(col("seed"), lit(":"), col("d"))))
-          .withColumn("rk", row_number().over(w1))
-          .filter(col("rk") <= 3)
-          .select(col("seed"), lit(1L).as("hop"), col("seed").as("parent"),
-            col("d").as("node"), col("rk").cast("long").as("rk"))
-        val w2 = org.apache.spark.sql.expressions.Window.partitionBy("seed", "parent")
-          .orderBy(col("rkey").asc, col("d").asc)
-        val h2 = broadcast(h1.select(col("seed"), col("node").as("parent")))
-          .join(sym, col("parent") === col("s"))
-          .withColumn("rkey",
-            md5(concat_ws(":", col("seed"), col("parent"), col("d"))))
-          .withColumn("rk", row_number().over(w2))
-          .filter(col("rk") <= 2)
-          .select(col("seed"), lit(2L).as("hop"), col("parent"),
-            col("d").as("node"), col("rk").cast("long").as("rk"))
-        h1.unionByName(h2).orderBy("seed", "hop", "parent", "rk")
+        GraphAlgos.sageSample(pr, seeds, f1 = 3, f2 = 2)
+          .orderBy("seed", "hop", "parent", "rk")
       },
       Some("""WITH pr AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
                 FROM lineitem a JOIN lineitem b

@@ -850,4 +850,104 @@ object GraphAlgos {
         expr("4 * m * intra_edges - deg_sum * deg_sum").as("contrib_num"),
         expr("4 * m * m").as("denom"))
   }
+
+  /** HITS hubs & authorities (Kleinberg), `steps` power-iteration
+    * half-step pairs from h0 = 1, UNNORMALIZED: with a fixed step
+    * count the raw mutual-reinforcement sums stay integers (a1 =
+    * in-degree, then alternating integer sums) and rank identically to
+    * the L2-normalized scores — no per-round float normalization for a
+    * distributed hash compare to trip on. Directed edges (s, d),
+    * deduped here. Per half-step: one edge join + one
+    * map-side-partial aggregate on the node key.
+    *
+    * @return (node, auth_score, hub_score) — BIGINT scores */
+  def hits(edges: DataFrame, steps: Int = 2): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    val e = edges.select(col("s"), col("d")).distinct().cutLineage()
+    val nodes = e.select(col("s").as("node"))
+      .union(e.select(col("d").as("node"))).distinct()
+    var auth = e.groupBy(col("d").as("node")).agg(count(lit(1)).as("a"))
+    var hub = e.join(auth.withColumnRenamed("node", "d"), Seq("d"), "left")
+      .groupBy(col("s").as("node"))
+      .agg(sum(coalesce(col("a"), lit(0L))).as("h"))
+    for (_ <- 2 to steps) {
+      auth = e.join(hub.withColumnRenamed("node", "s"), Seq("s"), "left")
+        .groupBy(col("d").as("node"))
+        .agg(sum(coalesce(col("h"), lit(0L))).as("a"))
+      hub = e.join(auth.withColumnRenamed("node", "d"), Seq("d"), "left")
+        .groupBy(col("s").as("node"))
+        .agg(sum(coalesce(col("a"), lit(0L))).as("h"))
+    }
+    nodes.join(auth, Seq("node"), "left").join(hub, Seq("node"), "left")
+      .select(col("node"), coalesce(col("a"), lit(0L)).as("auth_score"),
+        coalesce(col("h"), lit(0L)).as("hub_score"))
+  }
+
+  /** Degree assortativity (Newman's r) over undirected pairs (u, v):
+    * the Pearson correlation of endpoint degrees across directed edge
+    * instances. The five sufficient statistics are exact BIGINT sums;
+    * the final correlation runs in double space (each operand's
+    * long->double cast is exact below 2^53, and staying in BIGINT
+    * would overflow n*sxy at scale — DuckDB errors, Spark wraps).
+    *
+    * @return one row: (n, sx, sy, sxy, sxx, syy, r) */
+  def degreeAssortativity(pairs: DataFrame): DataFrame = {
+    val sym = pairs.select(col("u").as("s"), col("v").as("d"))
+      .union(pairs.select(col("v").as("s"), col("u").as("d")))
+    val deg = sym.groupBy(col("s").as("node")).agg(count(lit(1)).as("dg"))
+    sym
+      .join(deg.select(col("node").as("s"), col("dg").as("du")), Seq("s"))
+      .join(deg.select(col("node").as("d"), col("dg").as("dv")), Seq("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("du")).as("sx"), sum(col("dv")).as("sy"),
+        sum(col("du") * col("dv")).as("sxy"),
+        sum(col("du") * col("du")).as("sxx"),
+        sum(col("dv") * col("dv")).as("syy"))
+      .withColumn("r",
+        (col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double")) /
+        sqrt((col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")) *
+          (col("n").cast("double") * col("syy").cast("double")
+            - col("sy").cast("double") * col("sy").cast("double"))))
+  }
+
+  /** GraphSAGE-style deterministic neighbor sampling over undirected
+    * pairs (u, v): per seed a bounded fan-out frontier — <= `f1`
+    * neighbors at hop 1, <= `f2` per hop-1 node at hop 2 — ranked by
+    * md5(seed:...:neighbor), so every worker recomputes the same
+    * sample and a resumed run draws identical minibatches (no
+    * distributed rand() state). Seeds broadcast into the adjacency
+    * join; per hop one edge join + one WindowGroupLimit-bounded rank
+    * per parent: cost O(seeds * fanout), never O(graph).
+    *
+    * @param seeds one column `seed`
+    * @return (seed, hop, parent, node, rk) */
+  def sageSample(pairs: DataFrame, seeds: DataFrame,
+      f1: Int = 3, f2: Int = 2): DataFrame = {
+    require(f1 >= 1 && f2 >= 0, s"fanouts must be positive, got ($f1, $f2)")
+    val sym = pairs.select(col("u").as("s"), col("v").as("d"))
+      .union(pairs.select(col("v").as("s"), col("u").as("d")))
+      .cutLineage() // both hops join it
+    val w1 = org.apache.spark.sql.expressions.Window.partitionBy("seed")
+      .orderBy(col("rkey").asc, col("d").asc)
+    val h1 = broadcast(seeds).join(sym, col("seed") === col("s"))
+      .withColumn("rkey", md5(concat(col("seed"), lit(":"), col("d"))))
+      .withColumn("rk", row_number().over(w1))
+      .filter(col("rk") <= f1)
+      .select(col("seed"), lit(1L).as("hop"), col("seed").as("parent"),
+        col("d").as("node"), col("rk").cast("long").as("rk"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("seed", "parent")
+      .orderBy(col("rkey").asc, col("d").asc)
+    val h2 = broadcast(h1.select(col("seed"), col("node").as("parent")))
+      .join(sym, col("parent") === col("s"))
+      .withColumn("rkey",
+        md5(concat_ws(":", col("seed"), col("parent"), col("d"))))
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= f2)
+      .select(col("seed"), lit(2L).as("hop"), col("parent"),
+        col("d").as("node"), col("rk").cast("long").as("rk"))
+    h1.unionByName(h2)
+  }
 }

@@ -548,4 +548,83 @@ class GraphSpec extends AnyFunSuite {
     val bfs = SparkEntry.queries("g_bfs_hops")(spark, d).collect()
     assert(bfs.exists(_.getInt(1) == 0) && bfs.forall(_.getInt(1) <= 3))
   }
+
+  /** Local unnormalized HITS mirroring GraphAlgos.hits' loop exactly. */
+  private def simHits(edges: Set[(Long, Long)],
+      steps: Int): Map[Long, (Long, Long)] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    var a = nodes.map(n => n -> edges.count(_._2 == n).toLong).toMap
+    var h = nodes.map(n =>
+      n -> edges.filter(_._1 == n).toSeq.map(e => a(e._2)).sum).toMap
+    for (_ <- 2 to steps) {
+      a = nodes.map(n =>
+        n -> edges.filter(_._2 == n).toSeq.map(e => h(e._1)).sum).toMap
+      h = nodes.map(n =>
+        n -> edges.filter(_._1 == n).toSeq.map(e => a(e._2)).sum).toMap
+    }
+    nodes.map(n => n -> ((a(n), h(n)))).toMap
+  }
+
+  test("property: hits matches local mutual-reinforcement on random digraphs") {
+    for ((es, i) <- randomGraphs(seed = 1101L, count = 8).zipWithIndex) {
+      val got = GraphAlgos.hits(es.toDF("s", "d"), steps = 2).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val want = simHits(es.toSet, steps = 2)
+      assert(got == want, s"graph #$i: $es")
+    }
+  }
+
+  test("hits on a two-level chain separates the hub from the authority") {
+    // 1 -> 2, 1 -> 3, 4 -> 3: node 1 is the pure hub, node 3 the
+    // strongest authority (two in-links from hubs)
+    val e = Seq((1L, 2L), (1L, 3L), (4L, 3L)).toDF("s", "d")
+    val got = GraphAlgos.hits(e, steps = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L)._1 == 0L)                        // nothing points at 1
+    assert(got(3L)._1 > got(2L)._1)                 // 3 out-authorities 2
+    assert(got(1L)._2 > got(4L)._2)                 // 1 out-hubs 4
+    assert(got(2L)._2 == 0L && got(3L)._2 == 0L)    // sinks are no hubs
+  }
+
+  test("degreeAssortativity: star graph is exactly -1, clique NaN-free +1 denom") {
+    // K1,4: every edge joins the deg-4 hub to a deg-1 leaf -> r = -1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("u", "v")
+    val r = GraphAlgos.degreeAssortativity(star).collect()(0)
+      .getAs[Double]("r")
+    assert(math.abs(r - (-1.0)) < 1e-12)
+    // path of 4: mixed degrees, r strictly between -1 and 1
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val rp = GraphAlgos.degreeAssortativity(path).collect()(0)
+      .getAs[Double]("r")
+    assert(rp > -1.0 && rp < 1.0)
+  }
+
+  test("property: sageSample honors fanouts, samples real edges, repeats " +
+    "identically") {
+    for (es0 <- randomGraphs(seed = 2203L, count = 6)) {
+      val es = es0.filter(e => e._1 != e._2).distinct
+      if (es.nonEmpty) {
+        val pairs = es.toDF("u", "v")
+        val seedIds = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted.take(2)
+        val seeds = seedIds.toDF("seed")
+        def run() = GraphAlgos.sageSample(pairs, seeds, f1 = 3, f2 = 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).toSet
+        val got = run()
+        val sym = es.flatMap(e => Seq(e, e.swap)).toSet
+        // every sampled (parent, node) is a real edge
+        assert(got.forall { case (_, _, p, n, _) => sym.contains((p, n)) })
+        // fanout bounds: <= 3 per seed at hop 1, <= 2 per parent at hop 2
+        val h1 = got.filter(_._2 == 1L)
+        assert(h1.groupBy(_._1).forall(_._2.size <= 3))
+        assert(got.filter(_._2 == 2L)
+          .groupBy(t => (t._1, t._3)).forall(_._2.size <= 2))
+        // hop-2 parents are exactly the hop-1 sampled nodes
+        assert(got.filter(_._2 == 2L).map(t => (t._1, t._3))
+          .subsetOf(h1.map(t => (t._1, t._4))))
+        // deterministic: a second run draws the identical sample
+        assert(run() == got)
+      }
+    }
+  }
 }
