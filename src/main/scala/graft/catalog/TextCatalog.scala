@@ -560,13 +560,19 @@ object TextCatalog {
             Seq("doc_a"))
           .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))),
             Seq("doc_b"))
+          // All three audit columns are EXACT integers: est = k/16 is
+          // the exact e4 decimal 625k; exact Jaccard i/u and the error
+          // |k*u - 16*i| / (16*u) are integer-divided ppm. A round-4dp
+          // double here once hit a decimal-half boundary at sf0.1
+          // (raw error exactly 0.05625: Spark's BigDecimal HALF_UP saw
+          // ...24999 while DuckDB's scaled multiply saw .5 — the
+          // rounding class the parity rules warn about); integer ppm
+          // has no boundary to disagree on.
           .select(col("doc_a"), col("doc_b"), col("n_agree"),
-            round(col("n_agree") / 16.0, 4).as("est_jaccard"),
-            round(col("ni") * 1.0 / (col("na") + col("nb") - col("ni")), 4)
-              .as("exact_jaccard"),
-            round(abs(col("n_agree") / 16.0
-              - col("ni") * 1.0 / (col("na") + col("nb") - col("ni"))), 4)
-              .as("abs_err"))
+            (col("n_agree").cast("long") * lit(625L)).as("est_j_e4"),
+            expr("1000000 * ni div (na + nb - ni)").as("exact_j_ppm"),
+            expr("""abs(n_agree * (na + nb - ni) - 16 * ni) * 1000000
+                    div (16 * (na + nb - ni))""").as("abs_err_ppm"))
           .orderBy("doc_a", "doc_b")
       },
       Some {
@@ -596,12 +602,13 @@ object TextCatalog {
                 JOIN shd y ON y.doc_id = c.doc_b AND y.sh = x.sh
               GROUP BY 1, 2)
             SELECT agree.doc_a, agree.doc_b, n_agree,
-              round(n_agree / 16.0, 4) AS est_jaccard,
-              round(coalesce(ni, 0) * 1.0 / (na.n + nb.n - coalesce(ni, 0)), 4)
-                AS exact_jaccard,
-              round(abs(n_agree / 16.0
-                - coalesce(ni, 0) * 1.0 / (na.n + nb.n - coalesce(ni, 0))), 4)
-                AS abs_err
+              CAST(n_agree * 625 AS BIGINT) AS est_j_e4,
+              CAST(1000000 * coalesce(ni, 0)
+                // (na.n + nb.n - coalesce(ni, 0)) AS BIGINT) AS exact_j_ppm,
+              CAST(abs(n_agree * (na.n + nb.n - coalesce(ni, 0))
+                  - 16 * coalesce(ni, 0)) * 1000000
+                // (16 * (na.n + nb.n - coalesce(ni, 0))) AS BIGINT)
+                AS abs_err_ppm
             FROM agree
               LEFT JOIN inter ON inter.doc_a = agree.doc_a AND inter.doc_b = agree.doc_b
               JOIN sizes na ON na.doc_id = agree.doc_a
