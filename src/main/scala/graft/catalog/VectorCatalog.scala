@@ -237,6 +237,58 @@ object VectorCatalog {
                 (SELECT count(*) FROM surv) AS n_survivors,
                 (SELECT count(*) FROM e) - (SELECT count(*) FROM surv) AS n_dropped""")),
 
+    Q("v_filtered_ann",
+      // FILTERED vector search — the production ANN problem plain
+      // top-k benchmarks skip: "nearest neighbors WHERE label = X".
+      // This is the PRE-FILTER strategy: the metadata predicate
+      // restricts the inverted lists BEFORE the distance pass, so the
+      // scan touches only qualifying vectors — correct recall per
+      // filter, and at 100 TB the predicate (pushed to the parquet
+      // scan) shrinks the candidate set before anything shuffles.
+      // Post-filtering (top-k first, filter after) returns FEWER than
+      // k when the filter is selective — the failure mode this query's
+      // guaranteed-3-rows-per-query output proves away. Same
+      // deterministic ranking discipline as every v_* query.
+      (s, d) => {
+        graft.functions.DotProduct.register(s)
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding").as("v"),
+            expr("sqrt(dot_product(embedding, embedding))").as("nrm"))
+        val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 18)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qn"))
+        // pre-filter: only label-0 vectors enter the distance pass
+        val corpus = e.filter(col("label") === 0)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"),
+            col("nrm").as("cn"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("c_id").asc)
+        q.crossJoin(corpus)
+          .filter(col("q_id") =!= col("c_id"))
+          .withColumn("cos", cosCol("qv", "cv", "qn", "cn"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("rn"), col("c_id").as("neighbor_id"),
+            round(col("cos"), 4).as("cosine"))
+          .orderBy("q_id", "rn")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                        FROM embeddings),
+             q AS (SELECT vec_id AS q_id, v AS qv FROM e
+                   WHERE vec_id >= 8 AND vec_id < 18),
+             c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE label = 0)
+             SELECT q_id, rn, c_id AS neighbor_id, round(cos, 4) AS cosine
+             FROM (SELECT q_id, c_id,
+                     list_dot_product(qv, cv) /
+                       (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(cv, cv))) AS cos,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY list_dot_product(qv, cv) /
+                         (sqrt(list_dot_product(qv, qv))
+                          * sqrt(list_dot_product(cv, cv))) DESC, c_id) AS rn
+                   FROM q, c WHERE q_id <> c_id)
+             WHERE rn <= 3 ORDER BY q_id, rn""")),
+
     Q("v_dedup_threshold_sweep",
       // The semantic-dedup THRESHOLD KNOB measured in one plan — the
       // tuning audit run before committing to a cosine cutoff (too low
