@@ -1062,32 +1062,37 @@ object TextCatalog {
       // xxhash64(context) like x_repeated_spans (8 bytes per entry in
       // flight, strings only for the surviving top rows).
       (s, d) => {
+        // The context key travels as FOUR RAW TOKEN COLUMNS through
+        // the heavy aggregate, not as a pre-built 4-gram string: the
+        // obvious transform(i -> concat_ws(slice(...))) builds 15M
+        // window strings through an interpreted higher-order lambda
+        // (measured 18-22 s at sf0.1); posexplode + four codegen'd
+        // element_at taps plus a (t1..t4, nxt) groupBy is the same
+        // grouping (concat_ws(' ') is injective — normalized tokens
+        // are space-free) at 3 s. The ctx string is only assembled on
+        // the ~240k aggregated rows. Dominant-continuation argmax
+        // folds into the second groupBy as min(struct(-count, next))
+        // (largest count, tie -> smallest token): two partial-
+        // aggregated shuffles + TakeOrderedAndProject, zero windows.
         val pairs = t(s, d, "documents")
           .withColumn("toks", expr(s"split($sparkNorm, ' ')"))
           .withColumn("n", size(col("toks")))
-          .withColumn("ps", expr(
-            """CASE WHEN n >= 5
-                 THEN transform(sequence(5, n),
-                   i -> struct(concat_ws(' ', slice(toks, i - 4, 4)) AS ctx,
-                               element_at(toks, i) AS nxt))
-                 ELSE CAST(array() AS array<struct<ctx:string,nxt:string>>) END"""))
-          .select(explode(col("ps")).as("p"))
-          .select(col("p.ctx").as("ctx"), col("p.nxt").as("nxt"))
-        val perNext = pairs.groupBy("ctx", "nxt").agg(count(lit(1)).as("c"))
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("ctx")
-          .orderBy(col("c").desc, col("nxt").asc)
-        perNext
-          .withColumn("rn", row_number().over(w))
-          .withColumn("n_occurrences",
-            sum("c").over(org.apache.spark.sql.expressions.Window
-              .partitionBy("ctx")))
-          .withColumn("n_distinct_next",
-            count(lit(1)).over(org.apache.spark.sql.expressions.Window
-              .partitionBy("ctx")))
-          .filter(col("rn") === 1)
+          .filter(col("n") >= 5)
+          .select(col("toks"),
+            posexplode(expr("slice(toks, 5, n - 4)")).as(Seq("j", "nxt")))
+          .select((1 to 4).map(k =>
+            expr(s"element_at(toks, j + $k)").as(s"t$k")) :+ col("nxt"): _*)
+        val perNext = pairs.groupBy("t1", "t2", "t3", "t4", "nxt")
+          .agg(count(lit(1)).as("c"))
+          .withColumn("ctx",
+            concat_ws(" ", col("t1"), col("t2"), col("t3"), col("t4")))
+        perNext.groupBy("ctx")
+          .agg(sum("c").as("n_occurrences"),
+            count(lit(1)).as("n_distinct_next"),
+            min(struct((-col("c")).as("negc"), col("nxt").as("nxt"))).as("m"))
           .select(col("ctx"), col("n_occurrences"),
             col("n_distinct_next").cast("long").as("n_distinct_next"),
-            col("nxt").as("top_next"), col("c").as("top_next_count"))
+            col("m.nxt").as("top_next"), (-col("m.negc")).as("top_next_count"))
           .orderBy(col("n_occurrences").desc, col("ctx").asc)
           .limit(10)
       },
