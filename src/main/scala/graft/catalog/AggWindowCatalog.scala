@@ -1202,6 +1202,42 @@ object AggWindowCatalog {
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous
              FROM st GROUP BY user_id ORDER BY user_id""")),
 
+    Q("w13_retention_cohorts",
+      // Cohort retention — THE product-analytics rollup: users are
+      // cohorted by their first active week, and each (cohort week,
+      // week offset) cell counts how many of that cohort were active
+      // again k weeks later. Weeks are integer epoch-weeks (epoch
+      // days div 7 — no calendar/timezone semantics for engines to
+      // disagree on), offsets and counts are BIGINT-exact. Shape: the
+      // per-user first-week min is a map-side-partial aggregate; the
+      // (user, week) activity set is one distinct; cohort cells are
+      // one join + one aggregate — every stage keyed on user or
+      // cohort, no windows.
+      (s, d) => {
+        val act = t(s, d, "events")
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 604800000000").as("week"))
+          .distinct()
+        val cohort = act.groupBy("user_id").agg(min("week").as("cohort_week"))
+        act.join(cohort, Seq("user_id"))
+          .withColumn("week_offset", col("week") - col("cohort_week"))
+          .groupBy("cohort_week", "week_offset")
+          .agg(countDistinct("user_id").as("n_active"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""SELECT cohort_week, week - cohort_week AS week_offset,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+             FROM (SELECT DISTINCT user_id,
+                     epoch_us(ts) // 604800000000 AS week
+                   FROM events) a
+             JOIN (SELECT user_id, min(week) AS cohort_week
+                   FROM (SELECT DISTINCT user_id,
+                           epoch_us(ts) // 604800000000 AS week
+                         FROM events)
+                   GROUP BY user_id) c USING (user_id)
+             GROUP BY cohort_week, week_offset
+             ORDER BY cohort_week, week_offset""")),
+
     Q("w12_gap_islands",
       // Gaps-and-islands: maximal runs of CONSECUTIVE active hours per
       // user — the classic row_number-difference grouping (slot minus

@@ -237,6 +237,58 @@ object VectorCatalog {
                 (SELECT count(*) FROM surv) AS n_survivors,
                 (SELECT count(*) FROM e) - (SELECT count(*) FROM surv) AS n_dropped""")),
 
+    Q("v_ivf_imbalance",
+      // IVF list-size imbalance — the index-health metric NEXT TO
+      // recall (v_recall_audit): a skewed inverted file means some
+      // probes scan 10x the vectors of others, so tail latency tracks
+      // the LARGEST probed list, not the mean. Reports per-cell sizes
+      // plus the corpus-wide imbalance summary (max/mean in e2 — the
+      // ratio a reindex decision reads). Same deterministic assignment
+      // as every IVF query; one broadcast-centroid pass + a 8-row
+      // aggregate.
+      (s, d) => {
+        graft.functions.DotProduct.register(s)
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").as("v"),
+            expr("sqrt(dot_product(embedding, embedding))").as("nrm"))
+        val cent = broadcast(e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("v").as("cent"),
+            col("nrm").as("cent_n")))
+        val wAssign = Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("cent_id").asc)
+        val cells = e.crossJoin(cent)
+          .withColumn("ccos", cosCol("v", "cent", "nrm", "cent_n"))
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .groupBy(col("cent_id").as("cell"))
+          .agg(count(lit(1)).as("n_vectors"))
+        val tot = broadcast(cells.agg(sum("n_vectors").as("n_total"),
+          max("n_vectors").as("n_max"), count(lit(1)).as("n_cells")))
+        cells.crossJoin(tot)
+          .select(col("cell"), col("n_vectors"),
+            expr("10000 * n_vectors div n_total").as("share_bp"),
+            expr("100 * n_max * n_cells div n_total").as("imbalance_e2"))
+          .orderBy("cell")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             cent AS (SELECT vec_id AS cent_id, v AS cent FROM e WHERE vec_id < 8),
+             cells AS (
+               SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors FROM (
+                 SELECT e.vec_id, cent_id AS cell, row_number() OVER (
+                     PARTITION BY e.vec_id ORDER BY
+                     list_dot_product(e.v, cent) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent, cent))) DESC,
+                     cent_id) AS rn
+                 FROM e, cent)
+               WHERE rn = 1 GROUP BY cell),
+             tot AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS n_total,
+                       CAST(max(n_vectors) AS BIGINT) AS n_max,
+                       CAST(count(*) AS BIGINT) AS n_cells
+                     FROM cells)
+             SELECT cell, n_vectors,
+               CAST(10000 * n_vectors // n_total AS BIGINT) AS share_bp,
+               CAST(100 * n_max * n_cells // n_total AS BIGINT) AS imbalance_e2
+             FROM cells CROSS JOIN tot ORDER BY cell""")),
+
     Q("v_filtered_ann",
       // FILTERED vector search — the production ANN problem plain
       // top-k benchmarks skip: "nearest neighbors WHERE label = X".
