@@ -3,6 +3,7 @@ package graft.catalog
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.catalog.Q.t
+import graft.operators.Lineage.CutOps
 
 /** Aggregations, windows, scalar-function pipelines and batch-temporal
   * (SCD / snapshot-diff) operators from SURVEY.md §2.4–§2.9.
@@ -1201,6 +1202,93 @@ object AggWindowCatalog {
                          AND (c * n - s) * (c * n - s) > 9 * (n * ss - s * s)
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous
              FROM st GROUP BY user_id ORDER BY user_id""")),
+
+    Q("a_kmv_intersect",
+      // KMV INTERSECTION by inclusion-exclusion — the sketch algebra a
+      // segmentation query runs without touching raw data: est(A∩N) =
+      // est(A) + est(N) - est(A∪N), every term a per-flag or merged
+      // k-th-minimum estimate (the a_kmv_union machinery), audited
+      // against the exact two-flag intersection. All BIGINT; the
+      // estimate can exceed the true count (inclusion-exclusion
+      // amplifies both sketches' errors — the audit column is the
+      // point: intersection sketching is the WEAK spot of KMV, and a
+      // deployment should see the measured error before trusting it).
+      (s, d) => {
+        val wF = Window.partitionBy("flag").orderBy(col("h").asc)
+        val sketches = t(s, d, "lineitem")
+          .filter(col("l_returnflag").isin("A", "N"))
+          .select(col("l_returnflag").as("flag"), col("l_partkey")).distinct()
+          .withColumn("h", expr(
+            "CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 12), 16, 10) AS BIGINT)"))
+          .select("flag", "h").distinct()
+          .withColumn("rn", row_number().over(wF))
+          .filter(col("rn") <= 16)
+          .cutLineage() // read by the per-flag kths AND the merged kth
+        val perFlag = sketches.filter(col("rn") === 16)
+          .select(col("flag"), expr("(15 * 281474976710656L) div h").as("est"))
+        val wG = Window.orderBy(col("h").asc) // 32 sketch values, not the corpus
+        val estU = sketches.select("h").distinct()
+          .withColumn("grn", row_number().over(wG))
+          .filter(col("grn") === 16)
+          .select(expr("(15 * 281474976710656L) div h").as("est_union"))
+        val exact = t(s, d, "lineitem")
+          .filter(col("l_returnflag").isin("A", "N"))
+          .select(col("l_returnflag").as("flag"), col("l_partkey")).distinct()
+          .groupBy("l_partkey").agg(count(lit(1)).as("nf"))
+          .filter(col("nf") === 2)
+          .agg(count(lit(1)).as("n_exact_intersect"))
+        broadcast(perFlag.groupBy()
+            .agg(max(when(col("flag") === "A", col("est"))).as("est_a"),
+              max(when(col("flag") === "N", col("est"))).as("est_n")))
+          .crossJoin(broadcast(estU))
+          .crossJoin(exact)
+          .withColumn("est_intersect", expr("est_a + est_n - est_union"))
+          .withColumn("err_ppm", expr(
+            "(1000000 * abs(est_intersect - n_exact_intersect)) div n_exact_intersect"))
+          .select("est_a", "est_n", "est_union", "est_intersect",
+            "n_exact_intersect", "err_ppm")
+      },
+      Some {
+        val nib = (i: Int) => s"(strpos('0123456789abcdef', substring(h, $i, 1)) - 1)"
+        val h48 = (1 to 12).map(i => s"${nib(i)} * ${1L << (4 * (12 - i))}")
+          .mkString("CAST(", " + ", " AS BIGINT)")
+        s"""WITH vals AS (
+              SELECT DISTINCT l_returnflag AS flag, l_partkey FROM lineitem
+              WHERE l_returnflag IN ('A', 'N')),
+            hs AS (
+              SELECT DISTINCT flag, $h48 AS h FROM (
+                SELECT flag, md5(CAST(l_partkey AS VARCHAR)) AS h FROM vals)),
+            sk AS (
+              SELECT flag, h, rn FROM (
+                SELECT flag, h, row_number() OVER (
+                    PARTITION BY flag ORDER BY h) AS rn
+                FROM hs)
+              WHERE rn <= 16),
+            pf AS (
+              SELECT flag, CAST((15 * 281474976710656) // h AS BIGINT) AS est
+              FROM sk WHERE rn = 16),
+            mg AS (
+              SELECT CAST((15 * 281474976710656) // h AS BIGINT) AS est_union
+              FROM (
+                SELECT h, row_number() OVER (ORDER BY h) AS grn
+                FROM (SELECT DISTINCT h FROM sk))
+              WHERE grn = 16),
+            ex AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_exact_intersect FROM (
+                SELECT l_partkey FROM vals GROUP BY l_partkey
+                HAVING count(*) = 2)),
+            ab AS (
+              SELECT max(CASE WHEN flag = 'A' THEN est END) AS est_a,
+                max(CASE WHEN flag = 'N' THEN est END) AS est_n
+              FROM pf)
+            SELECT est_a, est_n, est_union,
+              CAST(est_a + est_n - est_union AS BIGINT) AS est_intersect,
+              n_exact_intersect,
+              CAST((1000000 * abs(est_a + est_n - est_union
+                - n_exact_intersect)) // n_exact_intersect AS BIGINT)
+                AS err_ppm
+            FROM ab CROSS JOIN mg CROSS JOIN ex"""
+      }),
 
     Q("w13_retention_cohorts",
       // Cohort retention — THE product-analytics rollup: users are
