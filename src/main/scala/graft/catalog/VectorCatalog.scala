@@ -374,8 +374,14 @@ object VectorCatalog {
         val nDocs = hits
           .select(col("thr_e2"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
           .groupBy("thr_e2").agg(countDistinct("doc").as("n_docs_flagged"))
-        nPairs.join(nDocs, Seq("thr_e2"))
-          .select("thr_e2", "n_pairs", "n_docs_flagged")
+        // LEFT join from the threshold frame: an operating point with
+        // ZERO qualifying pairs must appear as an explicit 0 row — a
+        // sweep that silently omits it reads as "not measured"
+        thr.join(nPairs, Seq("thr_e2"), "left")
+          .join(nDocs, Seq("thr_e2"), "left")
+          .select(col("thr_e2"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(col("n_docs_flagged"), lit(0L)).as("n_docs_flagged"))
           .orderBy("thr_e2")
       },
       Some(s"""WITH e AS (
@@ -389,18 +395,21 @@ object VectorCatalog {
                      * sqrt(list_dot_product(b.v, b.v))) AS cos
                 FROM e a JOIN e b
                   ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+              lv AS (SELECT unnest([20, 40, 60]) AS thr_e2),
               hits AS (
-                SELECT thr_e2, doc_a, doc_b FROM pc,
-                  (SELECT unnest([20, 40, 60]) AS thr_e2)
+                SELECT thr_e2, doc_a, doc_b FROM pc, lv
                 WHERE cos >= CAST(thr_e2 AS DOUBLE) / 100.0)
-              SELECT CAST(thr_e2 AS BIGINT) AS thr_e2, n_pairs, n_docs_flagged
-              FROM (SELECT thr_e2, CAST(count(*) AS BIGINT) AS n_pairs
-                    FROM hits GROUP BY thr_e2) p
-              JOIN (SELECT thr_e2,
-                      CAST(count(DISTINCT doc) AS BIGINT) AS n_docs_flagged
-                    FROM (SELECT thr_e2, unnest([doc_a, doc_b]) AS doc
-                          FROM hits)
-                    GROUP BY thr_e2) f USING (thr_e2)
+              SELECT CAST(lv.thr_e2 AS BIGINT) AS thr_e2,
+                coalesce(n_pairs, 0) AS n_pairs,
+                coalesce(n_docs_flagged, 0) AS n_docs_flagged
+              FROM lv
+              LEFT JOIN (SELECT thr_e2, CAST(count(*) AS BIGINT) AS n_pairs
+                         FROM hits GROUP BY thr_e2) p ON p.thr_e2 = lv.thr_e2
+              LEFT JOIN (SELECT thr_e2,
+                           CAST(count(DISTINCT doc) AS BIGINT) AS n_docs_flagged
+                         FROM (SELECT thr_e2, unnest([doc_a, doc_b]) AS doc
+                               FROM hits)
+                         GROUP BY thr_e2) f ON f.thr_e2 = lv.thr_e2
               ORDER BY thr_e2""")),
 
     Q("v_ivf_ann",
