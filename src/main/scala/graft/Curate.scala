@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
   *     [--eval PATH [--min-shared N] [--ngram N] [--bloom]]
   *     [--mix src:w,src:w,... --token-budget N] [--redact-pii]
   *     [--line-filter [--min-line-words N] [--min-lines N]]
-  *     [--chunk-dedup [--chunk-tokens N]]
+  *     [--chunk-dedup [--chunk-tokens N]] [--manifest [--shards N]]
   *
   * `--eval PATH` additionally decontaminates against a held-out eval
   * parquet (drops curated docs sharing >= min-shared distinct word
@@ -134,6 +134,30 @@ object Curate {
 
     mixed.write.mode("overwrite").parquet(s"$outDir/curated")
     chunks.write.mode("overwrite").parquet(s"$outDir/chunks")
+    // --manifest: per-shard data-versioning fingerprints over the chunks
+    // just written (the x_shard_manifest shape: counts + md5 over the
+    // shard's chunk md5s in sorted order — order-canonical, so re-runs
+    // over identical data produce identical manifests regardless of
+    // write order). The constant-size "same data?" artifact a
+    // reproducible training run records next to its shards.
+    if (flags.contains("--manifest")) {
+      import org.apache.spark.sql.functions._
+      val nShards = flagValue("--shards").map(_.toInt).getOrElse(8)
+      graft.operators.Curation.shardAssign(
+          spark.read.parquet(s"$outDir/chunks"),
+          nShards = nShards, keyCols = Seq("doc_id", "chunk_idx"))
+        .withColumn("chunk_md5", md5(col("chunk_text")))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_chunk_tokens").cast("long")).as("n_tokens"),
+          countDistinct("doc_id").as("n_docs"),
+          md5(expr("concat_ws('', sort_array(collect_list(chunk_md5)))"))
+            .as("manifest_md5"))
+        .orderBy("shard")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/manifest")
+      println(s"[curate] manifest written to $outDir/manifest")
+    }
     // Funnel counts: the expensive stages (near-dup CC, chunking) are
     // counted from the parquet just written instead of recomputed.
     import spark.implicits._

@@ -358,6 +358,21 @@ class CurationSpec extends AnyFunSuite {
     assert(curLined(0).getAs[Long]("n_lines_kept") == 30L)
     assert(!curLined(0).getAs[String]("text").contains("short tail"))
 
+    // --manifest writes per-shard fingerprints; two runs over identical
+    // input produce IDENTICAL manifests (the reproducibility contract)
+    Curate.run(spark, Array(s"$base/docs", s"$base/out9",
+      "--manifest", "--shards", "4", "--win", "32", "--stride", "32"))
+    val m1 = spark.read.parquet(s"$base/out9/manifest")
+      .collect().map(r => (r.getAs[Int]("shard"), r.getAs[Long]("n_chunks"),
+        r.getAs[String]("manifest_md5"))).sortBy(_._1).toSeq
+    assert(m1.nonEmpty && m1.map(_._2).sum == 8L) // all chunks accounted for
+    Curate.run(spark, Array(s"$base/docs", s"$base/out9b",
+      "--manifest", "--shards", "4", "--win", "32", "--stride", "32"))
+    val m2 = spark.read.parquet(s"$base/out9b/manifest")
+      .collect().map(r => (r.getAs[Int]("shard"), r.getAs[Long]("n_chunks"),
+        r.getAs[String]("manifest_md5"))).sortBy(_._1).toSeq
+    assert(m1 == m2)
+
     // --chunk-dedup drops cross-doc repeated 16-token chunks before
     // scoring: doc 2 (exact twin of 1) collapses to empty text and is
     // dropped at the chunk stage itself; doc 3 (2 tokens changed in the
