@@ -1235,6 +1235,100 @@ object TextCatalog {
                          FROM documents))
              GROUP BY source, bucket ORDER BY source, bucket""")),
 
+    Q("x_dedup_method_audit",
+      // Cross-METHOD dedup audit — the completeness question a
+      // curation review asks once several dedup families are green
+      // individually: does the cheap sketch (simhash within hamming 8)
+      // AGREE with the expensive ground truth (word-trigram Jaccard
+      // >= 0.5)? One row: truth/predicted/agreement pair counts and
+      // integer-ppm precision + recall of the sketch against the
+      // trigram truth. The Jaccard threshold is the pure-integer test
+      // 3*inter >= card_a + card_b (equivalent to j >= 0.5 — no float
+      // division anywhere), and both pair sets reuse their green
+      // catalog pipelines. At 100 TB this audit runs on a SAMPLE
+      // stratum (one source), exactly as it does here — its cost is
+      // the two pair derivations, never corpus-squared.
+      (s, d) => {
+        val pred = simhashNearDupPairs(s, d).select("doc_a", "doc_b")
+        val docs = spread(t(s, d, "documents"))
+          .withColumn("toks", expr(s"split($sparkNorm, ' ')"))
+        val sh = docs
+          .filter(expr("size(toks) >= 3"))
+          .select(col("doc_id"), col("source"),
+            explode(expr("transform(sequence(1, size(toks) - 2),"
+              + " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")).as("sh"))
+          .distinct()
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("source", "sh")))
+          .filter(col("df") <= MaxShingleDf)
+          .withColumn("card", count(lit(1)).over(Window.partitionBy("doc_id")))
+        val a = sh.select(col("doc_id").as("doc_a"), col("source").as("src"),
+          col("sh"), col("card").as("card_a")).hint("merge")
+        val b = sh.select(col("doc_id").as("doc_b"), col("source").as("src"),
+          col("sh"), col("card").as("card_b")).hint("merge")
+        val truth = a.join(b, Seq("src", "sh"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("inter"),
+            min("card_a").as("card_a"), min("card_b").as("card_b"))
+          .filter(expr("3 * inter >= card_a + card_b"))
+          .select("doc_a", "doc_b")
+        val both = truth.join(pred, Seq("doc_a", "doc_b"))
+        truth.agg(count(lit(1)).as("n_truth"))
+          .crossJoin(pred.agg(count(lit(1)).as("n_pred")))
+          .crossJoin(both.agg(count(lit(1)).as("n_both")))
+          .select(col("n_truth"), col("n_pred"), col("n_both"),
+            expr("CASE WHEN n_pred = 0 THEN 0L"
+              + " ELSE 1000000 * n_both div n_pred END").as("precision_ppm"),
+            expr("CASE WHEN n_truth = 0 THEN 0L"
+              + " ELSE 1000000 * n_both div n_truth END").as("recall_ppm"))
+      },
+      Some(s"""WITH ${duckSimhashCte()},
+              pred AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sims a JOIN sims b
+                  ON a.source = b.source AND a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.simhash, b.simhash)) <= 8),
+              tk AS (
+                SELECT doc_id, source, string_split($duckNorm, ' ') AS ts
+                FROM documents),
+              sh0 AS (
+                SELECT DISTINCT doc_id, source,
+                  concat_ws(' ', ts[CAST(i AS INT)], ts[CAST(i AS INT) + 1],
+                            ts[CAST(i AS INT) + 2]) AS sh
+                FROM tk, UNNEST(range(1, len(ts) - 1)) AS t(i)
+                WHERE len(ts) >= 3),
+              shk AS (
+                SELECT doc_id, source, sh,
+                  count(*) OVER (PARTITION BY doc_id) AS card
+                FROM (SELECT *, count(*) OVER (PARTITION BY source, sh) AS df
+                      FROM sh0)
+                WHERE df <= $MaxShingleDf),
+              truth AS (
+                SELECT doc_a, doc_b FROM (
+                  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    count(*) AS inter, min(a.card) AS card_a,
+                    min(b.card) AS card_b
+                  FROM shk a JOIN shk b
+                    ON a.sh = b.sh AND a.source = b.source
+                    AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+                WHERE 3 * inter >= card_a + card_b),
+              agreed AS (
+                SELECT t.doc_a FROM truth t
+                JOIN pred p ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b)
+              SELECT
+                (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+                (SELECT CAST(count(*) AS BIGINT) FROM pred) AS n_pred,
+                (SELECT CAST(count(*) AS BIGINT) FROM agreed) AS n_both,
+                CASE WHEN (SELECT count(*) FROM pred) = 0 THEN 0
+                  ELSE CAST(1000000 * (SELECT count(*) FROM agreed)
+                    // (SELECT count(*) FROM pred) AS BIGINT) END
+                  AS precision_ppm,
+                CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 0
+                  ELSE CAST(1000000 * (SELECT count(*) FROM agreed)
+                    // (SELECT count(*) FROM truth) AS BIGINT) END
+                  AS recall_ppm""")),
+
     Q("x_url_canonicalize",
       // URL canonicalization — the dedup key derivation every web
       // corpus runs before URL-level dedup (CommonCrawl/C4 keep one
