@@ -1949,14 +1949,49 @@ object TextCatalog {
       // over the ROUNDED score with doc_id as total tiebreak, so the
       // assignment is deterministic on both engines; output is the
       // source x bucket composition matrix a mixture designer reads.
-      // (Terciles-by-global-sort is the oracle-parity formulation; at
-      // fleet scale the cutoffs come from approx quantiles and the
-      // bucketing becomes a row-local comparison.)
+      // SCALE SHAPE (round-9 verdict #1): the naive formulation is
+      // `ntile(3) OVER (ORDER BY avg_logp DESC, doc_id)` — a global sort
+      // funneled through ONE partition, the w7/length-batching
+      // anti-pattern. This plan derives the SAME assignment exactly with
+      // no unpartitioned ntile: (a) per-SCORE counts — the distinct-score
+      // frame is bounded by the 4dp score resolution (a few thousand
+      // values regardless of corpus size), so its cumulative window is a
+      // bounded-frame prefix sum, not a data-sized sort; (b) every score
+      // group whose full rank range [cum_before+1, cum_end] lands inside
+      // one tercile gets its bucket from a BROADCAST join on that tiny
+      // frame — row-local, no shuffle of the doc stream; (c) only the
+      // <= 2 boundary score groups need the doc_id tiebreak, ranked by a
+      // window PARTITIONED by score (each group is one tie run, not the
+      // corpus). ntile(3) sizes: s1 = n div 3 + (n%3>=1), s2 = s1 +
+      // n div 3 + (n%3>=2) — integer arithmetic, engine-safe.
       (s, d) => {
-        val wB = Window.orderBy(col("avg_logp").desc, col("doc_id").asc)
-        charlmDocScores(s, d)
+        val scored = charlmDocScores(s, d)
           .join(t(s, d, "documents").select("doc_id", "source"), Seq("doc_id"))
-          .withColumn("bucket", ntile(3).over(wB))
+        val perScore = scored.groupBy("avg_logp")
+          .agg(count(lit(1)).as("cnt"))
+        val wS = Window.orderBy(col("avg_logp").desc) // bounded score frame
+        val cum = perScore
+          .withColumn("cum_end", sum("cnt").over(wS))
+          .withColumn("cum_before", col("cum_end") - col("cnt"))
+          .crossJoin(broadcast(perScore.agg(sum("cnt").as("n"))))
+          .withColumn("s1", expr("n div 3 + (CASE WHEN n % 3 >= 1 THEN 1 ELSE 0 END)"))
+          .withColumn("s2", expr("s1 + n div 3 + (CASE WHEN n % 3 >= 2 THEN 1 ELSE 0 END)"))
+          .withColumn("b_first", expr(
+            "CASE WHEN cum_before + 1 <= s1 THEN 1 WHEN cum_before + 1 <= s2 THEN 2 ELSE 3 END"))
+          .withColumn("b_last", expr(
+            "CASE WHEN cum_end <= s1 THEN 1 WHEN cum_end <= s2 THEN 2 ELSE 3 END"))
+        val resolved = cum.filter(col("b_first") === col("b_last"))
+          .select(col("avg_logp"), col("b_first").as("bucket"))
+        val boundary = cum.filter(col("b_first") =!= col("b_last"))
+          .select("avg_logp", "cum_before", "s1", "s2")
+        val wG = Window.partitionBy("avg_logp").orderBy(col("doc_id").asc)
+        val onBoundary = scored.join(broadcast(boundary), Seq("avg_logp"))
+          .withColumn("r", col("cum_before") + row_number().over(wG))
+          .select(col("source"), expr(
+            "CASE WHEN r <= s1 THEN 1 WHEN r <= s2 THEN 2 ELSE 3 END").as("bucket"))
+        scored.join(broadcast(resolved), Seq("avg_logp"))
+          .select("source", "bucket")
+          .unionByName(onBoundary)
           .groupBy("source", "bucket")
           .agg(count(lit(1)).as("n_docs"))
           .orderBy("source", "bucket")

@@ -84,6 +84,36 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("x_ccnet_buckets plan carries no unpartitioned ntile window") {
+    // Round-9 verdict #1: the tercile assignment used to be
+    // `ntile(3) OVER (ORDER BY avg_logp DESC, doc_id)` — a global sort
+    // funneled through ONE partition. The rewrite derives identical
+    // buckets from per-score cumulative counts (bounded frame) + a
+    // broadcast cutoff join, so NO ntile of any kind may survive into
+    // the physical plan; the only unpartitioned window allowed is the
+    // prefix sum over the distinct-score frame (bounded by the 4dp
+    // score resolution, not the corpus).
+    val df = SparkEntry.queries("x_ccnet_buckets")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("ntile"),
+      "x_ccnet_buckets physical plan still contains an ntile window")
+    // and the row-stream windows must all be partitioned: any WindowExec
+    // whose child is the full doc-score stream (join output) is the
+    // funnel shape; partitionBy(avg_logp) windows and the bounded
+    // score-frame prefix sum are the only windows expected.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val unpart = df.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    // exactly the one bounded score-frame prefix sum may be unpartitioned
+    assert(unpart.size <= 1,
+      s"unexpected unpartitioned windows: ${unpart.map(_.simpleString(120))}")
+    unpart.foreach { w =>
+      assert(w.windowExpression.mkString(",").contains("sum"),
+        "the surviving unpartitioned window is not the bounded prefix sum")
+    }
+  }
+
   test("decimal money path agrees with the double path at 2dp per group") {
     // q1_pricing_decimal is exact by construction; the double path rounds
     // once at the end — the two may differ by at most one ulp of the 2dp
