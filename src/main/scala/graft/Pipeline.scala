@@ -262,6 +262,37 @@ object Pipeline {
     newEdges.write.mode("overwrite").parquet(s"$edgesPath.next")
     graft.temporal.AtomicSwap.swapIn(spark, edgesPath, sidecar)
 
+    // Immutable event NODE tables (T5 facts: opens, clicks, form
+    // submissions) land date-partitioned — `partitionBy(event_date)` —
+    // so every lookback / ts-range report prunes whole partitions at
+    // planning time instead of relying on row-group stats alone
+    // (round-9 verdict #7; SCALE.md §3). Events are append-only facts:
+    // a load appends only the rows whose hubspot_id is NEW (extract
+    // lookback windows re-send recent events; the anti-join keeps the
+    // table idempotent under reload, same invariant as the immutable
+    // edge MERGE above). The fresh set is pinned and materialized
+    // BEFORE the append starts: its plan reads the very directory the
+    // append writes to, and launching the write with that read still
+    // lazy would race new files into the scan. At fleet scale the same
+    // write uses dynamic partition overwrite; the day-grain partition
+    // count stays bounded (a few thousand dirs for a decade).
+    val eventTables = Map("email_opens" -> g.opens,
+      "email_clicks" -> g.clicks, "form_submissions" -> g.forms)
+    eventTables.foreach { case (name, nodes) =>
+      val path = s"$stateDir/events_$name"
+      val dated = nodes.withColumn("event_date", to_date(col("timestamp")))
+      val fresh =
+        if (!fileExists(spark, path)) dated
+        else dated.join(spark.read.parquet(path).select("hubspot_id"),
+          Seq("hubspot_id"), "left_anti")
+      fresh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (fresh.count() > 0)
+          fresh.write.mode("append").partitionBy("event_date").parquet(path)
+      } finally { fresh.unpersist(blocking = false); () }
+      println(s"[pipeline] events_$name loaded")
+    }
+
     // Verification counts (S17): one job per table family
     val counts = tables.map { case (n, df) => s"$n=${df.count()}" }.mkString(" ")
     println(s"[pipeline] nodes: $counts " +
