@@ -24,6 +24,49 @@ object IncrementalPipeline {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Test seam for crash-recovery specs (StreamingSpec): the dedup sinks
+    * call it with (site, batchId) immediately AFTER each durable write
+    * they perform, so a spec can kill the batch between its writes and
+    * prove the replay converges. Production callers leave the no-op
+    * default. */
+  type Failpoint = (String, Long) => Unit
+  val NoFailpoint: Failpoint = (_, _) => ()
+
+  /** Stable idempotence key for one micro-batch. Batch ids are only
+    * unique per checkpoint, so the key pairs the checkpoint location
+    * (which names the stream across restarts) with the batch id —
+    * (checkpoint, batchId) names exactly one unit of work forever, and
+    * two streams sharing a store cannot collide. */
+  private def batchKey(checkpointDir: String, batchId: Long): String =
+    java.lang.Integer.toHexString(checkpointDir.hashCode) + f"_$batchId%012d"
+
+  /** Exactly-once-converging micro-batch write: land `df` under
+    * `batch_key=<key>` with DYNAMIC partition overwrite. A replayed
+    * batch (crash before the checkpoint commit — including between two
+    * of a sink's writes) recomputes the same rows against the same
+    * visible store state and REPLACES its own partition instead of
+    * double-appending; other batches' partitions are untouched. This is
+    * the "write both outputs partitioned by batch id and overwrite that
+    * partition on replay" upgrade the round-8/9 sinks documented as the
+    * transactional path. */
+  private def writeBatchPartition(df: DataFrame, key: String, path: String): Unit =
+    df.withColumn("batch_key", lit(key))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_key")
+      .parquet(path)
+
+  /** A persisted store read for batch `key`: every row EXCEPT the ones a
+    * crashed prior attempt of THIS batch may have written — replay must
+    * see exactly the pre-batch store or its recompute would classify the
+    * batch's own keys as already-seen and drop everything. */
+  private def storeExceptOwn(spark: SparkSession, path: String, key: String)
+      : Option[DataFrame] =
+    if (fileExists(spark, path))
+      Some(spark.read.parquet(path)
+        .filter(col("batch_key") =!= lit(key)).drop("batch_key"))
+    else None
+
   /** Watermarked tumbling-window event counts (the shape a live
     * opens/clicks feed would use; T5/T6). */
   def windowedEventCounts(events: DataFrame, watermark: String = "10 minutes",
@@ -168,34 +211,39 @@ object IncrementalPipeline {
     * AT-LEAST-ONCE, not exactly-once: the two appends per micro-batch
     * (outDir, then storeDir) are not atomic, so a crash between them, or
     * a batch replay after a failure before the checkpoint commits,
-    * re-appends that batch's survivors and signatures. Duplicated
-    * signatures only cost store space (the banded join's semantics are
-    * set-like); duplicated survivors must be collapsed by the consumer
-    * (`dropDuplicates("doc_id")`) or avoided entirely by writing both
-    * outputs partitioned by batch id and overwriting that partition on
-    * replay — the transactional-table upgrade path. */
+    * re-appends that batch's survivors and signatures. Round-9 verdict
+    * #5 closed exactly that: both writes land in the batch's OWN
+    * `batch_key` partition with dynamic overwrite
+    * ([[writeBatchPartition]]), and the store read excludes the batch's
+    * own partition ([[storeExceptOwn]]) so a replay recomputes against
+    * the identical pre-batch state — a crash between the two writes (or
+    * before the checkpoint commit) converges to exactly-once output on
+    * restart. StreamingSpec proves both partial states. */
   def nearDupDedupSink(incomingDocs: DataFrame, storeDir: String, outDir: String,
-      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+      checkpointDir: String, failpoint: Failpoint = NoFailpoint)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
     incomingDocs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        val key = batchKey(checkpointDir, batchId)
         val withinBatch = graft.operators.Curation.nearDupDedup(batch)
         val batchSims = graft.operators.Curation.simhashTable(withinBatch)
-        val store =
-          if (fileExists(spark, storeDir)) spark.read.parquet(storeDir)
-          else batchSims.limit(0)
+        val store = storeExceptOwn(spark, storeDir, key)
+          .getOrElse(batchSims.limit(0))
         // Materialize the matched ids once: both writes below consume
-        // them, and the second write APPENDS to storeDir — without the
-        // checkpoint its plan would re-read storeDir while writing to it
-        // (and re-run the banded join).
+        // them, and the store write lands next to partitions its own
+        // plan read — without the checkpoint it would re-read storeDir
+        // while writing to it (and re-run the banded join).
         val dupIds = matchedAgainstStore(batchSims, store).cutLineage()
         val survivors = withinBatch.join(dupIds, Seq("doc_id"), "left_anti")
-        survivors.write.mode("append").parquet(outDir)
-        batchSims.join(dupIds, Seq("doc_id"), "left_anti")
-          .write.mode("append").parquet(storeDir)
+        writeBatchPartition(survivors, key, outDir)
+        failpoint("out_written", batchId)
+        writeBatchPartition(
+          batchSims.join(dupIds, Seq("doc_id"), "left_anti"), key, storeDir)
+        failpoint("store_written", batchId)
         ()
       }
 
@@ -211,27 +259,29 @@ object IncrementalPipeline {
     * store holds one 16-byte md5 per KEPT chunk (no text): at 100 TB
     * it is the same GB-scale, hash-keyed anti-join layout as
     * [[nearDupDedupSink]]'s signature store, and chunk md5s are
-    * uniform so the join never needs salting. Same at-least-once
-    * caveat as the other sinks: the two appends are not atomic;
-    * consumers collapse replays by doc_id. */
+    * uniform so the join never needs salting. Crash recovery as in
+    * [[nearDupDedupSink]]: batch-keyed dynamic-overwrite writes + the
+    * store read excluding the batch's own partition make replays
+    * converge to exactly-once. */
   def chunkDedupSink(incomingDocs: DataFrame, storeDir: String, outDir: String,
-      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+      checkpointDir: String, failpoint: Failpoint = NoFailpoint)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
     incomingDocs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        val key = batchKey(checkpointDir, batchId)
         val chunks = graft.operators.Curation.docChunks(batch)
         val w = Window.partitionBy("h")
           .orderBy(col("doc_id").asc, col("chunk_no").asc)
         val firsts = chunks.withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).drop("rn")
-        val store =
-          if (fileExists(spark, storeDir)) spark.read.parquet(storeDir)
-          else firsts.select("h").limit(0)
-        // one materialization: both appends below consume the fresh set,
-        // and the store append must not re-read storeDir mid-write
+        val store = storeExceptOwn(spark, storeDir, key)
+          .getOrElse(firsts.select("h").limit(0))
+        // one materialization: both writes below consume the fresh set,
+        // and the store write must not re-read storeDir mid-write
         val fresh = firsts.join(store, Seq("h"), "left_anti").cutLineage()
         val cleaned = fresh
           .groupBy("doc_id")
@@ -239,13 +289,16 @@ object IncrementalPipeline {
             expr("array_join(transform(" +
               "sort_array(collect_list(struct(chunk_no, txt))), p -> p.txt), ' ')")
               .as("text_kept"))
-        chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
-          .join(cleaned, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_chunks"),
-            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-            coalesce(col("text_kept"), lit("")).as("text_kept"))
-          .write.mode("append").parquet(outDir)
-        fresh.select("h").write.mode("append").parquet(storeDir)
+        writeBatchPartition(
+          chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+            .join(cleaned, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("n_chunks"),
+              coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+              coalesce(col("text_kept"), lit("")).as("text_kept")),
+          key, outDir)
+        failpoint("out_written", batchId)
+        writeBatchPartition(fresh.select("h"), key, storeDir)
+        failpoint("store_written", batchId)
         ()
       }
 
@@ -272,14 +325,16 @@ object IncrementalPipeline {
     *
     * Both stores grow by O(bytes-per-doc-constant), not corpus bytes:
     * at 100 TB of text the hash store is tens of GBs and the signature
-    * store single GBs, each joined on its bucketable key. Same
-    * at-least-once caveat as [[nearDupDedupSink]]: the three appends per
-    * batch are not atomic, so replays can duplicate — consumers collapse
-    * by doc_id, or the writes move to a transactional table format. */
+    * store single GBs, each joined on its bucketable key. Crash
+    * recovery as in [[nearDupDedupSink]]: all three writes are
+    * batch-keyed dynamic-overwrite partitions and both store reads
+    * exclude the batch's own partition, so any crash among the three
+    * writes replays to exactly-once on restart. */
   def curationSink(incomingDocs: DataFrame, storeDir: String, outDir: String,
       checkpointDir: String, minTokens: Int = 10, maxDupTokenFrac: Double = 0.5,
       minAlphaFrac: Double = 0.5,
-      evalDir: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] = {
+      evalDir: Option[String] = None,
+      failpoint: Failpoint = NoFailpoint): DataStreamWriter[org.apache.spark.sql.Row] = {
     // The eval corpus is documented static: derive its distinct shingle
     // set and Bloom word array ONCE here and materialize them, instead
     // of re-scanning + re-aggregating the whole eval parquet inside
@@ -317,9 +372,10 @@ object IncrementalPipeline {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import graft.operators.Curation
+        val key = batchKey(checkpointDir, batchId)
         val gated = Curation.qualityGate(batch, minTokens, maxDupTokenFrac,
           minAlphaFrac)
         // exact dedup: within-batch survivor = min doc_id per hash, then
@@ -330,20 +386,18 @@ object IncrementalPipeline {
             Window.partitionBy("__h").orderBy("doc_id")))
           .filter(col("__rn") === 1).drop("__rn")
         val hashStorePath = s"$storeDir/hashes"
-        val hashStore =
-          if (fileExists(spark, hashStorePath)) spark.read.parquet(hashStorePath)
-          else withinExact.select(col("__h")).limit(0)
+        val hashStore = storeExceptOwn(spark, hashStorePath, key)
+          .getOrElse(withinExact.select(col("__h")).limit(0))
         val exactSurvivors = withinExact
           .join(hashStore, Seq("__h"), "left_anti")
           .cutLineage() // both writes below consume it; the hash
-                             // store append must not re-read its own path
+                             // store write must not re-read its own path
         // near-dup: within the batch, then against the signature store
         val withinNearDup = Curation.nearDupDedup(exactSurvivors.drop("__h"))
         val batchSims = Curation.simhashTable(withinNearDup)
         val simStorePath = s"$storeDir/simhashes"
-        val simStore =
-          if (fileExists(spark, simStorePath)) spark.read.parquet(simStorePath)
-          else batchSims.limit(0)
+        val simStore = storeExceptOwn(spark, simStorePath, key)
+          .getOrElse(batchSims.limit(0))
         val dupIds = matchedAgainstStore(batchSims, simStore).cutLineage()
         val survivors = withinNearDup.join(dupIds, Seq("doc_id"), "left_anti")
         val curated = evalStatic match {
@@ -351,10 +405,13 @@ object IncrementalPipeline {
             Curation.decontaminateWithBloom(survivors, evalSg, bloom)
           case None => survivors
         }
-        curated.write.mode("append").parquet(outDir)
-        exactSurvivors.select("__h").write.mode("append").parquet(hashStorePath)
-        batchSims.join(dupIds, Seq("doc_id"), "left_anti")
-          .write.mode("append").parquet(simStorePath)
+        writeBatchPartition(curated, key, outDir)
+        failpoint("out_written", batchId)
+        writeBatchPartition(exactSurvivors.select("__h"), key, hashStorePath)
+        failpoint("hash_store_written", batchId)
+        writeBatchPartition(
+          batchSims.join(dupIds, Seq("doc_id"), "left_anti"), key, simStorePath)
+        failpoint("sim_store_written", batchId)
         gc.endRound() // this batch's cuts are fully consumed by the
                       // writes above; the previous batch's are dead
         ()

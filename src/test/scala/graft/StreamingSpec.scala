@@ -263,6 +263,125 @@ class StreamingSpec extends AnyFunSuite {
       .toSeq == Seq(1L, 3L, 5L))
   }
 
+  test("crash mid-batch: replay from the checkpoint converges to exactly-once " +
+    "(both partial states)") {
+    // Round-9 verdict #5: the sinks' writes are per-batch atomic-in-effect
+    // now — each lands in the batch's own batch_key partition with dynamic
+    // overwrite, and store reads exclude the batch's own partition. This
+    // test kills batch 1 in BOTH partial states and proves the restart
+    // replays to exactly-once: no duplicate survivors, no lost drops.
+    val base = java.nio.file.Files.createTempDirectory("graft-crash").toString
+    val (src, store, out, cp) = (s"$base/src", s"$base/store", s"$base/out",
+      s"$base/cp")
+    val textA = (0 until 120).map(i => s"alpha$i").mkString(" ")
+    val textANear = ("zeta0 zeta1" +: (2 until 120).map(i => s"alpha$i")).mkString(" ")
+    val textB = (0 until 120).map(i => s"beta$i").mkString(" ")
+    val textC = (0 until 120).map(i => s"gamma$i").mkString(" ")
+    val schema = Seq((0L, "", "")).toDF("doc_id", "source", "text").schema
+    def start(fp: IncrementalPipeline.Failpoint) =
+      IncrementalPipeline.nearDupDedupSink(
+        spark.readStream.schema(schema).parquet(src), store, out, cp, fp).start()
+    def docsIn(path: String): Seq[Long] =
+      spark.read.parquet(path).select("doc_id").as[Long].collect().sorted.toSeq
+
+    // batch 0 commits normally: survivors A (1) and B (2)
+    Seq((1L, "s", textA), (2L, "s", textB))
+      .toDF("doc_id", "source", "text").write.mode("append").parquet(src)
+    start(IncrementalPipeline.NoFailpoint).awaitTermination(120000)
+    assert(docsIn(out) == Seq(1L, 2L))
+
+    // batch 1 arrives: a cross-batch near-dup of A (3, must drop) + new C (4)
+    Seq((3L, "s", textANear), (4L, "s", textC))
+      .toDF("doc_id", "source", "text").write.mode("append").parquet(src)
+
+    // SIDE 1 — output written, store missing: kill after the out write
+    val q1 = start((site, bid) =>
+      if (site == "out_written" && bid == 1L)
+        throw new RuntimeException("injected crash: out written, store missing"))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination(120000); ()
+    }
+    assert(docsIn(out) == Seq(1L, 2L, 4L), "out partition must be written")
+    assert(docsIn(store) == Seq(1L, 2L), "store write must be missing")
+
+    // SIDE 2 — store written, output missing: on the replay, let both
+    // writes land, then fabricate the output's loss (delete the batch's
+    // out partition — the store-first crash state) and kill again
+    val q2 = start((site, bid) =>
+      if (site == "store_written" && bid == 1L) {
+        new java.io.File(out).listFiles()
+          .filter(f => f.isDirectory && f.getName.endsWith("_000000000001"))
+          .foreach { d =>
+            d.listFiles().foreach(f => assert(f.delete()))
+            assert(d.delete())
+          }
+        throw new RuntimeException("injected crash: store written, out missing")
+      })
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination(120000); ()
+    }
+    assert(docsIn(store) == Seq(1L, 2L, 4L), "store partition must be written")
+    assert(docsIn(out) == Seq(1L, 2L), "out partition must be missing")
+
+    // clean restart: batch 1 replays once more and commits
+    start(IncrementalPipeline.NoFailpoint).awaitTermination(120000)
+    // exactly-once: no duplicate survivors (each doc id once) ...
+    assert(docsIn(out) == Seq(1L, 2L, 4L),
+      s"duplicate or lost survivors after recovery: ${docsIn(out)}")
+    assert(docsIn(store) == Seq(1L, 2L, 4L),
+      s"duplicate or lost signatures after recovery: ${docsIn(store)}")
+    // ... and no lost drops: the near-dup of A stayed dropped
+    assert(!docsIn(out).contains(3L))
+
+    // and the stream keeps working after recovery: batch 2 commits
+    val textD = (0 until 120).map(i => s"delta$i").mkString(" ")
+    Seq((5L, "s", textD), (6L, "s", textANear))
+      .toDF("doc_id", "source", "text").write.mode("append").parquet(src)
+    start(IncrementalPipeline.NoFailpoint).awaitTermination(120000)
+    assert(docsIn(out) == Seq(1L, 2L, 4L, 5L))
+  }
+
+  test("crash between curation sink's three writes: replay converges") {
+    // The 3-write sink: kill between the hash-store and sim-store writes,
+    // restart, assert every output and both stores land exactly once.
+    val base = java.nio.file.Files.createTempDirectory("graft-crash3").toString
+    val (src, store, out, cp) = (s"$base/src", s"$base/store", s"$base/out",
+      s"$base/cp")
+    val textA = (0 until 120).map(i => s"alpha$i").mkString(" ")
+    val textB = (0 until 120).map(i => s"beta$i").mkString(" ")
+    val schema = Seq((0L, "", "")).toDF("doc_id", "source", "text").schema
+    def start(fp: IncrementalPipeline.Failpoint) =
+      IncrementalPipeline.curationSink(
+        spark.readStream.schema(schema).parquet(src), store, out, cp,
+        failpoint = fp).start()
+    def docsIn(path: String): Seq[Long] =
+      spark.read.parquet(path).select("doc_id").as[Long].collect().sorted.toSeq
+
+    Seq((1L, "s", textA)).toDF("doc_id", "source", "text")
+      .write.mode("append").parquet(src)
+    start(IncrementalPipeline.NoFailpoint).awaitTermination(120000)
+
+    Seq((2L, "s", textB), (3L, "s", textA)) // 3 = cross-batch exact dup
+      .toDF("doc_id", "source", "text").write.mode("append").parquet(src)
+    val q = start((site, bid) =>
+      if (site == "hash_store_written" && bid == 1L)
+        throw new RuntimeException("injected crash after hash-store write"))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(120000); ()
+    }
+    // partial state: out + hash store written, sim store missing
+    assert(docsIn(out) == Seq(1L, 2L))
+    assert(spark.read.parquet(s"$store/hashes").count() == 2L)
+    assert(docsIn(s"$store/simhashes") == Seq(1L))
+
+    start(IncrementalPipeline.NoFailpoint).awaitTermination(120000)
+    assert(docsIn(out) == Seq(1L, 2L), "duplicate survivors after recovery")
+    assert(spark.read.parquet(s"$store/hashes").count() == 2L,
+      "hash store must hold each accepted hash exactly once")
+    assert(docsIn(s"$store/simhashes") == Seq(1L, 2L))
+    assert(!docsIn(out).contains(3L)) // the exact dup stayed dropped
+  }
+
   test("streaming chunk dedup: store drops cross-batch repeated chunks " +
     "and keeps novel ones") {
     val base = java.nio.file.Files.createTempDirectory("graft-ckd").toString
