@@ -1965,8 +1965,12 @@ object TextCatalog {
       // corpus). ntile(3) sizes: s1 = n div 3 + (n%3>=1), s2 = s1 +
       // n div 3 + (n%3>=2) — integer arithmetic, engine-safe.
       (s, d) => {
+        // cut: three consumers below (the per-score counts, the interior
+        // broadcast join, the boundary join) would otherwise re-run the
+        // whole charlm scoring pipeline three times
         val scored = charlmDocScores(s, d)
           .join(t(s, d, "documents").select("doc_id", "source"), Seq("doc_id"))
+          .cutLineage()
         val perScore = scored.groupBy("avg_logp")
           .agg(count(lit(1)).as("cnt"))
         val wS = Window.orderBy(col("avg_logp").desc) // bounded score frame
