@@ -54,37 +54,67 @@ object Curate {
     def flagValue(name: String): Option[String] =
       flags.sliding(2).collectFirst { case Seq(`name`, v) if !v.startsWith("--") => v }
 
+    // --timings: measurement mode for scale evidence (SCALE.md §2c).
+    // Each stage is pinned and counted as it is built, so the recorded
+    // seconds are the stage's OWN increment (its inputs are already
+    // materialized in the pin), not the whole prefix re-run. Off by
+    // default: production runs keep the fused lazy plan.
+    val timed = flags.contains("--timings")
+    val stageTimes = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
+    def stage(name: String)(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      if (!timed) df
+      else {
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val t0 = System.nanoTime()
+        val n = df.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        stageTimes += ((name, secs, n))
+        println(f"[curate] stage $name%-22s ${secs}%8.2fs $n%9d rows")
+        df
+      }
+    def timeIt[A](name: String)(f: => A): A =
+      if (!timed) f
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        val secs = (System.nanoTime() - t0) / 1e9
+        stageTimes += ((name, secs, -1L))
+        println(f"[curate] stage $name%-22s ${secs}%8.2fs")
+        r
+      }
+
     // PII redaction runs FIRST — before any hashing or dedup — so
     // content hashes, simhashes, and chunks are computed over the
     // redacted text (two docs differing only in the PII they leak
     // dedup together), and raw PII never reaches an output file.
     val docs0 = spark.read.parquet(docsPath)
-    val docsRedacted =
+    val docsRedacted = stage("redact_pii")(
       if (flags.contains("--redact-pii")) graft.operators.Curation.redactPii(docs0)
-      else docs0
+      else docs0)
     // Line-level C4 filtering runs after redaction (rules read the
     // redacted text) and before any per-document scoring or hashing, so
     // dedup keys are computed over the boilerplate-free text.
-    val docsLined =
+    val docsLined = stage("line_filter")(
       if (flags.contains("--line-filter"))
         graft.operators.Curation.c4LineFilter(docsRedacted,
           minWords = flagValue("--min-line-words").map(_.toInt).getOrElse(5),
           minLines = flagValue("--min-lines").map(_.toInt).getOrElse(2))
-      else docsRedacted
+      else docsRedacted)
     // Chunk-level (sub-document) dedup runs before per-document scoring
     // and hashing, like the line filter: boilerplate shared across docs
     // is dropped once globally, and downstream dedup keys see the
     // cleaned text. Fully-duplicate docs collapse to empty text and are
     // dropped here (the quality gate would reject them anyway, but an
     // explicit filter keeps the funnel stats attributable).
-    val docs =
+    val docs = stage("chunk_dedup")(
       if (flags.contains("--chunk-dedup")) {
         import org.apache.spark.sql.functions.col
         graft.operators.Curation.chunkDedup(docsLined,
             n = flagValue("--chunk-tokens").map(_.toInt).getOrElse(16))
           .filter(col("n_chunks_kept") > 0)
           .drop("n_chunks", "n_chunks_kept")
-      } else docsLined
+      } else docsLined)
     val win = flagValue("--win").map(_.toInt).getOrElse(64)
     val stride = flagValue("--stride").map(_.toInt).getOrElse(48)
     // Validated up front: with non-ANSI SQL a zero/negative stride turns
@@ -94,15 +124,17 @@ object Curate {
     require(stride > 0, s"--stride must be positive, got $stride")
     require(win >= stride,
       s"--win ($win) must be >= --stride ($stride), or tokens between windows are dropped")
-    val r = graft.operators.Curation.curate(docs,
+    val r = timeIt("neardup_pairing_build")(graft.operators.Curation.curate(docs,
       minTokens = flagValue("--min-tokens").map(_.toInt).getOrElse(10),
       maxDupTokenFrac = flagValue("--max-dup-frac").map(_.toDouble).getOrElse(0.5),
       minAlphaFrac = flagValue("--min-alpha-frac").map(_.toDouble).getOrElse(0.5),
-      win = win, stride = stride)
+      win = win, stride = stride))
     // Optional decontamination against a held-out eval set, applied to
     // the deduped survivors (cheapest point: smallest corpus, and the
     // dropped docs never reach the chunker).
-    val curated = flagValue("--eval") match {
+    if (timed) { stage("quality_gate")(r.quality); stage("exact_dedup")(r.exactDeduped)
+      stage("neardup_dedup")(r.curated); () }
+    val curated = stage("decontaminate")(flagValue("--eval") match {
       case Some(evalPath) =>
         import org.apache.spark.sql.DataFrame
         val decon: (DataFrame, DataFrame, Int, Int) => DataFrame =
@@ -113,10 +145,10 @@ object Curate {
           flagValue("--min-shared").map(_.toInt).getOrElse(8),
           flagValue("--ngram").map(_.toInt).getOrElse(3))
       case None => r.curated
-    }
+    })
     // Optional mixture selection: the curated survivors are packed into
     // per-source token budgets; only the selected mix reaches the chunker.
-    val mixed = flagValue("--mix") match {
+    val mixed = stage("mixture_select")(flagValue("--mix") match {
       case Some(spec) =>
         val weights = spec.split(",").map { kv =>
           kv.split(":") match {
@@ -129,11 +161,11 @@ object Curate {
           throw new IllegalArgumentException("--mix requires --token-budget"))
         graft.operators.Curation.mixtureSelect(curated, weights, budget)
       case None => curated
-    }
+    })
     val chunks = graft.operators.Curation.chunkWindows(mixed, win, stride)
 
-    mixed.write.mode("overwrite").parquet(s"$outDir/curated")
-    chunks.write.mode("overwrite").parquet(s"$outDir/chunks")
+    timeIt("write_curated")(mixed.write.mode("overwrite").parquet(s"$outDir/curated"))
+    timeIt("chunk_and_write")(chunks.write.mode("overwrite").parquet(s"$outDir/chunks"))
     // --manifest: per-shard data-versioning fingerprints over the chunks
     // just written (the x_shard_manifest shape: counts + md5 over the
     // shard's chunk md5s in sorted order — order-canonical, so re-runs
@@ -173,5 +205,14 @@ object Curate {
     ).toDF("stage", "n_rows")
     stats.write.mode("overwrite").json(s"$outDir/stats")
     stats.show(10, truncate = false)
+    if (timed) {
+      val lines = stageTimes.map { case (n, s, c) =>
+        s"""{"stage":"$n","secs":${f"$s%.3f"},"rows":$c}"""
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$outDir/timings.jsonl"),
+        lines.mkString("\n").getBytes("UTF-8"))
+      println(s"[curate] timings written to $outDir/timings.jsonl")
+    }
   }
 }

@@ -2707,7 +2707,139 @@ object TextCatalog {
               FROM (SELECT *, row_number() OVER (
                       ORDER BY importance_e6 DESC, doc_id) AS rn
                     FROM scored)
-              WHERE rn <= 20 ORDER BY rn"""))
+              WHERE rn <= 20 ORDER BY rn""")),
+
+    Q("x_dup_ngram_frac",
+      // RefinedWeb/Gopher-style corpus DUPLICATION metric: per source,
+      // the fraction of 5-gram OCCURRENCES whose gram also appears in
+      // at least one other document corpus-wide — the number a curation
+      // run reads to decide whether (sub-document) dedup is worth a
+      // pass, and the before/after score that proves the pass worked.
+      // Scale shape: one explode, one gram-keyed aggregate, one
+      // gram-keyed join back (co-partitioned with the aggregate — no
+      // extra exchange), one tiny per-source rollup. ppm by integer div.
+      (s, d) => {
+        val occ = spread(t(s, d, "documents"))
+          .withColumn("__toks", expr(s"split($sparkNorm, ' ')"))
+          .filter(expr("size(__toks) >= 5"))
+          .select(col("doc_id"), col("source"), explode(expr(
+            """transform(sequence(1, size(__toks) - 4),
+               i -> concat_ws(' ', slice(__toks, i, 5)))""")).as("sg"))
+        val grams = occ.groupBy("sg")
+          .agg(countDistinct("doc_id").as("n_docs"))
+        occ.join(grams, Seq("sg"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_occurrences"),
+            sum(when(col("n_docs") >= 2, 1L).otherwise(0L))
+              .as("n_dup_occurrences"))
+          .withColumn("dup_ppm",
+            expr("(1000000 * n_dup_occurrences) div n_occurrences"))
+          .orderBy("source")
+      },
+      Some(s"""WITH occ AS (
+                SELECT doc_id, source,
+                  unnest(list_transform(range(1, len(toks) - 3),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                      || ' ' || toks[i+3] || ' ' || toks[i+4])) AS sg
+                FROM (SELECT doc_id, source, string_split($duckNorm, ' ') AS toks
+                      FROM documents)
+                WHERE len(toks) >= 5),
+              grams AS (
+                SELECT sg, count(DISTINCT doc_id) AS n_docs
+                FROM occ GROUP BY 1)
+              SELECT source, CAST(count(*) AS BIGINT) AS n_occurrences,
+                CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dup_occurrences,
+                CAST((1000000 * sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END))
+                  // count(*) AS BIGINT) AS dup_ppm
+              FROM occ JOIN grams USING (sg)
+              GROUP BY source ORDER BY source""")),
+
+    Q("x_unimax_budget",
+      // UniMax budget allocation (Chung et al. 2023): split a total
+      // token budget across sources as UNIFORMLY as possible subject to
+      // a per-source cap of `epochs` passes over its data — the
+      // published fix for temperature sampling's tail-overexposure
+      // (small sources stop at the epoch cap instead of being
+      // oversampled). Waterfilling closed form: with caps sorted
+      // ascending, theta solves sum(min(cap_i, theta)) = B; source i
+      // gets min(cap_i, theta). k (the number of capped sources) is the
+      // unique candidate where cap_k <= theta_k < cap_{k+1} with
+      // theta_k = (B - prefix_caps_k) div (n - k). EVERYTHING is
+      // integer arithmetic on nonneg operands (engine-safe), and every
+      // window runs over the per-SOURCE frame — bounded by the source
+      // count, never the corpus; the single corpus-sized stage is the
+      // per-source token sum. Budget = half the corpus, cap = 2 epochs.
+      (s, d) => {
+        val perSrc = spread(t(s, d, "documents"))
+          .groupBy("source")
+          .agg(sum(expr(s"size(split($sparkNorm, ' '))")).as("tokens_s"))
+          .withColumn("cap", expr("2 * tokens_s"))
+        val wOrd = Window.orderBy(col("cap").asc, col("source").asc)
+        val ranked = perSrc
+          .withColumn("i", row_number().over(wOrd))
+          .withColumn("s_caps", sum("cap").over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .crossJoin(broadcast(perSrc.agg(
+            expr("sum(tokens_s) div 2").as("b"),
+            count(lit(1)).as("n"))))
+        // candidate k = i - 1 capped sources; valid iff cap_{i-1} fits
+        // under theta_k and cap_i does not. Integer-div wobble can make
+        // two adjacent candidates pass, so the DEFINED semantics is the
+        // smallest valid theta (min is the same deterministic pick on
+        // both engines); with no candidate every source is capped — the
+        // fallback row (max cap) allocates cap to all, and since any
+        // candidate theta is < its own cap <= max cap, min() never
+        // prefers the fallback when a candidate exists. theta stays
+        // nonnegative wherever the filter can pass (prev_s <= b there),
+        // keeping the div on nonneg operands — the engine-safe regime.
+        val cand = ranked
+          .withColumn("prev_cap", lag("cap", 1, 0L).over(wOrd))
+          .withColumn("prev_s", lag("s_caps", 1, 0L).over(wOrd))
+          .withColumn("theta", expr("(b - prev_s) div (n - i + 1)"))
+          .filter(col("prev_cap") <= col("theta") && col("cap") > col("theta"))
+          .select(col("theta"))
+        val thetaFrame = cand
+          .unionByName(perSrc.agg(max("cap").as("theta"))) // all-capped fallback
+          .agg(min("theta").as("theta"))
+        ranked.crossJoin(broadcast(thetaFrame))
+          .select(col("source"), col("tokens_s"), col("cap"),
+            least(col("cap"), col("theta")).as("alloc_tokens"))
+          .withColumn("epochs_e4",
+            expr("(10000 * alloc_tokens) div tokens_s"))
+          .orderBy("source")
+      },
+      Some(s"""WITH per_src AS (
+                SELECT source,
+                  CAST(sum(len(string_split($duckNorm, ' '))) AS BIGINT)
+                    AS tokens_s,
+                  CAST(2 * sum(len(string_split($duckNorm, ' '))) AS BIGINT)
+                    AS cap
+                FROM documents GROUP BY source),
+              tot AS (SELECT CAST(sum(tokens_s) // 2 AS BIGINT) AS b,
+                        count(*) AS n FROM per_src),
+              ranked AS (
+                SELECT *, row_number() OVER (ORDER BY cap, source) AS i,
+                  sum(cap) OVER (ORDER BY cap, source
+                    ROWS UNBOUNDED PRECEDING) AS s_caps
+                FROM per_src),
+              cand AS (
+                SELECT CAST((b - prev_s) // (n - i + 1) AS BIGINT) AS theta
+                FROM (SELECT r.*, tot.b, tot.n,
+                        lag(cap, 1, 0) OVER (ORDER BY cap, source) AS prev_cap,
+                        lag(s_caps, 1, 0) OVER (ORDER BY cap, source) AS prev_s
+                      FROM ranked r, tot)
+                WHERE prev_cap <= (b - prev_s) // (n - i + 1)
+                  AND cap > (b - prev_s) // (n - i + 1)),
+              theta AS (
+                SELECT COALESCE((SELECT min(theta) FROM cand),
+                  (SELECT max(cap) FROM per_src)) AS theta)
+              SELECT source, tokens_s, cap,
+                CAST(least(cap, theta) AS BIGINT) AS alloc_tokens,
+                CAST((10000 * least(cap, theta)) // tokens_s AS BIGINT)
+                  AS epochs_e4
+              FROM per_src, theta
+              ORDER BY source"""))
   )
 
   /** The repeated-span table shared by `x_repeated_spans` and
