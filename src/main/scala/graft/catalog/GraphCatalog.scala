@@ -763,6 +763,106 @@ object GraphCatalog {
               FROM dist WHERE hops > 0
               GROUP BY node ORDER BY node""")),
 
+    // Sampled betweenness centrality (Brandes pivots — the third member
+    // of the sampled-centrality family next to closeness and the
+    // HyperBall harmonic): forward BFS from 4 pivot seeds accumulating
+    // shortest-path counts sigma, then Brandes' dependency
+    // back-propagation delta(v) = sum_w sigma_v/sigma_w (1 + delta(w))
+    // by descending radius. Parity: sigma sums are exact BIGINT; each
+    // dependency TERM truncates to integer micro-units BEFORE its sum
+    // ((sigma_v * (1e6 + delta_e6_w)) div sigma_w), so both engines
+    // replay the identical integer recurrence regardless of partition
+    // or join order. The oracle unrolls the same 3 forward + 3 backward
+    // rounds as materialized CTEs. Top-20, ties on node.
+    Q("g_betweenness_sampled",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+        val pairs = copartPairs(li)
+          .select(col("u").as("s"), col("v").as("d"))
+        val seeds = li.select("l_partkey").distinct()
+          .orderBy("l_partkey").limit(4)
+        val bw = GraphAlgos.betweennessSampled(pairs, seeds, maxHops = 3)
+          .orderBy(desc("betweenness_e6"), asc("node"))
+          .limit(20)
+        bw.withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(desc("betweenness_e6"), asc("node"))))
+          .select("rn", "node", "betweenness_e6")
+          .orderBy("rn")
+      },
+      Some("""WITH pr AS MATERIALIZED (
+                SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+              sym AS MATERIALIZED (
+                SELECT u AS s, v AS d FROM pr UNION ALL SELECT v, u FROM pr),
+              seeds AS MATERIALIZED (
+                SELECT l_partkey AS seed FROM (
+                  SELECT DISTINCT l_partkey FROM lineitem ORDER BY 1 LIMIT 4)),
+              f0 AS MATERIALIZED (
+                SELECT seed, seed AS node, CAST(1 AS BIGINT) AS sigma FROM seeds),
+              f1 AS MATERIALIZED (
+                SELECT f0.seed, sym.d AS node, CAST(sum(f0.sigma) AS BIGINT) AS sigma
+                FROM f0 JOIN sym ON sym.s = f0.node
+                WHERE NOT EXISTS (SELECT 1 FROM f0 p
+                  WHERE p.seed = f0.seed AND p.node = sym.d)
+                GROUP BY 1, 2),
+              s1 AS MATERIALIZED (
+                SELECT seed, node FROM f0 UNION ALL SELECT seed, node FROM f1),
+              f2 AS MATERIALIZED (
+                SELECT f1.seed, sym.d AS node, CAST(sum(f1.sigma) AS BIGINT) AS sigma
+                FROM f1 JOIN sym ON sym.s = f1.node
+                WHERE NOT EXISTS (SELECT 1 FROM s1 p
+                  WHERE p.seed = f1.seed AND p.node = sym.d)
+                GROUP BY 1, 2),
+              s2 AS MATERIALIZED (
+                SELECT seed, node FROM s1 UNION ALL SELECT seed, node FROM f2),
+              f3 AS MATERIALIZED (
+                SELECT f2.seed, sym.d AS node, CAST(sum(f2.sigma) AS BIGINT) AS sigma
+                FROM f2 JOIN sym ON sym.s = f2.node
+                WHERE NOT EXISTS (SELECT 1 FROM s2 p
+                  WHERE p.seed = f2.seed AND p.node = sym.d)
+                GROUP BY 1, 2),
+              d3 AS MATERIALIZED (
+                SELECT seed, node, sigma, CAST(0 AS BIGINT) AS delta FROM f3),
+              d2 AS MATERIALIZED (
+                SELECT v.seed, v.node, v.sigma, COALESCE(c.delta, 0) AS delta
+                FROM f2 v LEFT JOIN (
+                  SELECT v2.seed, v2.node,
+                    CAST(sum((v2.sigma * (1000000 + w.delta)) // w.sigma)
+                      AS BIGINT) AS delta
+                  FROM f2 v2 JOIN sym ON sym.s = v2.node
+                  JOIN d3 w ON w.seed = v2.seed AND w.node = sym.d
+                  GROUP BY 1, 2) c ON c.seed = v.seed AND c.node = v.node),
+              d1 AS MATERIALIZED (
+                SELECT v.seed, v.node, v.sigma, COALESCE(c.delta, 0) AS delta
+                FROM f1 v LEFT JOIN (
+                  SELECT v2.seed, v2.node,
+                    CAST(sum((v2.sigma * (1000000 + w.delta)) // w.sigma)
+                      AS BIGINT) AS delta
+                  FROM f1 v2 JOIN sym ON sym.s = v2.node
+                  JOIN d2 w ON w.seed = v2.seed AND w.node = sym.d
+                  GROUP BY 1, 2) c ON c.seed = v.seed AND c.node = v.node),
+              d0 AS MATERIALIZED (
+                SELECT v.seed, v.node, v.sigma, COALESCE(c.delta, 0) AS delta
+                FROM f0 v LEFT JOIN (
+                  SELECT v2.seed, v2.node,
+                    CAST(sum((v2.sigma * (1000000 + w.delta)) // w.sigma)
+                      AS BIGINT) AS delta
+                  FROM f0 v2 JOIN sym ON sym.s = v2.node
+                  JOIN d1 w ON w.seed = v2.seed AND w.node = sym.d
+                  GROUP BY 1, 2) c ON c.seed = v.seed AND c.node = v.node),
+              alld AS (
+                SELECT seed, node, delta FROM d3
+                UNION ALL SELECT seed, node, delta FROM d2
+                UNION ALL SELECT seed, node, delta FROM d1
+                UNION ALL SELECT seed, node, delta FROM d0)
+              SELECT rn, node, betweenness_e6 FROM (
+                SELECT node, CAST(sum(delta) AS BIGINT) AS betweenness_e6,
+                  row_number() OVER (ORDER BY sum(delta) DESC, node) AS rn
+                FROM alld WHERE node <> seed GROUP BY node)
+              WHERE rn <= 20 ORDER BY rn""")),
+
     // Deterministic random-walk sampling (DeepWalk/node2vec corpus
     // prep) over the sparsified co-occurrence graph: 4-step walks from
     // the 25 smallest nodes, neighbor choice = md5(cur, step, start)

@@ -539,6 +539,84 @@ object GraphAlgos {
     settled
   }
 
+  /** Sampled betweenness centrality (Brandes 2001 pivots, Bader et al.
+    * 2007 sampling): run the Brandes forward/backward pass from k pivot
+    * seeds instead of every node — the only form of betweenness that
+    * exists on a 100 TB graph (exact is all-pairs). Forward: BFS keyed
+    * (seed, node) accumulating sigma = #shortest paths (one edge join +
+    * one (seed,node)-keyed sum per radius — sigma addition is exact
+    * BIGINT). Backward: Brandes dependency accumulation
+    * delta(v) = sum_w sigma_v/sigma_w * (1 + delta(w)) over v's
+    * successors w in the BFS DAG, processed strictly by descending
+    * radius. Parity discipline: deltas are integer micro-units — each
+    * TERM is (sigma_v * (1e6 + delta_e6_w)) div sigma_w, truncated
+    * BEFORE the per-node sum, so the accumulated value is a sum of
+    * integers no partition order can move and DuckDB replays the same
+    * recurrence bit-for-bit. Per radius: one join against the (already
+    * checkpointed) symmetric edge list + one aggregation; lineage cut
+    * per round; no driver-scalar fetches (fixed-radius loop, no
+    * convergence probes).
+    *
+    * @return (node, betweenness_e6): per node, the summed integer
+    *         dependency over all seeds, seed rows excluded (Brandes
+    *         excludes the source's own accumulation). Nodes with zero
+    *         accumulated dependency keep their explicit 0 row if they
+    *         appeared on some shortest path frontier.
+    */
+  def betweennessSampled(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val sym = edges.select(col("s"), col("d"))
+      .union(edges.select(col("d").as("s"), col("s").as("d")))
+      .filter(col("s") =!= col("d"))
+      .distinct()
+      .cutLineage()
+    var frontier = seeds
+      .select(col(seeds.columns.head).cast(sym.schema("s").dataType).as("seed"))
+      .distinct()
+      .withColumn("node", col("seed"))
+      .withColumn("sigma", lit(1L))
+      .withColumn("hops", lit(0))
+      .cutLineage()
+    var settled = frontier
+    for (h <- 1 to maxHops) {
+      frontier = frontier.join(sym, frontier("node") === sym("s"))
+        .select(frontier("seed"), sym("d").as("node"), col("sigma"))
+        .groupBy("seed", "node").agg(sum("sigma").as("sigma"))
+        .join(settled.select("seed", "node"), Seq("seed", "node"), "left_anti")
+        .withColumn("hops", lit(h))
+        .cutLineage()
+      settled = settled.unionByName(frontier).cutLineage()
+    }
+    // backward: deltas at the deepest radius are 0; walk radii down,
+    // joining each layer to its successor layer through the edge list
+    var deltaNext = settled.filter(col("hops") === maxHops)
+      .select(col("seed"), col("node"), col("sigma"),
+        lit(0L).as("delta_e6"))
+    var acc = deltaNext.select("seed", "node", "delta_e6")
+    for (h <- (maxHops - 1) to 0 by -1) {
+      val cur = settled.filter(col("hops") === h)
+      val succ = deltaNext
+        .select(col("seed").as("w_seed"), col("node").as("w"),
+          col("sigma").as("sigma_w"), col("delta_e6").as("dw"))
+      val contrib = cur.join(sym, cur("node") === sym("s"))
+        .join(succ, sym("d") === col("w") && cur("seed") === col("w_seed"))
+        .select(cur("seed"), cur("node"), cur("sigma"),
+          expr("(sigma * (1000000 + dw)) div sigma_w").as("term"))
+        .groupBy("seed", "node")
+        .agg(sum("term").as("delta_e6"))
+      deltaNext = cur.select("seed", "node", "sigma")
+        .join(contrib.select(col("seed"), col("node"), col("delta_e6")),
+          Seq("seed", "node"), "left")
+        .na.fill(0L, Seq("delta_e6"))
+        .cutLineage()
+      acc = acc.unionByName(deltaNext.select("seed", "node", "delta_e6"))
+    }
+    acc.filter(col("node") =!= col("seed"))
+      .groupBy("node")
+      .agg(sum("delta_e6").as("betweenness_e6"))
+  }
+
   /** Generated leading-zero CASE over a 32-bit value held in a BIGINT
     * column: plain integer comparisons, so the SAME text is valid Spark
     * SQL and DuckDB SQL — the register arithmetic of

@@ -628,6 +628,31 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("betweennessSampled matches hand-computed Brandes dependencies") {
+    import graft.operators.GraphAlgos
+    // path 1-2-3-4-5, pivot at 1: delta(4) = 1, delta(3) = 2, delta(2) = 3
+    // (each interior node carries every shortest path to the nodes
+    // beyond it), endpoints 0 — the classic Brandes check, in e6 units.
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
+    val got = GraphAlgos.betweennessSampled(path, Seq(1L).toDF("node"), maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 3000000L, 3L -> 2000000L, 4L -> 1000000L, 5L -> 0L))
+
+    // star: center 10, leaves 11-13, pivot at a leaf: every shortest
+    // path to the other two leaves runs through the center -> center
+    // dependency 2, leaves 0.
+    val star = Seq((10L, 11L), (10L, 12L), (10L, 13L)).toDF("s", "d")
+    val gotStar = GraphAlgos.betweennessSampled(star, Seq(11L).toDF("node"),
+      maxHops = 3).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotStar == Map(10L -> 2000000L, 12L -> 0L, 13L -> 0L))
+
+    // two pivots sum: path pivots {1, 5} are symmetric - interior nodes
+    // get delta from both directions: node 3 sees 2 + 2 = 4.
+    val both = GraphAlgos.betweennessSampled(path, Seq(1L, 5L).toDF("node"),
+      maxHops = 4).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(both(3L) == 4000000L && both(2L) == both(4L))
+  }
+
   test("hyperball readouts share ONE pinned register computation per session") {
     // Round-9 verdict #3: g_neighborhood_func / g_eff_diameter /
     // g_harmonic_hyperball each rebuilt the identical register rounds.
