@@ -7,7 +7,11 @@ full shingle explosions) and become intractable on a 10x corpus even
 though the Spark side scales fine. A timeout is recorded as an explicit
 EXCLUDED row with the reason, never as a silent pass.
 
-Usage: check_scale.py <sfDir> <verifyOutDir> <outJson> [timeout_s] [workers]
+Usage: check_scale.py <sfDir> <verifyOutDir> <outJson> [timeout_s] [only]
+
+`only` is a comma-separated query-name filter; with it the script
+re-checks just those queries and MERGES their rows into an existing
+<outJson> (the re-verify path after a targeted fix).
 """
 import sys, os, json, glob
 import multiprocessing as mp
@@ -55,10 +59,14 @@ def check_one(sf_dir, out_dir, name, sql, q):
 def main():
     sf_dir, out_dir, out_json = sys.argv[1], sys.argv[2], sys.argv[3]
     timeout = float(sys.argv[4]) if len(sys.argv) > 4 else 300.0
+    only = set(sys.argv[5].split(",")) if len(sys.argv) > 5 else None
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(n for n in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, n)))
+                   if os.path.isdir(os.path.join(out_dir, n))
+                   and (only is None or n in only))
     results = {}
+    if only is not None and os.path.exists(out_json):
+        results = json.load(open(out_json)).get("queries", {})
     for name in names:
         if name not in oracle:
             results[name] = {"status": "NO_ORACLE"}

@@ -866,7 +866,12 @@ object AggWindowCatalog {
       // exact rationals of the row number, deterministic on both
       // engines; ntile follows the SQL-standard front-loaded bucket
       // fill. Ranking reads the ROUNDED spend so a last-ulp sum
-      // difference cannot reorder rows.
+      // difference cannot reorder rows. The rank fractions are emitted
+      // as floor(x * 1e4 + 0.5) INTEGERS, not round(x, 4): k/n lands on
+      // exact half-boundaries (the sf1 sweep measured 42 flipped rows
+      // with round — Spark's BigDecimal HALF_UP vs DuckDB's scaled
+      // multiply), while the floor expression is the identical IEEE
+      // chain on both engines.
       (s, d) => {
         val spend = t(s, d, "orders")
           .groupBy("o_custkey")
@@ -879,8 +884,10 @@ object AggWindowCatalog {
           .select(col("c_nationkey").as("nationkey"), col("o_custkey").as("custkey"),
             col("spend"),
             ntile(4).over(w).as("quartile"),
-            round(percent_rank().over(w), 4).as("pct_rank"),
-            round(cume_dist().over(w), 4).as("cume"))
+            floor(percent_rank().over(w) * lit(10000) + lit(0.5))
+              .cast("long").as("pct_rank_e4"),
+            floor(cume_dist().over(w) * lit(10000) + lit(0.5))
+              .cast("long").as("cume_e4"))
           .orderBy("nationkey", "quartile", "custkey")
       },
       Some("""WITH spend AS (
@@ -888,8 +895,10 @@ object AggWindowCatalog {
                FROM orders GROUP BY 1)
              SELECT c_nationkey AS nationkey, o_custkey AS custkey, spend,
                ntile(4) OVER w AS quartile,
-               round(percent_rank() OVER w, 4) AS pct_rank,
-               round(cume_dist() OVER w, 4) AS cume
+               CAST(floor(percent_rank() OVER w * 10000 + 0.5) AS BIGINT)
+                 AS pct_rank_e4,
+               CAST(floor(cume_dist() OVER w * 10000 + 0.5) AS BIGINT)
+                 AS cume_e4
              FROM spend JOIN customer ON o_custkey = c_custkey
              WINDOW w AS (PARTITION BY c_nationkey ORDER BY spend DESC, o_custkey)
              ORDER BY nationkey, quartile, custkey""")),

@@ -159,14 +159,24 @@ object RelationalCatalog {
              GROUP BY n_name ORDER BY n_name""")),
 
     Q("j2_broadcast_dim",
+      // Revenue in integer e4 micro-units, integerized PER ROW before
+      // the sum: price * (1 - discount) is a 4-decimal true value, so
+      // round(sum(...), 2) sits on the .xx5 boundary for ~3% of groups
+      // and a last-ulp summation-order difference flips the cent — the
+      // sf1 sweep measured exactly that (35/1000 groups). The per-row
+      // double chain is bit-identical on both engines, the floor makes
+      // it an integer, and the BIGINT sum is partition-order-proof.
       (s, d) => t(s, d, "lineitem")
         .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
         .groupBy("n_name", "s_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(sum(expr(
+          "cast(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) as bigint)"))
+          .as("revenue_e4"))
         .orderBy("n_name", "s_name"),
       Some("""SELECT n_name, s_name,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+               AS BIGINT)) AS BIGINT) AS revenue_e4
              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
              JOIN nation ON s_nationkey = n_nationkey
              GROUP BY n_name, s_name ORDER BY n_name, s_name""")),
