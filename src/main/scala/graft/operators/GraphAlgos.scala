@@ -564,43 +564,56 @@ object GraphAlgos {
     *         appeared on some shortest path frontier.
     */
   def betweennessSampled(edges: DataFrame, seeds: DataFrame,
-      maxHops: Int = 3): DataFrame = {
+      maxHops: Int = 3, broadcastFrontierLimit: Long = 4L << 20): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val sym = edges.select(col("s"), col("d"))
       .union(edges.select(col("d").as("s"), col("s").as("d")))
       .filter(col("s") =!= col("d"))
       .distinct()
       .cutLineage()
+    // frontier discipline as in [[bfsHopsPerSeed]]: the checkpointed
+    // edge list is probed IN PLACE — the small (seed, node) layers
+    // broadcast while they fit the gate, so no round re-shuffles |E|;
+    // layer sizes come free off the checkpointed frames and gate both
+    // the forward probes and the backward layer joins.
+    def gated(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= broadcastFrontierLimit) broadcast(df) else df
+    val layers = new scala.collection.mutable.ArrayBuffer[(DataFrame, Long)]
     var frontier = seeds
       .select(col(seeds.columns.head).cast(sym.schema("s").dataType).as("seed"))
       .distinct()
       .withColumn("node", col("seed"))
       .withColumn("sigma", lit(1L))
-      .withColumn("hops", lit(0))
       .cutLineage()
-    var settled = frontier
-    for (h <- 1 to maxHops) {
-      frontier = frontier.join(sym, frontier("node") === sym("s"))
+    layers += ((frontier, frontier.count()))
+    var settled = frontier.select("seed", "node")
+    var settledSize = layers.head._2
+    for (_ <- 1 to maxHops) {
+      val next = gated(frontier, layers.last._2)
+        .join(sym, frontier("node") === sym("s"))
         .select(frontier("seed"), sym("d").as("node"), col("sigma"))
         .groupBy("seed", "node").agg(sum("sigma").as("sigma"))
-        .join(settled.select("seed", "node"), Seq("seed", "node"), "left_anti")
-        .withColumn("hops", lit(h))
+        .join(gated(settled, settledSize), Seq("seed", "node"), "left_anti")
         .cutLineage()
-      settled = settled.unionByName(frontier).cutLineage()
+      layers += ((next, next.count()))
+      settled = settled.unionByName(next.select("seed", "node"))
+      settledSize += layers.last._2
+      frontier = next
     }
     // backward: deltas at the deepest radius are 0; walk radii down,
     // joining each layer to its successor layer through the edge list
-    var deltaNext = settled.filter(col("hops") === maxHops)
-      .select(col("seed"), col("node"), col("sigma"),
-        lit(0L).as("delta_e6"))
+    var deltaNext = layers(maxHops)._1
+      .select(col("seed"), col("node"), col("sigma"), lit(0L).as("delta_e6"))
     var acc = deltaNext.select("seed", "node", "delta_e6")
     for (h <- (maxHops - 1) to 0 by -1) {
-      val cur = settled.filter(col("hops") === h)
+      val (cur, curRows) = layers(h)
       val succ = deltaNext
         .select(col("seed").as("w_seed"), col("node").as("w"),
           col("sigma").as("sigma_w"), col("delta_e6").as("dw"))
-      val contrib = cur.join(sym, cur("node") === sym("s"))
-        .join(succ, sym("d") === col("w") && cur("seed") === col("w_seed"))
+      val contrib = gated(cur, curRows)
+        .join(sym, cur("node") === sym("s"))
+        .join(gated(succ, layers(h + 1)._2),
+          sym("d") === col("w") && cur("seed") === col("w_seed"))
         .select(cur("seed"), cur("node"), cur("sigma"),
           expr("(sigma * (1000000 + dw)) div sigma_w").as("term"))
         .groupBy("seed", "node")
