@@ -1430,6 +1430,182 @@ object AggWindowCatalog {
                    FROM events)
              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
            WHERE rn = 1 ORDER BY user_id"""
-      })
+      }),
+
+    Q("w14_ab_chisq",
+      // A/B significance over the event stream: users split into two
+      // deterministic variants (user_id parity — the hash-bucket
+      // assignment an experimentation system uses), outcome = did the
+      // user convert (>= 1 high-value purchase — `value > 95`; the
+      // synthetic stream gives every user SOME purchase, so the raw
+      // any-purchase outcome is degenerate). One user-keyed aggregate
+      // builds the 2x2 contingency table; the chi-square statistic
+      // N(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) is computed in DOUBLES from
+      // exact BIGINT sufficient statistics — every long->double cast is
+      // exact (< 2^53) and the expression tree is identical text on
+      // both engines, so the e6 floor matches bit-for-bit (the
+      // assortativity discipline). Output: the table, per-variant
+      // conversion ppm, chi2_e6 and the 95% verdict (df=1, 3.841).
+      (s, d) => {
+        val users = t(s, d, "events")
+          .groupBy(expr("user_id % 2").as("variant"))
+          .agg(countDistinct("user_id").as("n_users"),
+            countDistinct(when(col("event_type") === "purchase"
+              && col("value") > 95, col("user_id"))).as("n_converted"))
+        users.groupBy()
+          .agg(
+            sum(when(col("variant") === 0, col("n_converted"))).as("a"),
+            sum(when(col("variant") === 0,
+              col("n_users") - col("n_converted"))).as("b"),
+            sum(when(col("variant") === 1, col("n_converted"))).as("c"),
+            sum(when(col("variant") === 1,
+              col("n_users") - col("n_converted"))).as("d"))
+          .withColumn("conv0_ppm", expr("(1000000 * a) div (a + b)"))
+          .withColumn("conv1_ppm", expr("(1000000 * c) div (c + d)"))
+          .withColumn("chi2_e6", expr(
+            """CAST(floor((CAST(a + b + c + d AS DOUBLE)
+               * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                  - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+               * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                  - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+               / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                  * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT)"""))
+          .withColumn("significant_95",
+            (col("chi2_e6") > lit(3841459L)).cast("int"))
+          .select("a", "b", "c", "d", "conv0_ppm", "conv1_ppm",
+            "chi2_e6", "significant_95")
+      },
+      Some("""WITH users AS (
+               SELECT user_id % 2 AS variant,
+                 count(DISTINCT user_id) AS n_users,
+                 count(DISTINCT CASE WHEN event_type = 'purchase'
+                   AND value > 95 THEN user_id END) AS n_converted
+               FROM events GROUP BY 1),
+             tab AS (
+               SELECT
+                 CAST(sum(CASE WHEN variant = 0 THEN n_converted END) AS BIGINT) AS a,
+                 CAST(sum(CASE WHEN variant = 0 THEN n_users - n_converted END) AS BIGINT) AS b,
+                 CAST(sum(CASE WHEN variant = 1 THEN n_converted END) AS BIGINT) AS c,
+                 CAST(sum(CASE WHEN variant = 1 THEN n_users - n_converted END) AS BIGINT) AS d
+               FROM users)
+             SELECT a, b, c, d,
+               CAST((1000000 * a) // (a + b) AS BIGINT) AS conv0_ppm,
+               CAST((1000000 * c) // (c + d) AS BIGINT) AS conv1_ppm,
+               CAST(floor((CAST(a + b + c + d AS DOUBLE)
+                 * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                    - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+                 * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                    - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+                 / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                    * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))
+                 * 1000000 + 0.5) AS BIGINT) AS chi2_e6,
+               CAST(CASE WHEN (CAST(floor((CAST(a + b + c + d AS DOUBLE)
+                 * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                    - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+                 * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                    - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+                 / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                    * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))
+                 * 1000000 + 0.5) AS BIGINT)) > 3841459
+                 THEN 1 ELSE 0 END AS INT) AS significant_95
+             FROM tab""")),
+
+    Q("a_hist_quantiles",
+      // Histogram-sketch quantiles with a measured-error audit (the
+      // KLL/t-digest niche filled with the mergeable structure Spark
+      // aggregates natively): a 64-bucket equi-width histogram over
+      // order totals — bucket counts are BIGINTs that merge up any
+      // aggregation tree — estimates p50/p90/p99 as the covering
+      // bucket's upper edge; each estimate is audited against the
+      // EXACT rank statistic (the value at rank ceil(q*n), a data
+      // value both engines pick identically). The bucket arithmetic is
+      // the identical IEEE chain on both engines; the 64-row cumsum
+      // window is bounded by the bucket count, never the data.
+      // The EXACT side is the classic two-phase distributed selection,
+      // NOT a global sort: the covering bucket is found on the 64-row
+      // cumsum frame, and only that bucket's rows (a 1/64 slice) are
+      // ranked, in a window PARTITIONED by quantile — the same
+      // funnel-avoidance shape as the ccnet tercile rewrite.
+      (s, d) => {
+        val src = t(s, d, "orders").select(col("o_totalprice").as("x"))
+        val bounds = src.agg(min("x").as("lo"), max("x").as("hi"),
+          count(lit(1)).as("n"))
+        val bucketExpr =
+          "least(63, CAST(floor((x - lo) / ((hi - lo) / 64.0)) AS INT))"
+        val cums = src.crossJoin(broadcast(bounds))
+          .withColumn("b", expr(bucketExpr))
+          .groupBy("b").agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(bounds))
+          .withColumn("cum", sum("cnt").over(
+            Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)))
+        val qs = Seq(("p50", 50), ("p90", 90), ("p99", 99))
+        val picks = qs.map { case (nm, q) =>
+          cums.filter(expr(s"100 * cum >= $q * n"))
+            .orderBy("b").limit(1)
+            .select(lit(nm).as("q"), col("b"),
+              (col("cum") - col("cnt")).as("cum_before"),
+              expr(s"CAST(ceil($q * n / 100.0) AS BIGINT)").as("target"),
+              expr("lo + (b + 1) * ((hi - lo) / 64.0)").as("est"))
+        }.reduce(_.unionByName(_))
+        val exact = src.crossJoin(broadcast(bounds))
+          .withColumn("b", expr(bucketExpr))
+          .join(broadcast(picks), Seq("b"))
+          .withColumn("r", row_number().over(
+            Window.partitionBy("q").orderBy(col("x").asc)))
+          .filter(col("r") === col("target") - col("cum_before"))
+          .select(col("q"), col("est"), col("x").as("exact"))
+        exact
+          .select(col("q"),
+            expr("CAST(floor(est * 100 + 0.5) AS BIGINT)").as("est_c2"),
+            expr("CAST(floor(exact * 100 + 0.5) AS BIGINT)").as("exact_c2"))
+          .withColumn("err_ppm", expr(
+            "(1000000 * abs(est_c2 - exact_c2)) div exact_c2"))
+          .orderBy("q")
+      },
+      Some("""WITH src AS (SELECT o_totalprice AS x FROM orders),
+             bounds AS (SELECT min(x) AS lo, max(x) AS hi,
+               count(*) AS n FROM src),
+             cums AS (
+               SELECT b, cnt, sum(cnt) OVER (ORDER BY b
+                 ROWS UNBOUNDED PRECEDING) AS cum
+               FROM (SELECT b, count(*) AS cnt FROM (
+                       SELECT least(63, CAST(floor((x - lo)
+                         / ((hi - lo) / 64.0)) AS INT)) AS b
+                       FROM src, bounds) GROUP BY b)),
+             p AS (
+               SELECT 'p50' AS q, CAST(ceil(50 * n / 100.0) AS BIGINT)
+                 AS target, 50 AS pct FROM bounds
+               UNION ALL SELECT 'p90', CAST(ceil(90 * n / 100.0) AS BIGINT),
+                 90 FROM bounds
+               UNION ALL SELECT 'p99', CAST(ceil(99 * n / 100.0) AS BIGINT),
+                 99 FROM bounds),
+             pickb AS (
+               SELECT p.q, p.target, min(c.b) AS b
+               FROM p JOIN cums c ON c.cum >= p.target, bounds
+               GROUP BY 1, 2),
+             picks AS (
+               SELECT pickb.q, pickb.target, pickb.b,
+                 c.cum - c.cnt AS cum_before,
+                 lo + (pickb.b + 1) * ((hi - lo) / 64.0) AS est
+               FROM pickb JOIN cums c ON c.b = pickb.b, bounds),
+             exact AS (
+               SELECT q, est, x AS exact FROM (
+                 SELECT pk.q, pk.est, s.x,
+                   row_number() OVER (PARTITION BY pk.q ORDER BY s.x) AS r,
+                   pk.target - pk.cum_before AS want
+                 FROM (SELECT x, least(63, CAST(floor((x - lo)
+                         / ((hi - lo) / 64.0)) AS INT)) AS b
+                       FROM src, bounds) s
+                 JOIN picks pk ON s.b = pk.b)
+               WHERE r = want)
+             SELECT q,
+               CAST(floor(est * 100 + 0.5) AS BIGINT) AS est_c2,
+               CAST(floor(exact * 100 + 0.5) AS BIGINT) AS exact_c2,
+               CAST((1000000 * abs(CAST(floor(est * 100 + 0.5) AS BIGINT)
+                 - CAST(floor(exact * 100 + 0.5) AS BIGINT)))
+                 // CAST(floor(exact * 100 + 0.5) AS BIGINT) AS BIGINT)
+                 AS err_ppm
+             FROM exact ORDER BY q"""))
   )
 }
