@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.model.CrmSchema
+import graft.sources.{CrmPagedSource, SlidingWindowLimiter}
+
+/** The `crm-paged` DataSource V2 connector: the reference extractor's
+  * architecture (cursor pagination, client-side rate limiting,
+  * search-API filter pushdown, explicit-schema payload decoding) with
+  * a JSON-lines file transport standing in for HTTPS. */
+class CrmPagedSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val rawDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-crmsrc").toString
+    CrmFixture.emailEventsRaw(spark).write.mode("overwrite")
+      .json(s"$dir/email_events.json")
+    CrmFixture.contactsRaw(spark).write.mode("overwrite")
+      .json(s"$dir/contacts.json")
+    dir
+  }
+
+  private def readEvents(opts: (String, String)*) = {
+    val r = spark.read.format("crm-paged").schema(CrmSchema.emailEvents)
+      .option("path", s"$rawDir/email_events.json")
+    opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+  }
+
+  test("row parity with the plain JSON reader, nested payloads included") {
+    val viaSource = readEvents("pageSize" -> "2")
+      .select("event_type", "recipient", "created", "emailCampaignId",
+        "url", "location.city")
+      .collect().map(_.toString).sorted.toSeq
+    val viaJson = spark.read.schema(CrmSchema.emailEvents)
+      .json(s"$rawDir/email_events.json")
+      .select("event_type", "recipient", "created", "emailCampaignId",
+        "url", "location.city")
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaSource == viaJson && viaSource.nonEmpty)
+  }
+
+  test("envelope payloads decode: properties map + association arrays") {
+    val df = spark.read.format("crm-paged").schema(CrmSchema.envelope)
+      .option("path", s"$rawDir/contacts.json").load()
+    val viaJson = spark.read.schema(CrmSchema.envelope)
+      .json(s"$rawDir/contacts.json")
+    assert(df.count() == viaJson.count() && df.count() > 0)
+    val props = df.select(expr("properties['email']").as("e"))
+      .collect().map(_.getString(0)).filter(_ != null).sorted.toSeq
+    val propsJ = viaJson.select(expr("properties['email']").as("e"))
+      .collect().map(_.getString(0)).filter(_ != null).sorted.toSeq
+    assert(props == propsJ && props.nonEmpty)
+  }
+
+  test("one InputPartition per API page (cursor pagination plan)") {
+    // 4 fixture events, pageSize 2 -> 2 pages; pageSize 3 -> 2 pages
+    assert(readEvents("pageSize" -> "2").rdd.getNumPartitions == 2)
+    assert(readEvents("pageSize" -> "3").rdd.getNumPartitions == 2)
+    assert(readEvents("pageSize" -> "100").rdd.getNumPartitions == 1)
+  }
+
+  test("filters and column pruning reach the source scan") {
+    val df = readEvents().filter(col("event_type") === "OPEN")
+      .select("event_type", "recipient")
+    val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    val desc = scans.head.scan.description()
+    assert(desc.contains("EqualTo(event_type,OPEN)"),
+      s"pushed filter missing from scan: $desc")
+    // IsNotNull rides along from the filter's null-intolerance
+    assert(desc.contains("IsNotNull(event_type)"), desc)
+    // pruning: only the required columns are decoded at the source
+    assert(scans.head.scan.readSchema().fieldNames.toSet ==
+      Set("event_type", "recipient"), scans.head.scan.readSchema().simpleString)
+    // and the result is right (Spark re-evaluates on top, per contract):
+    // both OPEN events survive, including the null-recipient one
+    assert(df.collect().map(r => Option(r.getString(1))).toSet ==
+      Set(Some("alice@company1.com"), None))
+  }
+
+  test("pushed filters drop rows AT the source, before Spark sees them") {
+    import org.apache.spark.sql.sources.{EqualTo, Filter}
+    val scan = new graft.sources.CrmPagedSource()
+      .getTable(CrmSchema.emailEvents, Array.empty,
+        java.util.Map.of("path", s"$rawDir/email_events.json"))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of()))
+    val b = scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+    b.pushFilters(Array[Filter](EqualTo("event_type", "OPEN")))
+    val batch = scan.build().toBatch
+    val emitted = batch.planInputPartitions().iterator.flatMap { p =>
+      val r = batch.createReaderFactory().createReader(p)
+      Iterator.continually(r).takeWhile(_.next()).map(_ => 1)
+    }.sum
+    val total = spark.read.schema(CrmSchema.emailEvents)
+      .json(s"$rawDir/email_events.json").count()
+    assert(emitted == 2 && total == 4,
+      s"source must emit only matching rows: emitted=$emitted total=$total")
+  }
+
+  test("sliding-window limiter blocks the call that exceeds the window") {
+    val lim = new SlidingWindowLimiter(2, windowMs = 300)
+    val t0 = System.currentTimeMillis()
+    lim.acquire(); lim.acquire() // fill the window
+    val waited = lim.acquire()   // must block until the window slides
+    val elapsed = System.currentTimeMillis() - t0
+    assert(waited > 0 && elapsed >= 250, s"waited=$waited elapsed=$elapsed")
+    // and a throttled end-to-end read still returns every row
+    assert(readEvents("pageSize" -> "2", "maxRequestsPer10s" -> "100")
+      .count() == 4)
+  }
+
+  test("schema is mandatory (the portal contract is the authority)") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("crm-paged")
+        .option("path", s"$rawDir/email_events.json").load()
+    }
+    assert(e.getMessage.contains("schema"))
+  }
+}
