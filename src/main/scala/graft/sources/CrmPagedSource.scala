@@ -139,8 +139,12 @@ private[sources] class CrmScanBuilder(fullSchema: StructType, path: String,
     new CrmScan(path, required, pushed, pageSize, rate)
 }
 
-private[sources] case class CrmPage(pageIdx: Int, start: Long, len: Int)
-  extends InputPartition
+/** One simulated API page: `file` + `start` are the cursor (the live
+  * twin ships an opaque `after` token instead); a page never spans
+  * part files, so a reader streams exactly one file and skips only its
+  * own prefix — no cross-file re-scan. */
+private[sources] case class CrmPage(pageIdx: Int, file: String, start: Long,
+  len: Int) extends InputPartition
 
 private[sources] class CrmScan(val path: String, val required: StructType,
     val pushed: Array[Filter], val pageSize: Int, val rate: Int)
@@ -152,16 +156,21 @@ private[sources] class CrmScan(val path: String, val required: StructType,
       s"ReadSchema: ${required.simpleString}"
   override def toBatch: Batch = this
 
-  /** The one driver-side metadata call: the portal's record count (the
-    * `total` field of a search response) decides the page plan. */
+  /** The one driver-side metadata call: per-part record counts (the
+    * `total` field of a search response) decide the page plan. Pages
+    * never span part files. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val n = CrmPagedIO.countRecords(path)
-    val pages = ((n + pageSize - 1) / pageSize).toInt
-    (0 until math.max(pages, 1)).map { i =>
-      val start = i.toLong * pageSize
-      val len = math.min(pageSize.toLong, n - start).toInt
-      CrmPage(i, start, math.max(len, 0))
-    }.toArray
+    val counts = CrmPagedIO.partCounts(path)
+    val pages = counts.flatMap { case (f, n) =>
+      val nPages = ((n + pageSize - 1) / pageSize).toInt
+      (0 until nPages).map { i =>
+        val start = i.toLong * pageSize
+        CrmPage(0, f, start, math.min(pageSize.toLong, n - start).toInt)
+      }
+    }.zipWithIndex.map { case (p, i) => p.copy(pageIdx = i) }
+    if (pages.isEmpty) Array(CrmPage(0, counts.headOption.map(_._1)
+      .getOrElse(path), 0L, 0))
+    else pages.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new CrmReaderFactory(path, required, pushed, rate)
@@ -185,7 +194,7 @@ private[sources] class CrmPageReader(path: String, required: StructType,
   override def next(): Boolean = {
     if (it == null) {
       if (rate > 0) { new SlidingWindowLimiter(rate).acquire(); () }
-      it = CrmPagedIO.readPage(path, page.start, page.len).iterator
+      it = CrmPagedIO.readPage(page.file, page.start, page.len).iterator
         .map(CrmPagedIO.parse)
         .filter(n => pushed.forall(CrmPagedIO.matches(n, _)))
         .map(n => CrmPagedIO.toRow(n, required))
@@ -211,17 +220,18 @@ private[sources] object CrmPagedIO {
     else Seq(p)
   }
 
-  private def lines(path: String): Iterator[String] =
-    partFiles(path).iterator.flatMap { f =>
-      val fs = f.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      val src = scala.io.Source.fromInputStream(fs.open(f), "UTF-8")
-      src.getLines()
-    }.filter(_.trim.nonEmpty)
+  private def fileLines(f: Path): Iterator[String] = {
+    val fs = f.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    scala.io.Source.fromInputStream(fs.open(f), "UTF-8").getLines()
+      .filter(_.trim.nonEmpty)
+  }
 
-  def countRecords(path: String): Long = lines(path).size.toLong
+  /** (partFile, recordCount) pairs — the planner's one metadata pass. */
+  def partCounts(path: String): Seq[(String, Long)] =
+    partFiles(path).map(f => f.toString -> fileLines(f).size.toLong)
 
-  def readPage(path: String, start: Long, len: Int): Seq[String] =
-    lines(path).slice(start.toInt, start.toInt + len).toSeq
+  def readPage(file: String, start: Long, len: Int): Seq[String] =
+    fileLines(new Path(file)).slice(start.toInt, start.toInt + len).toSeq
 
   def parse(line: String): JsonNode = mapper.readTree(line)
 

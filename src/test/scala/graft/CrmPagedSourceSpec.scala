@@ -14,9 +14,11 @@ class CrmPagedSourceSpec extends AnyFunSuite {
 
   private lazy val rawDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-crmsrc").toString
-    CrmFixture.emailEventsRaw(spark).write.mode("overwrite")
+    // one part file: the page-plan arithmetic below assumes one
+    // "portal" (pages never span part files)
+    CrmFixture.emailEventsRaw(spark).coalesce(1).write.mode("overwrite")
       .json(s"$dir/email_events.json")
-    CrmFixture.contactsRaw(spark).write.mode("overwrite")
+    CrmFixture.contactsRaw(spark).coalesce(1).write.mode("overwrite")
       .json(s"$dir/contacts.json")
     dir
   }
