@@ -330,6 +330,18 @@ class CurationSpec extends AnyFunSuite {
       Curate.run(spark, Array(s"$base/docs", s"$base/out5", "--mix", "src0:1.0"))
     }.getMessage.contains("--token-budget"))
 
+    // --timings: per-stage increments land in timings.jsonl (the scale
+    // measurement mode behind SCALE.md §2d) and results are unchanged
+    Curate.run(spark, Array(s"$base/docs", s"$base/out7",
+      "--win", "32", "--stride", "32", "--timings"))
+    assert(spark.read.parquet(s"$base/out7/curated").select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+    val tl = scala.io.Source.fromFile(s"$base/out7/timings.jsonl")
+      .getLines().toSeq
+    val stages = tl.map(l => l.split("\"stage\":\"")(1).split("\"")(0))
+    assert(Seq("redact_pii", "quality_gate", "exact_dedup", "neardup_dedup",
+      "mixture_select", "chunk_and_write").forall(stages.contains), stages)
+
     // --redact-pii rewrites text BEFORE any hashing: no raw email
     // reaches the curated output, and the n_pii count column survives
     val pii = docs.withColumn("text",
