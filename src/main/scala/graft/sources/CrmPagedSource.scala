@@ -103,7 +103,8 @@ private[sources] class CrmTable(schema: StructType, path: String,
   override def name(): String = s"crm-paged($path)"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CrmScanBuilder(schema, path, pageSize, rate)
 }
@@ -171,6 +172,76 @@ private[sources] class CrmScan(val path: String, val required: StructType,
     if (pages.isEmpty) Array(CrmPage(0, counts.headOption.map(_._1)
       .getOrElse(path), 0L, 0))
     else pages.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CrmReaderFactory(path, required, pushed, rate)
+
+  /** Incremental-extract face (the reference's ingest lookback, T6):
+    * the stream offset IS the pagination cursor — the count of records
+    * already extracted across the portal's append-only feed. Each
+    * trigger plans pages over [start, end) only, so a restart resumes
+    * from the checkpointed cursor exactly like a lookback extract
+    * resumes from its `after` token. Contract: the feed is append-only
+    * with monotonically-named batch files (new records never sort
+    * before already-extracted ones). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new CrmMicroBatchStream(path, required, pushed, pageSize, rate)
+}
+
+private[sources] case class CrmOffset(total: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = total.toString
+}
+
+private[sources] class CrmMicroBatchStream(path: String,
+    required: StructType, pushed: Array[Filter], pageSize: Int, rate: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private def feedTotal: Long = CrmPagedIO.partCounts(path).map(_._2).sum
+  // Trigger.AvailableNow: the run's target is the feed size sampled
+  // ONCE at start — records appended mid-run wait for the next run,
+  // exactly like a lookback extract bounded by its start timestamp.
+  private var availableTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableTarget = Some(feedTotal)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    CrmOffset(availableTarget.getOrElse(feedTotal))
+  override def reportLatestOffset(): Offset = CrmOffset(feedTotal)
+
+  override def initialOffset(): Offset = CrmOffset(0L)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-control entry point")
+  override def deserializeOffset(json: String): Offset =
+    CrmOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  /** Pages covering the global record range [start, end), never
+    * spanning part files — the same page shape as the batch scan, just
+    * windowed by the cursor. */
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val lo = start.asInstanceOf[CrmOffset].total
+    val hi = end.asInstanceOf[CrmOffset].total
+    val pages = scala.collection.mutable.ArrayBuffer.empty[CrmPage]
+    var base = 0L
+    CrmPagedIO.partCounts(path).foreach { case (f, n) =>
+      val from = math.max(lo, base)
+      val until = math.min(hi, base + n)
+      var pos = from
+      while (pos < until) {
+        val len = math.min(pageSize.toLong, until - pos).toInt
+        pages += CrmPage(pages.size, f, pos - base, len)
+        pos += len
+      }
+      base += n
+    }
+    pages.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new CrmReaderFactory(path, required, pushed, rate)

@@ -116,6 +116,46 @@ class CrmPagedSourceSpec extends AnyFunSuite {
       .count() == 4)
   }
 
+  test("streaming face: the offset is the cursor - triggers extract only new records") {
+    // append-only portal feed with monotonically-named batch files
+    val feed = java.nio.file.Files.createTempDirectory("graft-crmfeed").toString
+    val cp = s"$feed-cp"
+    val out = s"$feed-out"
+    def writeBatch(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$feed/$name.json"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("crm-paged")
+        .schema(CrmSchema.emailEvents)
+        .option("path", feed).option("pageSize", "2").load()
+        .select("event_type", "recipient")
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000); ()
+    }
+    def ev(t: String, r: String) =
+      s"""{"event_type":"$t","recipient":"$r","created":"1718131200000","emailCampaignId":"1"}"""
+
+    writeBatch("batch-000", Seq(ev("OPEN", "a@x.com"), ev("CLICK", "b@x.com"),
+      ev("OPEN", "c@x.com")))
+    runOnce()
+    assert(spark.read.parquet(out).count() == 3)
+
+    // next run resumes from the checkpointed cursor: ONLY the new batch
+    writeBatch("batch-001", Seq(ev("SENT", "d@x.com"), ev("OPEN", "e@x.com")))
+    runOnce()
+    val rows = spark.read.parquet(out).select("recipient").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(rows == Seq("a@x.com", "b@x.com", "c@x.com", "d@x.com", "e@x.com"),
+      s"incremental extract must not re-read extracted records: $rows")
+    // an empty run extracts nothing
+    runOnce()
+    assert(spark.read.parquet(out).count() == 5)
+  }
+
   test("schema is mandatory (the portal contract is the authority)") {
     val e = intercept[IllegalArgumentException] {
       spark.read.format("crm-paged")
