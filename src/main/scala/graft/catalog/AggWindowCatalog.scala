@@ -1511,6 +1511,64 @@ object AggWindowCatalog {
                  THEN 1 ELSE 0 END AS INT) AS significant_95
              FROM tab""")),
 
+    Q("w15_funnel_steps",
+      // Time-bounded multi-step funnel (the product-analytics sequel to
+      // a7's static two-level funnel): per user, the earliest view,
+      // then the first click AFTER that view within 7 days, then the
+      // first purchase AFTER that click within 7 days — order and
+      // max-gap both enforced, which is what separates a funnel from
+      // three independent counts. Shape: one user-keyed aggregate per
+      // step, each consuming the previous step's per-user anchor
+      // timestamp through a join that reuses the SAME user_id
+      // partitioning (co-partitioned — the three steps ride one
+      // shuffle family, never a per-event window). Outputs are counts
+      // + integer ppm conversion rates.
+      (s, d) => {
+        val ev = t(s, d, "events").select("user_id", "event_type", "ts")
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("v_ts"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, Seq("user_id"))
+          .filter(col("ts") > col("v_ts") &&
+            col("ts") <= expr("v_ts + INTERVAL 7 DAYS"))
+          .groupBy("user_id").agg(min("ts").as("c_ts"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, Seq("user_id"))
+          .filter(col("ts") > col("c_ts") &&
+            col("ts") <= expr("c_ts + INTERVAL 7 DAYS"))
+          .groupBy("user_id").agg(min("ts").as("p_ts"))
+        v.agg(count(lit(1)).as("n_view")).crossJoin(
+            c.agg(count(lit(1)).as("n_click_after")))
+          .crossJoin(p.agg(count(lit(1)).as("n_purchase_after")))
+          .withColumn("click_ppm",
+            expr("(1000000 * n_click_after) div n_view"))
+          .withColumn("purchase_ppm",
+            expr("(1000000 * n_purchase_after) div n_view"))
+      },
+      Some("""WITH v AS (
+               SELECT user_id, min(ts) AS v_ts FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+             c AS (
+               SELECT e.user_id, min(e.ts) AS c_ts
+               FROM events e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.v_ts
+                 AND e.ts <= v.v_ts + INTERVAL 7 DAY
+               GROUP BY 1),
+             p AS (
+               SELECT e.user_id, min(e.ts) AS p_ts
+               FROM events e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+                 AND e.ts <= c.c_ts + INTERVAL 7 DAY
+               GROUP BY 1)
+             SELECT
+               (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+               (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click_after,
+               (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_after,
+               CAST((1000000 * (SELECT count(*) FROM c))
+                 // (SELECT count(*) FROM v) AS BIGINT) AS click_ppm,
+               CAST((1000000 * (SELECT count(*) FROM p))
+                 // (SELECT count(*) FROM v) AS BIGINT) AS purchase_ppm""")),
+
     Q("a_hist_quantiles",
       // Histogram-sketch quantiles with a measured-error audit (the
       // KLL/t-digest niche filled with the mergeable structure Spark
