@@ -919,6 +919,65 @@ object GraphCatalog {
       },
       Some(skipgramOracle(steps = 4, window = 2, topK = 20))),
 
+    // Negative sampling for the skip-gram pairs — the third stage of
+    // the DeepWalk/word2vec training-input pipeline (walks ->
+    // skip-grams -> k negatives per pair from the unigram^(3/4)
+    // distribution, Mikolov et al. 2013). Determinism discipline:
+    // f^(3/4) = sqrt(sqrt(f^3)) — IEEE sqrt is CORRECTLY ROUNDED, so
+    // unlike pow() the weight is bit-identical across engines — then
+    // floored to e6 BIGINT weights, so the CDF is pure integer; each
+    // draw hashes the pair's position key to 16 bits and maps it onto
+    // the CDF with (u16 * total) div 65536 (products <= ~1e15, no
+    // overflow). The CDF window runs over the walk-visited vocabulary
+    // — bounded by starts x steps, never the graph. The negative
+    // lookup is a broadcast range join against that tiny CDF frame.
+    Q("g_negative_samples",
+      (s, d) => {
+        val edges = copartPairs(t(s, d, "lineitem")
+            .select("l_orderkey", "l_partkey"))
+          .groupBy("u", "v").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2)
+          .select("u", "v")
+        val starts = edges.select(col("u").as("n"))
+          .union(edges.select(col("v").as("n")))
+          .distinct().orderBy("n").limit(25)
+        val wk = GraphAlgos.deterministicWalks(edges, starts, steps = 4)
+        val vocab = wk.groupBy("node").agg(count(lit(1)).as("f"))
+          .withColumn("wi", expr(
+            "CAST(floor(sqrt(sqrt(CAST(f * f * f AS DOUBLE))) * 1000000 + 0.5) AS BIGINT)"))
+          .withColumn("cum_hi", sum("wi").over(
+            org.apache.spark.sql.expressions.Window.orderBy("node")
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .withColumn("cum_lo", col("cum_hi") - col("wi"))
+        val tot = vocab.agg(max("cum_hi").as("tot"))
+        val a = wk.select(col("start"), col("step").as("sa"), col("node").as("center"))
+        val b = wk.select(col("start"), col("step").as("sb"), col("node").as("context"))
+        val draws = a.join(b, Seq("start"))
+          .filter(col("sa") =!= col("sb") && abs(col("sa") - col("sb")) <= 2)
+          .crossJoin(broadcast(tot))
+          .withColumn("j", explode(expr("sequence(1, 2)")))
+          .withColumn("u16", expr(
+            """CAST(conv(substring(md5(concat(cast(start AS STRING), ':',
+               cast(sa AS STRING), ':', cast(sb AS STRING), ':',
+               cast(j AS STRING))), 1, 4), 16, 10) AS BIGINT)"""))
+          .withColumn("target", expr("(u16 * tot) div 65536"))
+        draws.join(broadcast(vocab.select(col("node").as("neg"),
+            col("wi"), col("cum_lo"), col("cum_hi"))),
+            col("target") >= col("cum_lo") && col("target") < col("cum_hi"))
+          .groupBy("neg", "wi")
+          .agg(count(lit(1)).as("n_draws"),
+            sum(when(col("neg") === col("context"), 1L).otherwise(0L))
+              .as("n_collisions"))
+          .orderBy(col("n_draws").desc, col("neg").asc)
+          .limit(15)
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("n_draws").desc, col("neg").asc)))
+          .select("rn", "neg", "wi", "n_draws", "n_collisions")
+          .orderBy("rn")
+      },
+      Some(negativeSampleOracle(steps = 4, window = 2, k = 2, topK = 15))),
+
     // Walk-visit centrality — the sampling-based centrality estimate
     // (nodes that deterministic walks keep landing on are the traffic
     // carriers; the walk-count proxy used when exact betweenness'
@@ -1073,6 +1132,56 @@ object GraphCatalog {
                ORDER BY cnt DESC, center, context) AS rn
            FROM (SELECT center, context, CAST(count(*) AS BIGINT) AS cnt
                  FROM pairs GROUP BY 1, 2))
+         WHERE rn <= $topK ORDER BY rn"""
+  }
+
+  /** Oracle twin of g_negative_samples: walk chain + vocabulary CDF on
+    * e6-integer sqrt(sqrt(f^3)) weights + 16-bit md5 draws mapped with
+    * (u16 * total) // 65536 — the identical integer recurrence (DuckDB
+    * rebuilds the 16-bit value nibble by nibble, no base-16 conv). */
+  private def negativeSampleOracle(steps: Int, window: Int, k: Int,
+      topK: Int): String = {
+    val (ctes, unionAll) = randomWalkCtes(steps)
+    val nib = (i: Int) => s"(strpos('0123456789abcdef', substring(h, $i, 1)) - 1)"
+    val u16 = (1 to 4).map(i => s"${nib(i)} * ${1L << (4 * (4 - i))}")
+      .mkString("(", " + ", ")")
+    ctes + s""",
+         wk AS MATERIALIZED (SELECT start, step, cur AS node FROM ($unionAll)),
+         vocab AS MATERIALIZED (
+           SELECT node, CAST(count(*) AS BIGINT) AS f,
+             CAST(floor(sqrt(sqrt(CAST(count(*) * count(*) * count(*)
+               AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS wi
+           FROM wk GROUP BY 1),
+         cdf AS MATERIALIZED (
+           SELECT node, wi,
+             sum(wi) OVER (ORDER BY node ROWS UNBOUNDED PRECEDING) AS cum_hi,
+             sum(wi) OVER (ORDER BY node ROWS UNBOUNDED PRECEDING) - wi AS cum_lo
+           FROM vocab),
+         tot AS (SELECT CAST(sum(wi) AS BIGINT) AS tot FROM vocab),
+         draws AS MATERIALIZED (
+           SELECT context, CAST(($u16 * tot) // 65536 AS BIGINT) AS target
+           FROM (
+             SELECT p.context, t.tot,
+               md5(CAST(p.start AS VARCHAR) || ':' || CAST(p.sa AS VARCHAR)
+                 || ':' || CAST(p.sb AS VARCHAR) || ':'
+                 || CAST(js.j AS VARCHAR)) AS h
+             FROM (SELECT a.start, a.step AS sa, b.step AS sb,
+                     a.node AS center, b.node AS context
+                   FROM wk a JOIN wk b ON a.start = b.start
+                     AND a.step <> b.step
+                     AND abs(a.step - b.step) <= $window) p,
+               tot t,
+               (SELECT unnest(range(1, ${k + 1})) AS j) js)),
+         neg AS (
+           SELECT c.node AS neg, c.wi, d.context
+           FROM draws d JOIN cdf c
+             ON d.target >= c.cum_lo AND d.target < c.cum_hi)
+         SELECT rn, neg, wi, n_draws, n_collisions FROM (
+           SELECT *, row_number() OVER (ORDER BY n_draws DESC, neg) AS rn
+           FROM (SELECT neg, wi, CAST(count(*) AS BIGINT) AS n_draws,
+                   CAST(sum(CASE WHEN neg = context THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_collisions
+                 FROM neg GROUP BY 1, 2))
          WHERE rn <= $topK ORDER BY rn"""
   }
 
