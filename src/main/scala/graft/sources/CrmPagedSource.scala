@@ -20,10 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Client-side sliding-window rate limiter — the CRM API discipline of
   * the reference's `utils/parallel_processor.py:19-69` (at most
   * `maxRequests` calls per `windowMs` window, callers block until a
-  * slot frees). One instance per reader task: the portal's limit is
-  * per-connection, matching the reference's per-worker limiter.
-  * Serializable so a configured instance can ship inside a reader
-  * factory. */
+  * slot frees). The portal limit is per-connection, so production use
+  * goes through [[SlidingWindowLimiter.shared]]: ONE limiter per
+  * (portal, rate, window) per executor JVM, which every concurrent page
+  * reader on that executor contends on — a fresh instance per reader
+  * would have an always-empty window and never block. */
 final class SlidingWindowLimiter(maxRequests: Int, windowMs: Long = 10000L)
     extends Serializable {
   require(maxRequests > 0, s"maxRequests must be positive, got $maxRequests")
@@ -47,16 +48,33 @@ final class SlidingWindowLimiter(maxRequests: Int, windowMs: Long = 10000L)
   }
 }
 
+object SlidingWindowLimiter {
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Long), SlidingWindowLimiter]()
+
+  /** The per-executor shared limiter for one simulated portal
+    * connection. Reader factories deserialize once per task, so a
+    * field-held limiter would still be per-task; keying a JVM-level
+    * registry by (portal path, rate, window) is what makes every page
+    * reader in the executor share one sliding window — the per-worker
+    * invariant of `utils/parallel_processor.py` ("no window exceeds the
+    * limit", `tests/test_rate_limiting.py:88-101`). */
+  def shared(key: String, maxRequests: Int, windowMs: Long): SlidingWindowLimiter =
+    registry.computeIfAbsent((key, maxRequests, windowMs),
+      _ => new SlidingWindowLimiter(maxRequests, windowMs))
+}
+
 /** `crm-paged` — a DataSource V2 connector with the reference
   * extractor's API shape (`extractors/base_extractor.py:85-199`):
   * cursor-paginated record fetches (`limit`/`after` — here one
   * InputPartition per page, so Spark parallelizes the page space the
   * way `parallel_processor` fans out cursor ranges), client-side
-  * sliding-window rate limiting (one simulated API call per page), and
-  * TRUE source-side pushdown — required-column pruning and supported
-  * filters are applied while parsing the portal payload, before
-  * anything reaches Spark, exactly what a live HubSpot search API call
-  * does with `filter_groups` (`extract_with_search_filter`).
+  * sliding-window rate limiting (one simulated API call per page,
+  * contending on the executor-shared limiter), and TRUE source-side
+  * pushdown — required-column pruning and supported filters are applied
+  * while parsing the portal payload, before anything reaches Spark,
+  * exactly what a live HubSpot search API call does with
+  * `filter_groups` (`extract_with_search_filter`).
   *
   * The transport is a JSON-lines file/directory standing in for HTTPS
   * (this sandbox has no egress); every OTHER layer — TableProvider,
@@ -64,9 +82,19 @@ final class SlidingWindowLimiter(maxRequests: Int, windowMs: Long = 10000L)
   * decoding against an explicit `CrmSchema.*` schema — is the real
   * connector architecture a live transport would slot into.
   *
+  * Planning cost: the driver's only metadata is a per-part record
+  * count + sampled line-offset index, built ONCE per immutable part
+  * ever (cached by (path, length, mtime) — the feed contract is
+  * append-only with immutable, monotonically-named parts) — replanning
+  * a batch or a streaming trigger over an unchanged feed does ZERO
+  * file reads. Page readers seek to their page's indexed byte offset
+  * and skip at most [[CrmPagedIO.SampleEvery]] lines, so a part read
+  * in P pages costs O(bytes) total, not O(P * bytes).
+  *
   * Options: `path` (file or directory of .json parts), `pageSize`
   * (records per simulated API call, default 100), `maxRequestsPer10s`
-  * (0 = unthrottled, default 0).
+  * (0 = unthrottled, default 0), `rateWindowMs` (the limiter window,
+  * default 10000 — a test knob; the portal contract is 10 s).
   *
   * Usage:
   * {{{
@@ -93,24 +121,26 @@ class CrmPagedSource extends TableProvider with DataSourceRegister {
       .orElse(Option(properties.get("pageSize"))).map(_.toInt).getOrElse(100)
     val rate = Option(properties.get("maxrequestsper10s"))
       .orElse(Option(properties.get("maxRequestsPer10s"))).map(_.toInt).getOrElse(0)
+    val windowMs = Option(properties.get("ratewindowms"))
+      .orElse(Option(properties.get("rateWindowMs"))).map(_.toLong).getOrElse(10000L)
     require(pageSize > 0, s"pageSize must be positive, got $pageSize")
-    new CrmTable(schema, path, pageSize, rate)
+    new CrmTable(schema, path, pageSize, rate, windowMs)
   }
 }
 
 private[sources] class CrmTable(schema: StructType, path: String,
-    pageSize: Int, rate: Int) extends Table with SupportsRead {
+    pageSize: Int, rate: Int, windowMs: Long) extends Table with SupportsRead {
   override def name(): String = s"crm-paged($path)"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CrmScanBuilder(schema, path, pageSize, rate)
+    new CrmScanBuilder(schema, path, pageSize, rate, windowMs)
 }
 
 private[sources] class CrmScanBuilder(fullSchema: StructType, path: String,
-    pageSize: Int, rate: Int) extends ScanBuilder
+    pageSize: Int, rate: Int, windowMs: Long) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
@@ -137,18 +167,21 @@ private[sources] class CrmScanBuilder(fullSchema: StructType, path: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
-    new CrmScan(path, required, pushed, pageSize, rate)
+    new CrmScan(path, required, pushed, pageSize, rate, windowMs)
 }
 
-/** One simulated API page: `file` + `start` are the cursor (the live
-  * twin ships an opaque `after` token instead); a page never spans
-  * part files, so a reader streams exactly one file and skips only its
-  * own prefix — no cross-file re-scan. */
+/** One simulated API page. `file` + `start` are the record cursor (the
+  * live twin ships an opaque `after` token instead); a page never spans
+  * part files. `seekByte`/`skipLines` are the planner-resolved physical
+  * cursor: the reader seeks to `seekByte` (an indexed line start at or
+  * before record `start`) and skips `skipLines` records — bounded by
+  * the index sample interval, so readers never re-read a page prefix. */
 private[sources] case class CrmPage(pageIdx: Int, file: String, start: Long,
-  len: Int) extends InputPartition
+  len: Int, seekByte: Long, skipLines: Int) extends InputPartition
 
 private[sources] class CrmScan(val path: String, val required: StructType,
-    val pushed: Array[Filter], val pageSize: Int, val rate: Int)
+    val pushed: Array[Filter], val pageSize: Int, val rate: Int,
+    val windowMs: Long)
     extends Scan with Batch with Serializable {
   override def readSchema(): StructType = required
   override def description(): String =
@@ -159,22 +192,26 @@ private[sources] class CrmScan(val path: String, val required: StructType,
 
   /** The one driver-side metadata call: per-part record counts (the
     * `total` field of a search response) decide the page plan. Pages
-    * never span part files. */
+    * never span part files. Counts come from the immutable-part index
+    * cache — planning an unchanged feed reads no data. */
   override def planInputPartitions(): Array[InputPartition] = {
     val counts = CrmPagedIO.partCounts(path)
-    val pages = counts.flatMap { case (f, n) =>
-      val nPages = ((n + pageSize - 1) / pageSize).toInt
-      (0 until nPages).map { i =>
-        val start = i.toLong * pageSize
-        CrmPage(0, f, start, math.min(pageSize.toLong, n - start).toInt)
+    val pages = scala.collection.mutable.ArrayBuffer.empty[CrmPage]
+    counts.foreach { case (f, n) =>
+      var start = 0L
+      while (start < n) {
+        val len = math.min(pageSize.toLong, n - start).toInt
+        val (seekByte, skip) = CrmPagedIO.pageCursor(f, start)
+        pages += CrmPage(pages.size, f, start, len, seekByte, skip)
+        start += len
       }
-    }.zipWithIndex.map { case (p, i) => p.copy(pageIdx = i) }
+    }
     if (pages.isEmpty) Array(CrmPage(0, counts.headOption.map(_._1)
-      .getOrElse(path), 0L, 0))
+      .getOrElse(path), 0L, 0, 0L, 0))
     else pages.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new CrmReaderFactory(path, required, pushed, rate)
+    new CrmReaderFactory(path, required, pushed, rate, windowMs)
 
   /** Incremental-extract face (the reference's ingest lookback, T6):
     * the stream offset IS the pagination cursor — the count of records
@@ -186,7 +223,7 @@ private[sources] class CrmScan(val path: String, val required: StructType,
     * before already-extracted ones). */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new CrmMicroBatchStream(path, required, pushed, pageSize, rate)
+    new CrmMicroBatchStream(path, required, pushed, pageSize, rate, windowMs)
 }
 
 private[sources] case class CrmOffset(total: Long)
@@ -195,11 +232,14 @@ private[sources] case class CrmOffset(total: Long)
 }
 
 private[sources] class CrmMicroBatchStream(path: String,
-    required: StructType, pushed: Array[Filter], pageSize: Int, rate: Int)
+    required: StructType, pushed: Array[Filter], pageSize: Int, rate: Int,
+    windowMs: Long)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
+  // Per-trigger cost: a listStatus + cached index lookups — zero file
+  // reads once each immutable part has been indexed once.
   private def feedTotal: Long = CrmPagedIO.partCounts(path).map(_._2).sum
   // Trigger.AvailableNow: the run's target is the feed size sampled
   // ONCE at start — records appended mid-run wait for the next run,
@@ -223,7 +263,9 @@ private[sources] class CrmMicroBatchStream(path: String,
 
   /** Pages covering the global record range [start, end), never
     * spanning part files — the same page shape as the batch scan, just
-    * windowed by the cursor. */
+    * windowed by the cursor. All cursor arithmetic is Long: the feed
+    * total is unbounded (the round-10 `start.toInt` truncation is
+    * gone with the byte-seek readers). */
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
     val lo = start.asInstanceOf[CrmOffset].total
@@ -236,7 +278,9 @@ private[sources] class CrmMicroBatchStream(path: String,
       var pos = from
       while (pos < until) {
         val len = math.min(pageSize.toLong, until - pos).toInt
-        pages += CrmPage(pages.size, f, pos - base, len)
+        val recStart = pos - base
+        val (seekByte, skip) = CrmPagedIO.pageCursor(f, recStart)
+        pages += CrmPage(pages.size, f, recStart, len, seekByte, skip)
         pos += len
       }
       base += n
@@ -244,28 +288,34 @@ private[sources] class CrmMicroBatchStream(path: String,
     pages.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new CrmReaderFactory(path, required, pushed, rate)
+    new CrmReaderFactory(path, required, pushed, rate, windowMs)
 }
 
 private[sources] class CrmReaderFactory(path: String, required: StructType,
-    pushed: Array[Filter], rate: Int) extends PartitionReaderFactory {
+    pushed: Array[Filter], rate: Int, windowMs: Long)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new CrmPageReader(path, required, pushed, rate, p.asInstanceOf[CrmPage])
+    new CrmPageReader(path, required, pushed, rate, windowMs,
+      p.asInstanceOf[CrmPage])
 }
 
-/** Reads ONE page (= one simulated API call): throttles, fetches the
-  * page's records, evaluates the pushed filters on the raw payload and
-  * decodes only the required columns. */
+/** Reads ONE page (= one simulated API call): contends on the
+  * executor-shared limiter, seeks to the page's byte cursor, fetches
+  * the page's records, evaluates the pushed filters on the raw payload
+  * and decodes only the required columns. */
 private[sources] class CrmPageReader(path: String, required: StructType,
-    pushed: Array[Filter], rate: Int, page: CrmPage)
+    pushed: Array[Filter], rate: Int, windowMs: Long, page: CrmPage)
     extends PartitionReader[InternalRow] {
   private var it: Iterator[InternalRow] = _
   private var cur: InternalRow = _
 
   override def next(): Boolean = {
     if (it == null) {
-      if (rate > 0) { new SlidingWindowLimiter(rate).acquire(); () }
-      it = CrmPagedIO.readPage(page.file, page.start, page.len).iterator
+      if (rate > 0) {
+        SlidingWindowLimiter.shared(path, rate, windowMs).acquire(); ()
+      }
+      it = CrmPagedIO.readPage(page.file, page.seekByte, page.skipLines,
+          page.len).iterator
         .map(CrmPagedIO.parse)
         .filter(n => pushed.forall(CrmPagedIO.matches(n, _)))
         .map(n => CrmPagedIO.toRow(n, required))
@@ -276,14 +326,42 @@ private[sources] class CrmPageReader(path: String, required: StructType,
   override def close(): Unit = ()
 }
 
+/** The per-part metadata index: record count + byte offsets of every
+  * [[CrmPagedIO.SampleEvery]]-th record's line start. ~31 KB per
+  * million records — the planner's whole memory footprint. */
+private[sources] final case class PartIndex(count: Long, offsets: Array[Long])
+
 /** Payload IO + decoding, kept pure/static so the reader stays a thin
-  * page cursor. */
-private[sources] object CrmPagedIO {
+  * page cursor. Public so specs can probe the planning-cost
+  * instrumentation ([[buildCount]]); not user API. */
+object CrmPagedIO {
   private val mapper = new ObjectMapper()
+
+  /** Line-offset sample interval: a reader skips at most this many
+    * records after its seek. */
+  val SampleEvery: Int = 256
+
+  // Immutable-part index cache. The feed contract is append-only with
+  // immutable parts, so (path, length, mtime) names the content; an
+  // index is computed once per part EVER (per JVM) and every later
+  // batch plan / streaming trigger is a pure metadata lookup.
+  private final case class PartKey(path: String, len: Long, mtime: Long)
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[PartKey, PartIndex]()
+  // Test instrumentation: how many times each part's index has been
+  // built from bytes (specs assert replanning does zero builds).
+  private val builds =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  /** Test instrumentation: times `partPath`'s index was built from
+    * bytes. The immutability contract means this is 1 per part ever. */
+  def buildCount(partPath: String): Long =
+    Option(builds.get(partPath)).map(_.longValue).getOrElse(0L)
+
+  private def hadoopConf = new org.apache.hadoop.conf.Configuration()
 
   private def partFiles(path: String): Seq[Path] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(hadoopConf)
     if (fs.getFileStatus(p).isDirectory)
       fs.listStatus(p).map(_.getPath)
         .filter(f => f.getName.endsWith(".json") || f.getName.endsWith(".txt"))
@@ -291,40 +369,150 @@ private[sources] object CrmPagedIO {
     else Seq(p)
   }
 
-  private def fileLines(f: Path): Iterator[String] = {
-    val fs = f.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    scala.io.Source.fromInputStream(fs.open(f), "UTF-8").getLines()
-      .filter(_.trim.nonEmpty)
+  private def partIndex(f: Path): PartIndex = {
+    val fs = f.getFileSystem(hadoopConf)
+    val st = fs.getFileStatus(f)
+    indexCache.computeIfAbsent(
+      PartKey(f.toString, st.getLen, st.getModificationTime),
+      _ => buildIndex(f))
   }
 
-  /** (partFile, recordCount) pairs — the planner's one metadata pass. */
-  def partCounts(path: String): Seq[(String, Long)] =
-    partFiles(path).map(f => f.toString -> fileLines(f).size.toLong)
+  /** One streaming pass over a part: counts non-blank records (the
+    * same records `readPage` yields) and samples the byte offset of
+    * every SampleEvery-th record's line start. */
+  private def buildIndex(f: Path): PartIndex = {
+    builds.merge(f.toString, java.lang.Long.valueOf(1L), (a, b) =>
+      java.lang.Long.valueOf(a.longValue + b.longValue))
+    val fs = f.getFileSystem(hadoopConf)
+    val in = fs.open(f)
+    try {
+      val offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var count = 0L
+      var pos = 0L
+      var lineStart = 0L
+      var hasContent = false
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n > 0) {
+        var i = 0
+        while (i < n) {
+          val b = buf(i)
+          if (b == '\n') {
+            if (hasContent) {
+              if (count % SampleEvery == 0) { offsets += lineStart; () }
+              count += 1
+            }
+            lineStart = pos + 1
+            hasContent = false
+          } else if (!hasContent && (b & 0xFF) > 0x20) hasContent = true
+          pos += 1
+          i += 1
+        }
+        n = in.read(buf)
+      }
+      if (hasContent) { // final record without trailing newline
+        if (count % SampleEvery == 0) { offsets += lineStart; () }
+        count += 1
+      }
+      PartIndex(count, offsets.toArray)
+    } finally in.close()
+  }
 
-  def readPage(file: String, start: Long, len: Int): Seq[String] =
-    fileLines(new Path(file)).slice(start.toInt, start.toInt + len).toSeq
+  /** (partFile, recordCount) pairs — the planner's one metadata pass
+    * (cached; zero file reads for already-indexed parts). */
+  def partCounts(path: String): Seq[(String, Long)] =
+    partFiles(path).map(f => f.toString -> partIndex(f).count)
+
+  /** Physical cursor for the page starting at record `startRecord` of
+    * `file`: (byte offset to seek to, records to skip after the seek —
+    * always < SampleEvery). */
+  def pageCursor(file: String, startRecord: Long): (Long, Int) = {
+    val idx = partIndex(new Path(file))
+    require(startRecord < idx.count || startRecord == 0,
+      s"cursor $startRecord past end of $file (count=${idx.count}) — " +
+        "parts are contractually immutable")
+    if (idx.offsets.isEmpty) (0L, 0)
+    else {
+      val slot = math.min((startRecord / SampleEvery).toInt,
+        idx.offsets.length - 1)
+      (idx.offsets(slot), (startRecord - slot.toLong * SampleEvery).toInt)
+    }
+  }
+
+  /** One page's raw records: seek to `seekByte` (a planner-indexed line
+    * start), skip `skipLines` records, take `len`. The stream is closed
+    * before returning. */
+  def readPage(file: String, seekByte: Long, skipLines: Int, len: Int)
+      : Seq[String] = {
+    if (len <= 0) return Nil
+    val p = new Path(file)
+    val fs = p.getFileSystem(hadoopConf)
+    val in = fs.open(p)
+    try {
+      in.seek(seekByte)
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.trim.nonEmpty)
+        .slice(skipLines, skipLines + len)
+        .toVector
+    } finally in.close()
+  }
 
   def parse(line: String): JsonNode = mapper.readTree(line)
 
+  // Pushed-filter comparison outcome. `Missing` (field absent/null)
+  // drops the row for EqualTo/GT/LT — SQL null semantics, same as
+  // Spark's own post-scan evaluation. `Unknown` (a numeric filter
+  // value against a non-numeric payload) must KEEP the row: source
+  // exclusion is unrecoverable, and Spark re-evaluates survivors
+  // post-scan anyway (the conservative pushFilters contract).
+  private sealed trait Cmp
+  private case object Missing extends Cmp
+  private case object Unknown extends Cmp
+  private final case class Val(i: Int) extends Cmp
+
   /** Pushed-filter evaluation on the raw payload — the simulated
-    * `filter_groups`. Numeric payloads compare numerically, everything
-    * else as the string the schema will read it as. */
+    * `filter_groups`. A numeric filter value compares NUMERICALLY even
+    * when the payload encodes the number as a string (the extractor
+    * contract is lenient-as-string): lexicographic "100" < "99" must
+    * never drop a row a Long/Int/Double schema column would keep. */
   def matches(n: JsonNode, f: Filter): Boolean = {
     def field(a: String): Option[JsonNode] =
       Option(n.get(a)).filterNot(_.isNull)
-    def cmp(a: String, v: Any): Option[Int] = field(a).map { node =>
-      v match {
-        case num: Number if node.isNumber =>
-          java.lang.Double.compare(node.asDouble(), num.doubleValue())
-        case _ => node.asText().compareTo(v.toString)
+    def cmp(a: String, v: Any): Cmp = field(a) match {
+      case None => Missing
+      case Some(node) => v match {
+        case num: Number =>
+          val payload =
+            if (node.isNumber) Some(node.decimalValue())
+            else
+              try Some(new java.math.BigDecimal(node.asText().trim))
+              catch { case _: NumberFormatException => None }
+          payload match {
+            case Some(bd) =>
+              Val(bd.compareTo(new java.math.BigDecimal(num.toString)))
+            case None => Unknown
+          }
+        case _ => Val(node.asText().compareTo(v.toString))
       }
     }
     f match {
-      case EqualTo(a, v) => cmp(a, v).contains(0)
+      case EqualTo(a, v) => cmp(a, v) match {
+        case Val(i) => i == 0
+        case Unknown => true
+        case Missing => false
+      }
       case IsNotNull(a) => field(a).isDefined
       case IsNull(a) => field(a).isEmpty
-      case GreaterThan(a, v) => cmp(a, v).exists(_ > 0)
-      case LessThan(a, v) => cmp(a, v).exists(_ < 0)
+      case GreaterThan(a, v) => cmp(a, v) match {
+        case Val(i) => i > 0
+        case Unknown => true
+        case Missing => false
+      }
+      case LessThan(a, v) => cmp(a, v) match {
+        case Val(i) => i < 0
+        case Unknown => true
+        case Missing => false
+      }
       case StringStartsWith(a, v) =>
         field(a).exists(_.asText().startsWith(v))
       case _ => true

@@ -36,9 +36,15 @@ object IncrementalPipeline {
     * unique per checkpoint, so the key pairs the checkpoint location
     * (which names the stream across restarts) with the batch id —
     * (checkpoint, batchId) names exactly one unit of work forever, and
-    * two streams sharing a store cannot collide. */
-  private def batchKey(checkpointDir: String, batchId: Long): String =
-    java.lang.Integer.toHexString(checkpointDir.hashCode) + f"_$batchId%012d"
+    * two streams sharing a store cannot collide: the stream component
+    * is the full 128-bit md5 of the checkpoint path (a 32-bit
+    * String.hashCode would let a collision silently overwrite another
+    * stream's partitions). */
+  private def batchKey(checkpointDir: String, batchId: Long): String = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+    md5.map(b => f"${b & 0xff}%02x").mkString + f"_$batchId%012d"
+  }
 
   /** Exactly-once-converging micro-batch write: land `df` under
     * `batch_key=<key>` with DYNAMIC partition overwrite. A replayed
@@ -62,10 +68,17 @@ object IncrementalPipeline {
     * batch's own keys as already-seen and drop everything. */
   private def storeExceptOwn(spark: SparkSession, path: String, key: String)
       : Option[DataFrame] =
-    if (fileExists(spark, path))
-      Some(spark.read.parquet(path)
-        .filter(col("batch_key") =!= lit(key)).drop("batch_key"))
-    else None
+    if (fileExists(spark, path)) {
+      val df = spark.read.parquet(path)
+      // A store written before the batch-keyed layout has no batch_key
+      // column; none of it can be this batch's own partial write, so
+      // the whole legacy store is visible (new batches then append in
+      // the partitioned layout alongside it).
+      Some(
+        if (df.columns.contains("batch_key"))
+          df.filter(col("batch_key") =!= lit(key)).drop("batch_key")
+        else df)
+    } else None
 
   /** Watermarked tumbling-window event counts (the shape a live
     * opens/clicks feed would use; T5/T6). */

@@ -116,6 +116,84 @@ class CrmPagedSourceSpec extends AnyFunSuite {
       .count() == 4)
   }
 
+  test("shared limiter throttles a multi-page read end-to-end (wall-clock lower bound)") {
+    // 6 records / pageSize 2 -> 3 pages = 3 simulated API calls. At
+    // 1 call per 400 ms window the SHARED limiter (one per (path, rate,
+    // window) per JVM) forces calls at t=0, ~400, ~800 no matter how
+    // many reader threads run concurrently — the round-10 per-reader
+    // limiter had an always-empty window and never blocked.
+    val dir = java.nio.file.Files.createTempDirectory("graft-crmthrottle").toString
+    val lines = (1 to 6).map(i =>
+      s"""{"event_type":"OPEN","recipient":"u$i@x.com","created":"1718131200000","emailCampaignId":"1"}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/feed.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    def read(throttled: Boolean) = {
+      val r = spark.read.format("crm-paged").schema(CrmSchema.emailEvents)
+        .option("path", s"$dir/feed.json").option("pageSize", "2")
+      (if (throttled)
+        r.option("maxRequestsPer10s", "1").option("rateWindowMs", "400")
+      else r).load()
+    }
+    assert(read(throttled = false).count() == 6) // warm the part index
+    val t0 = System.currentTimeMillis()
+    assert(read(throttled = true).count() == 6)
+    val elapsed = System.currentTimeMillis() - t0
+    assert(elapsed >= 700,
+      s"3 pages at 1 req/400ms must take >= ~800ms, took ${elapsed}ms — " +
+        "the limiter is not shared across page readers")
+  }
+
+  test("replanning an unchanged feed does zero file reads (immutable-part index cache)") {
+    import graft.sources.CrmPagedIO
+    val dir = java.nio.file.Files.createTempDirectory("graft-crmidx").toString
+    def rec(i: Int) =
+      s"""{"event_type":"OPEN","recipient":"u$i@x.com","created":"1718131200000","emailCampaignId":"1"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/part-a.json"),
+      (1 to 700).map(rec).mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/part-b.json"),
+      (701 to 900).map(rec).mkString("\n").getBytes("UTF-8"))
+    val parts = CrmPagedIO.partCounts(dir).map(_._1) // builds each index once
+    assert(parts.size == 2 && parts.forall(p => CrmPagedIO.buildCount(p) == 1))
+    def readAll() = spark.read.format("crm-paged")
+      .schema(CrmSchema.emailEvents).option("path", dir)
+      .option("pageSize", "100").load()
+    // two full scans = two batch plans + 9 page readers each; all of it
+    // hits the (path, length, mtime) cache — zero additional builds
+    assert(readAll().count() == 900)
+    assert(readAll().count() == 900)
+    assert(parts.forall(p => CrmPagedIO.buildCount(p) == 1),
+      parts.map(p => s"$p built ${CrmPagedIO.buildCount(p)}x").mkString(", "))
+    // and the seek cursors are right: page 3 of part-a starts at record
+    // 300 -> seek to the sampled offset of record 256, skip 44
+    val (seekByte, skip) = CrmPagedIO.pageCursor(parts.head, 300L)
+    assert(skip == 300 - 256 && seekByte > 0, s"seek=$seekByte skip=$skip")
+  }
+
+  test("numeric pushed filters coerce string payloads numerically (no lexicographic drops)") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("graft-crmnum").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/feed.json"),
+      Seq("""{"v":"100"}""", """{"v":"99"}""", """{"v":"9"}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("v", LongType)))
+    def read() = spark.read.format("crm-paged").schema(schema)
+      .option("path", s"$dir/feed.json").load()
+    // "100" > 99: lexicographic compare ("100" < "99") would drop it at
+    // the source, unrecoverably; numeric coercion keeps it
+    assert(read().filter(col("v") > 99L).collect().map(_.getLong(0)).toSeq
+      == Seq(100L))
+    // "9" < 10: lexicographic ("9" > "10") would drop it too
+    assert(read().filter(col("v") < 10L).collect().map(_.getLong(0)).toSeq
+      == Seq(9L))
+    // unparsable payload vs numeric filter: indeterminate at the source
+    // -> KEPT (Spark re-evaluates post-scan; exclusion is unrecoverable)
+    import org.apache.spark.sql.sources.{GreaterThan, LessThan}
+    import graft.sources.CrmPagedIO
+    val junk = CrmPagedIO.parse("""{"v":"abc"}""")
+    assert(CrmPagedIO.matches(junk, GreaterThan("v", 99L)))
+    assert(CrmPagedIO.matches(junk, LessThan("v", 99L)))
+  }
+
   test("streaming face: the offset is the cursor - triggers extract only new records") {
     // append-only portal feed with monotonically-named batch files
     val feed = java.nio.file.Files.createTempDirectory("graft-crmfeed").toString
