@@ -26,6 +26,8 @@ import graft.operators.Lineage.CutOps
   *  get_json_object on string props          -> f_json_extract
   *  T1  snapshot diff classification         -> t1_snapshot_diff
   *  T8  point-in-time (as-of) state          -> t8_asof_state
+  *  MERGE INTO (upsert+delete, one statement)-> t9_merge_upsert
+  *  MERGE of a versioned CDC feed            -> t10_merge_cdc
   */
 object AggWindowCatalog {
 
@@ -713,6 +715,104 @@ object AggWindowCatalog {
                  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
                FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
              WHERE rn = 1 ORDER BY user_id""")),
+
+    Q("t9_merge_upsert",
+      // Delta-style MERGE INTO (graft.temporal.Merge): one statement
+      // applies updates (%7 keys: renamed + acctbal bumped), deletes
+      // (%11 keys) and inserts (new keyspace at +10M) to the customer
+      // state — the general keyed-mutation the reference's loaders run
+      // per entity. The operator is ONE full-outer shuffle join on the
+      // key; the oracle derives the same post-state RELATIONALLY
+      // (update rows + untouched survivors + inserts), so the pin is
+      // semantic, not plan-shaped. Update/delete branches are disjoint
+      // (%7 excludes %11) — an overlapping unversioned source is the
+      // nondeterminism Delta rejects and t10 resolves with versions.
+      (s, d) => {
+        val cust = t(s, d, "customer")
+        val k = col("c_custkey")
+        val updates = cust.filter(k % 7 === 0 && k % 11 =!= 0)
+          .select(k.as("c_custkey"),
+            concat(col("c_name"), lit("*")).as("c_name"),
+            col("c_nationkey"),
+            (col("c_acctbal") + 1000.0).as("c_acctbal"),
+            col("c_mktsegment"))
+          .withColumn("op", lit("U"))
+        val deletes = cust.filter(k % 11 === 0)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            col("c_acctbal"), col("c_mktsegment"))
+          .withColumn("op", lit("D"))
+        val inserts = cust.filter(k % 13 === 0)
+          .select((k + 10000000L).as("c_custkey"),
+            concat(lit("NEW_"), k).as("c_name"),
+            col("c_nationkey"),
+            lit(0.0).as("c_acctbal"),
+            lit("MERGED").as("c_mktsegment"))
+          .withColumn("op", lit("I"))
+        graft.temporal.Merge.mergeInto(
+            cust, updates.unionByName(deletes).unionByName(inserts),
+            Seq("c_custkey"), deleteExpr = Some("op = 'D'"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH updates AS (
+               SELECT c_custkey, c_name || '*' AS c_name, c_nationkey,
+                 c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
+               FROM customer
+               WHERE c_custkey % 7 = 0 AND c_custkey % 11 <> 0),
+             inserts AS (
+               SELECT c_custkey + 10000000 AS c_custkey,
+                 'NEW_' || c_custkey AS c_name, c_nationkey,
+                 0.0 AS c_acctbal, 'MERGED' AS c_mktsegment
+               FROM customer WHERE c_custkey % 13 = 0)
+             SELECT c_custkey, c_name, c_nationkey,
+               CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+             FROM (
+               SELECT * FROM updates
+               UNION ALL
+               SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                 c_mktsegment
+               FROM customer
+               WHERE NOT (c_custkey % 7 = 0 AND c_custkey % 11 <> 0)
+                 AND c_custkey % 11 <> 0
+               UNION ALL
+               SELECT * FROM inserts)
+             ORDER BY c_custkey""")),
+
+    Q("t10_merge_cdc",
+      // MERGE of a VERSIONED CDC feed — the discipline a change-data
+      // stream needs before any MERGE is legal: the feed carries
+      // several rows per key (v1 and v2 updates for every %4 key, a v3
+      // DELETE for every %8 key) and last-writer-wins dedup (highest
+      // version, graft.temporal.Merge versionCol) must pick exactly one
+      // action per key first. Post-state: %8 keys gone, surviving %4
+      // keys carry the v2 balance, everyone else untouched. The oracle
+      // states that end-state DIRECTLY off the base table (one CASE +
+      // one WHERE — a completely independent derivation from the
+      // window-dedup + full-outer-join plan).
+      (s, d) => {
+        val cust = t(s, d, "customer")
+        val k = col("c_custkey")
+        val base = cust.filter(k % 4 === 0)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            col("c_acctbal"), col("c_mktsegment"))
+        val v1 = base.withColumn("c_acctbal", col("c_acctbal") + 1.0)
+          .withColumn("op", lit("U")).withColumn("v", lit(1L))
+        val v2 = base.withColumn("c_acctbal", col("c_acctbal") + 2.0)
+          .withColumn("op", lit("U")).withColumn("v", lit(2L))
+        val v3 = base.filter(k % 8 === 0)
+          .withColumn("op", lit("D")).withColumn("v", lit(3L))
+        graft.temporal.Merge.mergeInto(
+            cust, v1.unionByName(v2).unionByName(v3),
+            Seq("c_custkey"), deleteExpr = Some("op = 'D'"),
+            versionCol = Some("v"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey,
+               CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 2.0
+                    ELSE c_acctbal END AS c_acctbal,
+               c_mktsegment
+             FROM customer
+             WHERE c_custkey % 8 <> 0
+             ORDER BY c_custkey""")),
 
     Q("w6_event_deltas",
       // lag/lead family: per-user inter-event gaps (seconds since the
