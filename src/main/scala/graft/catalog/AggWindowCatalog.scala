@@ -814,6 +814,44 @@ object AggWindowCatalog {
              WHERE c_custkey % 8 <> 0
              ORDER BY c_custkey""")),
 
+    Q("t11_mv_refresh",
+      // Incremental materialized-view maintenance (graft.temporal
+      // .Rollup): the per-(user, event_type) rollup is maintained as
+      // MERGEABLE state — count, BIGINT micro-unit sums, min, max —
+      // and arriving batches fold in without re-reading history; avg
+      // derives at read time. Here the corpus splits at a date cut
+      // into two "batches", each batch's partial state folds through
+      // Rollup.merge, and the ORACLE aggregates the whole table in
+      // one pass — passing proves the fold algebra is exactly the
+      // direct aggregate (associativity pinned by value, the same
+      // contract Spark's map-side combine relies on). Sums integerize
+      // per-row BEFORE summation (floor(x*1e4+0.5) -> BIGINT) so no
+      // merge order can move a ulp; nonnegative operands keep Spark
+      // `div` == DuckDB `//`. One shuffle per batch + one for the
+      // fold, all on the same key.
+      (s, d) => {
+        import graft.temporal.Rollup
+        val ev = t(s, d, "events")
+        val keys = Seq("user_id", "event_type")
+        val cut = "2024-01-15 00:00:00"
+        val s1 = Rollup.aggState(ev.filter(col("ts") < lit(cut)), keys, Seq("value"))
+        val s2 = Rollup.aggState(ev.filter(col("ts") >= lit(cut)), keys, Seq("value"))
+        Rollup.merge(s1, s2, keys, Seq("value"))
+          .withColumn("avg_value_e4", expr("sum_value_e4 div n"))
+          .select(col("user_id"), col("event_type"), col("n"),
+            col("sum_value_e4"), col("min_value"), col("max_value"),
+            col("avg_value_e4"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_value_e4,
+               min(value) AS min_value, max(value) AS max_value,
+               CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                 // count(*) AS BIGINT) AS avg_value_e4
+             FROM events GROUP BY user_id, event_type
+             ORDER BY user_id, event_type""")),
+
     Q("w6_event_deltas",
       // lag/lead family: per-user inter-event gaps (seconds since the
       // previous event) rolled up to per-user cadence stats. Gap average
