@@ -28,6 +28,8 @@ import graft.operators.Lineage.CutOps
   *  T8  point-in-time (as-of) state          -> t8_asof_state
   *  MERGE INTO (upsert+delete, one statement)-> t9_merge_upsert
   *  MERGE of a versioned CDC feed            -> t10_merge_cdc
+  *  snapshot isolation / time travel         -> t12_time_travel
+  *  OPTIMIZE small-file compaction           -> t13_compact_roundtrip
   */
 object AggWindowCatalog {
 
@@ -851,6 +853,100 @@ object AggWindowCatalog {
                  // count(*) AS BIGINT) AS avg_value_e4
              FROM events GROUP BY user_id, event_type
              ORDER BY user_id, event_type""")),
+
+    Q("t12_time_travel",
+      // Snapshot isolation + time travel (graft.temporal.VersionedStore,
+      // the Delta/Iceberg version-log shape in miniature): commit the
+      // customer base as v1, a MERGE-mutated state (deletes %11, bumps
+      // %7 survivors, inserts %13 at +10M) as v2, then diff the two
+      // PINNED reads — readVersion(1) is byte-identical to what was
+      // committed no matter how many commits landed after it; that
+      // isolation is exactly what the diff's v1 leg exercises. The
+      // oracle derives the same add/change/remove classification
+      // directly from the base table, so the pin is semantic: any
+      // version-resolution bug (reading staged data, wrong manifest,
+      // gc'd dir) breaks the hash. Diff is ONE full-outer shuffle join
+      // on the key; the store round-trips through parquet, where
+      // doubles are exact. Scratch dir is cleared per call (bench runs
+      // 3x) — values derive only from the sf tables.
+      (s, d) => {
+        import graft.temporal.VersionedStore
+        val root = Q.scratch(s, d, "t12")
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val k = col("c_custkey")
+        VersionedStore.commit(s, root, cust, "base")
+        val mutated = cust.filter(k % 11 =!= 0)
+          .withColumn("c_acctbal",
+            when(k % 7 === 0, col("c_acctbal") + 1000.0).otherwise(col("c_acctbal")))
+          .unionByName(cust.filter(k % 13 === 0)
+            .select((k + 10000000L).as("c_custkey"),
+              concat(lit("NEW_"), k).as("c_name"),
+              lit(0.0).as("c_acctbal")))
+        VersionedStore.commit(s, root, mutated, "merge")
+        val v1 = VersionedStore.readVersion(s, root, 1L)
+          .select(col("c_custkey"), col("c_acctbal").as("bal_old"))
+        val v2 = VersionedStore.readVersion(s, root, 2L)
+          .select(col("c_custkey"), col("c_acctbal").as("bal_new"))
+        v1.join(v2, Seq("c_custkey"), "full_outer")
+          .withColumn("change",
+            when(col("bal_old").isNull, lit("ADDED"))
+              .when(col("bal_new").isNull, lit("REMOVED"))
+              .when(col("bal_old") =!= col("bal_new"), lit("CHANGED"))
+              .otherwise(lit("SAME")))
+          .groupBy("change")
+          .agg(count(lit(1)).as("n"), sum("c_custkey").as("key_sum"))
+          .orderBy("change")
+      },
+      Some("""WITH cls AS (
+               SELECT CASE WHEN c_custkey % 11 = 0 THEN 'REMOVED'
+                           WHEN c_custkey % 7 = 0 THEN 'CHANGED'
+                           ELSE 'SAME' END AS change,
+                      c_custkey AS k
+               FROM customer
+               UNION ALL
+               SELECT 'ADDED' AS change, c_custkey + 10000000 AS k
+               FROM customer WHERE c_custkey % 13 = 0)
+             SELECT change, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(k) AS BIGINT) AS key_sum
+             FROM cls GROUP BY change ORDER BY change""")),
+
+    Q("t13_compact_roundtrip",
+      // OPTIMIZE / small-file compaction (graft.temporal.Compaction):
+      // events land date-partitioned as ~32 small files per partition
+      // (one per writer task — the accretion pattern every streaming
+      // sink produces), compactPartitionedPath bin-packs each partition
+      // to its byte target in ONE shuffle job (per-partition salt
+      // counts broadcast from the listing; no per-partition driver
+      // loop), and the query aggregates the compacted store. The
+      // oracle aggregates the RAW events table — passing proves the
+      // salted rewrite is row-exact (no drop, no dup) end to end.
+      // Sums integerize per-row before the BIGINT sum so accumulation
+      // order can't move a ulp. Scratch dir cleared per call.
+      (s, d) => {
+        import graft.temporal.Compaction
+        val root = Q.scratch(s, d, "t13")
+        val ev = t(s, d, "events")
+          .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+          .withColumn("value_e4",
+            expr("cast(floor(value * 10000 + 0.5) as bigint)"))
+          .select("event_date", "event_id", "user_id", "event_type", "value_e4")
+        ev.repartition(32).write.partitionBy("event_date").parquet(root)
+        Compaction.compactPartitionedPath(s, root, Seq("event_date"))
+        s.read.parquet(root)
+          .withColumn("event_date", col("event_date").cast("string"))
+          .groupBy("event_date")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum("value_e4").as("sum_value_e4"))
+          .orderBy("event_date")
+      },
+      Some("""SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_value_e4
+             FROM events GROUP BY 1 ORDER BY 1""")),
 
     Q("w6_event_deltas",
       // lag/lead family: per-user inter-event gaps (seconds since the

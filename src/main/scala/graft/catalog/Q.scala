@@ -34,6 +34,22 @@ object Q {
     *    TIMESTAMP_NTZ; cast to TimestampType (the UTC session zone keeps the
     *    wall clock identical to DuckDB's naive rendering of the same file).
     */
+  /** Deterministic scratch root for catalog queries that exercise the
+    * on-disk state machinery (VersionedStore / Compaction): keyed by
+    * (query, data dir) so concurrent Verify runs over different SFs
+    * never collide, and CLEARED on every call so the query is
+    * idempotent under the bench's repeated invocations. The VALUES such
+    * a query returns derive only from the sf tables — the scratch dir
+    * is plumbing, never an input. */
+  def scratch(s: SparkSession, dir: String, name: String): String = {
+    val key = java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_state/${name}_$key"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) require(fs.delete(p, true), s"scratch: clear $root failed")
+    root
+  }
+
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = {
       if (name == "events")

@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.temporal.VersionedStore
+
+/** The version log's contract: manifests are the commit point, pinned
+  * readers are isolated from later commits (including compaction), gc
+  * alone invalidates pins and only past the horizon, and every crash
+  * state a commit or gc can leave is invisible to readers and cleaned
+  * by the next writer pass. Crash points are simulated by reproducing
+  * the exact on-disk state the protocol leaves at each step (the
+  * AtomicSwapSpec discipline). */
+class VersionedStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-vstore-$tag").toString + "/store"
+
+  private def df(vals: Int*) = vals.map(v => (v.toLong, s"r$v")).toDF("k", "s")
+
+  private def rows(d: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    d.as[(Long, String)].collect().toSet
+
+  test("commit/read roundtrip; versions ascend; log records operations") {
+    val root = freshRoot("rt")
+    assert(VersionedStore.versions(spark, root).isEmpty)
+    assert(VersionedStore.currentVersion(spark, root).isEmpty)
+    val v1 = VersionedStore.commit(spark, root, df(1, 2, 3))
+    val v2 = VersionedStore.commit(spark, root, df(4, 5), operation = "merge")
+    assert((v1, v2) == (1L, 2L))
+    assert(VersionedStore.versions(spark, root) == Seq(1L, 2L))
+    assert(rows(VersionedStore.read(spark, root)) == Set((4L, "r4"), (5L, "r5")))
+    val log = VersionedStore.log(spark, root)
+    assert(log.map(_.operation) == Seq("write", "merge"))
+    assert(log.forall(i => i.files > 0 && i.bytes > 0))
+  }
+
+  test("snapshot isolation: a pinned reader is untouched by later commits") {
+    val root = freshRoot("pin")
+    VersionedStore.commit(spark, root, df(1, 2))
+    val pinned = VersionedStore.readVersion(spark, root, 1) // lazy plan
+    VersionedStore.commit(spark, root, df(9))
+    VersionedStore.commit(spark, root, df(10, 11, 12))
+    // materialize AFTER the concurrent commits: still version 1's rows
+    assert(rows(pinned) == Set((1L, "r1"), (2L, "r2")))
+    assert(rows(VersionedStore.readVersion(spark, root, 1)) ==
+      Set((1L, "r1"), (2L, "r2")))
+  }
+
+  test("gc keeps the newest K, removes the rest, and fails pins past the horizon") {
+    val root = freshRoot("gc")
+    (1 to 4).foreach(i => VersionedStore.commit(spark, root, df(i)))
+    val removed = VersionedStore.gc(spark, root, keep = 2)
+    assert(removed == Seq(1L, 2L))
+    assert(VersionedStore.versions(spark, root) == Seq(3L, 4L))
+    assert(rows(VersionedStore.readVersion(spark, root, 3)) == Set((3L, "r3")))
+    val e = intercept[IllegalArgumentException](
+      VersionedStore.readVersion(spark, root, 1))
+    assert(e.getMessage.contains("retained: 3..4"))
+    assert(!new java.io.File(s"$root/v000000000001").exists(),
+      "expired data dirs must be deleted")
+  }
+
+  test("crashed commit (data dir renamed, no manifest) is invisible and reclaimed") {
+    val root = freshRoot("crash")
+    VersionedStore.commit(spark, root, df(1))
+    // simulate: a second commit crashed after the v2 rename, before the
+    // manifest write — an unmanifested data dir
+    df(99).write.parquet(s"$root/v000000000002")
+    assert(VersionedStore.currentVersion(spark, root).contains(1L),
+      "readers must not see the unmanifested version")
+    val v2 = VersionedStore.commit(spark, root, df(2))
+    assert(v2 == 2L)
+    assert(rows(VersionedStore.read(spark, root)) == Set((2L, "r2")),
+      "the retried commit must replace the crashed leftover, not merge with it")
+  }
+
+  test("crashed gc (manifest gone, dir left) is swept by the next gc") {
+    val root = freshRoot("gcrash")
+    (1 to 3).foreach(i => VersionedStore.commit(spark, root, df(i)))
+    // simulate: gc deleted v1's manifest then crashed before the dir
+    val m = new java.io.File(s"$root/_log/000000000001.json")
+    assert(m.delete())
+    assert(new java.io.File(s"$root/v000000000001").exists())
+    VersionedStore.gc(spark, root, keep = 2)
+    assert(!new java.io.File(s"$root/v000000000001").exists(),
+      "orphaned dir below the horizon must be swept")
+    assert(VersionedStore.versions(spark, root) == Seq(2L, 3L))
+  }
+
+  test("compact: fewer files, identical rows, new version; pinned old version intact") {
+    val root = freshRoot("opt")
+    val wide = (1 to 200).map(v => (v.toLong, s"r$v")).toDF("k", "s")
+    VersionedStore.commit(spark, root, wide.repartition(16))
+    assert(VersionedStore.log(spark, root).head.files == 16)
+    val compacted = VersionedStore.compact(spark, root)
+    assert(compacted.contains(2L))
+    val log = VersionedStore.log(spark, root)
+    assert(log.last.operation == "compact")
+    assert(log.last.files == 1, s"bin-pack to one file, got ${log.last.files}")
+    assert(rows(VersionedStore.read(spark, root)) == rows(
+      VersionedStore.readVersion(spark, root, 1)),
+      "compaction must be read-equivalent")
+    // already compact -> no-op, no new version
+    assert(VersionedStore.compact(spark, root).isEmpty)
+    assert(VersionedStore.currentVersion(spark, root).contains(2L))
+  }
+}
