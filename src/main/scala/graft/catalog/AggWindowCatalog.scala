@@ -30,6 +30,7 @@ import graft.operators.Lineage.CutOps
   *  MERGE of a versioned CDC feed            -> t10_merge_cdc
   *  snapshot isolation / time travel         -> t12_time_travel
   *  OPTIMIZE small-file compaction           -> t13_compact_roundtrip
+  *  row-level changed-data feed (Delta CDF)  -> t14_change_feed
   */
 object AggWindowCatalog {
 
@@ -947,6 +948,60 @@ object AggWindowCatalog {
                CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
                  AS sum_value_e4
              FROM events GROUP BY 1 ORDER BY 1""")),
+
+    Q("t14_change_feed",
+      // Row-level changed-data feed (graft.temporal.ChangeFeed, the
+      // Delta CDF shape): one SCD batch against the customer base —
+      // deletes %11, updates %7 survivors (+1000.0, an exact IEEE op),
+      // inserts %13 at +10M — emits insert / update_preimage /
+      // update_postimage / delete ROWS, where the reference's CDC log
+      // keeps only per-entity type counts (temporal_loader.py:313-337).
+      // Derived from the SAME single full-outer join as applyScd;
+      // unchanged rows never leave the join, so the feed is sized by
+      // the change rate, not the table. The oracle constructs each
+      // image class directly from the base table — fully independent
+      // of the hash-diff plan. Doubles stay raw (identical IEEE chain
+      // both engines, t9-proven); snapshot_hash never reaches output.
+      (s, d) => {
+        import graft.temporal.ChangeFeed
+        val cust = t(s, d, "customer")
+        val k = col("c_custkey")
+        def snap(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("snapshot_hash",
+            md5(concat_ws("|", col("hubspot_id"), col("bal").cast("string"))))
+          .withColumn("is_deleted", lit(false))
+        val current = snap(cust.select(
+          k.cast("string").as("hubspot_id"), col("c_acctbal").as("bal")))
+        val incoming = snap(
+          cust.filter(k % 11 =!= 0)
+            .select(k.cast("string").as("hubspot_id"),
+              when(k % 7 === 0, col("c_acctbal") + 1000.0)
+                .otherwise(col("c_acctbal")).as("bal"))
+          .unionByName(cust.filter(k % 13 === 0)
+            .select((k + 10000000L).cast("string").as("hubspot_id"),
+              lit(0.0).as("bal"))))
+        ChangeFeed.fromScdBatch(current, incoming, commitVersion = 2L)
+          .select(col("hubspot_id"), col("_change_type"), col("bal"),
+            col("_commit_version"))
+          .orderBy("hubspot_id", "_change_type")
+      },
+      Some("""WITH feed AS (
+               SELECT CAST(c_custkey AS VARCHAR) AS hubspot_id,
+                 'delete' AS _change_type, c_acctbal AS bal
+               FROM customer WHERE c_custkey % 11 = 0
+               UNION ALL
+               SELECT CAST(c_custkey AS VARCHAR), 'update_preimage', c_acctbal
+               FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 11 <> 0
+               UNION ALL
+               SELECT CAST(c_custkey AS VARCHAR), 'update_postimage',
+                 c_acctbal + 1000.0
+               FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 11 <> 0
+               UNION ALL
+               SELECT CAST(c_custkey + 10000000 AS VARCHAR), 'insert', 0.0
+               FROM customer WHERE c_custkey % 13 = 0)
+             SELECT hubspot_id, _change_type, bal,
+               CAST(2 AS BIGINT) AS _commit_version
+             FROM feed ORDER BY hubspot_id, _change_type""")),
 
     Q("w6_event_deltas",
       // lag/lead family: per-user inter-event gaps (seconds since the
