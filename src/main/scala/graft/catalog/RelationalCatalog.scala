@@ -12,6 +12,7 @@ import graft.catalog.Q.t
   *  S5/U2  dual-scan union            -> s5_union_scans
   *  P4–P10 predicate shapes           -> p_predicates, p7_time_range
   *  P11    HAVING                     -> p11_having
+  *  zone-map sidecar file pruning     -> z1_zonemap_prune
   *  J1     FK equi-join               -> j1_orders_per_nation
   *  J2     broadcast dim join         -> j2_broadcast_dim
   *  J3     left outer join            -> j3_left_join_count
@@ -131,6 +132,46 @@ object RelationalCatalog {
           date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
         .orderBy("event_type"),
       Some("""SELECT event_type, count(*) AS n,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+             strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+             FROM events
+             WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+             GROUP BY event_type ORDER BY event_type""")),
+
+    Q("z1_zonemap_prune",
+      // Zone-map sidecar pruning (graft.sources.ZoneMap): events are
+      // written range-clustered on ts (16 files, each covering a slice
+      // of the timeline — the layout a time-partitioned ingest
+      // naturally produces), a per-file min/max sidecar is built in one
+      // distributed pass, and the p7-style window lookup plans ONLY the
+      // files whose [min,max] can overlap — the manual twin of a table
+      // format's file-statistics skipping; at 100 TB the pruned file
+      // LIST (not just pruned row groups) is what keeps a point lookup
+      // from scheduling a task per file. The frame still applies the
+      // exact predicate (pruning is file-level), and the oracle filters
+      // the RAW table — a green row proves prune ∘ filter ≡ filter.
+      (s, d) => {
+        import graft.sources.ZoneMap
+        val root = Q.scratch(s, d, "z1")
+        t(s, d, "events")
+          .repartitionByRange(16, col("ts"))
+          .write.parquet(root)
+        ZoneMap.build(s, root, Seq("ts"))
+        val pr = ZoneMap.prune(s, root, "ts",
+          Some(lit("2024-01-10 00:00:00").cast("timestamp")),
+          Some(lit("2024-01-20 00:00:00").cast("timestamp")))
+        pr.df
+          .filter(col("ts") >= lit("2024-01-10 00:00:00") &&
+            col("ts") < lit("2024-01-20 00:00:00"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+            date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
              strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
              strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
              FROM events
