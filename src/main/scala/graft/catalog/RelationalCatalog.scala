@@ -13,6 +13,7 @@ import graft.catalog.Q.t
   *  P4–P10 predicate shapes           -> p_predicates, p7_time_range
   *  P11    HAVING                     -> p11_having
   *  zone-map sidecar file pruning     -> z1_zonemap_prune
+  *  join cardinality/strategy advisor -> j14_join_advisor
   *  J1     FK equi-join               -> j1_orders_per_nation
   *  J2     broadcast dim join         -> j2_broadcast_dim
   *  J3     left outer join            -> j3_left_join_count
@@ -365,6 +366,98 @@ object RelationalCatalog {
                ON p.user_id = v.user_id
               AND v.ts < p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
              GROUP BY p.event_id ORDER BY event_id""")),
+
+    Q("j14_join_advisor",
+      // Pre-join cardinality + strategy advisor (graft.operators
+      // .JoinAdvisor): four candidate equi-joins profiled (rows /
+      // exact + KMV-estimated distinct / hottest-key frequency), the
+      // System-R containment estimate |A||B|/max(dA,dB), exact join
+      // cardinality as the honesty column (integer ppm error), and the
+      // sketch-driven strategy pick — broadcast (small side within
+      // budget), shuffle_salted (hottest key ≥ 8x the mean per-key
+      // load: the planted 50%-hot events side), else shuffle. The
+      // oracle recomputes profiles, estimates, AND the decision CASE
+      // relationally (exact_out via sum(cA*cB) over matched key
+      // groups — an independent derivation from the Spark join), so a
+      // green row pins the whole advisory surface. The decision is
+      // data-driven: orders_customer flips broadcast->shuffle between
+      // sf0.01 and sf0.1 IDENTICALLY in both engines. All profile math
+      // is aggregation-only, composed in-plan by 1-row cross joins.
+      (s, d) => {
+        import graft.operators.JoinAdvisor
+        val cfg = JoinAdvisor.Config() // broadcastRows 5000, skewFactor 8
+        val hot = t(s, d, "events").select(
+          when(pmod(col("event_id"), lit(10)) < 5, lit(1L))
+            .otherwise(col("user_id")).as("hot_key"))
+        JoinAdvisor.advise("events_hot_orders", hot, "hot_key",
+            t(s, d, "orders"), "o_custkey", cfg)
+          .unionByName(JoinAdvisor.advise("lineitem_orders",
+            t(s, d, "lineitem"), "l_orderkey", t(s, d, "orders"), "o_orderkey", cfg))
+          .unionByName(JoinAdvisor.advise("orders_customer",
+            t(s, d, "orders"), "o_custkey", t(s, d, "customer"), "c_custkey", cfg))
+          .unionByName(JoinAdvisor.advise("supplier_nation",
+            t(s, d, "supplier"), "s_nationkey", t(s, d, "nation"), "n_nationkey", cfg))
+          .orderBy("join_name")
+      },
+      Some {
+        val nib = (i: Int) => s"(strpos('0123456789abcdef', substring(h, $i, 1)) - 1)"
+        val h48 = (1 to 12).map(i => s"${nib(i)} * ${1L << (4 * (12 - i))}")
+          .mkString("CAST(", " + ", " AS BIGINT)")
+        def side(tag: String, from: String, key: String) =
+          s"""pk_$tag AS (SELECT CAST($key AS VARCHAR) AS jk, count(*) AS c
+                FROM $from WHERE $key IS NOT NULL GROUP BY 1),
+              hh_$tag AS (SELECT $h48 AS h FROM (SELECT md5(jk) AS h FROM pk_$tag)),
+              kv_$tag AS (SELECT max(h) AS kth, count(*) AS k_have
+                FROM (SELECT h FROM hh_$tag ORDER BY h LIMIT 16)),
+              pr_$tag AS (
+                SELECT CAST(sum(c) AS BIGINT) AS rows_,
+                  CAST(count(*) AS BIGINT) AS dist_exact,
+                  CAST(max(c) AS BIGINT) AS max_freq,
+                  CAST(CASE WHEN (SELECT k_have FROM kv_$tag) < 16 THEN count(*)
+                    ELSE (15 * 281474976710656) // (SELECT kth FROM kv_$tag)
+                    END AS BIGINT) AS dist_est
+                FROM pk_$tag)"""
+        def ex(name: String, ta: String, tb: String) =
+          s"""ex_$name AS (SELECT CAST(coalesce(sum(a.c * b.c), 0) AS BIGINT)
+                AS exact_out
+              FROM pk_$ta a JOIN pk_$tb b USING (jk))"""
+        def row(name: String, ta: String, tb: String) =
+          s"""SELECT '$name' AS join_name, a.rows_ AS rows_a, b.rows_ AS rows_b,
+                a.dist_exact AS dist_exact_a, b.dist_exact AS dist_exact_b,
+                a.dist_est AS dist_est_a, b.dist_est AS dist_est_b,
+                a.max_freq AS max_freq_a, b.max_freq AS max_freq_b,
+                CAST((a.rows_ * b.rows_) // greatest(a.dist_est, b.dist_est)
+                  AS BIGINT) AS est_out,
+                e.exact_out AS exact_out,
+                CAST((1000000 * abs((a.rows_ * b.rows_)
+                  // greatest(a.dist_est, b.dist_est) - e.exact_out))
+                  // e.exact_out AS BIGINT) AS err_ppm,
+                CASE WHEN least(a.rows_, b.rows_) <= 5000 THEN 'broadcast'
+                     WHEN a.max_freq * a.dist_est >= 8 * a.rows_
+                       OR b.max_freq * b.dist_est >= 8 * b.rows_
+                       THEN 'shuffle_salted'
+                     ELSE 'shuffle' END AS strategy
+              FROM pr_$ta a, pr_$tb b, ex_$name e"""
+        s"""WITH ${side("li", "lineitem", "l_orderkey")},
+             ${side("or1", "orders", "o_orderkey")},
+             ${side("oc", "orders", "o_custkey")},
+             ${side("cu", "customer", "c_custkey")},
+             ${side("eh",
+               "(SELECT CASE WHEN event_id % 10 < 5 THEN 1 ELSE user_id END AS hot_key FROM events)",
+               "hot_key")},
+             ${side("su", "supplier", "s_nationkey")},
+             ${side("na", "nation", "n_nationkey")},
+             ${ex("events_hot_orders", "eh", "oc")},
+             ${ex("lineitem_orders", "li", "or1")},
+             ${ex("orders_customer", "oc", "cu")},
+             ${ex("supplier_nation", "su", "na")}
+           SELECT * FROM (
+             ${row("events_hot_orders", "eh", "oc")}
+             UNION ALL ${row("lineitem_orders", "li", "or1")}
+             UNION ALL ${row("orders_customer", "oc", "cu")}
+             UNION ALL ${row("supplier_nation", "su", "na")})
+           ORDER BY join_name"""
+      }),
 
     Q("o2_topk_customers",
       (s, d) => t(s, d, "customer")
