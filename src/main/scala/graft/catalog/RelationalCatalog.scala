@@ -179,6 +179,80 @@ object RelationalCatalog {
              WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
              GROUP BY event_type ORDER BY event_type""")),
 
+    Q("z2_zorder_prune",
+      // Z-order clustered write + CONJUNCTIVE zone-map pruning — the
+      // claim ZORDER BY makes, end to end: lineitem is rewritten with
+      // Layout.zorderWriteRange (per-column range buckets -> Morton
+      // interleave -> one range exchange), so every file is tight on
+      // BOTH l_partkey and l_suppkey at once; ZoneMap.pruneAll then
+      // keeps only files whose [min,max] can overlap BOTH intervals —
+      // the skip rates multiply, where a single-sorted layout prunes
+      // on one column and scans everything for the other. The frame
+      // still applies the exact predicate (pruning is file-level) and
+      // the oracle filters the RAW table: green = prune ∘ filter ≡
+      // filter over the clustered rewrite. Files-skipped evidence at
+      // scale: graft.ZOrderScale / ZSCALE artifacts.
+      (s, d) => {
+        import graft.sources.ZoneMap
+        val root = Q.scratch(s, d, "z2")
+        graft.operators.Layout.zorderWriteRange(
+          t(s, d, "lineitem")
+            .select("l_partkey", "l_suppkey", "l_quantity", "l_returnflag"),
+          "l_partkey", "l_suppkey", root, nFiles = 32, bits = 8)
+        ZoneMap.build(s, root, Seq("l_partkey", "l_suppkey"))
+        val pr = ZoneMap.pruneAll(s, root, Seq(
+          ("l_partkey", Some(lit(50L)), Some(lit(150L))),
+          ("l_suppkey", Some(lit(2L)), Some(lit(8L)))))
+        pr.df
+          .filter(col("l_partkey").between(50, 150) &&
+            col("l_suppkey").between(2, 8))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum("l_quantity").cast("long").as("sum_qty"),
+            min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+             min(l_partkey) AS min_pk, max(l_partkey) AS max_pk
+             FROM lineitem
+             WHERE l_partkey BETWEEN 50 AND 150 AND l_suppkey BETWEEN 2 AND 8
+             GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    Q("z3_bloom_prune",
+      // Bloom-filter sidecar pruning (graft.sources.BloomMap) — the
+      // case the zone map can't touch: orders are round-robin
+      // scattered across 64 files, so o_custkey is uniform per file
+      // and every file's [min,max] overlaps every probe. The per-file
+      // Bloom (one distributed bit_or pass, sparse word rows) keeps
+      // only files that might contain one of the probed keys: false
+      // positives cost extra files read, never wrong rows, and the
+      // exact IN predicate still applies. Oracle filters the RAW
+      // table — green = prune ∘ filter ≡ filter on an adversarial
+      // (unclustered) layout.
+      (s, d) => {
+        import graft.sources.BloomMap
+        val root = Q.scratch(s, d, "z3")
+        t(s, d, "orders").repartition(64).write.parquet(root)
+        BloomMap.build(s, root, "o_custkey")
+        val pr = BloomMap.prune(s, root, "o_custkey",
+          Seq("7", "421", "1349"))
+        pr.df
+          .filter(col("o_custkey").isin(7L, 421L, 1349L))
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("o_orderkey")).as("n_orders"),
+            date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("first_dt"),
+            date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_dt"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, count(*) AS n,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+             strftime(min(o_orderdate), '%Y-%m-%d') AS first_dt,
+             strftime(max(o_orderdate), '%Y-%m-%d') AS last_dt
+             FROM orders WHERE o_custkey IN (7, 421, 1349)
+             GROUP BY o_custkey ORDER BY o_custkey""")),
+
     Q("p11_having",
       (s, d) => t(s, d, "orders")
         .groupBy(col("o_custkey"))

@@ -52,4 +52,48 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(outDir)
   }
+
+  /** [[zorderWrite]] in RAW value space: each column is first mapped to
+    * a rank-free linear bucket over its global [min, max] (computed
+    * in-plan, 1-row broadcast — no driver fetch, no global window),
+    * and the Morton code interleaves the BUCKET ids. Unlike the
+    * mod-2^bits variant — which clusters the low bits and leaves every
+    * file's raw min/max nearly full-range — range buckets preserve
+    * value locality, so after this write a per-file min/max sidecar
+    * ([[graft.sources.ZoneMap]]) is tight on BOTH columns at once and
+    * an interval predicate on either (or both, conjunctively) prunes
+    * most of the file list. This is the measurable claim Delta's
+    * ZORDER BY / Iceberg's sort-order rewrite make; evidence harness:
+    * `graft.ZOrderScale`.
+    *
+    * Nulls bucket to 0 (co-located with the column's minimum — they
+    * cannot be range-pruned anyway, the sidecar's null contract covers
+    * them). Cost: one aggregate pass for the bounds + one range
+    * exchange with its sampling pass + a local sort — the standard
+    * price of any clustered rewrite, paid once at write time. */
+  def zorderWriteRange(df: DataFrame, xCol: String, yCol: String,
+      outDir: String, nFiles: Int = 8, bits: Int = 8): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    require(bits >= 1 && bits <= 20, s"bits must be in [1, 20], got $bits")
+    val top = (1L << bits) - 1
+    val bounds = df.agg(
+      min(col(xCol).cast("double")).as("__xmn"),
+      max(col(xCol).cast("double")).as("__xmx"),
+      min(col(yCol).cast("double")).as("__ymn"),
+      max(col(yCol).cast("double")).as("__ymx"))
+    def bucket(c: Column, mn: Column, mx: Column): Column =
+      when(c.isNull || mn.isNull || mx <= mn, lit(0L))
+        .otherwise(least(lit(top),
+          floor((c.cast("double") - mn) / (mx - mn) * (top + 1)).cast("long")))
+    val coded = df.crossJoin(broadcast(bounds))
+      .withColumn("__z", mortonCode(
+        bucket(col(xCol), col("__xmn"), col("__xmx")),
+        bucket(col(yCol), col("__ymn"), col("__ymx")), bits))
+      .drop("__xmn", "__xmx", "__ymn", "__ymx")
+    coded
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+  }
 }

@@ -40,8 +40,9 @@ object ZoneMap {
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Recursive (path, size) of data files — skips `_`/`.`-prefixed
-    * names at every level (sidecar, markers, staging). */
-  private def dataFiles(fs: FileSystem, dir: String): Seq[(String, Long)] = {
+    * names at every level (sidecar, markers, staging). Shared with
+    * [[BloomMap]] (same hidden-file discipline, same sidecar rule). */
+  private[sources] def dataFiles(fs: FileSystem, dir: String): Seq[(String, Long)] = {
     val it = fs.listFiles(new Path(dir), true)
     val out = Seq.newBuilder[(String, Long)]
     while (it.hasNext) {
@@ -75,17 +76,33 @@ object ZoneMap {
     * overlap [lo, hi] (either bound optional). Unindexed/changed files
     * are conservatively included; vanished sidecar entries ignored. */
   def prune(spark: SparkSession, dir: String, column: String,
-      lo: Option[Column], hi: Option[Column]): Pruned = {
+      lo: Option[Column], hi: Option[Column]): Pruned =
+    pruneAll(spark, dir, Seq((column, lo, hi)))
+
+  /** Conjunctive multi-column prune: keep a file only if EVERY
+    * (column, lo, hi) interval can overlap that file's [min, max] —
+    * the read-side half of a z-ordered layout ([[graft.operators
+    * .Layout.zorderWriteRange]]), where each file is tight on ALL
+    * interleaved columns at once so the conjunction multiplies the
+    * skip rates. Per-column null stats stay conservative (a column
+    * whose stats prove nothing never excludes a file), so any prefix
+    * of the predicates degrades to the single-column behavior. */
+  def pruneAll(spark: SparkSession, dir: String,
+      preds: Seq[(String, Option[Column], Option[Column])]): Pruned = {
+    require(preds.nonEmpty, "ZoneMap.pruneAll: need at least one predicate")
     val fs = fsOf(spark, dir)
     val live = dataFiles(fs, dir)
     val zm = spark.read.parquet(s"$dir/$SidecarDir")
-    val mn = col(s"min_$column"); val mx = col(s"max_$column")
-    val overlap =
-      lo.map(l => mx >= l).getOrElse(lit(true)) &&
-        hi.map(h => mn <= h).getOrElse(lit(true))
-    // keep = stats prove nothing (nulls) OR interval overlaps
+    // keep = AND over predicates of (stats prove nothing OR overlap)
+    val keepAll = preds.map { case (column, lo, hi) =>
+      val mn = col(s"min_$column"); val mx = col(s"max_$column")
+      val overlap =
+        lo.map(l => mx >= l).getOrElse(lit(true)) &&
+          hi.map(h => mn <= h).getOrElse(lit(true))
+      mn.isNull || mx.isNull || overlap
+    }.reduce(_ && _)
     val indexed = zm
-      .withColumn("keep", mn.isNull || mx.isNull || overlap)
+      .withColumn("keep", keepAll)
       .select(col("file"), col("file_size"), col("keep"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getBoolean(2)).toMap

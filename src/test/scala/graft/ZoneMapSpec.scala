@@ -78,6 +78,46 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(pr.df.count() == 3)
   }
 
+  test("z-order layout: conjunctive pruneAll skips on BOTH columns at once") {
+    val dir = freshDir("zord")
+    // x and y independent: a single-column sort can be tight on one of
+    // them only; the z-ordered layout is tight on both.
+    val df = (0 until 4096).map { i =>
+      (i.toLong % 64, (i.toLong * 37) % 64, s"r$i")
+    }.toDF("x", "y", "s")
+    graft.operators.Layout.zorderWriteRange(df, "x", "y", dir,
+      nFiles = 16, bits = 6)
+    ZoneMap.build(spark, dir, Seq("x", "y"))
+    val both = ZoneMap.pruneAll(spark, dir, Seq(
+      ("x", Some(lit(8L)), Some(lit(15L))),
+      ("y", Some(lit(8L)), Some(lit(15L)))))
+    val xOnly = ZoneMap.prune(spark, dir, "x", Some(lit(8L)), Some(lit(15L)))
+    val yOnly = ZoneMap.prune(spark, dir, "y", Some(lit(8L)), Some(lit(15L)))
+    assert(xOnly.filesSelected < 16 && yOnly.filesSelected < 16,
+      s"z-order must give BOTH columns per-file locality, " +
+        s"selected x=${xOnly.filesSelected} y=${yOnly.filesSelected}")
+    assert(both.filesSelected <= math.min(xOnly.filesSelected, yOnly.filesSelected),
+      "conjunctive prune can never plan more files than either column alone")
+    val got = both.df
+      .filter(col("x").between(8, 15) && col("y").between(8, 15))
+      .select("s").as[String].collect().toSet
+    val want = (0 until 4096)
+      .filter(i => (i % 64) >= 8 && (i % 64) <= 15 &&
+        ((i * 37) % 64) >= 8 && ((i * 37) % 64) <= 15)
+      .map(i => s"r$i").toSet
+    assert(got == want, "pruned+filtered read must be row-identical to the truth")
+  }
+
+  test("pruneAll with an unbounded predicate degrades to the bounded one") {
+    val dir = freshDir("degrade")
+    clustered(dir)
+    val one = ZoneMap.prune(spark, dir, "k", Some(lit(300L)), Some(lit(420L)))
+    val both = ZoneMap.pruneAll(spark, dir, Seq(
+      ("k", Some(lit(300L)), Some(lit(420L))),
+      ("k", None, None)))
+    assert(both.filesSelected == one.filesSelected)
+  }
+
   test("partitioned layout: partition columns survive the pruned read") {
     val dir = freshDir("part")
     (0 until 400).map(i => (i.toLong, i % 4, s"r$i")).toDF("k", "p", "s")
