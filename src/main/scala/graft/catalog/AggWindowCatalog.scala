@@ -1003,6 +1003,62 @@ object AggWindowCatalog {
                CAST(2 AS BIGINT) AS _commit_version
              FROM feed ORDER BY hubspot_id, _change_type""")),
 
+    Q("t15_schema_evolution",
+      // Schema evolution across VersionedStore commits (Delta
+      // mergeSchema semantics): v1 commits (custkey, name,
+      // nationkey:int); v2 commits through commitEvolved with
+      // nationkey WIDENED to long, c_acctbal ADDED, and c_name DROPPED
+      // by the writer — the store widens, appends, and null-fills
+      // (narrowing or a string/number flip would REFUSE before any
+      // byte lands; VersionedStoreSpec pins the refusal). readUnion
+      // then reads BOTH versions under the union schema, missing
+      // columns null, stamped _version — history as one table. The
+      // oracle rebuilds the same union straight from the base table,
+      // so any mis-merge (wrong null-fill, lost widen, misaligned
+      // column) breaks the hash. Money sums integerize per-row to e2
+      // before the BIGINT sum (acctbal has 2 true decimals).
+      (s, d) => {
+        import graft.temporal.VersionedStore
+        val root = Q.scratch(s, d, "t15")
+        val cust = t(s, d, "customer")
+        val k = col("c_custkey")
+        VersionedStore.commit(s, root,
+          cust.filter(k % 3 === 0)
+            .select(k, col("c_name"),
+              col("c_nationkey").cast("int").as("c_nationkey")),
+          "base")
+        VersionedStore.commitEvolved(s, root,
+          cust.filter(k % 3 <= 1)
+            .select(k, col("c_nationkey").cast("long").as("c_nationkey"),
+              col("c_acctbal")),
+          "evolve")
+        VersionedStore.readUnion(s, root)
+          .groupBy("_version")
+          .agg(count(lit(1)).as("n"),
+            count(col("c_name")).as("n_name"),
+            count(col("c_acctbal")).as("n_bal"),
+            sum("c_nationkey").as("nk_sum"),
+            sum(expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)"))
+              .as("bal_e2"))
+          .orderBy("_version")
+      },
+      Some("""WITH u AS (
+               SELECT CAST(1 AS BIGINT) AS _version, c_custkey AS k,
+                 c_name AS name, CAST(c_nationkey AS BIGINT) AS nk,
+                 CAST(NULL AS DOUBLE) AS bal
+               FROM customer WHERE c_custkey % 3 = 0
+               UNION ALL
+               SELECT CAST(2 AS BIGINT), c_custkey, NULL,
+                 CAST(c_nationkey AS BIGINT), c_acctbal
+               FROM customer WHERE c_custkey % 3 <= 1)
+             SELECT _version, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(name) AS BIGINT) AS n_name,
+               CAST(count(bal) AS BIGINT) AS n_bal,
+               CAST(sum(nk) AS BIGINT) AS nk_sum,
+               CAST(sum(CAST(floor(bal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS bal_e2
+             FROM u GROUP BY _version ORDER BY _version""")),
+
     Q("w6_event_deltas",
       // lag/lead family: per-user inter-event gaps (seconds since the
       // previous event) rolled up to per-user cadence stats. Gap average

@@ -187,6 +187,103 @@ object VersionedStore {
     expired
   }
 
+  // ---- schema evolution (Delta mergeSchema semantics) -------------
+
+  /** Merge two field types under ADDITIVE evolution: equal types pass,
+    * integrals widen up to Long, Float widens to Double, Int (and
+    * below) widen to Double. Long -> Double is REFUSED — it is lossy
+    * past 2^53, the silent-corruption class a schema gate exists to
+    * stop (same boundary the oracle-parity rules pin for casts). */
+  private def mergedType(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    val intOrder = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+    (a, b) match {
+      case (x, y) if x == y => Some(x)
+      case (x, y) if intOrder.contains(x) && intOrder.contains(y) =>
+        Some(intOrder(math.max(intOrder.indexOf(x), intOrder.indexOf(y))))
+      case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
+      case (x, DoubleType) if intOrder.take(3).contains(x) => Some(DoubleType)
+      case (DoubleType, y) if intOrder.take(3).contains(y) => Some(DoubleType)
+      case _ => None
+    }
+  }
+
+  /** The table schema after committing `next` over `cur`: existing
+    * fields keep their position and widen per [[mergedType]] (an
+    * unmergeable pair refuses the commit — fail loud, never coerce);
+    * fields missing from `next` are retained (null-filled); genuinely
+    * new fields append at the end. Column matching is BY NAME, so a
+    * reordered writer is a no-op, not an evolution. */
+  def evolvedSchema(cur: org.apache.spark.sql.types.StructType,
+      next: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val nextByName = next.fields.map(f => f.name -> f).toMap
+    val kept = cur.fields.map { f =>
+      nextByName.get(f.name) match {
+        case Some(nf) =>
+          val t = mergedType(f.dataType, nf.dataType).getOrElse(sys.error(
+            s"VersionedStore: incompatible schema change on '${f.name}': " +
+              s"${f.dataType.simpleString} -> ${nf.dataType.simpleString} " +
+              "(only additive widening is allowed)"))
+          StructField(f.name, t, nullable = true)
+        case None => f.copy(nullable = true) // dropped by writer: null-fill
+      }
+    }
+    val curNames = cur.fieldNames.toSet
+    val added = next.fields.filterNot(f => curNames.contains(f.name))
+      .map(_.copy(nullable = true))
+    StructType(kept ++ added)
+  }
+
+  /** Align `df` to `schema`: cast present columns, null-fill missing
+    * ones, in schema order. */
+  private def align(df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val have = df.columns.toSet
+    df.select(schema.fields.toSeq.map { f =>
+      if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  /** [[commit]] with schema evolution: the new snapshot's schema is the
+    * [[evolvedSchema]] of the current version's schema and `df`'s —
+    * added columns append, widenable types widen, columns the writer
+    * dropped are retained null-filled, and an incompatible change
+    * (narrowing, string/number flips, Long -> Double) REFUSES before
+    * any byte is written. Every version still reads with its OWN
+    * schema via [[readVersion]]; [[readUnion]] reads across them. */
+  def commitEvolved(spark: SparkSession, root: String, df: DataFrame,
+      operation: String = "write", partitionCols: Seq[String] = Nil): Long =
+    currentVersion(spark, root) match {
+      case None => commit(spark, root, df, operation, partitionCols)
+      case Some(v) =>
+        val cur = readVersion(spark, root, v).schema
+        commit(spark, root, align(df, evolvedSchema(cur, df.schema)),
+          operation, partitionCols)
+    }
+
+  /** Read ALL retained versions under the union (evolved) schema —
+    * missing columns null, widenable types widened — stamped with a
+    * `_version` column: the history-as-one-table face (Delta's
+    * mergeSchema read over old files, restated over full snapshots).
+    * Versions whose schema cannot merge refuse, same rule as commit. */
+  def readUnion(spark: SparkSession, root: String): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"VersionedStore: no committed version at $root")
+    val frames = vs.map(v => v -> readVersion(spark, root, v))
+    val unified = frames.map(_._2.schema)
+      .reduceLeft((a, b) => evolvedSchema(a, b))
+    import org.apache.spark.sql.functions.lit
+    frames.map { case (v, f) =>
+      align(f, unified).withColumn("_version", lit(v))
+    }.reduce(_.unionByName(_))
+  }
+
   /** OPTIMIZE: bin-pack the current snapshot's small files into
     * ~`targetBytes` files and commit the rewrite as a NEW version (so
     * compaction composes with snapshot isolation: pinned readers of the

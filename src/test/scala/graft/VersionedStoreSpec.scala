@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.temporal.VersionedStore
 
 /** The version log's contract: manifests are the commit point, pinned
@@ -105,5 +106,65 @@ class VersionedStoreSpec extends AnyFunSuite {
     // already compact -> no-op, no new version
     assert(VersionedStore.compact(spark, root).isEmpty)
     assert(VersionedStore.currentVersion(spark, root).contains(2L))
+  }
+
+  test("schema evolution: add + widen + drop merge; each version keeps its own schema") {
+    import org.apache.spark.sql.types._
+    val root = freshRoot("evolve")
+    VersionedStore.commit(spark, root,
+      Seq((1, "a"), (2, "b")).toDF("k", "s")
+        .select(col("k").cast("int").as("k"), col("s")), "base")
+    // writer widens k to long, drops s, adds v
+    VersionedStore.commitEvolved(spark, root,
+      Seq((2L, 0.5), (3L, 1.5)).toDF("k", "v"), "evolve")
+    // v1 reads with its OWN (pre-evolution) schema
+    val s1 = VersionedStore.readVersion(spark, root, 1).schema
+    assert(s1("k").dataType == IntegerType && s1.fieldNames.toSeq == Seq("k", "s"))
+    // v2 landed with the evolved schema: k widened, s retained null, v added
+    val v2 = VersionedStore.readVersion(spark, root, 2)
+    assert(v2.schema("k").dataType == LongType)
+    assert(v2.schema.fieldNames.toSeq == Seq("k", "s", "v"))
+    assert(v2.filter(col("s").isNotNull).count() == 0, "dropped column null-fills")
+    // union read: one table, missing -> null, _version stamped
+    val u = VersionedStore.readUnion(spark, root)
+    assert(u.schema("k").dataType == LongType)
+    val got = u.select("_version", "k", "s", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toSet
+    assert(got == Set(
+      (1L, 1L, Some("a"), None), (1L, 2L, Some("b"), None),
+      (2L, 2L, None, Some(0.5)), (2L, 3L, None, Some(1.5))))
+  }
+
+  test("schema evolution: reorder is a no-op, incompatible changes refuse") {
+    val root = freshRoot("refuse")
+    VersionedStore.commit(spark, root, Seq((1L, "a")).toDF("k", "s"), "base")
+    // reordered writer: same schema, matched by name
+    VersionedStore.commitEvolved(spark, root,
+      Seq(("b", 2L)).toDF("s", "k"), "reorder")
+    assert(VersionedStore.read(spark, root).schema.fieldNames.toSeq == Seq("k", "s"))
+    // an int write into a long column UPCASTS on write — the table
+    // schema never narrows (Delta's upcast-on-write, not an evolution)
+    VersionedStore.commitEvolved(spark, root,
+      Seq((3, "c")).toDF("k", "s")
+        .select(col("k").cast("int").as("k"), col("s")), "upcast")
+    val after = VersionedStore.read(spark, root)
+    assert(after.schema("k").dataType ==
+      org.apache.spark.sql.types.LongType, "table schema must not narrow")
+    assert(after.count() == 1)
+    // string -> number flip refuses
+    val flip = intercept[RuntimeException] {
+      VersionedStore.commitEvolved(spark, root,
+        Seq((3L, 9L)).toDF("k", "s"), "bad")
+    }
+    assert(flip.getMessage.contains("incompatible schema change"))
+    // long -> double refuses (lossy past 2^53)
+    intercept[RuntimeException] {
+      VersionedStore.commitEvolved(spark, root,
+        Seq((3.0, "c")).toDF("k", "s"), "bad")
+    }
+    // refusals happened BEFORE any byte landed: still 3 versions
+    assert(VersionedStore.versions(spark, root) == Seq(1L, 2L, 3L))
   }
 }
