@@ -208,6 +208,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.getLong(0) > 0)
   }
 
+  test("streaming dedup suppresses a late duplicate arriving in a LATER micro-batch") {
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft-latedup").toString
+    val t0 = Timestamp.valueOf("2024-01-01 12:00:00")
+    def at(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+    // batch 1: one click per user 1..3
+    Seq((1L, "click", t0), (2L, "click", t0), (3L, "click", t0))
+      .toDF("user_id", "event_type", "ts")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(1100) // distinct mtime -> deterministic file order
+    // batch 2: user 1 DUPLICATE 5 min later (inside the 30 min
+    // watermark horizon -> keyed state must still remember and drop
+    // it) + a genuinely new key
+    Seq((1L, "click", at(5)), (4L, "click", at(5)))
+      .toDF("user_id", "event_type", "ts")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = IncrementalPipeline.streamingDedup(stream, "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("latedup_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT user_id, count(*) FROM latedup_out GROUP BY 1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L),
+      s"late duplicate must be suppressed across micro-batches, got $got")
+  }
+
   test("stream-static enrichment joins each micro-batch to the dimension") {
     val dir = java.nio.file.Files.createTempDirectory("graft-enrich").toString
     val batch = graft.catalog.Q.t(spark, "/root/testdata/sf0.001", "events")
