@@ -31,6 +31,9 @@ import graft.operators.Lineage.CutOps
   *  snapshot isolation / time travel         -> t12_time_travel
   *  OPTIMIZE small-file compaction           -> t13_compact_roundtrip
   *  row-level changed-data feed (Delta CDF)  -> t14_change_feed
+  *  schema evolution (mergeSchema commits)   -> t15_schema_evolution
+  *  merge-on-read deletes (deletion vectors) -> t16_deletion_vectors
+  *  incremental join-view maintenance (IVM)  -> t17_join_view
   */
 object AggWindowCatalog {
 
@@ -1058,6 +1061,97 @@ object AggWindowCatalog {
                CAST(sum(CAST(floor(bal * 100 + 0.5) AS BIGINT)) AS BIGINT)
                  AS bal_e2
              FROM u GROUP BY _version ORDER BY _version""")),
+
+    Q("t16_deletion_vectors",
+      // Merge-on-read deletes (graft.temporal.DeletionVectors — Delta
+      // deletion vectors / Iceberg positional deletes as a sidecar):
+      // customer lands as 8 immutable files, TWO deletes mark rows by
+      // predicate (%7 keys, then negative balances — overlapping marks
+      // accumulate by append, duplicates harmless under anti-join) and
+      // NO data file is rewritten (DeletionVectorsSpec pins
+      // byte-identical file state); the read anti-joins the sidecar on
+      // (file, _metadata.row_index). The oracle applies the same two
+      // predicates to the RAW table — green proves the position-based
+      // exclusion is exactly predicate deletion, end to end. At 100 TB
+      // this is the 1%-delete-without-rewriting-100% path; write cost
+      // is sized by deleted rows, read cost by one sidecar join.
+      (s, d) => {
+        import graft.temporal.DeletionVectors
+        val root = Q.scratch(s, d, "t16")
+        t(s, d, "customer").repartition(8).write.parquet(root)
+        DeletionVectors.delete(s, root, col("c_custkey") % 7 === 0)
+        DeletionVectors.delete(s, root, col("c_acctbal") < 0.0)
+        DeletionVectors.read(s, root)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            sum("c_custkey").as("key_sum"),
+            sum(expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)"))
+              .as("bal_e2"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+             CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS bal_e2
+             FROM customer WHERE c_custkey % 7 <> 0 AND c_acctbal >= 0
+             GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    Q("t17_join_view",
+      // Incremental JOIN-view maintenance (graft.temporal.JoinView —
+      // DBToaster/Materialize counting algorithm): the orders⋈customer
+      // view initializes from the pre-cutoff state, then ONE refresh
+      // applies a both-side batched update — post-cutoff order inserts
+      // + %13 order deletes (negative multiplicity) on A, and a
+      // segment rebrand on B expressed as delete-old + insert-new —
+      // via ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB (the cross term covers an insert
+      // meeting its partner's same-batch update: a new AUTOMOBILE
+      // order must surface under AUTO2, and does). The ORACLE joins
+      // the final states from scratch — green proves the delta
+      // algebra converges exactly, deletes included, without ever
+      // recomputing the view. Aggregation reads multiplicities
+      // (sum(_mult), mult-weighted key sum) so any bag drift breaks
+      // the hash. Refresh work is delta-sized: untouched keys bypass
+      // the merge against a broadcast touched-key set.
+      (s, d) => {
+        import graft.temporal.JoinView
+        val cutoff = lit("1996-01-01")
+        val ord = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+            col("o_orderdate"))
+        val aOld = ord.filter(col("o_orderdate") < cutoff)
+          .select("custkey", "o_orderkey")
+        val b0 = t(s, d, "customer")
+          .select(col("c_custkey").as("custkey"),
+            col("c_mktsegment").as("seg"))
+        val v0 = JoinView.init(aOld, b0, Seq("custkey"))
+        val dA = ord.filter(col("o_orderdate") >= cutoff)
+          .select("custkey", "o_orderkey").withColumn("_mult", lit(1L))
+          .unionByName(aOld.filter(col("o_orderkey") % 13 === 0)
+            .withColumn("_mult", lit(-1L)))
+        val autoCust = b0.filter(col("seg") === "AUTOMOBILE")
+        val dB = autoCust.withColumn("_mult", lit(-1L))
+          .unionByName(autoCust.withColumn("seg", lit("AUTO2"))
+            .withColumn("_mult", lit(1L)))
+        val v1 = JoinView.applyDeltas(v0, aOld, b0, dA, dB, Seq("custkey"))
+        v1.groupBy("seg")
+          .agg(sum("_mult").as("n"),
+            sum(col("o_orderkey") * col("_mult")).as("key_sum"))
+          .orderBy("seg")
+      },
+      Some("""WITH fa AS (
+               SELECT o_custkey AS custkey, o_orderkey FROM orders
+               WHERE (o_orderdate < TIMESTAMP '1996-01-01'
+                      AND o_orderkey % 13 <> 0)
+                  OR o_orderdate >= TIMESTAMP '1996-01-01'),
+             fb AS (
+               SELECT c_custkey AS custkey,
+                 CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'AUTO2'
+                      ELSE c_mktsegment END AS seg
+               FROM customer)
+             SELECT seg, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             FROM fa JOIN fb USING (custkey)
+             GROUP BY seg ORDER BY seg""")),
 
     Q("w6_event_deltas",
       // lag/lead family: per-user inter-event gaps (seconds since the
