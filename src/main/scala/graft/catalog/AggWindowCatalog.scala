@@ -1342,6 +1342,86 @@ object AggWindowCatalog {
              WINDOW w AS (PARTITION BY c_nationkey ORDER BY spend DESC, o_custkey)
              ORDER BY nationkey, quartile, custkey""")),
 
+    Q("a_quantile_sketch",
+      // Mergeable quantile sketch via deterministic bottom-k ROW
+      // sampling (the DataSketches "uniform sample -> order statistic"
+      // estimator; KLL's compaction is aggregation-order-dependent and
+      // randomized, so it can never hash-match an oracle — bottom-k by
+      // a content hash is order-independent, mergeable by keeping the
+      // k smallest of a union, and bit-identical on both engines): per
+      // return flag, the 64 rows with smallest md5-derived 48-bit hash
+      // form the sample (ties broken by value then hash — full
+      // determinism), the q-th order statistic of the sample estimates
+      // the q-quantile of l_extendedprice, and the audit joins each
+      // estimate back to the full group for its EXACT rank in integer
+      // ppm — err_ppm is the honest O(1/sqrt(k)) rank error on record.
+      // Scale shape: per-group rank<=k (WindowGroupLimit-bounded, the
+      // w2 discipline), then a 9-row broadcast join for the audit pass.
+      (s, d) => {
+        val k = 64
+        val li = t(s, d, "lineitem").select(
+          col("l_returnflag").as("flag"),
+          col("l_extendedprice").as("v"),
+          expr("CAST(conv(substring(md5(concat_ws('|', l_orderkey, l_partkey, l_suppkey)), 1, 12), 16, 10) AS BIGINT)")
+            .as("h"))
+        val wH = Window.partitionBy("flag").orderBy(col("h").asc, col("v").asc)
+        val sample = li.withColumn("rn", row_number().over(wH))
+          .filter(col("rn") <= k).drop("rn")
+        val wV = Window.partitionBy("flag").orderBy(col("v").asc, col("h").asc)
+        val ranked = sample.withColumn("vr", row_number().over(wV))
+        val est = Seq(25, 50, 75).map { q =>
+          ranked.filter(col("vr") === (q * k / 100))
+            .select(col("flag"), lit(q).as("q"), col("v").as("est"))
+        }.reduce(_.unionByName(_))
+        val totals = li.groupBy("flag").agg(count(lit(1)).as("n"))
+        li.join(broadcast(est), Seq("flag"))
+          .groupBy("flag", "q", "est")
+          .agg(sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("n_le"))
+          .join(totals, Seq("flag"))
+          .withColumn("rank_ppm", expr("(1000000 * n_le) div n"))
+          .withColumn("err_ppm", expr("abs((1000000 * n_le) div n - q * 10000)"))
+          .select("flag", "q", "est", "rank_ppm", "err_ppm")
+          .orderBy("flag", "q")
+      },
+      Some {
+        val nib = (i: Int) => s"(strpos('0123456789abcdef', substring(hx, $i, 1)) - 1)"
+        val h48 = (1 to 12).map(i => s"${nib(i)} * ${1L << (4 * (12 - i))}")
+          .mkString("CAST(", " + ", " AS BIGINT)")
+        s"""WITH lh AS (
+              SELECT flag, v, $h48 AS h FROM (
+                SELECT l_returnflag AS flag, l_extendedprice AS v,
+                  md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+                      CAST(l_partkey AS VARCHAR) || '|' ||
+                      CAST(l_suppkey AS VARCHAR)) AS hx
+                FROM lineitem)),
+            smp AS (
+              SELECT flag, v, h FROM (
+                SELECT flag, v, h, row_number() OVER (
+                    PARTITION BY flag ORDER BY h, v) AS rn FROM lh)
+              WHERE rn <= 64),
+            ranked AS (
+              SELECT flag, v, row_number() OVER (
+                  PARTITION BY flag ORDER BY v, h) AS vr FROM smp),
+            est AS (
+              SELECT flag, 25 AS q, v AS est FROM ranked WHERE vr = 16
+              UNION ALL
+              SELECT flag, 50 AS q, v AS est FROM ranked WHERE vr = 32
+              UNION ALL
+              SELECT flag, 75 AS q, v AS est FROM ranked WHERE vr = 48),
+            tot AS (SELECT flag, CAST(count(*) AS BIGINT) AS n
+                    FROM lh GROUP BY 1),
+            r AS (
+              SELECT e.flag, e.q, e.est,
+                CAST(sum(CASE WHEN l.v <= e.est THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_le
+              FROM est e JOIN lh l ON l.flag = e.flag
+              GROUP BY 1, 2, 3)
+            SELECT r.flag, r.q, r.est,
+              CAST((1000000 * n_le) // n AS BIGINT) AS rank_ppm,
+              CAST(abs((1000000 * n_le) // n - q * 10000) AS BIGINT) AS err_ppm
+            FROM r JOIN tot USING (flag) ORDER BY flag, q"""
+      }),
+
     Q("a_kmv_distinct",
       // K-minimum-values distinct sketch (Bar-Yossef et al.) — the
       // third auditable cardinality sketch next to a_approx_distinct
