@@ -2988,7 +2988,102 @@ object TextCatalog {
                 CAST((10000 * least(cap, theta)) // tokens_s AS BIGINT)
                   AS epochs_e4
               FROM per_src, theta
-              ORDER BY source"""))
+              ORDER BY source""")),
+
+    Q("x_suffix_spans",
+      // Exact repeated-substring spans via distributed PREFIX DOUBLING
+      // (the suffix-array construction discipline, equality-only) — the
+      // collision-free twin of `x_repeated_spans`: that query trusts
+      // xxhash64 not to collide on 8-gram keys; this one builds
+      // canonical context ids (min global position per equal-context
+      // group) and doubles them 1->2->4->8, so two positions share an
+      // id iff their 8-token contexts are LITERALLY equal. Same span
+      // semantics, same oracle (the DuckDB side groups actual gram
+      // strings, i.e. it was always exact) — so a green row here plus a
+      // green x_repeated_spans row is a machine-checked proof that the
+      // fingerprint path had zero collisions on this corpus. Scale
+      // shape: log2(K)=3 doubling rounds, each one self-join plus one
+      // map-side-combinable groupBy+join on uniformly-minted 8-byte
+      // ids; no global sort anywhere (dedup needs equality, not suffix
+      // ORDER — see operators/SuffixDedup.scala).
+      (s, d) => {
+        val toks = graft.operators.SuffixDedup.tokenTable(
+          spread(t(s, d, "documents")), sparkNorm)
+        val ids8 = graft.operators.SuffixDedup.contextIdLadder(toks, 8).last._2
+        graft.operators.SuffixDedup.repeatedSpans(ids8, 8)
+          .select(col("doc_id"), col("span_start"), col("span_end"),
+            (col("span_end") - col("span_start") + 1).as("span_toks"))
+          .orderBy("doc_id", "span_start")
+      },
+      Some(s"""WITH $duckSpansCte
+              SELECT doc_id, span_start, span_end,
+                span_end - span_start + 1 AS span_toks
+              FROM spans
+              ORDER BY doc_id, span_start""")),
+
+    Q("x_suffix_maxrep",
+      // Longest-exact-repeat tier per document, from the SAME doubling
+      // ladder continued to 32: the doc-level audit a dedup pass wants
+      // before choosing its threshold ("how much of the corpus repeats
+      // at >= 8 / >= 16 / >= 32 tokens?"). n_rep8 counts positions
+      // whose full 8-token context repeats corpus-wide; max_tier is the
+      // largest k in {8,16,32} with any such position (0 = none). Each
+      // extra tier costs exactly one more doubling round over the same
+      // token table — the suffix-array ladder amortises what the
+      // fingerprint approach would re-shingle per K. Oracle groups
+      // actual k-gram strings per tier, fully independent of the
+      // doubling construction.
+      (s, d) => {
+        val sd = graft.operators.SuffixDedup
+        val toks = sd.tokenTable(spread(t(s, d, "documents")), sparkNorm)
+        val ladder = sd.contextIdLadder(toks, 32).toMap
+        def docHits(k: Int) = sd.repeatedStarts(ladder(k), k)
+          .groupBy("doc_id").agg(count(lit(1)).as(s"n_rep$k"))
+        t(s, d, "documents").select("doc_id")
+          .join(docHits(8), Seq("doc_id"), "left")
+          .join(docHits(16).withColumnRenamed("n_rep16", "t16"),
+            Seq("doc_id"), "left")
+          .join(docHits(32).withColumnRenamed("n_rep32", "t32"),
+            Seq("doc_id"), "left")
+          .withColumn("max_tier",
+            when(col("t32").isNotNull, 32)
+              .when(col("t16").isNotNull, 16)
+              .when(col("n_rep8").isNotNull, 8).otherwise(0))
+          .select(col("doc_id"),
+            coalesce(col("n_rep8"), lit(0L)).as("n_rep8"), col("max_tier"))
+          .orderBy("doc_id")
+      },
+      Some {
+        def gk(k: Int) =
+          s"""g$k AS MATERIALIZED (
+                SELECT doc_id, array_to_string(list_slice(a,
+                  CAST(i + 1 AS INT), CAST(i + $k AS INT)), ' ') AS g
+                FROM toks, UNNEST(range(0, len(a) - ${k - 1})) AS t(i)
+                WHERE len(a) >= $k),
+              d$k AS (SELECT g FROM g$k GROUP BY g HAVING count(*) >= 2)"""
+        s"""WITH toks AS (
+              SELECT doc_id, string_split($duckNorm, ' ') AS a FROM documents),
+            ${gk(8)},
+            m8 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rep8
+                   FROM g8 WHERE g IN (SELECT g FROM d8) GROUP BY doc_id),
+            ${gk(16)},
+            m16 AS (SELECT DISTINCT doc_id FROM g16
+                    WHERE g IN (SELECT g FROM d16)),
+            ${gk(32)},
+            m32 AS (SELECT DISTINCT doc_id FROM g32
+                    WHERE g IN (SELECT g FROM d32))
+            SELECT d.doc_id,
+              CAST(coalesce(m8.n_rep8, 0) AS BIGINT) AS n_rep8,
+              CAST(CASE WHEN m32.doc_id IS NOT NULL THEN 32
+                        WHEN m16.doc_id IS NOT NULL THEN 16
+                        WHEN m8.doc_id IS NOT NULL THEN 8
+                        ELSE 0 END AS INT) AS max_tier
+            FROM (SELECT doc_id FROM documents) d
+              LEFT JOIN m8 ON d.doc_id = m8.doc_id
+              LEFT JOIN m16 ON d.doc_id = m16.doc_id
+              LEFT JOIN m32 ON d.doc_id = m32.doc_id
+            ORDER BY d.doc_id"""
+      })
   )
 
   /** The repeated-span table shared by `x_repeated_spans` and
