@@ -3083,8 +3083,194 @@ object TextCatalog {
               LEFT JOIN m16 ON d.doc_id = m16.doc_id
               LEFT JOIN m32 ON d.doc_id = m32.doc_id
             ORDER BY d.doc_id"""
-      })
+      }),
+
+    Q("x_unigram_train",
+      // Unigram-LM (SentencePiece, Kudo 2018) tokenizer TRAINING — the
+      // EM complement of x_bpe_train's merge learning: seed a piece
+      // vocabulary (all single chars + top-48 weighted substrings up to
+      // 4 chars), Viterbi-segment the frequency-weighted DISTINCT-word
+      // table against broadcast dyadic-integer piece costs (E-step,
+      // row-local `aggregate` folds — no joins in the DP), count
+      // on-an-optimal-path piece usage (M-step, one grouped sum), prune
+      // unused multis, re-derive costs, run a second round. Output: the
+      // surviving vocabulary with seed counts and per-round usage. All
+      // arithmetic is integer (floor-log2 via length(bin(x)) - 1, the
+      // composite cost*32+pieces Viterbi objective — see
+      // operators/UnigramLM.scala for why that makes a float-free,
+      // tie-invariant oracle possible). The DuckDB twin runs the same
+      // DP as a generated chain of per-position CTEs — independent
+      // formulation, identical integers.
+      (s, d) => {
+        val ug = graft.operators.UnigramLM
+        val words = ug.wordTable(
+          ug.wordsPerDoc(spread(t(s, d, "documents")), sparkNorm)).cutLineage()
+        val occ = ug.occurrences(words).cutLineage()
+        val v0 = ug.initVocab(occ).cutLineage()
+        val u1 = ug.usage(ug.viterbi(occ, ug.scored(v0))).cutLineage()
+        val v1 = ug.nextVocab(v0, u1).cutLineage()
+        val u2 = ug.usage(ug.viterbi(occ, ug.scored(v1)))
+        v1.select("piece", "plen")
+          .join(v0.withColumnRenamed("cnt", "cnt0"), Seq("piece", "plen"))
+          .join(u1.withColumnRenamed("use", "use1"), Seq("piece", "plen"), "left")
+          .join(u2.withColumnRenamed("use", "use2"), Seq("piece", "plen"), "left")
+          .select(col("piece"), col("plen"), col("cnt0"),
+            coalesce(col("use1"), lit(0L)).as("use1"),
+            coalesce(col("use2"), lit(0L)).as("use2"))
+          .orderBy("piece")
+      },
+      Some(s"""WITH $duckUnigramCtes
+              SELECT v1.piece, v1.plen, v0.cnt AS cnt0,
+                CAST(coalesce(u1.use1, 0) AS BIGINT) AS use1,
+                CAST(coalesce(u2.use2, 0) AS BIGINT) AS use2
+              FROM v1
+                JOIN v0 ON v0.piece = v1.piece AND v0.plen = v1.plen
+                LEFT JOIN u1 ON u1.piece = v1.piece AND u1.plen = v1.plen
+                LEFT JOIN u2 ON u2.piece = v1.piece AND u2.plen = v1.plen
+              ORDER BY v1.piece""")),
+
+    Q("x_unigram_encode",
+      // The unigram tokenizer's ENCODE half over the full corpus: every
+      // word occurrence joins the per-distinct-word Viterbi token count
+      // (under round-1 and round-2 costs) and rolls up per doc — the
+      // operation a training pipeline runs at 100 TB, with the same
+      // scale shape as x_bpe_encode: EM is vocabulary-bounded, the
+      // corpus pays exactly one word-keyed hash join + one per-doc
+      // aggregate. n_tok falls out of the composite Viterbi objective
+      // as total % 32 (the piece count of the minimal-cost,
+      // fewest-pieces segmentation — deterministic even under cost
+      // ties), so round-2's vocabulary pruning is visible as n_tok2
+      // drifting from n_tok1 where dropped pieces forced
+      // resegmentation.
+      (s, d) => {
+        val ug = graft.operators.UnigramLM
+        val wpd = ug.wordsPerDoc(spread(t(s, d, "documents")), sparkNorm)
+          .cutLineage()
+        val words = ug.wordTable(wpd).cutLineage()
+        val occ = ug.occurrences(words).cutLineage()
+        val v0 = ug.initVocab(occ).cutLineage()
+        val vit1 = ug.viterbi(occ, ug.scored(v0)).cutLineage()
+        val v1 = ug.nextVocab(v0, ug.usage(vit1)).cutLineage()
+        val vit2 = ug.viterbi(occ, ug.scored(v1))
+        val enc = ug.tokenCounts(vit1).withColumnRenamed("n_tok", "n_tok1")
+          .join(ug.tokenCounts(vit2).withColumnRenamed("n_tok", "n_tok2"),
+            Seq("w"))
+        wpd.join(enc, Seq("w"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum(length(col("w"))).cast("long").as("n_chars_az"),
+            sum("n_tok1").as("n_tok1"), sum("n_tok2").as("n_tok2"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $duckUnigramCtes
+              SELECT wpd.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(length(wpd.w)) AS BIGINT) AS n_chars_az,
+                CAST(sum(t1.v % 32) AS BIGINT) AS n_tok1,
+                CAST(sum(t2.v % 32) AS BIGINT) AS n_tok2
+              FROM wpd
+                JOIN tot1 t1 ON t1.w = wpd.w
+                JOIN tot2 t2 ON t2.w = wpd.w
+              GROUP BY wpd.doc_id
+              ORDER BY wpd.doc_id"""))
   )
+
+  /** DuckDB twin of the [[graft.operators.UnigramLM]] two-round EM loop,
+    * GENERATED from the same constants (MaxLen/MaxPiece/TopMulti) so the
+    * two sides cannot drift: the per-word Viterbi that Spark runs as a
+    * row-local `aggregate` fold unrolls here into one MATERIALIZED CTE
+    * per position per direction per round (f{r}_j / g{r}_j, j=0..16) —
+    * MATERIALIZED is load-bearing: each rung is referenced by up to
+    * MaxPiece later rungs plus the union CTEs, and inlining would
+    * re-expand the chain exponentially. All integers end-to-end
+    * (floor-log2 = length(bin(x)) - 1), so the hash compare is exact. */
+  private def duckUnigramCtes: String = {
+    val L = graft.operators.UnigramLM.MaxLen
+    val P = graft.operators.UnigramLM.MaxPiece
+    val M = graft.operators.UnigramLM.TopMulti
+    val B = graft.operators.UnigramLM.PieceBase
+    def scoreCte(r: Int, v: String) =
+      s"""sc$r AS MATERIALIZED (
+            SELECT piece, plen,
+              CAST(((1 + (length(bin(T)) - 1) - (length(bin(cnt)) - 1))
+                * $B + 1) AS BIGINT) AS score
+            FROM $v, (SELECT CAST(sum(cnt) AS BIGINT) AS T FROM $v) tt)"""
+    def roundCtes(r: Int): String = {
+      val f = (1 to L).map { j =>
+        val branches = (1 to math.min(P, j)).map { pl =>
+          s"""SELECT f.w, f.v + m.score AS v
+              FROM f${r}_${j - pl} f JOIN m$r m
+                ON m.w = f.w AND m.st = ${j - pl + 1} AND m.pl = $pl"""
+        }.mkString("\n UNION ALL\n")
+        s"f${r}_$j AS MATERIALIZED (SELECT w, min(v) AS v FROM (\n$branches\n) GROUP BY w)"
+      }
+      val g = (1 to L).map { rr =>
+        val branches = (1 to math.min(P, rr)).map { pl =>
+          s"""SELECT g.w, g.v + m.score AS v
+              FROM g${r}_${rr - pl} g JOIN m$r m
+                ON m.w = g.w AND m.st = m.L - $rr + 1 AND m.pl = $pl"""
+        }.mkString("\n UNION ALL\n")
+        s"g${r}_$rr AS MATERIALIZED (SELECT w, min(v) AS v FROM (\n$branches\n) GROUP BY w)"
+      }
+      val tot = (1 to L).map(j =>
+        s"SELECT f.w, f.v FROM f${r}_$j f JOIN w0t t ON t.w = f.w AND t.L = $j")
+        .mkString("\n UNION ALL\n")
+      val fall = (0 to L).map(j => s"SELECT w, $j AS j, v FROM f${r}_$j")
+        .mkString("\n UNION ALL\n")
+      val gall = (0 to L).map(rr => s"SELECT w, $rr AS r, v FROM g${r}_$rr")
+        .mkString("\n UNION ALL\n")
+      s"""m$r AS MATERIALIZED (
+            SELECT o.w, o.L, o.st, o.pl, o.piece, s.score
+            FROM occ o JOIN sc$r s ON s.piece = o.piece AND s.plen = o.pl),
+          f${r}_0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS v FROM w0t),
+          g${r}_0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS v FROM w0t),
+          ${(f ++ g).mkString(",\n")},
+          tot$r AS MATERIALIZED (\n$tot\n),
+          fall$r AS MATERIALIZED (\n$fall\n),
+          gall$r AS MATERIALIZED (\n$gall\n),
+          u$r AS MATERIALIZED (
+            SELECT m.piece, m.pl AS plen, CAST(sum(t.freq) AS BIGINT) AS use$r
+            FROM m$r m
+              JOIN fall$r f ON f.w = m.w AND f.j = m.st - 1
+              JOIN gall$r g ON g.w = m.w AND g.r = m.L - m.st - m.pl + 1
+              JOIN tot$r tt ON tt.w = m.w
+              JOIN w0t t ON t.w = m.w
+            WHERE f.v + m.score + g.v = tt.v
+            GROUP BY m.piece, m.pl)"""
+    }
+    s"""wpd AS MATERIALIZED (
+          SELECT doc_id, substr(w0, 1, $L) AS w
+          FROM (SELECT doc_id, unnest(regexp_extract_all(a, '[a-z]+')) AS w0
+                FROM (SELECT doc_id,
+                        regexp_replace($duckNorm, '[^\\x00-\\x7f]', '', 'g') AS a
+                      FROM documents))),
+        w0t AS MATERIALIZED (
+          SELECT w, CAST(count(*) AS BIGINT) AS freq, length(w) AS L
+          FROM wpd GROUP BY w),
+        occ AS MATERIALIZED (
+          SELECT w, freq, L, CAST(st0 AS INT) AS st, CAST(pl0 AS INT) AS pl,
+            substr(w, CAST(st0 AS INT), CAST(pl0 AS INT)) AS piece
+          FROM w0t, UNNEST(range(1, L + 1)) AS s(st0),
+            UNNEST(range(1, ${P + 1})) AS p(pl0)
+          WHERE pl0 <= L - st0 + 1),
+        cnts AS (SELECT piece, pl AS plen, CAST(sum(freq) AS BIGINT) AS cnt
+                 FROM occ GROUP BY piece, pl),
+        v0 AS MATERIALIZED (
+          SELECT piece, plen, cnt FROM cnts WHERE plen = 1
+          UNION ALL
+          SELECT piece, plen, cnt FROM
+            (SELECT * FROM cnts WHERE plen > 1
+             ORDER BY cnt DESC, piece LIMIT $M)),
+        ${scoreCte(1, "v0")},
+        ${roundCtes(1)},
+        v1 AS MATERIALIZED (
+          SELECT v0.piece, v0.plen,
+            CAST(CASE WHEN v0.plen = 1 THEN coalesce(u1.use1, 0) + 1
+                      ELSE u1.use1 END AS BIGINT) AS cnt
+          FROM v0 LEFT JOIN u1 ON u1.piece = v0.piece AND u1.plen = v0.plen
+          WHERE v0.plen = 1 OR coalesce(u1.use1, 0) >= 1),
+        ${scoreCte(2, "v1")},
+        ${roundCtes(2)}"""
+  }
 
   /** The repeated-span table shared by `x_repeated_spans` and
     * `x_dup_span_fraction`: (doc_id, span_start, span_end) of maximal
