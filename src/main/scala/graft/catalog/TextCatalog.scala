@@ -3171,7 +3171,57 @@ object TextCatalog {
                 JOIN tot1 t1 ON t1.w = wpd.w
                 JOIN tot2 t2 ON t2.w = wpd.w
               GROUP BY wpd.doc_id
-              ORDER BY wpd.doc_id"""))
+              ORDER BY wpd.doc_id""")),
+
+    Q("x_editdist_join",
+      // Typo-tolerant similarity join over the corpus vocabulary —
+      // FastSS deletion-neighborhood blocking + exact levenshtein
+      // verify (operators/Dedup.editDistancePairs): every word pair
+      // within edit distance 2, found through a bounded row-local
+      // deletion fan-out and one equi-join — NEVER an all-pairs
+      // comparison (the blocking-join discipline of the minhash/simhash
+      // family, applied to edit distance). Both engines verify with
+      // their native levenshtein, and the oracle builds its candidate
+      // neighborhood independently — completeness of each blocking is
+      // what makes the final sets identical, so a green row proves the
+      // FastSS superset theorem held on this corpus. This is the
+      // corpus-scale version of the reference's fuzzy entity-match
+      // instinct (the J7 cascade), and the vocabulary-bounded join
+      // groups are why it survives 100 TB: corpus growth fattens word
+      // frequencies, not candidate groups.
+      (s, d) => {
+        val words = spread(t(s, d, "documents"))
+          .withColumn("az",
+            expr(s"regexp_replace($sparkNorm, '[^\\\\x00-\\\\x7f]', '')"))
+          .select(explode(expr("regexp_extract_all(az, '[a-z]+', 0)")).as("w"))
+          .distinct()
+        graft.operators.Dedup.editDistancePairs(words)
+          .orderBy("w_a", "w_b")
+      },
+      Some(s"""WITH words AS MATERIALIZED (
+                SELECT DISTINCT unnest(regexp_extract_all(a, '[a-z]+')) AS w
+                FROM (SELECT regexp_replace($duckNorm, '[^\\x00-\\x7f]', '', 'g') AS a
+                      FROM documents)),
+              vars AS MATERIALIZED (
+                SELECT w, unnest(list_distinct(
+                  [w]
+                  || list_transform(range(1, length(w) + 1), i ->
+                       substr(w, 1, i - 1) || substr(w, i + 1, length(w)))
+                  || flatten(list_transform(range(1, length(w) + 1), i ->
+                       CASE WHEN i < length(w)
+                         THEN list_transform(range(i + 1, length(w) + 1), j ->
+                           substr(w, 1, i - 1)
+                             || substr(w, i + 1, j - i - 1)
+                             || substr(w, j + 1, length(w)))
+                         ELSE CAST([] AS VARCHAR[]) END)))) AS v
+                FROM words),
+              cand AS (
+                SELECT DISTINCT a.w AS w_a, b.w AS w_b
+                FROM vars a JOIN vars b ON a.v = b.v AND a.w < b.w)
+              SELECT w_a, w_b, CAST(levenshtein(w_a, w_b) AS INT) AS dist
+              FROM cand
+              WHERE levenshtein(w_a, w_b) <= 2
+              ORDER BY w_a, w_b"""))
   )
 
   /** DuckDB twin of the [[graft.operators.UnigramLM]] two-round EM loop,

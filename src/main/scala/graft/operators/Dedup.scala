@@ -28,4 +28,45 @@ object Dedup {
       .filter(col("comp").isNull || col("comp") === col(idCol))
       .drop("comp")
   }
+
+  /** Edit-distance-bounded word pairs via FastSS deletion-neighborhood
+    * blocking (Bocek et al. 2007) — the typo-tolerant string-match
+    * primitive, corpus-scale: if ed(u, v) <= d then deleting the
+    * edited positions (<= d chars from each side) leaves a COMMON
+    * variant, so the candidate set is an equi-join of bounded
+    * row-local deletion fan-outs (<= 1 + L + L(L-1)/2 variants per
+    * word at d = 2) — never an all-pairs comparison. Candidates then
+    * verify with the exact codegen'd `levenshtein` (the blocking is a
+    * complete SUPERSET: shared variants can arise from transposition-
+    * like rearrangements at larger true distance, e.g. "ab"/"ba"
+    * share "a" at ed 2 but "abc"/"bca" share "bc" at ed 3 — the
+    * verify keeps exactly the <= d pairs, so ANY complete blocking
+    * yields the identical final set; that is what lets an oracle use
+    * an independently-formulated neighborhood).
+    *
+    * Scale shape: the variant join's key groups are VOCABULARY-
+    * bounded (words within 2 deletions of a shared variant), not
+    * corpus-bounded — growing the corpus grows word frequency, not
+    * group width, and the input here is the distinct-word table.
+    */
+  def editDistancePairs(words: DataFrame, wCol: String = "w"): DataFrame = {
+    val vars = words.select(col(wCol).as("w"), explode(expr(
+      """array_distinct(concat(
+           array(w),
+           transform(sequence(1, length(w)), i ->
+             concat(substring(w, 1, i - 1), substring(w, i + 1, length(w)))),
+           flatten(transform(sequence(1, length(w)), i ->
+             CASE WHEN i < length(w)
+               THEN transform(sequence(i + 1, length(w)), j ->
+                 concat(substring(w, 1, i - 1),
+                        substring(w, i + 1, j - i - 1),
+                        substring(w, j + 1, length(w))))
+               ELSE CAST(array() AS array<string>) END))))""")).as("v"))
+    vars.select(col("w").as("w_a"), col("v"))
+      .join(vars.select(col("w").as("w_b"), col("v")), Seq("v"))
+      .filter(col("w_a") < col("w_b"))
+      .select("w_a", "w_b").distinct()
+      .withColumn("dist", levenshtein(col("w_a"), col("w_b")))
+      .filter(col("dist") <= 2)
+  }
 }
