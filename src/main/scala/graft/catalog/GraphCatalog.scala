@@ -1072,8 +1072,151 @@ object GraphCatalog {
           .select("u", "v")
         GraphAlgos.kTruss(edges, k = 4).orderBy("node")
       },
-      Some(ktrussDeepOracle(k = 4, rounds = 6)))
+      Some(ktrussDeepOracle(k = 4, rounds = 6))),
+
+    // Strongly connected components of the DIRECTED part-successor
+    // graph (part a -> part b when b follows a by linenumber in some
+    // order): the directed question the undirected dedup-components
+    // machinery cannot answer — "which parts sit in mutually-reachable
+    // order-flow cycles". operators/Scc runs trim + forward min-label
+    // coloring + color-preserving reverse containment, BOTH
+    // propagations path-halved to O(log n) rounds; the oracle runs the
+    // SAME decomposition but with MAX-label coloring and a different
+    // peel order — legitimate because a graph's SCC partition is
+    // UNIQUE, so any correct algorithm must emit identical components;
+    // every oracle propagation carries a one-more-round fixpoint guard
+    // (the xdc discipline: non-convergence empties the result and
+    // fails the row compare loudly). Output: one row per SCC labeled
+    // by its minimum member.
+    Q("g_scc_parts",
+      (s, d) => {
+        // low-quantity lines only: the full successor graph is one
+        // giant SCC (dense supercritical regime — a 1-row answer);
+        // the q <= 15 subgraph sits just past the percolation
+        // threshold, giant SCC + dust, the shape where trim, coloring
+        // AND peeling all do real work
+        val li = t(s, d, "lineitem")
+          .filter(col("l_quantity") <= 15)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey").cast("long").as("p"))
+        val nxt = li.select(col("l_orderkey"),
+          (col("l_linenumber") - 1).as("l_linenumber"), col("p").as("p2"))
+        val edges = li.join(nxt, Seq("l_orderkey", "l_linenumber"))
+          .filter(col("p") =!= col("p2"))
+          .select(col("p").as("src"), col("p2").as("dst"))
+        val comps = graft.operators.Scc.strongComponents(edges)
+        val sizes = comps.groupBy("scc").agg(count(lit(1)).as("scc_size"))
+        comps.join(sizes, Seq("scc"))
+          .select(col("node").as("part"), col("scc").as("scc_id"),
+            col("scc_size"))
+          .orderBy("part")
+      },
+      // propRounds: measured fixpoint depth is 27 at sf0.01 AND sf0.1
+      // (the sf1 corpus is 10 disjoint copies of sf0.1's graph, so the
+      // diameter is unchanged); 48 = ~1.8x margin, and the guard turns
+      // any overrun into a loud empty-result failure
+      Some(sccOracle(peels = 4, trims = 24, propRounds = 48)))
   )
+
+  /** Staged temp-table SCC oracle: FW-BW-Trim with MAX-label coloring
+    * (deliberately the opposite label order from operators/Scc — the
+    * unique-partition property is what the compare then proves), both
+    * propagations path-halved via a two-step hop+jump per round, each
+    * propagation followed by a one-more-hop fixpoint guard whose
+    * violation count accumulates in scc_guard and empties the final
+    * select. Generated so round counts are data-independent constants
+    * with loud failure, never silent truncation. */
+  private def sccOracle(peels: Int, trims: Int, propRounds: Int): String = {
+    val restrictE =
+      """CREATE OR REPLACE TEMP TABLE scc_e2 AS
+         SELECT e.s, e.d FROM scc_e e
+           JOIN scc_act x ON e.s = x.node
+           JOIN scc_act y ON e.d = y.node;
+         CREATE OR REPLACE TEMP TABLE scc_e AS SELECT * FROM scc_e2;"""
+    val trim = (1 to trims).map { _ =>
+      s"""CREATE OR REPLACE TEMP TABLE scc_keep AS
+          SELECT node FROM (SELECT DISTINCT s AS node FROM scc_e)
+          INTERSECT SELECT DISTINCT d FROM scc_e;
+          INSERT INTO scc_res
+          SELECT a.node, a.node FROM scc_act a
+            LEFT JOIN scc_keep k ON a.node = k.node
+          WHERE k.node IS NULL;
+          CREATE OR REPLACE TEMP TABLE scc_act AS
+          SELECT node FROM scc_keep;
+          $restrictE"""
+    }.mkString("\n")
+    // one propagation round on (edge table et, label table lt): hop =
+    // max over in-neighbors, jump = lbl(lbl) — two-step via _nxt since
+    // CREATE OR REPLACE cannot read the table it replaces
+    def propRound(et: String, lt: String) =
+      s"""CREATE OR REPLACE TEMP TABLE ${lt}_nxt AS
+          SELECT l.node, greatest(l.lbl, coalesce(m.mx, l.lbl)) AS lbl
+          FROM $lt l LEFT JOIN (
+            SELECT e.d AS node, max(p.lbl) AS mx
+            FROM $et e JOIN $lt p ON p.node = e.s GROUP BY e.d) m
+            ON m.node = l.node;
+          CREATE OR REPLACE TEMP TABLE $lt AS
+          SELECT l.node, greatest(l.lbl, coalesce(j.lbl, l.lbl)) AS lbl
+          FROM ${lt}_nxt l LEFT JOIN ${lt}_nxt j ON j.node = l.lbl;"""
+    def propGuard(et: String, lt: String) =
+      s"""INSERT INTO scc_guard
+          SELECT count(*) FROM (
+            SELECT l.node, greatest(l.lbl, coalesce(m.mx, l.lbl)) AS nl
+            FROM $lt l LEFT JOIN (
+              SELECT e.d AS node, max(p.lbl) AS mx
+              FROM $et e JOIN $lt p ON p.node = e.s GROUP BY e.d) m
+              ON m.node = l.node) x
+          JOIN $lt l2 ON x.node = l2.node AND x.nl <> l2.lbl;"""
+    def prop(et: String, lt: String) =
+      (1 to propRounds).map(_ => propRound(et, lt)).mkString("\n") +
+        "\n" + propGuard(et, lt)
+    val peel =
+      s"""$restrictE
+          $trim
+          CREATE OR REPLACE TEMP TABLE scc_fwd AS
+          SELECT node, node AS lbl FROM scc_act;
+          ${prop("scc_e", "scc_fwd")}
+          CREATE OR REPLACE TEMP TABLE scc_rev AS
+          SELECT e.d AS s, e.s AS d
+          FROM scc_e e
+            JOIN scc_fwd a ON a.node = e.s
+            JOIN scc_fwd b ON b.node = e.d
+          WHERE a.lbl = b.lbl;
+          CREATE OR REPLACE TEMP TABLE scc_bwd AS
+          SELECT node, node AS lbl FROM scc_act;
+          ${prop("scc_rev", "scc_bwd")}
+          INSERT INTO scc_res
+          SELECT f.node, f.lbl FROM scc_fwd f
+            JOIN scc_bwd b ON b.node = f.node AND b.lbl = f.lbl;
+          CREATE OR REPLACE TEMP TABLE scc_act AS
+          SELECT f.node FROM scc_fwd f
+            JOIN scc_bwd b ON b.node = f.node
+          WHERE b.lbl <> f.lbl;"""
+    s"""CREATE OR REPLACE TEMP TABLE scc_e AS
+        SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS s,
+          CAST(b.l_partkey AS BIGINT) AS d
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey
+          AND b.l_linenumber = a.l_linenumber + 1
+        WHERE a.l_partkey <> b.l_partkey
+          AND a.l_quantity <= 15 AND b.l_quantity <= 15;
+        CREATE OR REPLACE TEMP TABLE scc_act AS
+        SELECT DISTINCT s AS node FROM scc_e
+        UNION SELECT DISTINCT d FROM scc_e;
+        CREATE OR REPLACE TEMP TABLE scc_res AS
+        SELECT CAST(NULL AS BIGINT) AS node, CAST(NULL AS BIGINT) AS lbl
+        WHERE false;
+        CREATE OR REPLACE TEMP TABLE scc_guard AS
+        SELECT CAST(0 AS BIGINT) AS bad WHERE false;
+        ${(1 to peels).map(_ => peel).mkString("\n")}
+        INSERT INTO scc_guard SELECT count(*) FROM scc_act;
+        SELECT CAST(node AS BIGINT) AS part, CAST(scc_id AS BIGINT) AS scc_id,
+          CAST(count(*) OVER (PARTITION BY scc_id) AS BIGINT) AS scc_size
+        FROM (SELECT node, min(node) OVER (PARTITION BY lbl) AS scc_id
+              FROM scc_res)
+        WHERE (SELECT coalesce(sum(bad), 0) FROM scc_guard) = 0
+        ORDER BY part"""
+  }
 
   /** Unrolled k-truss sweeps from a CTE named `e0` holding distinct
     * (u < v) edges: per sweep, wedge-join the symmetrized survivors on
