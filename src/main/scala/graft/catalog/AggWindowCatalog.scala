@@ -1153,6 +1153,66 @@ object AggWindowCatalog {
              FROM fa JOIN fb USING (custkey)
              GROUP BY seg ORDER BY seg""")),
 
+    Q("t18_agg_join_view",
+      // FULL-QUERY incremental maintenance (graft.temporal.QueryView —
+      // DBToaster's higher-order delta): the per-segment (count, price
+      // sum) aggregate OVER orders⋈customer maintains from the same
+      // both-side batched update as t17 — but through the aggregate
+      // delta rule, so the join view is NEVER materialized: the
+      // refresh aggregates ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB straight into
+      // group-level deltas and folds them into segment-sized state.
+      // t17 proves the bag algebra, t11 proves the mergeable-state
+      // fold; this row proves their COMPOSITION converges — the oracle
+      // computes the aggregate from the final states from scratch.
+      // Sums ride Rollup's integer micro-unit discipline (floor(x *
+      // 1e4 + 0.5) then BIGINT), so incremental-vs-direct merge order
+      // cannot move a ulp. At scale: state is O(groups), refresh is
+      // O(delta) — neither is ever O(join).
+      (s, d) => {
+        import graft.temporal.QueryView
+        val cutoff = lit("1996-01-01")
+        val ord = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+            col("o_orderdate"), col("o_totalprice"))
+        val aOld = ord.filter(col("o_orderdate") < cutoff)
+          .select("custkey", "o_orderkey", "o_totalprice")
+        val b0 = t(s, d, "customer")
+          .select(col("c_custkey").as("custkey"),
+            col("c_mktsegment").as("seg"))
+        val s0 = QueryView.init(aOld, b0, Seq("custkey"), Seq("seg"),
+          Seq("o_totalprice"))
+        val dA = ord.filter(col("o_orderdate") >= cutoff)
+          .select("custkey", "o_orderkey", "o_totalprice")
+          .withColumn("_mult", lit(1L))
+          .unionByName(aOld.filter(col("o_orderkey") % 13 === 0)
+            .withColumn("_mult", lit(-1L)))
+        val autoCust = b0.filter(col("seg") === "AUTOMOBILE")
+        val dB = autoCust.withColumn("_mult", lit(-1L))
+          .unionByName(autoCust.withColumn("seg", lit("AUTO2"))
+            .withColumn("_mult", lit(1L)))
+        QueryView.applyDeltas(s0, aOld, b0, dA, dB, Seq("custkey"),
+            Seq("seg"), Seq("o_totalprice"))
+          .select(col("seg"), col("n"),
+            col("sum_o_totalprice_e4").as("price_e4"))
+          .orderBy("seg")
+      },
+      Some("""WITH fa AS (
+               SELECT o_custkey AS custkey, o_orderkey, o_totalprice
+               FROM orders
+               WHERE (o_orderdate < TIMESTAMP '1996-01-01'
+                      AND o_orderkey % 13 <> 0)
+                  OR o_orderdate >= TIMESTAMP '1996-01-01'),
+             fb AS (
+               SELECT c_custkey AS custkey,
+                 CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'AUTO2'
+                      ELSE c_mktsegment END AS seg
+               FROM customer)
+             SELECT seg, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+                 AS BIGINT) AS price_e4
+             FROM fa JOIN fb USING (custkey)
+             GROUP BY seg ORDER BY seg""")),
+
     Q("w6_event_deltas",
       // lag/lead family: per-user inter-event gaps (seconds since the
       // previous event) rolled up to per-user cadence stats. Gap average
