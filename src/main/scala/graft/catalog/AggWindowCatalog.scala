@@ -1213,6 +1213,78 @@ object AggWindowCatalog {
              FROM fa JOIN fb USING (custkey)
              GROUP BY seg ORDER BY seg""")),
 
+    Q("t19_bitemporal",
+      // Bitemporal pins (graft.temporal.Bitemporal — valid time x
+      // transaction time, SQL:2011 shape over VersionedStore + SCD2
+      // intervals): commit v1 = each customer's balance history (1994
+      // interval at acctbal, open 1995 interval at acctbal + 100);
+      // commit v2 = a RETROACTIVE restatement (%5 keys' 1994 balance
+      // corrected down 50) plus a forward extension (%7 keys close the
+      // open interval at 1996 and continue at acctbal + 200). Three
+      // pins answer the audit questions: as-known-at-v1 effective
+      // 1994-06-15 (the pre-restatement belief — snapshot isolation is
+      // what keeps it readable AFTER v2 lands), as-known-at-v2
+      // effective the same instant (only the %5 restatement moves it),
+      // and as-known-at-v2 effective 1996-06-15 (only the %7 forward
+      // rows move THAT). The oracle derives all three balances
+      // arithmetically from the base table — fully independent of the
+      // store/pin machinery, so any version-resolution or interval-
+      // predicate bug breaks the hash. Balances roll up in integer
+      // micro-units per the Rollup discipline.
+      (s, d) => {
+        import graft.temporal.{Bitemporal, VersionedStore}
+        val root = Q.scratch(s, d, "t19")
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        val k = col("c_custkey")
+        val iv1 = cust.select(k, col("c_nationkey"),
+          lit("1994-01-01").as("valid_from"),
+          lit("1995-01-01").as("valid_to"),
+          col("c_acctbal").as("bal"))
+          .unionByName(cust.select(k, col("c_nationkey"),
+            lit("1995-01-01").as("valid_from"),
+            lit(null).cast("string").as("valid_to"),
+            (col("c_acctbal") + 100.0).as("bal")))
+        VersionedStore.commit(s, root, iv1, "t1-history")
+        val iv2 = iv1
+          .withColumn("bal",
+            when(k % 5 === 0 && col("valid_from") === "1994-01-01",
+              col("bal") - 50.0).otherwise(col("bal")))
+          .withColumn("valid_to",
+            when(k % 7 === 0 && col("valid_from") === "1995-01-01",
+              lit("1996-01-01")).otherwise(col("valid_to")))
+          .unionByName(cust.filter(k % 7 === 0)
+            .select(k, col("c_nationkey"),
+              lit("1996-01-01").as("valid_from"),
+              lit(null).cast("string").as("valid_to"),
+              (col("c_acctbal") + 200.0).as("bal")))
+        VersionedStore.commit(s, root, iv2, "t2-restatement")
+        def rolled(tv: Long, v: String, out: String) =
+          Bitemporal.asKnownAt(s, root, tv, lit(v))
+            .groupBy("c_nationkey")
+            .agg(count(lit(1)).as(s"n_$out"),
+              sum(expr("CAST(floor(bal * 10000 + 0.5) AS BIGINT)"))
+                .as(out))
+        rolled(1L, "1994-06-15", "bal94_v1_e4")
+          .join(rolled(2L, "1994-06-15", "bal94_v2_e4"), Seq("c_nationkey"))
+          .join(rolled(2L, "1996-06-15", "bal96_v2_e4"), Seq("c_nationkey"))
+          .select(col("c_nationkey"), col("n_bal94_v1_e4").as("n"),
+            col("bal94_v1_e4"), col("bal94_v2_e4"), col("bal96_v2_e4"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(c_acctbal * 10000 + 0.5) AS BIGINT))
+                 AS BIGINT) AS bal94_v1_e4,
+               CAST(sum(CAST(floor(
+                 (CASE WHEN c_custkey % 5 = 0 THEN c_acctbal - 50.0
+                       ELSE c_acctbal END) * 10000 + 0.5) AS BIGINT))
+                 AS BIGINT) AS bal94_v2_e4,
+               CAST(sum(CAST(floor(
+                 (CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 200.0
+                       ELSE c_acctbal + 100.0 END) * 10000 + 0.5) AS BIGINT))
+                 AS BIGINT) AS bal96_v2_e4
+             FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
     Q("w6_event_deltas",
       // lag/lead family: per-user inter-event gaps (seconds since the
       // previous event) rolled up to per-user cadence stats. Gap average
