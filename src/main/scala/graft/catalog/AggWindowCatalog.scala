@@ -1285,6 +1285,88 @@ object AggWindowCatalog {
                  AS BIGINT) AS bal96_v2_e4
              FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
 
+    Q("t20_expectations",
+      // Data-quality expectations (graft.operators.Expectations — the
+      // DLT expect / expect_or_drop / expect_or_fail ladder + Delta
+      // CHECK constraints in one codegen'd pass): four rules over
+      // orders — a fail gate with zero violations (so enforce()'s
+      // batch-refusal path is EXERCISED and passes), three drop rules
+      // (one violated by the price tail, one by the driver's planted
+      // o_orderkey = 0 row, one clean), one warn rule violated by
+      // every non-final order. The output derives the
+      // per-rule counts from the metrics aggregate but the
+      // _pass_/_quarantine_ rows from the SPLIT FRAMES themselves, and
+      // _quar_marks_ sums size(_violations) over quarantine — so a
+      // green row proves the split matches the rule set AND the
+      // per-row annotation (incl. warn names recorded on quarantined
+      // rows), not just that counting works. NULL semantics are SQL
+      // CHECK (null passes); both engines agree because the oracle's
+      // NOT(pred) FILTER drops nulls identically.
+      (s, d) => {
+        import graft.operators.Expectations
+        import graft.operators.Expectations.Expectation
+        val rules = Seq(
+          Expectation("key_nonneg", col("o_orderkey") >= 0, "fail"),
+          Expectation("key_positive", col("o_orderkey") > 0, "drop"),
+          Expectation("prio_known", col("o_orderpriority").isin(
+            "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+            "5-LOW"), "drop"),
+          Expectation("status_final", col("o_orderstatus") === "F",
+            "warn"),
+          Expectation("total_cap", col("o_totalprice") < 400000.0,
+            "drop"))
+        val a = Expectations.enforce(t(s, d, "orders"), rules)
+        a.metrics.filter(!col("rule").isin("_pass_", "_quarantine_"))
+          .unionByName(a.pass.agg(count(lit(1)).as("violations"))
+            .select(lit("_pass_").as("rule"), lit("rows").as("mode"),
+              col("violations")))
+          .unionByName(a.quarantine.agg(count(lit(1)).as("violations"))
+            .select(lit("_quarantine_").as("rule"),
+              lit("rows").as("mode"), col("violations")))
+          .unionByName(a.quarantine
+            .agg(coalesce(sum(size(col(Expectations.ViolCol))),
+              lit(0)).cast("long").as("violations"))
+            .select(lit("_quar_marks_").as("rule"),
+              lit("marks").as("mode"), col("violations")))
+          .orderBy("rule")
+      },
+      Some("""WITH o AS (SELECT
+               (o_orderkey >= 0) AS keynn_ok,
+               (o_orderkey > 0) AS key_ok,
+               (o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM',
+                 '4-NOT SPECIFIED','5-LOW')) AS prio_ok,
+               (o_orderstatus = 'F') AS status_ok,
+               (o_totalprice < 400000.0) AS cap_ok
+             FROM orders)
+             SELECT rule, mode, violations FROM (
+               SELECT 'key_nonneg' AS rule, 'fail' AS mode,
+                 CAST(count(*) FILTER (WHERE NOT keynn_ok) AS BIGINT)
+                   AS violations FROM o
+               UNION ALL SELECT 'key_positive', 'drop',
+                 CAST(count(*) FILTER (WHERE NOT key_ok) AS BIGINT) FROM o
+               UNION ALL SELECT 'prio_known', 'drop',
+                 CAST(count(*) FILTER (WHERE NOT prio_ok) AS BIGINT) FROM o
+               UNION ALL SELECT 'status_final', 'warn',
+                 CAST(count(*) FILTER (WHERE NOT status_ok) AS BIGINT) FROM o
+               UNION ALL SELECT 'total_cap', 'drop',
+                 CAST(count(*) FILTER (WHERE NOT cap_ok) AS BIGINT) FROM o
+               UNION ALL SELECT '_pass_', 'rows',
+                 CAST(count(*) FILTER (WHERE keynn_ok AND key_ok
+                   AND prio_ok AND cap_ok) AS BIGINT) FROM o
+               UNION ALL SELECT '_quarantine_', 'rows',
+                 CAST(count(*) FILTER (WHERE NOT (keynn_ok AND key_ok
+                   AND prio_ok AND cap_ok)) AS BIGINT) FROM o
+               UNION ALL SELECT '_quar_marks_', 'marks',
+                 CAST(count(*) FILTER (WHERE NOT keynn_ok)
+                   + count(*) FILTER (WHERE NOT key_ok)
+                   + count(*) FILTER (WHERE NOT prio_ok)
+                   + count(*) FILTER (WHERE NOT cap_ok)
+                   + count(*) FILTER (WHERE NOT status_ok
+                       AND NOT (keynn_ok AND key_ok AND prio_ok
+                         AND cap_ok))
+                   AS BIGINT) FROM o
+             ) ORDER BY rule""")),
+
     Q("w6_event_deltas",
       // lag/lead family: per-user inter-event gaps (seconds since the
       // previous event) rolled up to per-user cadence stats. Gap average

@@ -1115,8 +1115,119 @@ object GraphCatalog {
       // (the sf1 corpus is 10 disjoint copies of sf0.1's graph, so the
       // diameter is unchanged); 48 = ~1.8x margin, and the guard turns
       // any overrun into a loud empty-result failure
-      Some(sccOracle(peels = 4, trims = 24, propRounds = 48)))
+      Some(sccOracle(peels = 4, trims = 24, propRounds = 48))),
+
+    Q("g_msf_forest",
+      // Boruvka minimum spanning forest (operators/Boruvka) over the
+      // part--supplier bipartite graph of rare line items (quantity
+      // <= 2, every 7th supplier — just sparse enough that the forest
+      // has several trees instead of one giant span): node ids encode
+      // part as 2k / supplier as 2k+1, weights are integer cent-units
+      // of the cheapest such line per pair, and the (w, a, b) ranking
+      // makes the MSF unique — so the oracle's replay of the SAME
+      // deterministic rounds (staged temp-table Boruvka: window-ranked
+      // hook, 2-cycle root resolution, 24 pointer jumps, all guarded)
+      // must produce the identical forest. Output is the per-tree
+      // rollup: a wrong edge anywhere moves w_e2; n_edges = n_nodes-1
+      // is the tree invariant carried as data. Measured rounds: 3 at
+      // sf0.01, 5 at sf0.1 (sf1 = disjoint copies, depth unchanged);
+      // the oracle unrolls 10 with a loud cross-edges-remain guard.
+      (s, d) => {
+        val e = t(s, d, "lineitem")
+          .filter(col("l_quantity") <= 2 && col("l_suppkey") % 7 === 0)
+          .select((col("l_partkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"),
+            expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+              .as("w"))
+        val msf = graft.operators.Boruvka.minimumSpanningForest(e)
+        val nodes = msf.select(col("tree"), col("a").as("node"))
+          .union(msf.select(col("tree"), col("b")))
+          .distinct()
+          .groupBy("tree").agg(count(lit(1)).as("n_nodes"))
+        msf.groupBy("tree")
+          .agg(count(lit(1)).as("n_edges"), sum("w").as("w_e2"),
+            min("w").as("w_min"), max("w").as("w_max"))
+          .join(nodes, Seq("tree"))
+          .select(col("tree"), col("n_nodes"), col("n_edges"),
+            col("w_e2"), col("w_min"), col("w_max"))
+          .orderBy("tree")
+      },
+      Some(boruvkaOracle(rounds = 10, jumps = 24)))
   )
+
+  /** Staged temp-table Boruvka oracle: `rounds` unrolled hook+contract
+    * rounds (window-ranked min edge per component, mutual-pair root
+    * resolution, `jumps` pointer-jump statements per round), with a
+    * jump-flatness guard per round and a final cross-edges-remain
+    * guard — any overrun empties the final select, never truncates. */
+  private def boruvkaOracle(rounds: Int, jumps: Int): String = {
+    val jump = (1 to jumps).map { _ =>
+      """CREATE OR REPLACE TEMP TABLE bo_p2 AS
+         SELECT x.c, coalesce(y.p, x.p) AS p
+         FROM bo_p x LEFT JOIN bo_p y ON y.c = x.p;
+         CREATE OR REPLACE TEMP TABLE bo_p AS SELECT * FROM bo_p2;"""
+    }.mkString("\n")
+    val round =
+      s"""CREATE OR REPLACE TEMP TABLE bo_ce AS
+          SELECT p.c AS ca, q.c AS cb, e.w, e.a, e.b
+          FROM bo_e e JOIN bo_c p ON p.node = e.a
+            JOIN bo_c q ON q.node = e.b
+          WHERE p.c <> q.c;
+          CREATE OR REPLACE TEMP TABLE bo_pick AS
+          SELECT c, w, a, b, other FROM (
+            SELECT *, row_number() OVER (PARTITION BY c
+              ORDER BY w, a, b) AS rn
+            FROM (SELECT ca AS c, cb AS other, w, a, b FROM bo_ce
+                  UNION ALL SELECT cb, ca, w, a, b FROM bo_ce))
+          WHERE rn = 1;
+          INSERT INTO bo_msf SELECT DISTINCT a, b, w FROM bo_pick;
+          CREATE OR REPLACE TEMP TABLE bo_p AS
+          SELECT p.c, CASE WHEN q.other = p.c THEN least(p.c, p.other)
+                           ELSE p.other END AS p
+          FROM bo_pick p JOIN bo_pick q ON q.c = p.other;
+          $jump
+          INSERT INTO bo_guard
+          SELECT count(*) FROM bo_p x JOIN bo_p y
+            ON y.c = x.p AND y.p <> x.p;
+          CREATE OR REPLACE TEMP TABLE bo_c2 AS
+          SELECT c0.node, coalesce(p.p, c0.c) AS c
+          FROM bo_c c0 LEFT JOIN bo_p p ON p.c = c0.c;
+          CREATE OR REPLACE TEMP TABLE bo_c AS SELECT * FROM bo_c2;"""
+    s"""CREATE OR REPLACE TEMP TABLE bo_e AS
+        SELECT CAST(l_partkey * 2 AS BIGINT) AS a,
+          CAST(l_suppkey * 2 + 1 AS BIGINT) AS b,
+          min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS w
+        FROM lineitem
+        WHERE l_quantity <= 2 AND l_suppkey % 7 = 0
+        GROUP BY 1, 2;
+        CREATE OR REPLACE TEMP TABLE bo_c AS
+        SELECT a AS node, a AS c FROM bo_e
+        UNION SELECT b, b FROM bo_e;
+        CREATE OR REPLACE TEMP TABLE bo_msf AS
+        SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b,
+          CAST(NULL AS BIGINT) AS w WHERE false;
+        CREATE OR REPLACE TEMP TABLE bo_guard AS
+        SELECT CAST(0 AS BIGINT) AS bad WHERE false;
+        ${(1 to rounds).map(_ => round).mkString("\n")}
+        INSERT INTO bo_guard
+        SELECT count(*) FROM bo_e e JOIN bo_c p ON p.node = e.a
+          JOIN bo_c q ON q.node = e.b
+        WHERE p.c <> q.c;
+        CREATE OR REPLACE TEMP TABLE bo_tree AS
+        SELECT node, min(node) OVER (PARTITION BY c) AS tree FROM bo_c;
+        SELECT m.tree, m.n_nodes, e.n_edges, e.w_e2, e.w_min, e.w_max
+        FROM (SELECT tree, CAST(count(*) AS BIGINT) AS n_nodes
+              FROM bo_tree GROUP BY tree) m
+        JOIN (SELECT t.tree, CAST(count(*) AS BIGINT) AS n_edges,
+                CAST(sum(f.w) AS BIGINT) AS w_e2,
+                CAST(min(f.w) AS BIGINT) AS w_min,
+                CAST(max(f.w) AS BIGINT) AS w_max
+              FROM bo_msf f JOIN bo_tree t ON t.node = f.a
+              GROUP BY t.tree) e
+          ON e.tree = m.tree
+        WHERE (SELECT coalesce(sum(bad), 0) FROM bo_guard) = 0
+        ORDER BY m.tree"""
+  }
 
   /** Staged temp-table SCC oracle: FW-BW-Trim with MAX-label coloring
     * (deliberately the opposite label order from operators/Scc — the

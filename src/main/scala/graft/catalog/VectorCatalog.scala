@@ -1890,8 +1890,162 @@ object VectorCatalog {
                 WHERE n.src < $QN GROUP BY n.src) h
               ON h.src = g.src
             ORDER BY q_id"""
-      })
+      }),
+
+    Q("v_mmr_rerank",
+      // MMR diverse re-ranking (operators/Mmr — Carbonell-Goldstein):
+      // top-16 cosine candidates per query re-ranked to 5 with
+      // lambda = 0.5, so every pick past the first trades relevance
+      // against redundancy vs the already-picked set. Both engines
+      // compute the same IEEE doubles (index-ordered dot products,
+      // plain arithmetic), every argmax ties by candidate id, and the
+      // oracle replays the identical greedy with 4 unrolled
+      // insert-rounds — selection AND scores must match. Scale: MMR
+      // runs on the bounded top-N frame (retrieval already happened),
+      // k constant rounds of bounded joins; the corpus never appears.
+      (s, d) => {
+        graft.functions.DotProduct.register(s)
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").as("v"),
+            expr("sqrt(dot_product(embedding, embedding))").as("nrm"))
+        val q = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q"), col("v").as("qv"),
+            col("nrm").as("qn"))
+        val c = e.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("c"), col("v").as("cv"),
+            col("nrm").as("cn"))
+        val w = Window.partitionBy("q")
+          .orderBy(col("rel").desc, col("c").asc)
+        val cand = q.crossJoin(c)
+          .withColumn("rel", cosCol("qv", "cv", "qn", "cn"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 16)
+          .select(col("q"), col("c"), col("rel"), col("cv"), col("cn"))
+        val sims = cand.select(col("q"), col("c").as("c1"),
+            col("cv").as("v1"), col("cn").as("n1"))
+          .join(cand.select(col("q"), col("c").as("c2"),
+            col("cv").as("v2"), col("cn").as("n2")), Seq("q"))
+          .filter(col("c1") =!= col("c2"))
+          .select(col("q"), col("c1"), col("c2"),
+            (expr("dot_product(v1, v2)") / (col("n1") * col("n2")))
+              .as("sim"))
+        graft.operators.Mmr
+          .rerank(cand.select("q", "c", "rel"), sims, 5, 0.5)
+          .select(col("q").as("q_id"), col("rank"), col("c").as("c_id"),
+            round(col("score"), 4).as("score"))
+          .orderBy("q_id", "rank")
+      },
+      Some(mmrOracle(k = 5))),
+
+    Q("v_kcenter_coreset",
+      // Greedy k-center coreset (operators/KCenter — Gonzalez's
+      // 2-approximation): 8 diversity-maximizing representatives of
+      // the embedding corpus, radius audited per pick. Selection is
+      // deterministic (first = least id, then farthest-point with
+      // least-id ties on identical IEEE doubles), so the oracle's
+      // staged replay must land on the same centers AND the same
+      // radii to the micro-unit. The radius column is the coverage
+      // guarantee the coreset ships with — non-increasing by
+      // construction, and within 2x of the optimal k-center radius by
+      // the classic bound. Scale: k linear passes, each one 1-row
+      // broadcast + argmax aggregate; no pairwise matrix anywhere.
+      (s, d) => {
+        graft.functions.DotProduct.register(s)
+        val pts = t(s, d, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("v"),
+            expr("sqrt(dot_product(embedding, embedding))").as("nrm"))
+        graft.operators.KCenter.select(pts, 8)
+          .select(col("rank"), col("center"),
+            expr("CAST(floor(radius * 1e6 + 0.5) AS BIGINT)")
+              .as("radius_ppm"))
+          .orderBy("rank")
+      },
+      Some(kcenterOracle(k = 8)))
   )
+
+  /** Staged Gonzalez replay: running dmin update against the current
+    * center, max(dmin) radius audit, farthest-point argmax with
+    * least-id ties — k unrolled rounds. */
+  private def kcenterOracle(k: Int): String = {
+    val round = (1 to k).map { r =>
+      s"""CREATE OR REPLACE TEMP TABLE kc_st2 AS
+          SELECT s.id, s.v, s.nrm,
+            least(s.dmin, 1.0 - list_dot_product(s.v, c.v)
+              / (s.nrm * c.nrm)) AS dmin
+          FROM kc_st s, kc_cur c;
+          CREATE OR REPLACE TEMP TABLE kc_st AS SELECT * FROM kc_st2;
+          INSERT INTO kc_res
+          SELECT $r, c.id, (SELECT max(dmin) FROM kc_st) FROM kc_cur c;
+          CREATE OR REPLACE TEMP TABLE kc_cur AS
+          SELECT id, v, nrm FROM kc_st ORDER BY dmin DESC, id LIMIT 1;"""
+    }.mkString("\n")
+    s"""CREATE OR REPLACE TEMP TABLE kc_st AS
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+            CAST(embedding AS DOUBLE[]))) AS nrm,
+          1e9 AS dmin
+        FROM embeddings;
+        CREATE OR REPLACE TEMP TABLE kc_cur AS
+        SELECT id, v, nrm FROM kc_st ORDER BY id LIMIT 1;
+        CREATE OR REPLACE TEMP TABLE kc_res AS
+        SELECT CAST(NULL AS BIGINT) AS rank, CAST(NULL AS BIGINT) AS center,
+          CAST(NULL AS DOUBLE) AS radius WHERE false;
+        $round
+        SELECT CAST(rank AS BIGINT) AS rank, center,
+          CAST(floor(radius * 1e6 + 0.5) AS BIGINT) AS radius_ppm
+        FROM kc_res ORDER BY rank"""
+  }
+
+  /** Staged MMR oracle: candidate/sim temp tables from the same
+    * top-16 frame, then k-1 unrolled greedy rounds (argmax of
+    * 0.5*rel - 0.5*max-sim-to-selected, ties by id). */
+  private def mmrOracle(k: Int): String = {
+    val round = (2 to k).map { r =>
+      s"""INSERT INTO mmr_sel
+          SELECT q_id, $r, c_id, score FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY score DESC, c_id) AS rn
+            FROM (SELECT c.q_id, c.c_id,
+                0.5 * c.rel - 0.5 * max(m.sim) AS score
+              FROM mmr_cand c
+              JOIN mmr_sel s ON s.q_id = c.q_id
+              JOIN mmr_sim m ON m.q_id = c.q_id AND m.c1 = c.c_id
+                AND m.c2 = s.c_id
+              WHERE NOT EXISTS (SELECT 1 FROM mmr_sel s2
+                WHERE s2.q_id = c.q_id AND s2.c_id = c.c_id)
+              GROUP BY c.q_id, c.c_id, c.rel))
+          WHERE rn = 1;"""
+    }.mkString("\n")
+    s"""CREATE OR REPLACE TEMP TABLE mmr_e AS
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+            CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings;
+        CREATE OR REPLACE TEMP TABLE mmr_cand AS
+        SELECT q_id, c_id, rel, cv, cn FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY rel DESC, c_id) AS rn
+          FROM (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+              list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS rel,
+              c.v AS cv, c.nrm AS cn
+            FROM mmr_e q, mmr_e c
+            WHERE q.vec_id < 3 AND c.vec_id >= 5))
+        WHERE rn <= 16;
+        CREATE OR REPLACE TEMP TABLE mmr_sim AS
+        SELECT a.q_id, a.c_id AS c1, b.c_id AS c2,
+          list_dot_product(a.cv, b.cv) / (a.cn * b.cn) AS sim
+        FROM mmr_cand a JOIN mmr_cand b
+          ON a.q_id = b.q_id AND a.c_id <> b.c_id;
+        CREATE OR REPLACE TEMP TABLE mmr_sel AS
+        SELECT q_id, 1 AS rank, c_id, score FROM (
+          SELECT q_id, c_id, 0.5 * rel AS score, row_number()
+            OVER (PARTITION BY q_id ORDER BY 0.5 * rel DESC, c_id) AS rn
+          FROM mmr_cand)
+        WHERE rn = 1;
+        $round
+        SELECT q_id, rank, c_id, round(score, 4) AS score
+        FROM mmr_sel ORDER BY q_id, rank"""
+  }
 
   /** Top-32 candidates per query (vec_id < 10) by Hamming distance over
     * 64-bit sign codes — the coarse stage shared by v_hamming_ann and
