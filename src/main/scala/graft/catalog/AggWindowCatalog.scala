@@ -1367,6 +1367,65 @@ object AggWindowCatalog {
                    AS BIGINT) FROM o
              ) ORDER BY rule""")),
 
+    Q("t21_wap",
+      // Write-Audit-Publish (graft.temporal.Wap — Iceberg's WAP
+      // pattern over VersionedStore + Expectations): the clean batch
+      // (keys > 0) stages, audits against the STAGED FILES, and
+      // publishes by RENAME as v1; the raw batch stages next and the
+      // driver's planted o_orderkey = 0 row trips the drop-mode gate —
+      // the publish aborts all-or-nothing (the Iceberg shape: a
+      // snapshot publishes whole or not at all), the staged dir is
+      // swept, and the store still reads exactly the v1 rows. Warn
+      // violations count without blocking. Every output value derives
+      // from the base table in the oracle, so a wrong gate decision,
+      // a leaked abort, or a publish rewrite breaks the hash.
+      (s, d) => {
+        import graft.temporal.{VersionedStore, Wap}
+        import graft.operators.Expectations.Expectation
+        import s.implicits._
+        val root = Q.scratch(s, d, "t21")
+        val ord = t(s, d, "orders")
+        val rules = Seq(
+          Expectation("key_positive", col("o_orderkey") > 0, "drop"),
+          Expectation("status_final", col("o_orderstatus") === "F",
+            "warn"))
+        val w1 = Wap.writeAuditPublish(s, root,
+          ord.filter(col("o_orderkey") > 0), rules, "clean")
+        val w2 = Wap.writeAuditPublish(s, root, ord, rules, "raw")
+        def of(m: Array[(String, String, Long)], rule: String): Long =
+          m.collectFirst { case (`rule`, _, n) => n }.get
+        Seq(
+          ("published_version", w1.published.get),
+          ("aborted_publishes", if (w2.published.isEmpty) 1L else 0L),
+          ("abort_sample_rows", w2.quarantineSample.length.toLong),
+          ("store_versions",
+            VersionedStore.versions(s, root).size.toLong),
+          ("abort_gate_violations", of(w2.metrics, "key_positive")),
+          ("warn_violations_published", of(w1.metrics, "status_final")))
+          .toDF("metric", "n")
+          .unionByName(VersionedStore.read(s, root)
+            .agg(count(lit(1)).as("n"))
+            .select(lit("store_rows").as("metric"), col("n")))
+          .orderBy("metric")
+      },
+      Some("""SELECT metric, n FROM (
+               SELECT 'abort_gate_violations' AS metric,
+                 CAST(count(*) FILTER (WHERE NOT (o_orderkey > 0))
+                   AS BIGINT) AS n FROM orders
+               UNION ALL SELECT 'abort_sample_rows',
+                 CAST(least(count(*) FILTER (WHERE NOT (o_orderkey > 0)),
+                   100) AS BIGINT) FROM orders
+               UNION ALL SELECT 'aborted_publishes', CAST(1 AS BIGINT)
+               UNION ALL SELECT 'published_version', CAST(1 AS BIGINT)
+               UNION ALL SELECT 'store_rows',
+                 CAST(count(*) FILTER (WHERE o_orderkey > 0) AS BIGINT)
+                 FROM orders
+               UNION ALL SELECT 'store_versions', CAST(1 AS BIGINT)
+               UNION ALL SELECT 'warn_violations_published',
+                 CAST(count(*) FILTER (WHERE NOT (o_orderstatus = 'F')
+                   AND o_orderkey > 0) AS BIGINT) FROM orders)
+             ORDER BY metric""")),
+
     Q("w6_event_deltas",
       // lag/lead family: per-user inter-event gaps (seconds since the
       // previous event) rolled up to per-user cadence stats. Gap average

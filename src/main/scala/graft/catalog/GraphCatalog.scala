@@ -1152,8 +1152,89 @@ object GraphCatalog {
             col("w_e2"), col("w_min"), col("w_max"))
           .orderBy("tree")
       },
-      Some(boruvkaOracle(rounds = 10, jumps = 24)))
+      Some(boruvkaOracle(rounds = 10, jumps = 24))),
+
+    Q("g_temporal_reach",
+      // Time-respecting earliest arrival (operators/TemporalGraph —
+      // Kempe et al.'s temporal reachability): the full line-successor
+      // part graph with t = the receiving line's ship day, sources =
+      // every 200th part, arrival 0. An edge extends a path only when
+      // its timestamp is >= the arrival at its tail, so this wave is
+      // NOT static reachability (a late edge into an early hub carries
+      // nothing) — the contagion/provenance primitive. Output is the
+      // arrival-year wave (count + min/max arrival day per year): the
+      // measured fixpoint needs 11 rounds at sf0.01 / 15 at sf0.1
+      // (sf1 = disjoint copies, depth unchanged); the oracle unrolls
+      // 24 with a one-more-round change guard that empties the result
+      // on overrun.
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_shipdate"))
+        val nxt = li.select(col("l_orderkey"),
+          (col("l_linenumber") - 1).as("l_linenumber"),
+          col("l_partkey").as("p2"), col("l_shipdate").as("sd2"))
+        val edges = li.join(nxt, Seq("l_orderkey", "l_linenumber"))
+          .filter(col("l_partkey") =!= col("p2"))
+          .select(col("l_partkey").as("u"), col("p2").as("v"),
+            datediff(to_date(col("sd2")), to_date(lit("1992-01-01")))
+              .cast("long").as("t"))
+          .distinct()
+        val sources = edges.filter(col("u") % 200 === 0)
+          .select(col("u").as("node")).distinct()
+        graft.operators.TemporalGraph.earliestArrival(edges, sources)
+          .groupBy(expr("CAST(arr div 365 AS BIGINT)").as("yr"))
+          .agg(count(lit(1)).as("n_parts"),
+            min("arr").cast("long").as("first_day"),
+            max("arr").cast("long").as("last_day"))
+          .orderBy("yr")
+      },
+      Some(temporalReachOracle(rounds = 24)))
   )
+
+  /** Staged earliest-arrival oracle: `rounds` unrolled relaxations
+    * (frontier hash join staged through tr_h so the time predicate is
+    * a post-filter, min-merge), then one more relaxation whose change
+    * count lands in tr_guard — overrun empties the final select. */
+  private def temporalReachOracle(rounds: Int): String = {
+    val relax =
+      """CREATE OR REPLACE TEMP TABLE tr_h AS
+         SELECT e.v, e.t, x.a FROM tr_e e JOIN tr_arr x ON x.node = e.u;
+         CREATE OR REPLACE TEMP TABLE tr_upd AS
+         SELECT v AS node, min(t) AS a FROM tr_h WHERE t >= a GROUP BY v;"""
+    val round = relax +
+      """
+         CREATE OR REPLACE TEMP TABLE tr_arr2 AS
+         SELECT node, min(a) AS a FROM (
+           SELECT * FROM tr_arr UNION ALL SELECT * FROM tr_upd)
+         GROUP BY node;
+         CREATE OR REPLACE TEMP TABLE tr_arr AS SELECT * FROM tr_arr2;"""
+    s"""CREATE OR REPLACE TEMP TABLE tr_e AS
+        SELECT a.l_partkey AS u, b.l_partkey AS v,
+          date_diff('day', TIMESTAMP '1992-01-01', b.l_shipdate) AS t
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey
+          AND b.l_linenumber = a.l_linenumber + 1
+        WHERE a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2, 3;
+        CREATE OR REPLACE TEMP TABLE tr_arr AS
+        SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS a
+        FROM tr_e WHERE u % 200 = 0;
+        CREATE OR REPLACE TEMP TABLE tr_guard AS
+        SELECT CAST(0 AS BIGINT) AS bad WHERE false;
+        ${(1 to rounds).map(_ => round).mkString("\n")}
+        $relax
+        INSERT INTO tr_guard
+        SELECT count(*) FROM tr_upd u LEFT JOIN tr_arr x ON x.node = u.node
+        WHERE x.node IS NULL OR u.a < x.a;
+        SELECT CAST(a // 365 AS BIGINT) AS yr,
+          CAST(count(*) AS BIGINT) AS n_parts,
+          CAST(min(a) AS BIGINT) AS first_day,
+          CAST(max(a) AS BIGINT) AS last_day
+        FROM tr_arr
+        WHERE (SELECT coalesce(sum(bad), 0) FROM tr_guard) = 0
+        GROUP BY 1 ORDER BY yr"""
+  }
 
   /** Staged temp-table Boruvka oracle: `rounds` unrolled hook+contract
     * rounds (window-ranked min edge per component, mutual-pair root
@@ -1167,12 +1248,19 @@ object GraphCatalog {
          FROM bo_p x LEFT JOIN bo_p y ON y.c = x.p;
          CREATE OR REPLACE TEMP TABLE bo_p AS SELECT * FROM bo_p2;"""
     }.mkString("\n")
+    // the comp-space projection is STAGED through bo_h so the
+    // inequality is only ever a post-filter: DuckDB's join-order
+    // optimizer otherwise picks `bo_c x bo_c ON p.c <> q.c` as the
+    // first join — a nested-loop over |nodes|^2 pairs that turns a
+    // 34k-edge round into minutes at sf1
     val round =
-      s"""CREATE OR REPLACE TEMP TABLE bo_ce AS
-          SELECT p.c AS ca, q.c AS cb, e.w, e.a, e.b
-          FROM bo_e e JOIN bo_c p ON p.node = e.a
-            JOIN bo_c q ON q.node = e.b
-          WHERE p.c <> q.c;
+      s"""CREATE OR REPLACE TEMP TABLE bo_h AS
+          SELECT p.c AS ca, e.w, e.a, e.b
+          FROM bo_e e JOIN bo_c p ON p.node = e.a;
+          CREATE OR REPLACE TEMP TABLE bo_ce AS
+          SELECT h.ca, q.c AS cb, h.w, h.a, h.b
+          FROM bo_h h JOIN bo_c q ON q.node = h.b
+          WHERE h.ca <> q.c;
           CREATE OR REPLACE TEMP TABLE bo_pick AS
           SELECT c, w, a, b, other FROM (
             SELECT *, row_number() OVER (PARTITION BY c
@@ -1187,8 +1275,10 @@ object GraphCatalog {
           FROM bo_pick p JOIN bo_pick q ON q.c = p.other;
           $jump
           INSERT INTO bo_guard
-          SELECT count(*) FROM bo_p x JOIN bo_p y
-            ON y.c = x.p AND y.p <> x.p;
+          SELECT count(*) FROM (
+            SELECT x.p AS xp, y.p AS yp
+            FROM bo_p x JOIN bo_p y ON y.c = x.p) z
+          WHERE z.yp <> z.xp;
           CREATE OR REPLACE TEMP TABLE bo_c2 AS
           SELECT c0.node, coalesce(p.p, c0.c) AS c
           FROM bo_c c0 LEFT JOIN bo_p p ON p.c = c0.c;
@@ -1209,10 +1299,11 @@ object GraphCatalog {
         CREATE OR REPLACE TEMP TABLE bo_guard AS
         SELECT CAST(0 AS BIGINT) AS bad WHERE false;
         ${(1 to rounds).map(_ => round).mkString("\n")}
+        CREATE OR REPLACE TEMP TABLE bo_h AS
+        SELECT p.c AS ca, e.b FROM bo_e e JOIN bo_c p ON p.node = e.a;
         INSERT INTO bo_guard
-        SELECT count(*) FROM bo_e e JOIN bo_c p ON p.node = e.a
-          JOIN bo_c q ON q.node = e.b
-        WHERE p.c <> q.c;
+        SELECT count(*) FROM bo_h h JOIN bo_c q ON q.node = h.b
+        WHERE h.ca <> q.c;
         CREATE OR REPLACE TEMP TABLE bo_tree AS
         SELECT node, min(node) OVER (PARTITION BY c) AS tree FROM bo_c;
         SELECT m.tree, m.n_nodes, e.n_edges, e.w_e2, e.w_min, e.w_max

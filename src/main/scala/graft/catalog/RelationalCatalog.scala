@@ -541,6 +541,31 @@ object RelationalCatalog {
       Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
              ORDER BY c_acctbal DESC, c_custkey LIMIT 10""")),
 
+    Q("o3_skyline_parts",
+      // Skyline / Pareto frontier (operators/Skyline): per-brand parts
+      // where no brand-mate is both cheaper and at-least-as-large
+      // (minimize price, maximize size — negated into the minimize
+      // convention). The Spark side is the 2-D WINDOW algebra (dense
+      // rank + running strict-x min + same-x min; zero dominance
+      // joins); the oracle is the textbook NOT EXISTS dominance
+      // definition — independent formulations, so green proves the
+      // window algebra IS dominance. The frontier set is unique
+      // (ties on both dims are mutually non-dominating).
+      (s, d) => graft.operators.Skyline.pareto2d(t(s, d, "part"),
+          col("p_brand"), col("p_retailprice"), -col("p_size"))
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          col("p_size").cast("long").as("p_size"))
+        .orderBy("p_brand", "p_partkey"),
+      Some("""SELECT p_brand, p_partkey, p_retailprice,
+               CAST(p_size AS BIGINT) AS p_size
+             FROM part r WHERE NOT EXISTS (
+               SELECT 1 FROM part s WHERE s.p_brand = r.p_brand
+                 AND s.p_retailprice <= r.p_retailprice
+                 AND s.p_size >= r.p_size
+                 AND (s.p_retailprice < r.p_retailprice
+                      OR s.p_size > r.p_size))
+             ORDER BY p_brand, p_partkey""")),
+
     Q("u1_union_hetero",
       (s, d) => t(s, d, "customer")
         .select(lit("customer").as("entity_type"), col("c_custkey").as("id"),

@@ -93,15 +93,24 @@ object Boruvka {
         var j = 0
         var flat = false
         while (j < maxJump && !flat) {
-          val nxt = par
+          // two pointer hops per materialization (depth^(1/4) per
+          // round), with the movement flag computed IN-plan so the
+          // convergence probe is a scan of the cached cut, not a
+          // recomputed self-join — job count is what dominates here,
+          // the frames are component-sized
+          val once = par
             .join(par.select(col("c").as("p"), col("p").as("pp")),
               Seq("p"), "left")
-            .select(col("c"), coalesce(col("pp"), col("p")).as("p"))
+            .select(col("c"), col("p").as("p0"),
+              coalesce(col("pp"), col("p")).as("p"))
+          val nxt = once
+            .join(once.select(col("c").as("p"), col("p").as("pp")),
+              Seq("p"), "left")
+            .select(col("c"), coalesce(col("pp"), col("p")).as("p"),
+              (coalesce(col("pp"), col("p")) =!= col("p0")).as("moved"))
             .cutLineage()
-          flat = nxt
-            .join(nxt.select(col("c").as("p"), col("p").as("pp")), Seq("p"))
-            .filter(col("pp") =!= col("p")).isEmpty
-          par = nxt
+          flat = nxt.filter(col("moved")).isEmpty
+          par = nxt.drop("moved")
           j += 1
           gc.endRound()
         }

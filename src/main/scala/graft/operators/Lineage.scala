@@ -35,12 +35,22 @@ object Lineage {
     * blocks instead of re-running the round's joins; the cache is
     * dropped as soon as the durable copy exists, so steady-state memory
     * holds at most one round's frame. */
-  def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try df.checkpoint()
-      finally df.unpersist(blocking = false)
-    } else df.localCheckpoint()
+  def cut(df: DataFrame): DataFrame = {
+    val cp =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try df.checkpoint()
+        finally df.unpersist(blocking = false)
+      } else df.localCheckpoint()
+    // Checkpoints carry the optimized plan's STATISTICS onto the new
+    // LogicalRDD (SPARK-34295) — under iterative self-joins the
+    // carried sizeInBytes compounds geometrically across rounds until
+    // the driver spends minutes multiplying million-bit BigInts (the
+    // round-11 Boruvka discovery: 160M-bit "estimates" for 342-row
+    // frames). Rebuild on the same materialized RDD with default
+    // stats; AQE measures real sizes at stage boundaries anyway.
+    org.apache.spark.sql.GraftLineageShim.resetStats(cp)
+  }
 
   /** `.cutLineage()` as a chainable postfix, mirroring the
     * `.localCheckpoint()` call sites it replaces. */

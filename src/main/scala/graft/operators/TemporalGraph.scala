@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Lineage.CutOps
+
+/** Time-respecting reachability over a temporal graph (Kempe,
+  * Kleinberg, Kumar 2000; Holme & Saramaki's temporal networks): an
+  * edge (u, v, t) can only extend a path whose arrival at u is <= t,
+  * so "reachable" is a property static reachability over the
+  * flattened graph CANNOT answer — a late edge into an early hub
+  * contributes nothing. The fixpoint computed here is EARLIEST
+  * ARRIVAL: arr(v) = min over time-respecting paths from the source
+  * set of the last edge's timestamp — the contagion/provenance
+  * question (when could the recall notice / the tainted batch / the
+  * rumor first have reached v?).
+  *
+  * Each round is one edge-to-frontier hash join + a min aggregate +
+  * a min-merge — Bellman-Ford-shaped relaxation where rounds are
+  * bounded by the TEMPORAL diameter (measured: 11 at sf0.01, 15 at
+  * sf0.1 on the full successor graph), every join is on the node key,
+  * and the time predicate is a post-join filter (never a join
+  * condition — the [[Boruvka]] round-11 lesson: an inequality in the
+  * join clause invites a planner into a quadratic nested loop). The
+  * convergence probe reads a `moved` flag computed in-plan on the
+  * cached cut; `maxRounds` fails loudly, never truncates.
+  */
+object TemporalGraph {
+
+  /** (node, arr) for every node temporally reachable from `sources`,
+    * arr = earliest arrival day. `edges`: (u, v, t) with integral t;
+    * `sources`: (node) frame, all start at arrival `t0`. */
+  def earliestArrival(edges: DataFrame, sources: DataFrame,
+      t0: Long = 0L, maxRounds: Int = 64): DataFrame = {
+    val gc = new Lineage.RoundGc(edges.sparkSession)
+    val e = edges.select(col("u"), col("v"), col("t")).cutLineage()
+    var arr = sources.select(col("node")).distinct()
+      .withColumn("arr", lit(t0))
+      .withColumn("moved", lit(true)).cutLineage()
+    var r = 0
+    var stable = false
+    while (r < maxRounds && !stable) {
+      val upd = e
+        .join(arr.select(col("node").as("u"), col("arr").as("au")),
+          Seq("u"))
+        .filter(col("t") >= col("au"))
+        .groupBy(col("v").as("node")).agg(min("t").as("cand"))
+      val merged = arr.drop("moved").join(upd, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("arr"), col("cand")),
+            coalesce(col("cand"), col("arr"))).as("arr"),
+          (col("arr").isNull ||
+            (col("cand").isNotNull && col("cand") < col("arr")))
+            .as("moved"))
+        .cutLineage()
+      stable = merged.filter(col("moved")).isEmpty
+      arr = merged
+      r += 1
+      gc.endRound()
+    }
+    require(stable,
+      s"TemporalGraph: earliest-arrival not stable in $maxRounds rounds")
+    arr.select("node", "arr")
+  }
+}

@@ -145,6 +145,34 @@ object VersionedStore {
     n
   }
 
+  /** Publish an EXTERNALLY staged directory as the next version — the
+    * write-audit-publish commit point ([[Wap]]): the staged files move
+    * by RENAME (never rewritten, never re-read), and the manifest
+    * write is the atomic publish exactly as in [[commit]]. The staged
+    * dir must live on the same filesystem as `root`. */
+  def publishDir(spark: SparkSession, root: String, stagedDir: String,
+      operation: String = "wap-publish"): Long = {
+    val fs = fsOf(spark, root)
+    val staged = new Path(stagedDir)
+    require(fs.exists(staged), s"VersionedStore: staged dir $staged missing")
+    val n = currentVersion(spark, root).getOrElse(0L) + 1
+    val data = vDir(root, n)
+    checkedDelete(fs, data) // unmanifested leftover of a crashed publish
+    checkedRename(fs, staged, data)
+    val (files, bytes) = du(fs, data)
+    val logDir = new Path(root, LogDir)
+    if (!fs.exists(logDir))
+      require(fs.mkdirs(logDir), s"VersionedStore: mkdirs $logDir failed")
+    val tmp = new Path(logDir, s".tmp-$n")
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"""{"version":$n,"operation":"$operation","files":$files,"bytes":$bytes}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+    checkedRename(fs, tmp, manifestPath(root, n))
+    n
+  }
+
   /** Time travel: read a pinned version. Fails fast with the retained
     * range when `v` was never committed or has been GC'd. */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
