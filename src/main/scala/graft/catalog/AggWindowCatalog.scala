@@ -1426,6 +1426,41 @@ object AggWindowCatalog {
                    AND o_orderkey > 0) AS BIGINT) FROM orders)
              ORDER BY metric""")),
 
+    Q("w16_seasonal_decomp",
+      // Classical additive seasonal decomposition (operators/Seasonal)
+      // of the hourly event-count series: centered +/-12h RANGE-frame
+      // moving average as trend (gaps shrink the count, never
+      // misalign), per-hour-of-day mean of the detrended series as
+      // the seasonal index. Everything integer-exact (the w9
+      // discipline): counts are BIGINT, the only divisions are single
+      // correctly-rounded IEEE ops under floor, so both engines land
+      // on identical 1e-4-unit indices — no running-average
+      // retraction drift, no float accumulation order anywhere.
+      (s, d) => {
+        import graft.operators.Seasonal
+        val hourly = t(s, d, "events")
+          .groupBy(expr("unix_micros(ts) div 3600000000").as("slot"))
+          .agg(count(lit(1)).as("y"))
+        Seasonal.seasonalIndex(Seasonal.detrend(hourly, 24, 12))
+          .select(col("phase"), col("n_slots"), col("seasonal_e4"))
+          .orderBy("phase")
+      },
+      Some("""WITH hourly AS (
+               SELECT epoch_us(ts) // 3600000000 AS slot,
+                 CAST(count(*) AS BIGINT) AS y
+               FROM events GROUP BY 1),
+             det AS (
+               SELECT slot % 24 AS phase, y,
+                 CAST(floor((sum(y) OVER w * 10000.0)
+                   / count(*) OVER w) AS BIGINT) AS trend_e4
+               FROM hourly
+               WINDOW w AS (ORDER BY slot
+                 RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING))
+             SELECT phase, CAST(count(*) AS BIGINT) AS n_slots,
+               CAST(floor(CAST(sum(y * 10000 - trend_e4) AS DOUBLE)
+                 / count(*)) AS BIGINT) AS seasonal_e4
+             FROM det GROUP BY phase ORDER BY phase""")),
+
     Q("w6_event_deltas",
       // lag/lead family: per-user inter-event gaps (seconds since the
       // previous event) rolled up to per-user cadence stats. Gap average

@@ -1189,7 +1189,77 @@ object GraphCatalog {
             max("arr").cast("long").as("last_day"))
           .orderBy("yr")
       },
-      Some(temporalReachOracle(rounds = 24)))
+      Some(temporalReachOracle(rounds = 24))),
+
+    Q("g_wl_colors",
+      // Weisfeiler-Lehman color refinement (operators/WlRefinement —
+      // 1-WL, the GNN expressiveness bound) on the symmetrized
+      // low-quantity successor graph: 3 rounds of md5(own label +
+      // sorted neighbor multiset), initial color = degree. The top-30
+      // color classes ship with their md5 strings — the strongest
+      // possible cross-engine check: a single mis-sorted multiset,
+      // degree off by one, or hash-input format drift anywhere in 3
+      // rounds changes the md5 and breaks the hash compare.
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .filter(col("l_quantity") <= 15)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey").cast("long").as("p"))
+        val nxt = li.select(col("l_orderkey"),
+          (col("l_linenumber") - 1).as("l_linenumber"),
+          col("p").as("p2"))
+        val edges = li.join(nxt, Seq("l_orderkey", "l_linenumber"))
+          .filter(col("p") =!= col("p2"))
+          .select(col("p").as("src"), col("p2").as("dst"))
+        graft.operators.WlRefinement.colors(edges, rounds = 3)
+          .groupBy("color").agg(count(lit(1)).as("n_nodes"))
+          .orderBy(col("n_nodes").desc, col("color"))
+          .limit(30)
+      },
+      Some("""CREATE OR REPLACE TEMP TABLE wl_e AS
+             SELECT DISTINCT s, d FROM (
+               SELECT CAST(a.l_partkey AS BIGINT) AS s,
+                 CAST(b.l_partkey AS BIGINT) AS d
+               FROM lineitem a JOIN lineitem b
+                 ON a.l_orderkey = b.l_orderkey
+                 AND b.l_linenumber = a.l_linenumber + 1
+               WHERE a.l_partkey <> b.l_partkey
+                 AND a.l_quantity <= 15 AND b.l_quantity <= 15
+               UNION ALL
+               SELECT CAST(b.l_partkey AS BIGINT),
+                 CAST(a.l_partkey AS BIGINT)
+               FROM lineitem a JOIN lineitem b
+                 ON a.l_orderkey = b.l_orderkey
+                 AND b.l_linenumber = a.l_linenumber + 1
+               WHERE a.l_partkey <> b.l_partkey
+                 AND a.l_quantity <= 15 AND b.l_quantity <= 15);
+             CREATE OR REPLACE TEMP TABLE wl_l AS
+             SELECT s AS node, CAST(count(*) AS VARCHAR) AS lbl
+             FROM wl_e GROUP BY s;
+             CREATE OR REPLACE TEMP TABLE wl_n AS
+             SELECT e.d AS node, string_agg(p.lbl, ',' ORDER BY p.lbl) AS ns
+             FROM wl_e e JOIN wl_l p ON p.node = e.s GROUP BY e.d;
+             CREATE OR REPLACE TEMP TABLE wl_l2 AS
+             SELECT l.node, md5(l.lbl || ':' || n.ns) AS lbl
+             FROM wl_l l JOIN wl_n n ON n.node = l.node;
+             CREATE OR REPLACE TEMP TABLE wl_l AS SELECT * FROM wl_l2;
+             CREATE OR REPLACE TEMP TABLE wl_n AS
+             SELECT e.d AS node, string_agg(p.lbl, ',' ORDER BY p.lbl) AS ns
+             FROM wl_e e JOIN wl_l p ON p.node = e.s GROUP BY e.d;
+             CREATE OR REPLACE TEMP TABLE wl_l2 AS
+             SELECT l.node, md5(l.lbl || ':' || n.ns) AS lbl
+             FROM wl_l l JOIN wl_n n ON n.node = l.node;
+             CREATE OR REPLACE TEMP TABLE wl_l AS SELECT * FROM wl_l2;
+             CREATE OR REPLACE TEMP TABLE wl_n AS
+             SELECT e.d AS node, string_agg(p.lbl, ',' ORDER BY p.lbl) AS ns
+             FROM wl_e e JOIN wl_l p ON p.node = e.s GROUP BY e.d;
+             CREATE OR REPLACE TEMP TABLE wl_l2 AS
+             SELECT l.node, md5(l.lbl || ':' || n.ns) AS lbl
+             FROM wl_l l JOIN wl_n n ON n.node = l.node;
+             CREATE OR REPLACE TEMP TABLE wl_l AS SELECT * FROM wl_l2;
+             SELECT lbl AS color, CAST(count(*) AS BIGINT) AS n_nodes
+             FROM wl_l GROUP BY lbl
+             ORDER BY n_nodes DESC, color LIMIT 30"""))
   )
 
   /** Staged earliest-arrival oracle: `rounds` unrolled relaxations

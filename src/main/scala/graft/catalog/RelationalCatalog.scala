@@ -566,6 +566,74 @@ object RelationalCatalog {
                       OR s.p_size > r.p_size))
              ORDER BY p_brand, p_partkey""")),
 
+    Q("j15_golden_record",
+      // Survivorship / golden-record merge (operators/Survivorship —
+      // the MDM step AFTER entity resolution): three record sources
+      // per customer cluster with different trust, freshness, and
+      // coverage — crm (priority 2, gappy: name null on %5 keys, bal
+      // null on %4), web self-service (priority 1, fresher, only %3
+      // keys, no nation), support desk (priority 3, only %7 keys, no
+      // bal). Fields survive INDEPENDENTLY by (priority, recency,
+      // -id) over non-null candidates, so one golden row can splice
+      // support's name with crm's balance — and every survivor
+      // carries provenance. The oracle derives every winner by CASE
+      // arithmetic from the base table: a wrong rule order, a null
+      // treated as a value, or lost provenance breaks the hash.
+      (s, d) => {
+        import graft.operators.Survivorship
+        import graft.operators.Survivorship.FieldRule
+        val c = t(s, d, "customer")
+        val k = col("c_custkey")
+        val crm = c.select(k.as("k"),
+          when(k % 5 === 0, lit(null)).otherwise(col("c_name")).as("nm"),
+          when(k % 4 === 0, lit(null).cast("double"))
+            .otherwise(col("c_acctbal")).as("bal"),
+          col("c_nationkey").as("nat"), lit(2).as("p"), lit(100L).as("r"),
+          (k * 10).as("rid"), lit("crm").as("src"))
+        val web = c.filter(k % 3 === 0).select(k.as("k"),
+          lower(col("c_name")).as("nm"),
+          (col("c_acctbal") + 10.0).as("bal"),
+          lit(null).cast("long").as("nat"), lit(1).as("p"),
+          lit(200L).as("r"), (k * 10 + 1).as("rid"), lit("web").as("src"))
+        val sup = c.filter(k % 7 === 0).select(k.as("k"),
+          upper(col("c_name")).as("nm"),
+          lit(null).cast("double").as("bal"),
+          col("c_nationkey").as("nat"), lit(3).as("p"), lit(50L).as("r"),
+          (k * 10 + 2).as("rid"), lit("support").as("src"))
+        Survivorship.golden(crm.unionByName(web).unionByName(sup),
+            col("k"),
+            Seq(FieldRule("nm", col("nm")), FieldRule("bal", col("bal")),
+              FieldRule("nat", col("nat"))),
+            col("p"), col("r"), col("rid"), col("src"))
+          .select(col("cluster"), col("nm"), col("nm_src"),
+            expr("CAST(floor(bal * 10000 + 0.5) AS BIGINT)").as("bal_e4"),
+            col("bal_src"), col("nat").cast("long").as("nat"),
+            col("nat_src"))
+          .orderBy("cluster")
+      },
+      Some("""SELECT c_custkey AS cluster,
+               CASE WHEN c_custkey % 7 = 0 THEN upper(c_name)
+                    WHEN c_custkey % 5 <> 0 THEN c_name
+                    WHEN c_custkey % 3 = 0 THEN lower(c_name)
+                    ELSE NULL END AS nm,
+               CASE WHEN c_custkey % 7 = 0 THEN 'support'
+                    WHEN c_custkey % 5 <> 0 THEN 'crm'
+                    WHEN c_custkey % 3 = 0 THEN 'web'
+                    ELSE NULL END AS nm_src,
+               CASE WHEN c_custkey % 4 <> 0
+                      THEN CAST(floor(c_acctbal * 10000 + 0.5) AS BIGINT)
+                    WHEN c_custkey % 3 = 0
+                      THEN CAST(floor((c_acctbal + 10.0) * 10000 + 0.5)
+                        AS BIGINT)
+                    ELSE NULL END AS bal_e4,
+               CASE WHEN c_custkey % 4 <> 0 THEN 'crm'
+                    WHEN c_custkey % 3 = 0 THEN 'web'
+                    ELSE NULL END AS bal_src,
+               CAST(c_nationkey AS BIGINT) AS nat,
+               CASE WHEN c_custkey % 7 = 0 THEN 'support'
+                    ELSE 'crm' END AS nat_src
+             FROM customer ORDER BY cluster""")),
+
     Q("u1_union_hetero",
       (s, d) => t(s, d, "customer")
         .select(lit("customer").as("entity_type"), col("c_custkey").as("id"),
