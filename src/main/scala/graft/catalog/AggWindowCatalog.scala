@@ -2501,6 +2501,79 @@ object AggWindowCatalog {
                  - CAST(floor(exact * 100 + 0.5) AS BIGINT)))
                  // CAST(floor(exact * 100 + 0.5) AS BIGINT) AS BIGINT)
                  AS err_ppm
-             FROM exact ORDER BY q"""))
+             FROM exact ORDER BY q""")),
+
+    Q("w17_cusum",
+      // CUSUM changepoint detection (Page 1954) per event type over the
+      // daily count series — the sequential drift detector that fires
+      // on a SUSTAINED upward shift long before any single day trips a
+      // z-score gate (w9's hourly test is the complementary point
+      // detector). Integer-exact throughout: with n active days and
+      // total count S for a type, day i's deviation is d_i = c_i*n - S
+      // (counts cross-multiplied against the mean, the w9 trick), and
+      // the textbook recurrence
+      //   cusum_i = max(0, cusum_{i-1} + d_i)
+      // is NOT a window aggregate — but it has a closed form,
+      //   cusum_i = P_i - min(0, min_{j<=i} P_j)
+      // with P the running prefix sum of d. Two windows sharing the
+      // event_type partitioning (prefix sum + running min) replace the
+      // sequential scan — which is exactly what makes the detector
+      // distributable: each type's series is one hash partition, no
+      // iteration, no state. The oracle deliberately computes the
+      // LITERAL max(0,..) recurrence with a recursive CTE (depth =
+      // days, never rows), so a green row is a machine-checked proof
+      // of the prefix-min identity on this corpus. Alarm threshold
+      // h = 2*S in the same n-scaled units — a cumulative excess worth
+      // two full corpus-days above the mean.
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("c"))
+        val wT = Window.partitionBy("event_type")
+        val wOrd = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily
+          .withColumn("n", count(lit(1)).over(wT))
+          .withColumn("s", sum("c").over(wT))
+          .withColumn("p", sum(expr("c * n - s")).over(wOrd))
+          .withColumn("cusum", col("p") - least(lit(0L), min("p").over(wOrd)))
+          .withColumn("alarm", (col("cusum") > lit(2L) * col("s")).cast("int"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            max("cusum").as("max_cusum"),
+            sum("alarm").as("n_alarm"),
+            coalesce(min(when(col("alarm") === 1, col("day"))), lit(-1L))
+              .as("first_alarm_day"))
+          .orderBy("event_type")
+      },
+      Some("""WITH RECURSIVE daily AS (
+               SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                 CAST(count(*) AS BIGINT) AS c
+               FROM events GROUP BY 1, 2),
+             st AS (
+               SELECT event_type, day, c,
+                 CAST(count(*) OVER w AS BIGINT) AS n,
+                 CAST(sum(c) OVER w AS BIGINT) AS s,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY day) AS rn
+               FROM daily WINDOW w AS (PARTITION BY event_type)),
+             rec AS (
+               SELECT event_type, day, rn, n, s,
+                 CAST(greatest(0, c * n - s) AS BIGINT) AS cusum
+               FROM st WHERE rn = 1
+               UNION ALL
+               SELECT st.event_type, st.day, st.rn, st.n, st.s,
+                 CAST(greatest(0, rec.cusum + st.c * st.n - st.s)
+                   AS BIGINT) AS cusum
+               FROM rec JOIN st ON st.event_type = rec.event_type
+                 AND st.rn = rec.rn + 1)
+             SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(max(cusum) AS BIGINT) AS max_cusum,
+               CAST(sum(CASE WHEN cusum > 2 * s THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_alarm,
+               CAST(coalesce(min(CASE WHEN cusum > 2 * s THEN day END), -1)
+                 AS BIGINT) AS first_alarm_day
+             FROM rec GROUP BY event_type ORDER BY event_type"""))
   )
 }

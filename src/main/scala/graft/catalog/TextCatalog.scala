@@ -61,6 +61,21 @@ object TextCatalog {
   private def spread(df: org.apache.spark.sql.DataFrame) =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
 
+  /** 48-bit content hash of a doc_id — the deterministic "random number"
+    * the split/sample queries key on: both engines rebuild the identical
+    * BIGINT from the first 12 hex chars of md5(doc_id), so membership is
+    * a pure function of identity (re-runs, retries, repartitioning and
+    * late shards can never move a document). Spark has base-16 `conv`;
+    * DuckDB rebuilds nibble by nibble (the a_kmv_distinct technique). */
+  private val sparkDocH48 =
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+  private val duckDocH48: String = {
+    val nib = (i: Int) =>
+      s"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+    (1 to 12).map(i => s"${nib(i)} * ${1L << (4 * (12 - i))}")
+      .mkString("CAST(", " + ", " AS BIGINT)")
+  }
+
   /** 63-bit SimHash per doc (md5-nibble majority over distinct tokens),
     * carried with `source` so near-dup pairing can bucket by it.
     *
@@ -3221,7 +3236,235 @@ object TextCatalog {
               SELECT w_a, w_b, CAST(levenshtein(w_a, w_b) AS INT) AS dist
               FROM cand
               WHERE levenshtein(w_a, w_b) <= 2
-              ORDER BY w_a, w_b"""))
+              ORDER BY w_a, w_b""")),
+
+    Q("x_hash_split",
+      // Deterministic train/val/test assignment — the split every
+      // training pipeline runs before anything else, done the only way
+      // that survives a distributed, append-only corpus: the split is a
+      // pure function of the document's identity (48-bit md5 bucket
+      // mod 100 -> 90/5/5), NOT an RNG draw. Re-runs, retries,
+      // repartitioning, and late-arriving shards cannot move a document
+      // between splits, and a 1000-executor run needs zero coordination
+      // (contrast randomSplit, whose assignment depends on partition
+      // layout and seed plumbing). Row-local hash + one
+      // map-side-combinable rollup; sum_doc_id is the membership
+      // checksum — same counts with swapped members still breaks the
+      // hash compare.
+      (s, d) => {
+        t(s, d, "documents")
+          .withColumn("bucket", expr(s"$sparkDocH48 % 100"))
+          .withColumn("split", expr(
+            "CASE WHEN bucket < 90 THEN 'train' " +
+              "WHEN bucket < 95 THEN 'val' ELSE 'test' END"))
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_doc_id"))
+          .orderBy("source", "split")
+      },
+      Some(s"""SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+               FROM (SELECT source, doc_id,
+                       CASE WHEN $duckDocH48 % 100 < 90 THEN 'train'
+                            WHEN $duckDocH48 % 100 < 95 THEN 'val'
+                            ELSE 'test' END AS split
+                     FROM documents)
+               GROUP BY source, split ORDER BY source, split""")),
+
+    Q("x_stratified_sample",
+      // Stratified sampling with EXACT largest-remainder allocation
+      // (Hamilton apportionment): a 200-row evaluation sample spread
+      // over the (source, lang) strata proportionally to their sizes —
+      // floor quotas first, the shortfall topped up in descending
+      // fractional-remainder order — so the draw always sums to exactly
+      // 200 and every stratum's quota is within 1 of proportional,
+      // integer-exact (the float-free apportionment a benchmark-set
+      // builder needs to be reproducible). Within each stratum the
+      // members are the alloc smallest 48-bit content hashes: the hash
+      // IS the random number, so both engines and any re-run select
+      // identical rows. Scale shape: the strata frame is
+      // vocabulary-bounded (distinct source x lang), so its global
+      // remainder-rank window sorts a few rows, never the corpus; the
+      // per-stratum rank shares the stratum key (one shuffle) — at
+      // fleet scale it becomes per-partition bottom-k pre-aggregation
+      // (the KMV merge shape), since alloc <= 200 rows survive anyway.
+      (s, d) => {
+        val n = 200
+        val docs = t(s, d, "documents").withColumn("h", expr(sparkDocH48))
+        val strata = docs.groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_stratum"))
+        val tot = broadcast(strata.agg(sum("n_stratum").as("__ntot")))
+        val quota = strata.crossJoin(tot)
+          .withColumn("base", expr(s"$n * n_stratum div __ntot"))
+          .withColumn("rem", expr(s"($n * n_stratum) % __ntot"))
+        val short = broadcast(quota.agg((lit(n.toLong) - sum("base")).as("__sh")))
+        val wR = Window.orderBy(desc("rem"), col("source"), col("lang"))
+        val alloc = quota.crossJoin(short)
+          .withColumn("rrank", row_number().over(wR))
+          .withColumn("alloc", col("base") +
+            when(col("rrank") <= col("__sh"), 1L).otherwise(0L))
+          .select("source", "lang", "n_stratum", "alloc")
+        val wS = Window.partitionBy("source", "lang")
+          .orderBy(col("h").asc, col("doc_id").asc)
+        val sampled = docs.withColumn("rn", row_number().over(wS))
+          .join(alloc.select("source", "lang", "alloc"), Seq("source", "lang"))
+          .filter(col("rn") <= col("alloc"))
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_sampled"),
+            sum("doc_id").as("sum_sampled_ids"))
+        alloc.join(sampled, Seq("source", "lang"), "left")
+          .withColumn("n_sampled", coalesce(col("n_sampled"), lit(0L)))
+          .withColumn("sum_sampled_ids",
+            coalesce(col("sum_sampled_ids"), lit(0L)))
+          .orderBy("source", "lang")
+      },
+      Some(s"""WITH docs AS MATERIALIZED (
+                 SELECT source, lang, doc_id, $duckDocH48 AS h FROM documents),
+               strata AS (
+                 SELECT source, lang, CAST(count(*) AS BIGINT) AS n_stratum
+                 FROM docs GROUP BY 1, 2),
+               tot AS (SELECT CAST(sum(n_stratum) AS BIGINT) AS ntot
+                       FROM strata),
+               quota AS (
+                 SELECT source, lang, n_stratum,
+                   CAST(200 * n_stratum // ntot AS BIGINT) AS base,
+                   CAST((200 * n_stratum) % ntot AS BIGINT) AS rem
+                 FROM strata, tot),
+               sh AS (SELECT 200 - CAST(sum(base) AS BIGINT) AS v FROM quota),
+               alloc AS (
+                 SELECT source, lang, n_stratum,
+                   base + CASE WHEN row_number() OVER (
+                       ORDER BY rem DESC, source, lang) <= sh.v
+                     THEN 1 ELSE 0 END AS alloc
+                 FROM quota, sh),
+               ranked AS (
+                 SELECT source, lang, doc_id, row_number() OVER (
+                     PARTITION BY source, lang ORDER BY h, doc_id) AS rn
+                 FROM docs),
+               samp AS (
+                 SELECT r.source, r.lang, CAST(count(*) AS BIGINT) AS n_sampled,
+                   CAST(sum(r.doc_id) AS BIGINT) AS sum_sampled_ids
+                 FROM ranked r JOIN alloc a
+                   ON r.source = a.source AND r.lang = a.lang
+                 WHERE r.rn <= a.alloc GROUP BY 1, 2)
+               SELECT a.source, a.lang, a.n_stratum,
+                 CAST(a.alloc AS BIGINT) AS alloc,
+                 coalesce(s.n_sampled, 0) AS n_sampled,
+                 coalesce(s.sum_sampled_ids, 0) AS sum_sampled_ids
+               FROM alloc a LEFT JOIN samp s
+                 ON a.source = s.source AND a.lang = s.lang
+               ORDER BY a.source, a.lang""")),
+
+    Q("x_good_turing",
+      // Good-Turing frequency smoothing (Good 1953) over the corpus
+      // unigram distribution — the estimator behind Katz backoff and
+      // the classic answer to "how much probability mass belongs to
+      // words we have never seen": r* = (r+1) * N_{r+1} / N_r with N_r
+      // the count-of-counts, and the unseen mass P_0 = N_1 / T. Every
+      // quantity is a ratio of BIGINTs published as integer ppm — no
+      // floats anywhere, so the hash compare is exact. Only the r <= 10
+      // head is published because that is where GT is used in practice
+      // (Katz backs off to raw counts above a small k, where N_{r+1}
+      // gets too sparse to trust). The unit is the word TRIGRAM — the
+      // n-gram-LM granularity GT was built for, and the only one with
+      // a real hapax tail on this corpus (the unigram vocabulary is a
+      // closed 31-word set with min count 26: every N_{r<=10} is 0).
+      // Scale shape: gram counts are one hash aggregation over the
+      // corpus, counts-of-counts a second aggregation over the gram
+      // vocabulary — both map-side combinable; N_1 and T fold in as
+      // broadcast 1-row aggregates.
+      (s, d) => {
+        val words = spread(t(s, d, "documents"))
+          .select(split(expr(sparkNorm), " ").as("toks"))
+          .filter(size(col("toks")) > 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(toks) - 3), " +
+              "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("r"))
+          .cutLineage()
+        val tot = broadcast(words.agg(sum("r").as("__t")))
+        val cc = words.groupBy("r").agg(count(lit(1)).as("n_r"))
+        val n1 = broadcast(cc.filter(col("r") === 1)
+          .agg(coalesce(max("n_r"), lit(0L)).as("__n1")))
+        val nxt = cc.select((col("r") - 1).as("r"), col("n_r").as("n_r1"))
+        cc.join(nxt, Seq("r"), "left")
+          .filter(col("r") <= 10)
+          .crossJoin(tot).crossJoin(n1)
+          .withColumn("n_r1", coalesce(col("n_r1"), lit(0L)))
+          .withColumn("r_star_ppm",
+            expr("1000000 * (r + 1) * n_r1 div n_r"))
+          .withColumn("p0_ppm", expr("1000000 * __n1 div __t"))
+          .select("r", "n_r", "n_r1", "r_star_ppm", "p0_ppm")
+          .orderBy("r")
+      },
+      Some(s"""WITH grams AS (
+                 SELECT unnest(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+                   AS w
+                 FROM (SELECT string_split($duckNorm, ' ') AS toks
+                       FROM documents)
+                 WHERE len(toks) > 2),
+               words AS MATERIALIZED (
+                 SELECT w, CAST(count(*) AS BIGINT) AS r FROM grams
+                 GROUP BY w),
+               tot AS (SELECT CAST(sum(r) AS BIGINT) AS t FROM words),
+               cc AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r
+                      FROM words GROUP BY r),
+               n1 AS (SELECT CAST(coalesce(max(n_r), 0) AS BIGINT) AS v
+                      FROM cc WHERE r = 1)
+               SELECT cc.r, cc.n_r,
+                 CAST(coalesce(nx.n_r, 0) AS BIGINT) AS n_r1,
+                 CAST(1000000 * (cc.r + 1) * coalesce(nx.n_r, 0) // cc.n_r
+                   AS BIGINT) AS r_star_ppm,
+                 CAST(1000000 * n1.v // tot.t AS BIGINT) AS p0_ppm
+               FROM cc LEFT JOIN cc nx ON nx.r = cc.r + 1, tot, n1
+               WHERE cc.r <= 10 ORDER BY cc.r""")),
+
+    Q("x_heavy_hitters",
+      // Exact heavy hitters by the two-pass sketch-then-verify plan —
+      // every word with frequency > n/200 of the corpus token stream,
+      // found WITHOUT ever shuffling the full vocabulary: pass 1 runs
+      // `mg_topk(w, 200)` (functions/MisraGriesAgg, a native
+      // TypedImperativeAggregate holding <= 199 Misra-Gries counters
+      // that partial-aggregates map-side and merges by the Agarwal et
+      // al. mergeable-summaries rule), whose output is GUARANTEED to
+      // contain every true heavy hitter in any arrival order and under
+      // any merge tree; pass 2 joins the <= 199 candidates back
+      // (broadcast), counts them exactly, and keeps freq*200 > n. The
+      // final set is deterministic even though the sketch's internal
+      // counters are not — and the DuckDB oracle computes exact counts
+      // over the whole vocabulary directly, so a green row is a
+      // machine-checked proof that the sketch's superset guarantee
+      // held on this corpus (a dropped true hitter can never come
+      // back). At 100 TB this is THE frequent-items plan: the exact
+      // groupBy the oracle runs is the thing that stops scaling.
+      (s, d) => {
+        graft.functions.MisraGriesAgg.register(s)
+        val toks = spread(t(s, d, "documents"))
+          .select(explode(split(expr(sparkNorm), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+        val cands = toks.agg(expr("mg_topk(w, 200)").as("cs"))
+          .select(explode(col("cs")).as("w"))
+        val tot = broadcast(toks.agg(count(lit(1)).as("__n")))
+        toks.join(broadcast(cands), Seq("w"))
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+          .crossJoin(tot)
+          .filter(col("freq") * 200 > col("__n"))
+          .withColumn("freq_ppm", expr("1000000 * freq div __n"))
+          .select("w", "freq", "freq_ppm")
+          .orderBy(desc("freq"), col("w"))
+      },
+      Some(s"""WITH toks AS (
+                 SELECT unnest(string_split($duckNorm, ' ')) AS w
+                 FROM documents),
+               words AS MATERIALIZED (
+                 SELECT w, CAST(count(*) AS BIGINT) AS freq FROM toks
+                 WHERE length(w) > 0 GROUP BY w),
+               tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n FROM words)
+               SELECT w, freq,
+                 CAST(1000000 * freq // n AS BIGINT) AS freq_ppm
+               FROM words, tot
+               WHERE freq * 200 > n
+               ORDER BY freq DESC, w"""))
   )
 
   /** DuckDB twin of the [[graft.operators.UnigramLM]] two-round EM loop,
