@@ -3464,8 +3464,159 @@ object TextCatalog {
                  CAST(1000000 * freq // n AS BIGINT) AS freq_ppm
                FROM words, tot
                WHERE freq * 200 > n
-               ORDER BY freq DESC, w"""))
+               ORDER BY freq DESC, w""")),
+
+    Q("x_em_linkage",
+      // Fellegi-Sunter probabilistic record linkage with unsupervised
+      // EM (operators/RecordLinkage — Fellegi & Sunter 1969, Winkler's
+      // EM fit; the Splink model): candidate document pairs from
+      // multi-pass blocking (union of first-2-token and last-2-token
+      // key passes, each block capped at its 32 lowest doc_ids — the
+      // minhash bucket-cap discipline, so a shared-vocabulary corpus
+      // can never go quadratic), compared on four binary fields
+      // (same source / length within 10% / same lang / same 3-token
+      // suffix), and the match rate lambda + per-field m/u agreement
+      // probabilities learned by 5 EM iterations WITHOUT labels. The
+      // E-step posterior depends only on the gamma PATTERN, so after
+      // one corpus aggregation EM runs on a <= 16-row frame: the
+      // corpus never re-enters the loop — that is what makes the
+      // statistical upgrade of the reference's deterministic match
+      // cascade (J7) 100 TB-shaped. All parameters are integer ppm
+      // (fixed IEEE expression tree for the posterior, pure BIGINT
+      // M-step), so the oracle's replay of the same 5 iterations must
+      // agree bit-for-bit on every parameter and posterior.
+      (s, d) => {
+        val k = spread(t(s, d, "documents"))
+          .withColumn("toks", split(expr(sparkNorm), " "))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+            expr("concat(toks[0], ' ', toks[1])").as("pk"),
+            expr("concat(toks[size(toks)-2], ' ', toks[size(toks)-1])")
+              .as("sk"),
+            expr("concat(toks[size(toks)-3], ' ', toks[size(toks)-2], " +
+              "' ', toks[size(toks)-1])").as("sfx"))
+          .cutLineage()
+        def blockPairs(key: String) = {
+          val w = Window.partitionBy(key).orderBy("doc_id")
+          val capped = k.withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= 32)
+            .select(col(key).as("bk"), col("doc_id"))
+          capped.select(col("bk"), col("doc_id").as("ida"))
+            .join(capped.select(col("bk"), col("doc_id").as("idb")),
+              Seq("bk"))
+            .filter(col("ida") < col("idb"))
+            .select("ida", "idb")
+        }
+        val pairs = blockPairs("pk").union(blockPairs("sk")).distinct()
+        val a = k.select(col("doc_id").as("ida"), col("source").as("src_a"),
+          col("lang").as("lang_a"), col("n_chars").as("nc_a"),
+          col("sfx").as("sfx_a"))
+        val b = k.select(col("doc_id").as("idb"), col("source").as("src_b"),
+          col("lang").as("lang_b"), col("n_chars").as("nc_b"),
+          col("sfx").as("sfx_b"))
+        val patterns = pairs.join(a, Seq("ida")).join(b, Seq("idb"))
+          .select(
+            when(col("src_a") === col("src_b"), 1).otherwise(0).as("g1"),
+            when(abs(col("nc_a") - col("nc_b")) * 10 <=
+              least(col("nc_a"), col("nc_b")), 1).otherwise(0).as("g2"),
+            when(col("lang_a") === col("lang_b"), 1).otherwise(0).as("g3"),
+            when(col("sfx_a") === col("sfx_b"), 1).otherwise(0).as("g4"))
+          .groupBy("g1", "g2", "g3", "g4").agg(count(lit(1)).as("n"))
+          .cutLineage()
+        graft.operators.RecordLinkage
+          .emPpm(patterns, Seq("g1", "g2", "g3", "g4"), iters = 5)
+          .select(col("g1"), col("g2"), col("g3"), col("g4"),
+            col("n").as("n_pairs"), col("r_ppm"),
+            col("lam").as("lam_ppm"),
+            col("m_g1").as("m1_ppm"), col("m_g2").as("m2_ppm"),
+            col("m_g3").as("m3_ppm"), col("m_g4").as("m4_ppm"),
+            col("u_g1").as("u1_ppm"), col("u_g2").as("u2_ppm"),
+            col("u_g3").as("u3_ppm"), col("u_g4").as("u4_ppm"))
+          .orderBy("g1", "g2", "g3", "g4")
+      },
+      Some(duckEmLinkageSql))
   )
+
+  /** DuckDB twin of the x_em_linkage EM loop, GENERATED from the same
+    * gamma list and iteration count as the Spark side so the two cannot
+    * drift: the blocking/pattern CTEs mirror the capped multi-pass
+    * blocking, then one (e_i, p_i) CTE pair per EM iteration replays
+    * [[graft.operators.RecordLinkage.emPpm]]'s fixed-tree E-step and
+    * BIGINT M-step verbatim (only dialect differs: `//` for `div`). */
+  private def duckEmLinkageSql: String = {
+    val gs = Seq("g1", "g2", "g3", "g4")
+    val iters = 5
+    def rppm = {
+      def side(pref: String, first: String) =
+        (first +: gs.map(g =>
+          s"(CASE WHEN $g = 1 THEN ${pref}_$g ELSE 1000000 - ${pref}_$g END / 1.0e6)"))
+          .mkString("(", " * ", ")")
+      val fm = side("m", "(lam / 1.0e6)")
+      val fu = side("u", "((1000000 - lam) / 1.0e6)")
+      s"greatest(1, least(999999, " +
+        s"CAST(floor(1000000 * ($fm / ($fm + $fu)) + 0.5) AS BIGINT)))"
+    }
+    def mstep = {
+      def clamp(x: String) = s"greatest(1000, least(999000, CAST($x AS BIGINT)))"
+      val lam = clamp("sum(n * r_ppm) // sum(n)") + " AS lam"
+      val ms = gs.map(g => clamp(
+        s"(1000000 * sum(n * r_ppm * $g)) // sum(n * r_ppm)") + s" AS m_$g")
+      val us = gs.map(g => clamp(
+        s"(1000000 * sum(n * (1000000 - r_ppm) * $g)) // " +
+          s"sum(n * (1000000 - r_ppm))") + s" AS u_$g")
+      (lam +: (ms ++ us)).mkString(", ")
+    }
+    val emCtes = (1 to iters).map { i =>
+      s"""e$i AS (SELECT pat.*, $rppm AS r_ppm FROM pat, p${i - 1}),
+         p$i AS (SELECT $mstep FROM e$i)"""
+    }.mkString(",\n")
+    val p0 = (Seq("CAST(100000 AS BIGINT) AS lam") ++
+      gs.map(g => s"CAST(900000 AS BIGINT) AS m_$g") ++
+      gs.map(g => s"CAST(100000 AS BIGINT) AS u_$g")).mkString(", ")
+    s"""WITH k AS MATERIALIZED (
+          SELECT doc_id, lang, source, n_chars,
+            toks[1] || ' ' || toks[2] AS pk,
+            toks[-2] || ' ' || toks[-1] AS sk,
+            toks[-3] || ' ' || toks[-2] || ' ' || toks[-1] AS sfx
+          FROM (SELECT doc_id, lang, source, n_chars,
+                  string_split($duckNorm, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 3),
+        cp AS (SELECT bk, doc_id FROM (
+            SELECT pk AS bk, doc_id, row_number() OVER (
+                PARTITION BY pk ORDER BY doc_id) AS rn FROM k)
+          WHERE rn <= 32),
+        cs AS (SELECT bk, doc_id FROM (
+            SELECT sk AS bk, doc_id, row_number() OVER (
+                PARTITION BY sk ORDER BY doc_id) AS rn FROM k)
+          WHERE rn <= 32),
+        pairs AS (
+          SELECT DISTINCT ida, idb FROM (
+            SELECT a.doc_id AS ida, b.doc_id AS idb
+            FROM cp a JOIN cp b ON a.bk = b.bk AND a.doc_id < b.doc_id
+            UNION
+            SELECT a.doc_id, b.doc_id
+            FROM cs a JOIN cs b ON a.bk = b.bk AND a.doc_id < b.doc_id)),
+        pat AS MATERIALIZED (
+          SELECT g1, g2, g3, g4, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT
+              CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS g1,
+              CASE WHEN abs(a.n_chars - b.n_chars) * 10 <=
+                least(a.n_chars, b.n_chars) THEN 1 ELSE 0 END AS g2,
+              CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END AS g3,
+              CASE WHEN a.sfx = b.sfx THEN 1 ELSE 0 END AS g4
+            FROM pairs JOIN k a ON a.doc_id = ida
+              JOIN k b ON b.doc_id = idb)
+          GROUP BY 1, 2, 3, 4),
+        p0 AS (SELECT $p0),
+        $emCtes,
+        ef AS (SELECT pat.*, $rppm AS r_ppm FROM pat, p$iters)
+        SELECT ef.g1, ef.g2, ef.g3, ef.g4, ef.n AS n_pairs, ef.r_ppm,
+          lam AS lam_ppm,
+          m_g1 AS m1_ppm, m_g2 AS m2_ppm, m_g3 AS m3_ppm, m_g4 AS m4_ppm,
+          u_g1 AS u1_ppm, u_g2 AS u2_ppm, u_g3 AS u3_ppm, u_g4 AS u4_ppm
+        FROM ef, p$iters
+        ORDER BY ef.g1, ef.g2, ef.g3, ef.g4"""
+  }
 
   /** DuckDB twin of the [[graft.operators.UnigramLM]] two-round EM loop,
     * GENERATED from the same constants (MaxLen/MaxPiece/TopMulti) so the
