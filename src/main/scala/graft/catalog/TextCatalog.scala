@@ -3270,10 +3270,11 @@ object TextCatalog {
                      FROM documents)
                GROUP BY source, split ORDER BY source, split""")),
 
-    Q("x_stratified_sample",
+    Q("x_sample_allocation",
       // Stratified sampling with EXACT largest-remainder allocation
-      // (Hamilton apportionment): a 200-row evaluation sample spread
-      // over the (source, lang) strata proportionally to their sizes —
+      // (Hamilton apportionment) — the fixed-BUDGET complement of
+      // x_stratified_sample's fixed-RATE keep: a 200-row evaluation
+      // sample spread over the (source, lang) strata proportionally —
       // floor quotas first, the shortfall topped up in descending
       // fractional-remainder order — so the draw always sums to exactly
       // 200 and every stratum's quota is within 1 of proportional,
