@@ -24,6 +24,19 @@ class CatalogSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracleSql keys without queries: $missing")
   }
 
+  test("catalog names are unique across all catalogs") {
+    // queries is a Map, so a duplicate name silently SHADOWS an earlier
+    // entry (last catalog wins) — the whole shadowed query would drop
+    // out of the correctness gate without any red row. Count the raw
+    // Q entries instead.
+    val names = Seq(
+      catalog.RelationalCatalog.all, catalog.AggWindowCatalog.all,
+      catalog.TextCatalog.all, catalog.VectorCatalog.all,
+      catalog.GraphCatalog.all).flatten.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate catalog query names: $dups")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
       val df = fn(spark, dir)
