@@ -2574,6 +2574,208 @@ object AggWindowCatalog {
                  AS BIGINT) AS n_alarm,
                CAST(coalesce(min(CASE WHEN cusum > 2 * s THEN day END), -1)
                  AS BIGINT) AS first_alarm_day
-             FROM rec GROUP BY event_type ORDER BY event_type"""))
+             FROM rec GROUP BY event_type ORDER BY event_type""")),
+
+    Q("w18_acf",
+      // Autocorrelation function (lags 1..7) of each event type's
+      // daily count series — THE seasonality/persistence diagnostic
+      // read before any forecasting or anomaly model (a weekly cycle
+      // shows as a lag-7 peak; w16's decomposition ASSUMES a period,
+      // this measures it). Gap-filled day grid (missing days are real
+      // zeros, not absent samples — skipping them would splice
+      // non-adjacent days together); deviations are the exact integer
+      // cross-multiplication dev = c*n - S (the w9 trick), so the
+      // num/den sufficient statistics are exact BIGINTs in any
+      // aggregation order; the single num/den division is one IEEE
+      // op on identical operands (num, den can exceed 2^53, so BOTH
+      // engines round the same way converting — correctly-rounded and
+      // deterministic, the v_mmr discipline), published as floored
+      // ppm. |acf| <= 1 by Cauchy-Schwarz, so ppm stays in [-1e6,1e6].
+      // Scale shape: the grid explode is span-bounded, the stats
+      // window, the 7 leads, and the final rollup all share the
+      // event_type partitioning — one shuffle end to end.
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("c"))
+        val grid = daily.groupBy("event_type")
+          .agg(min("day").as("mins"), max("day").as("maxs"))
+          .select(col("event_type"),
+            explode(expr("sequence(mins, maxs)")).as("day"))
+        val wT = Window.partitionBy("event_type")
+        val wOrd = Window.partitionBy("event_type").orderBy("day")
+        val x = grid.join(daily, Seq("event_type", "day"), "left")
+          .withColumn("c", coalesce(col("c"), lit(0L)))
+          .withColumn("n", count(lit(1)).over(wT))
+          .withColumn("s", sum("c").over(wT))
+          .withColumn("dev", expr("c * n - s"))
+          .withColumn("den", sum(expr("dev * dev")).over(wT))
+        val withLeads = (1 to 7).foldLeft(x) { (df, k) =>
+          df.withColumn(s"dl$k", lead("dev", k).over(wOrd))
+        }
+        val lagged = withLeads.select(col("event_type"), col("dev"),
+          col("den"),
+          explode(array((1 to 7).map(k =>
+            struct(lit(k).as("lag"), col(s"dl$k").as("devlag"))): _*)).as("l"))
+          .select(col("event_type"), col("dev"), col("den"),
+            col("l.lag").as("lag"), col("l.devlag").as("devlag"))
+        lagged.groupBy("event_type", "lag")
+          .agg(sum(expr("dev * devlag")).as("num"), max("den").as("den"),
+            count(col("devlag")).as("n_pairs"))
+          .withColumn("acf_ppm", expr(
+            "CAST(floor(1000000 * (CAST(num AS DOUBLE) / " +
+              "CAST(den AS DOUBLE)) + 0.5) AS BIGINT)"))
+          .select("event_type", "lag", "n_pairs", "acf_ppm")
+          .orderBy("event_type", "lag")
+      },
+      // Oracle: self-join pairing (t, t+k) instead of the lead window —
+      // an independently-stated plan over the same integer statistics.
+      Some("""WITH daily AS (
+               SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                 CAST(count(*) AS BIGINT) AS c
+               FROM events GROUP BY 1, 2),
+             bounds AS (SELECT event_type, min(day) AS mins, max(day) AS maxs
+                        FROM daily GROUP BY 1),
+             grid AS (SELECT event_type, unnest(range(mins, maxs + 1)) AS day
+                      FROM bounds),
+             x AS MATERIALIZED (
+               SELECT g.event_type, g.day, coalesce(daily.c, 0) AS c
+               FROM grid g LEFT JOIN daily
+                 ON g.event_type = daily.event_type AND g.day = daily.day),
+             st AS MATERIALIZED (
+               SELECT event_type, day,
+                 c * (count(*) OVER w) - (sum(c) OVER w) AS dev
+               FROM x WINDOW w AS (PARTITION BY event_type)),
+             den AS (SELECT event_type, CAST(sum(dev * dev) AS BIGINT) AS den
+                     FROM st GROUP BY 1),
+             lags AS (SELECT unnest(range(1, 8)) AS lag)
+             SELECT a.event_type, CAST(lag AS INT) AS lag,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(floor(1000000 * (CAST(sum(a.dev * b.dev) AS DOUBLE)
+                 / CAST(max(den.den) AS DOUBLE)) + 0.5) AS BIGINT) AS acf_ppm
+             FROM st a
+             JOIN lags ON true
+             JOIN st b ON b.event_type = a.event_type
+               AND b.day = a.day + lag
+             JOIN den ON den.event_type = a.event_type
+             GROUP BY a.event_type, lag
+             ORDER BY a.event_type, lag""")),
+
+    Q("a_hll_sliding",
+      // Trailing-window distinct counting from MERGEABLE daily
+      // sketches — the pattern that makes "7-day active users" viable
+      // at 100 TB: per day, a 64-register HLL of user_id (the
+      // a_hll_manual relational HLL); the trailing-7-day sketch is
+      // just the per-register MAX over a RANGE frame — registers
+      // merge, raw users are touched exactly once, and the window
+      // never re-reads events (contrast the exact audit column, which
+      // pays a days x window blowup and is the thing that stops
+      // scaling). The register grid is densified (day x 64) so a
+      // register set three days ago is visible to today's window even
+      // if today hashed nothing into it; empty registers contribute
+      // 2^40 exactly to the scaled-integer harmonic sum, and the only
+      // float steps are the same one multiply chain + division as
+      // a_hll_manual — bit-identical on both engines.
+      (s, d) => {
+        val days = t(s, d, "events")
+          .select(expr("unix_micros(ts) div 86400000000").as("day"),
+            col("user_id"))
+        val dailyRegs = days.distinct()
+          .withColumn("h", md5(col("user_id").cast("string")))
+          .withColumn("idx", expr(
+            "CAST(conv(substring(h, 1, 2), 16, 10) AS INT) % 64"))
+          .withColumn("bits", expr("substring(h, 3, 16)"))
+          .withColumn("z", length(regexp_extract(col("bits"), "^(0*)", 1)))
+          .withColumn("rho", least(
+            col("z") * 4 + expr(
+              """CASE substring(bits, z + 1, 1)
+                 WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                 WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+                 ELSE 0 END""") + 1,
+            lit(40)))
+          .groupBy("day", "idx").agg(max("rho").as("m"))
+        val dayList = days.select("day").distinct()
+        val grid = dayList
+          .select(col("day"), explode(expr("sequence(0, 63)")).as("idx"))
+        val wSlide = Window.partitionBy("idx").orderBy("day")
+          .rangeBetween(-6, 0)
+        val slid = grid.join(dailyRegs, Seq("day", "idx"), "left")
+          .withColumn("mw", max("m").over(wSlide))
+        val est = slid.groupBy("day")
+          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 40 - mw)"))
+              .as("s_present"),
+            count(col("mw")).as("n_regs"))
+          .withColumn("v", lit(64) - col("n_regs"))
+          .withColumn("s_scaled",
+            col("s_present") + col("v") * lit(1099511627776L))
+          .withColumn("e_raw", expr(
+            "CAST(0.709 AS DOUBLE) * 4096.0 * 1099511627776.0 / s_scaled"))
+          .withColumn("est", when(col("e_raw") <= 160.0 && col("v") > 0,
+            expr("64.0 * ln(64.0 / v)")).otherwise(col("e_raw")))
+        val exact = dayList.select(col("day").as("d0"))
+          .join(days.select(col("day"), col("user_id")).distinct(),
+            col("day").between(col("d0") - 6, col("d0")))
+          .groupBy(col("d0").as("day"))
+          .agg(countDistinct("user_id").as("n_exact"))
+        exact.join(est.select("day", "est"), Seq("day"))
+          .select(col("day"), col("n_exact"),
+            round(col("est"), 2).as("n_hll"),
+            round(abs(col("est") - col("n_exact")) / col("n_exact"), 4)
+              .as("rel_err"))
+          .orderBy("day")
+      },
+      Some("""WITH du AS MATERIALIZED (
+               SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+               FROM events),
+             regs AS MATERIALIZED (
+               SELECT day, idx, max(rho) AS m FROM (
+                 SELECT day,
+                   CAST((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1)
+                     AS INT) % 64 AS idx,
+                   least(length(regexp_extract(substring(h, 3, 16),
+                       '^(0*)', 1)) * 4
+                     + CASE substring(substring(h, 3, 16),
+                         length(regexp_extract(substring(h, 3, 16),
+                           '^(0*)', 1)) + 1, 1)
+                       WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                       WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                       WHEN '7' THEN 1 ELSE 0 END + 1, 40) AS rho
+                 FROM (SELECT day, md5(CAST(user_id AS VARCHAR)) AS h FROM du))
+               GROUP BY 1, 2),
+             dl AS (SELECT DISTINCT day FROM du),
+             grid AS (SELECT dl.day, unnest(range(0, 64)) AS idx FROM dl),
+             slid AS MATERIALIZED (
+               SELECT g.day,
+                 max(regs.m) OVER (PARTITION BY g.idx ORDER BY g.day
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS mw
+               FROM grid g LEFT JOIN regs
+                 ON g.day = regs.day AND g.idx = regs.idx),
+             est AS (
+               SELECT day, e_raw, v,
+                 CASE WHEN e_raw <= 160.0 AND v > 0
+                   THEN 64.0 * ln(64.0 / v) ELSE e_raw END AS est
+               FROM (
+                 SELECT day, v,
+                   CAST(0.709 AS DOUBLE) * 4096.0 * 1099511627776.0
+                     / (s_present + v * 1099511627776) AS e_raw
+                 FROM (
+                   SELECT day,
+                     CAST(sum(CASE WHEN mw IS NOT NULL
+                       THEN (CAST(1 AS BIGINT) << (40 - mw)) ELSE 0 END)
+                       AS BIGINT) AS s_present,
+                     64 - CAST(count(mw) AS BIGINT) AS v
+                   FROM slid GROUP BY day))),
+             exact AS (
+               SELECT dl.day, CAST(count(DISTINCT du.user_id) AS BIGINT)
+                 AS n_exact
+               FROM dl JOIN du
+                 ON du.day BETWEEN dl.day - 6 AND dl.day
+               GROUP BY dl.day)
+             SELECT exact.day, n_exact, round(est, 2) AS n_hll,
+               round(abs(est - n_exact) / n_exact, 4) AS rel_err
+             FROM exact JOIN est ON exact.day = est.day
+             ORDER BY exact.day"""))
   )
 }

@@ -3535,7 +3535,73 @@ object TextCatalog {
             col("u_g3").as("u3_ppm"), col("u_g4").as("u4_ppm"))
           .orderBy("g1", "g2", "g3", "g4")
       },
-      Some(duckEmLinkageSql))
+      Some(duckEmLinkageSql)),
+
+    Q("x_kneser_ney",
+      // Interpolated Kneser-Ney smoothing (Kneser & Ney 1995; Chen &
+      // Goodman's interpolated form) over the corpus word bigrams —
+      // the n-gram-LM smoothing that beat everything for two decades
+      // and still scores corpora in curation stacks (KenLM/CCNet run
+      // this family). The defining idea vs x_good_turing's
+      // count-of-counts: a word's backoff weight is how many DISTINCT
+      // contexts it continues ("san francisco" gives 'francisco' a
+      // huge raw count but one continuation class), so
+      //   P(w2|w1) = max(c12 - D, 0)/c1
+      //            + D * N1+(w1,.)/c1 * N1+(.,w2)/N_types
+      // with discount D = 3/4. Multiplying through by 4*c1*N_types
+      // makes every term integral:
+      //   p = [max(4*c12 - 3, 0)*N_types + 3*N1+(w1,.)*N1+(.,w2)]
+      //       / (4*c1*N_types)
+      // — one BIGINT ratio published as ppm, no float anywhere. Scale
+      // shape: bigram counts are one corpus aggregation; context
+      // totals, continuation counts, and history counts are three
+      // vocabulary-bounded aggregations off it; N_types folds in as a
+      // broadcast 1-row aggregate. Published: the top-20 conditional
+      // probabilities (total order by p, w1, w2).
+      (s, d) => {
+        val toks = spread(t(s, d, "documents"))
+          .select(split(expr(sparkNorm), " ").as("toks"))
+          .filter(size(col("toks")) >= 2)
+        val big = toks.select(explode(expr(
+          "transform(sequence(0, size(toks) - 2), " +
+            "i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+          .cutLineage()
+        val c1 = c12.groupBy("w1")
+          .agg(sum("c12").as("c1"), count(lit(1)).as("n_cont"))
+        val nh = c12.groupBy("w2").agg(count(lit(1)).as("n_hist"))
+        val types = broadcast(c12.agg(count(lit(1)).as("__tt")))
+        c12.join(c1, Seq("w1")).join(nh, Seq("w2")).crossJoin(types)
+          .withColumn("p_kn_ppm", expr(
+            "1000000 * (greatest(4 * c12 - 3, 0L) * __tt " +
+              "+ 3 * n_cont * n_hist) div (4 * c1 * __tt)"))
+          .select("w1", "w2", "c12", "c1", "n_cont", "n_hist", "p_kn_ppm")
+          .orderBy(desc("p_kn_ppm"), col("w1"), col("w2"))
+          .limit(20)
+      },
+      Some(s"""WITH big AS MATERIALIZED (
+                 SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM (
+                   SELECT toks, unnest(range(1, len(toks))) AS i
+                   FROM (SELECT string_split($duckNorm, ' ') AS toks
+                         FROM documents)
+                   WHERE len(toks) >= 2)),
+               c12 AS MATERIALIZED (
+                 SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                 FROM big GROUP BY 1, 2),
+               c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                        CAST(count(*) AS BIGINT) AS n_cont
+                      FROM c12 GROUP BY 1),
+               nh AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_hist
+                      FROM c12 GROUP BY 1),
+               tt AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM c12)
+               SELECT c12.w1, c12.w2, c12.c12, c1.c1, c1.n_cont, nh.n_hist,
+                 CAST(1000000 * (greatest(4 * c12.c12 - 3, 0) * tt
+                   + 3 * c1.n_cont * nh.n_hist) // (4 * c1.c1 * tt)
+                   AS BIGINT) AS p_kn_ppm
+               FROM c12 JOIN c1 USING (w1) JOIN nh USING (w2), tt
+               ORDER BY p_kn_ppm DESC, c12.w1, c12.w2
+               LIMIT 20"""))
   )
 
   /** DuckDB twin of the x_em_linkage EM loop, GENERATED from the same
