@@ -2126,6 +2126,109 @@ object AggWindowCatalog {
             FROM ab CROSS JOIN mg CROSS JOIN ex"""
       }),
 
+    Q("a_kmv_anotb",
+      // Set-DIFFERENCE estimation from sketches — the DataSketches
+      // theta a-not-b operation (Dasgupta et al.), completing the KMV
+      // set algebra next to a_kmv_union/a_kmv_intersect, and
+      // structurally DIFFERENT from inclusion-exclusion: instead of
+      // composing three cardinality estimates (whose errors add), the
+      // sketch SAMPLES are filtered directly — keep A's retained
+      // hashes below theta = min(theta_A, theta_B) that do not appear
+      // in B's sample, then est = |kept| * 2^48 / theta. That is the
+      // "active in A, never in B" segmentation question answered from
+      // two k-entry sketches without touching raw data (order-key sets:
+      // the part-key sets are near-identical under both flags, so the
+      // difference would be ~0 and the err column undefined). Both
+      // directions ship in one row (symmetric difference = their sum),
+      // each audited against the exact difference count; all BIGINT
+      // (48-bit md5 hashes, one integer division per estimate).
+      (s, d) => {
+        val wF = Window.partitionBy("flag").orderBy(col("h").asc)
+        val sk = t(s, d, "lineitem")
+          .filter(col("l_returnflag").isin("A", "N"))
+          .select(col("l_returnflag").as("flag"), col("l_orderkey")).distinct()
+          .withColumn("h", expr(
+            "CAST(conv(substring(md5(CAST(l_orderkey AS STRING)), 1, 12), 16, 10) AS BIGINT)"))
+          .select("flag", "h").distinct()
+          .withColumn("rn", row_number().over(wF))
+          .filter(col("rn") <= 16)
+          .cutLineage()
+        val theta = broadcast(sk.filter(col("rn") === 16)
+          .agg(min("h").as("theta"))) // min of the two per-flag 16th mins
+        def retained(a: String, b: String) = sk.filter(col("flag") === a)
+          .join(sk.filter(col("flag") === b).select("h"), Seq("h"), "left_anti")
+          .crossJoin(theta).filter(col("h") < col("theta"))
+          .agg(count(lit(1)).as(s"n_ret_$a$b"))
+        val exact = t(s, d, "lineitem")
+          .filter(col("l_returnflag").isin("A", "N"))
+          .select(col("l_returnflag").as("flag"), col("l_orderkey")).distinct()
+          .groupBy("l_orderkey")
+          .agg(max(when(col("flag") === "A", 1).otherwise(0)).as("ia"),
+            max(when(col("flag") === "N", 1).otherwise(0)).as("in_"))
+          .agg(sum(expr("CASE WHEN ia = 1 AND in_ = 0 THEN 1 ELSE 0 END"))
+              .as("n_exact_an"),
+            sum(expr("CASE WHEN in_ = 1 AND ia = 0 THEN 1 ELSE 0 END"))
+              .as("n_exact_na"))
+        broadcast(retained("A", "N")).crossJoin(broadcast(retained("N", "A")))
+          .crossJoin(broadcast(theta)).crossJoin(exact)
+          .withColumn("est_an", expr("n_ret_AN * 281474976710656L div theta"))
+          .withColumn("est_na", expr("n_ret_NA * 281474976710656L div theta"))
+          .withColumn("err_an_ppm",
+            expr("(1000000 * abs(est_an - n_exact_an)) div n_exact_an"))
+          .withColumn("err_na_ppm",
+            expr("(1000000 * abs(est_na - n_exact_na)) div n_exact_na"))
+          .select("theta", "n_ret_AN", "n_ret_NA", "est_an", "est_na",
+            "n_exact_an", "n_exact_na", "err_an_ppm", "err_na_ppm")
+      },
+      Some {
+        val nib = (i: Int) => s"(strpos('0123456789abcdef', substring(h, $i, 1)) - 1)"
+        val h48 = (1 to 12).map(i => s"${nib(i)} * ${1L << (4 * (12 - i))}")
+          .mkString("CAST(", " + ", " AS BIGINT)")
+        s"""WITH vals AS (
+              SELECT DISTINCT l_returnflag AS flag, l_orderkey FROM lineitem
+              WHERE l_returnflag IN ('A', 'N')),
+            hs AS (
+              SELECT DISTINCT flag, $h48 AS h FROM (
+                SELECT flag, md5(CAST(l_orderkey AS VARCHAR)) AS h FROM vals)),
+            sk AS MATERIALIZED (
+              SELECT flag, h, rn FROM (
+                SELECT flag, h, row_number() OVER (
+                    PARTITION BY flag ORDER BY h) AS rn
+                FROM hs)
+              WHERE rn <= 16),
+            th AS (SELECT CAST(min(h) AS BIGINT) AS theta FROM sk
+                   WHERE rn = 16),
+            ran AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_ret_AN FROM sk a, th
+              WHERE a.flag = 'A' AND a.h < th.theta
+                AND NOT EXISTS (SELECT 1 FROM sk b
+                                WHERE b.flag = 'N' AND b.h = a.h)),
+            rna AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_ret_NA FROM sk a, th
+              WHERE a.flag = 'N' AND a.h < th.theta
+                AND NOT EXISTS (SELECT 1 FROM sk b
+                                WHERE b.flag = 'A' AND b.h = a.h)),
+            ex AS (
+              SELECT CAST(sum(CASE WHEN ia = 1 AND ina = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_exact_an,
+                CAST(sum(CASE WHEN ina = 1 AND ia = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_exact_na
+              FROM (
+                SELECT l_orderkey,
+                  max(CASE WHEN flag = 'A' THEN 1 ELSE 0 END) AS ia,
+                  max(CASE WHEN flag = 'N' THEN 1 ELSE 0 END) AS ina
+                FROM vals GROUP BY l_orderkey))
+            SELECT theta, n_ret_AN, n_ret_NA,
+              CAST(n_ret_AN * 281474976710656 // theta AS BIGINT) AS est_an,
+              CAST(n_ret_NA * 281474976710656 // theta AS BIGINT) AS est_na,
+              n_exact_an, n_exact_na,
+              CAST((1000000 * abs(n_ret_AN * 281474976710656 // theta
+                - n_exact_an)) // n_exact_an AS BIGINT) AS err_an_ppm,
+              CAST((1000000 * abs(n_ret_NA * 281474976710656 // theta
+                - n_exact_na)) // n_exact_na AS BIGINT) AS err_na_ppm
+            FROM th, ran, rna, ex"""
+      }),
+
     Q("w13_retention_cohorts",
       // Cohort retention — THE product-analytics rollup: users are
       // cohorted by their first active week, and each (cohort week,

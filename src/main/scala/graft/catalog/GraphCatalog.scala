@@ -1289,7 +1289,102 @@ object GraphCatalog {
           .orderBy("round")
       },
       Some(densestSubOracle(rounds = 10)))
+  ,
+
+    Q("g_coloring",
+      // Distributed greedy graph coloring (operators/Coloring —
+      // Jones-Plassmann 1993) of the repeat-trade backbone: priority-
+      // local-maximum rounds with first-fit (mex) color choice,
+      // priorities the 48-bit md5 of the node id (id tiebreak) so the
+      // entire coloring is bit-exact on any engine — the paper's
+      // randomness without the nondeterminism. A proper coloring is a
+      // conflict-free BATCHING (same-color nodes share no edge), the
+      // scheduling primitive behind batched graph mutation. Published:
+      // the color histogram PLUS an in-row properness audit
+      // (monochrome-edge count, computed independently by each engine
+      // from its own coloring — a single conflicting assignment
+      // anywhere makes the column nonzero and the row red). Measured
+      // fixpoint: 12 rounds at sf0.01, 5 at sf0.1; oracle unrolls 20
+      // with an uncolored-overrun guard that empties the result.
+      (s, d) => {
+        val edges = copartPairs(t(s, d, "lineitem")
+            .select("l_orderkey", "l_partkey"))
+          .groupBy("u", "v").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2)
+          .select("u", "v")
+        val colors = graft.operators.Coloring.jonesPlassmann(edges)
+          .cutLineage()
+        val viol = broadcast(edges
+          .join(colors.select(col("node").as("u"), col("color").as("ca")),
+            Seq("u"))
+          .join(colors.select(col("node").as("v"), col("color").as("cb")),
+            Seq("v"))
+          .filter(col("ca") === col("cb"))
+          .agg(count(lit(1)).as("n_violations")))
+        colors.groupBy("color").agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(viol)
+          .select("color", "n_nodes", "n_violations")
+          .orderBy("color")
+      },
+      Some(coloringOracle(rounds = 20)))
   )
+
+  /** Staged Jones-Plassmann oracle: the labelprop backbone symmetrized
+    * with 48-bit md5 priorities, `rounds` unrolled rounds of
+    * (local-maximum by NOT EXISTS higher-priority uncolored neighbor)
+    * + (first-fit mex from a 0..63 candidate range via NOT EXISTS
+    * colored neighbor), an uncolored-overrun guard, and the same
+    * independent monochrome-edge audit. */
+  private def coloringOracle(rounds: Int): String = {
+    val nib = (i: Int) => s"(strpos('0123456789abcdef', substring(h, $i, 1)) - 1)"
+    val h48 = (1 to 12).map(i => s"${nib(i)} * ${1L << (4 * (12 - i))}")
+      .mkString("CAST(", " + ", " AS BIGINT)")
+    val sweeps = (1 to rounds).map { i =>
+      s""",
+         lm$i AS MATERIALIZED (
+           SELECT u.node, u.pr FROM un${i - 1} u
+           WHERE NOT EXISTS (
+             SELECT 1 FROM sym e JOIN un${i - 1} w ON w.node = e.d
+             WHERE e.s = u.node
+               AND (w.pr > u.pr OR (w.pr = u.pr AND w.node > u.node)))),
+         c$i AS MATERIALIZED (
+           SELECT lm.node, min(cand.c) AS color
+           FROM lm$i lm, (SELECT unnest(range(0, 64)) AS c) cand
+           WHERE NOT EXISTS (
+             SELECT 1 FROM sym e JOIN colored${i - 1} k ON k.node = e.d
+             WHERE e.s = lm.node AND k.color = cand.c)
+           GROUP BY lm.node),
+         colored$i AS MATERIALIZED (
+           SELECT * FROM colored${i - 1} UNION ALL SELECT * FROM c$i),
+         un$i AS MATERIALIZED (
+           SELECT u.* FROM un${i - 1} u
+           WHERE NOT EXISTS (SELECT 1 FROM c$i WHERE c$i.node = u.node))"""
+    }.mkString
+    s"""WITH po AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         und AS MATERIALIZED (
+           SELECT a.l_partkey AS u, b.l_partkey AS v
+           FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         sym AS MATERIALIZED (
+           SELECT u AS s, v AS d FROM und UNION ALL SELECT v, u FROM und),
+         un0 AS MATERIALIZED (
+           SELECT node, $h48 AS pr FROM (
+             SELECT DISTINCT s AS node, md5(CAST(s AS VARCHAR)) AS h
+             FROM sym)),
+         colored0 AS (SELECT CAST(NULL AS BIGINT) AS node,
+                        CAST(NULL AS BIGINT) AS color WHERE false)$sweeps
+         SELECT color, CAST(count(*) AS BIGINT) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM und e
+            JOIN colored$rounds a ON a.node = e.u
+            JOIN colored$rounds b ON b.node = e.v
+            WHERE a.color = b.color) AS n_violations
+         FROM colored$rounds, (SELECT count(*) AS left_over FROM un$rounds) g
+         WHERE g.left_over = 0
+         GROUP BY color, g.left_over
+         ORDER BY color"""
+  }
 
   /** Staged densest-subgraph oracle: the labelprop backbone, `rounds`
     * unrolled integer peel rounds (survivor = deg * n > 3 * m, both
