@@ -2229,6 +2229,70 @@ object AggWindowCatalog {
             FROM th, ran, rna, ex"""
       }),
 
+    Q("w19_isotonic",
+      // Isotonic (monotone) regression of each event type's daily mean
+      // value (operators/Isotonic) — the calibration/monotone-trend
+      // fit, computed through the Robertson-Wright-Dykstra MINIMAX
+      // identity fit_i = max_{j<=i} min_{l>=i} wavg(j..l) instead of
+      // the inherently sequential PAV sweep: two window passes over
+      // the interval-average frame, embarrassingly parallel, and
+      // SPAN-bounded (the pair count is days^2 per series — corpus
+      // growth changes the daily sums, never the pair count). Interval
+      // averages quantize once to floored integer micro-units on exact
+      // BIGINT prefix sums, and because floor commutes with min/max
+      // the published fit is EXACTLY floor(1e6 * exact rational PAV) —
+      // IsotonicSpec pins that equality against a BigInt-rational PAV.
+      // Published: per-type pool structure (n_pools = distinct fitted
+      // levels) + fit range + checksum.
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type").as("key"),
+            expr("unix_micros(ts) div 86400000000").as("pos"))
+          .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+              .as("y_e2"),
+            count(lit(1)).as("w"))
+        graft.operators.Isotonic.fitE6(daily)
+          .groupBy(col("key").as("event_type"))
+          .agg(count(lit(1)).as("n_days"),
+            countDistinct("fit_e6").as("n_pools"),
+            min("fit_e6").as("fit_min_e6"),
+            max("fit_e6").as("fit_max_e6"),
+            sum("fit_e6").as("sum_fit_e6"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+               SELECT event_type AS key, epoch_us(ts) // 86400000000 AS pos,
+                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS y_e2,
+                 CAST(count(*) AS BIGINT) AS w
+               FROM events GROUP BY 1, 2),
+             pre AS (
+               SELECT key, pos,
+                 CAST(sum(y_e2) OVER o AS BIGINT) AS ps,
+                 CAST(sum(w) OVER o AS BIGINT) AS pc,
+                 CAST(sum(y_e2) OVER o - y_e2 AS BIGINT) AS ps0,
+                 CAST(sum(w) OVER o - w AS BIGINT) AS pc0
+               FROM daily WINDOW o AS (PARTITION BY key ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING)),
+             pairs AS MATERIALIZED (
+               SELECT j.key, j.pos AS j, l.pos AS l,
+                 (1000000 * (l.ps - j.ps0)) // (l.pc - j.pc0) AS av_e6
+               FROM pre j JOIN pre l
+                 ON j.key = l.key AND j.pos <= l.pos),
+             m AS MATERIALIZED (
+               SELECT key, j, l AS pos,
+                 min(av_e6) OVER (PARTITION BY key, j ORDER BY l DESC
+                   ROWS UNBOUNDED PRECEDING) AS m
+               FROM pairs),
+             fit AS (SELECT key, pos, CAST(max(m) AS BIGINT) AS fit_e6
+                     FROM m GROUP BY 1, 2)
+             SELECT key AS event_type, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(count(DISTINCT fit_e6) AS BIGINT) AS n_pools,
+               CAST(min(fit_e6) AS BIGINT) AS fit_min_e6,
+               CAST(max(fit_e6) AS BIGINT) AS fit_max_e6,
+               CAST(sum(fit_e6) AS BIGINT) AS sum_fit_e6
+             FROM fit GROUP BY key ORDER BY event_type""")),
+
     Q("w13_retention_cohorts",
       // Cohort retention — THE product-analytics rollup: users are
       // cohorted by their first active week, and each (cohort week,
