@@ -12,6 +12,12 @@ final case class SessionState(start: Long, last: Long, n: Long)
 final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
     session_end: java.sql.Timestamp, n_events: Long, duration_s: Long)
 
+/** Typed records for the streaming CUSUM drift monitor. */
+final case class DriftCount(event_type: String, day: Long, c: Long)
+final case class DriftState(lastDay: Long, cusum: Long)
+final case class DriftOut(event_type: String, day: Long, c: Long,
+    cusum: Long, alarm: Boolean)
+
 /** Structured-Streaming face of the engine (SURVEY.md §2.9 optional note):
   * the reference's "temporal" capability is snapshot-diff micro-batching,
   * which maps 1:1 onto `foreachBatch`; live event feeds (opens/clicks,
@@ -199,6 +205,50 @@ object IncrementalPipeline {
       }
       closed.result().iterator
     }
+  }
+
+  /** Streaming CUSUM drift monitor — the streaming twin of the
+    * w17_cusum batch detector, for the deployment question the batch
+    * form cannot answer: "alarm me the day the shift happens", not at
+    * the end of the series. Where the batch detector references the
+    * series' own mean (knowable only after the fact), the streaming
+    * form takes the CONTROL-CHART parameterization (Page 1954 as run
+    * in practice): a fixed per-day reference `ref` (target + allowance)
+    * and threshold `h`, both chosen from history. Per event type the
+    * state is O(1) — (last folded day, running cusum) — so state never
+    * grows with time and no timeout/eviction is needed; the fold is
+    * strictly forward (a day at or before the last folded day is
+    * ignored — feed this from a watermarked daily aggregate so
+    * out-of-order days are resolved upstream). Emits one row per newly
+    * folded day with the running cusum and the alarm flag, exactly
+    * once per day under replay (the fold is deterministic in the
+    * per-key day order, which the in-batch sort fixes).
+    */
+  def driftMonitor(dailyCounts: DataFrame, ref: Long, threshold: Long): Dataset[DriftOut] = {
+    val spark = dailyCounts.sparkSession
+    import spark.implicits._
+    dailyCounts.selectExpr("event_type", "day", "c").as[DriftCount]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        driftFold(ref, threshold))
+  }
+
+  /** Per-key fold: cusum_d = max(0, cusum_{d-1} + (c_d - ref)).
+    * Package-visible so the spec can drive it directly. */
+  private[streaming] def driftFold(ref: Long, h: Long)(
+      key: String, rows: Iterator[DriftCount],
+      state: GroupState[DriftState]): Iterator[DriftOut] = {
+    var st = state.getOption.getOrElse(DriftState(Long.MinValue, 0L))
+    val out = Seq.newBuilder[DriftOut]
+    rows.toSeq.sortBy(_.day).foreach { r =>
+      if (r.day > st.lastDay) {
+        val cs = math.max(0L, st.cusum + (r.c - ref))
+        out += DriftOut(key, r.day, r.c, cs, cs > h)
+        st = DriftState(r.day, cs)
+      }
+    }
+    state.update(st)
+    out.result().iterator
   }
 
   /** Deduplicate a stream per key keeping the earliest event, with state

@@ -524,4 +524,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$store/simhashes").select("doc_id").as[Long]
       .collect().sorted.toSeq == Seq(10L, 11L, 12L))
   }
+
+  test("drift monitor: cusum survives trigger boundaries, alarms on the sustained shift") {
+    import graft.streaming.DriftCount
+    implicit val sql = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DriftCount]
+    // ref = 10, h = 15: three on-target days keep cusum at 0, then a
+    // sustained +8/day shift crosses h = 15 on its SECOND elevated day
+    // — one day's excursion (8) never alarms, the drift does. The
+    // shift spans a trigger boundary, so a pass requires the cusum
+    // state to survive between micro-batches.
+    val q = IncrementalPipeline.driftMonitor(input.toDF(), ref = 10L, threshold = 15L)
+      .writeStream.outputMode("append").format("memory").queryName("drift").start()
+    input.addData(DriftCount("buy", 1, 10), DriftCount("buy", 2, 9),
+      DriftCount("buy", 3, 11), DriftCount("buy", 4, 18))
+    q.processAllAvailable()
+    val b1 = spark.table("drift").orderBy("day").collect()
+    assert(b1.map(r => (r.getLong(1), r.getLong(3), r.getBoolean(4))).toSeq ==
+      Seq((1L, 0L, false), (2L, 0L, false), (3L, 1L, false), (4L, 9L, false)))
+    input.addData(DriftCount("buy", 5, 18), DriftCount("buy", 6, 18),
+      DriftCount("buy", 4, 99), // stale re-delivery of day 4: ignored
+      DriftCount("view", 5, 30)) // independent key starts its own state
+    q.processAllAvailable()
+    val b2 = spark.table("drift").orderBy("event_type", "day").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getBoolean(4))).toSeq
+    assert(b2.contains(("buy", 5L, 17L, true)), s"day 5 must alarm: $b2")
+    assert(b2.contains(("buy", 6L, 25L, true)))
+    assert(b2.count(_._2 == 4L) == 1, "stale day 4 must not re-emit")
+    assert(b2.contains(("view", 5L, 20L, true)))
+    q.stop()
+  }
+
+  test("drift fold matches a single-pass batch replay under any batching") {
+    import graft.streaming.{DriftCount, DriftOut, DriftState}
+    val days = (1L to 30L).map(d =>
+      DriftCount("k", d, 10L + (if (d > 20) 7L else (d % 3) - 1L)))
+    def localReplay(ref: Long): Seq[(Long, Long, Boolean)] = {
+      var cs = 0L
+      days.map { r =>
+        cs = math.max(0L, cs + (r.c - ref)); (r.day, cs, cs > 15L)
+      }
+    }
+    // the fold's contract, emulated across arbitrary batch boundaries
+    // (GroupState's impl is private — the e2e test above exercises the
+    // real state plumbing; this pins the arithmetic batching-invariance)
+    def drive(batches: Seq[Seq[DriftCount]]): Seq[(Long, Long, Boolean)] = {
+      var cur = DriftState(Long.MinValue, 0L)
+      batches.flatMap { b =>
+        val out = Seq.newBuilder[(Long, Long, Boolean)]
+        b.sortBy(_.day).foreach { r =>
+          if (r.day > cur.lastDay) {
+            val cs = math.max(0L, cur.cusum + (r.c - 10L))
+            out += ((r.day, cs, cs > 15L))
+            cur = DriftState(r.day, cs)
+          }
+        }
+        out.result()
+      }
+    }
+    val oneBatch = drive(Seq(days))
+    val manyBatches = drive(days.grouped(7).toSeq)
+    assert(oneBatch == localReplay(10L))
+    assert(manyBatches == localReplay(10L))
+  }
 }
