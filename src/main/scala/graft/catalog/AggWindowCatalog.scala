@@ -2293,6 +2293,94 @@ object AggWindowCatalog {
                CAST(sum(fit_e6) AS BIGINT) AS sum_fit_e6
              FROM fit GROUP BY key ORDER BY event_type""")),
 
+    Q("w20_theilsen",
+      // Theil-Sen robust trend estimation per event type — the
+      // median-of-pairwise-slopes regressor (Theil 1950; Sen 1968)
+      // that tolerates up to ~29% outliers where least squares
+      // follows them: over each type's MONTHLY event totals, every
+      // (month_i, month_j) pair contributes slope (y_j - y_i)/(x_j -
+      // x_i), and the published trend is the exact integer MEDIAN of
+      // those slopes in floored ppm — all BIGINT (the floored-ppm
+      // quantization happens per pair, the lower-middle median is a
+      // row_number pick, no float anywhere). The OLS slope ships next
+      // to it (n*Sxy - Sx*Sy over n*Sxx - Sx^2, exact cross-multiplied
+      // integer sufficient statistics, one floored division to ppm) so
+      // the robustness gap is visible in the row. Scale shape: the
+      // pair frame is SPAN-bounded (months^2 per type, ~300 pairs —
+      // corpus growth changes monthly totals, never the pair count);
+      // the per-type median is a months^2-sized window.
+      (s, d) => {
+        val monthly = t(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 2592000000000").as("m"))
+          .agg(count(lit(1)).as("y"))
+        val wT = Window.partitionBy("event_type")
+        val a = monthly.select(col("event_type"), col("m").as("xi"),
+          col("y").as("yi"))
+        val b = monthly.select(col("event_type"), col("m").as("xj"),
+          col("y").as("yj"))
+        val slopes = a.join(b, Seq("event_type"))
+          .filter(col("xi") < col("xj"))
+          .withColumn("num", expr("1000000 * (yj - yi)"))
+          .withColumn("den", col("xj") - col("xi"))
+          .withColumn("slope_ppm",
+            expr("(num - pmod(num, den)) div den"))
+        val wS = Window.partitionBy("event_type")
+          .orderBy(col("slope_ppm"), col("xi"), col("xj"))
+        val ts_ = slopes
+          .withColumn("rn", row_number().over(wS))
+          .withColumn("np", count(lit(1)).over(wT))
+          .filter(col("rn") === expr("(np + 1) div 2"))
+          .select(col("event_type"), col("np").as("n_pairs"),
+            col("slope_ppm").as("theilsen_ppm"))
+        val ols = monthly
+          .withColumn("n", count(lit(1)).over(wT))
+          .groupBy("event_type")
+          .agg(max("n").as("n_months"),
+            sum("m").as("sx"), sum("y").as("sy"),
+            sum(expr("m * y")).as("sxy"), sum(expr("m * m")).as("sxx"))
+          .withColumn("onum", expr("1000000 * (n_months * sxy - sx * sy)"))
+          .withColumn("oden", expr("n_months * sxx - sx * sx"))
+          .withColumn("ols_ppm",
+            expr("(onum - pmod(onum, oden)) div oden"))
+          .select("event_type", "n_months", "ols_ppm")
+        ols.join(ts_, Seq("event_type"))
+          .select("event_type", "n_months", "n_pairs", "theilsen_ppm",
+            "ols_ppm")
+          .orderBy("event_type")
+      },
+      Some("""WITH monthly AS (
+               SELECT event_type, epoch_us(ts) // 2592000000000 AS m,
+                 CAST(count(*) AS BIGINT) AS y
+               FROM events GROUP BY 1, 2),
+             slopes AS (
+               SELECT a.event_type, a.m AS xi, b.m AS xj,
+                 CAST((1000000 * (b.y - a.y)) // (b.m - a.m)
+                   AS BIGINT) AS slope_ppm
+               FROM monthly a JOIN monthly b
+                 ON a.event_type = b.event_type AND a.m < b.m),
+             med AS (
+               SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+                 slope_ppm AS theilsen_ppm
+               FROM (
+                 SELECT event_type, slope_ppm,
+                   row_number() OVER (PARTITION BY event_type
+                     ORDER BY slope_ppm, xi, xj) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS np
+                 FROM slopes)
+               WHERE rn = (np + 1) // 2),
+             ols AS (
+               SELECT event_type, CAST(count(*) AS BIGINT) AS n_months,
+                 CAST((1000000 * (count(*) * sum(m * y)
+                     - sum(m) * sum(y)))
+                   // (count(*) * sum(m * m) - sum(m) * sum(m))
+                   AS BIGINT) AS ols_ppm
+               FROM monthly GROUP BY event_type)
+             SELECT ols.event_type, n_months, n_pairs, theilsen_ppm,
+               ols_ppm
+             FROM ols JOIN med ON ols.event_type = med.event_type
+             ORDER BY ols.event_type""")),
+
     Q("w13_retention_cohorts",
       // Cohort retention — THE product-analytics rollup: users are
       // cohorted by their first active week, and each (cohort week,
