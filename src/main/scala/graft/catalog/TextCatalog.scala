@@ -3601,8 +3601,81 @@ object TextCatalog {
                    AS BIGINT) AS p_kn_ppm
                FROM c12 JOIN c1 USING (w1) JOIN nh USING (w2), tt
                ORDER BY p_kn_ppm DESC, c12.w1, c12.w2
-               LIMIT 20"""))
+               LIMIT 20""")),
+
+    Q("x_max_coverage",
+      // Greedy maximum-coverage data selection (operators/MaxCoverage
+      // — Nemhauser-Wolsey-Fisher's (1-1/e) greedy): pick the 10
+      // documents that together cover the most distinct word trigrams
+      // — the submodular COVERAGE selector next to the distance-based
+      // diversity selectors (v_kcenter_coreset keeps far-apart rows,
+      // v_semantic_dedup drops near ones): this is how a curator
+      // builds a compact panel that still SEES every n-gram/topic
+      // (CRAIG-style coreset selection). Marginal gains are exact
+      // integer counts and the per-round argmax is a broadcast 1-row
+      // max(struct(gain, -item)) — least doc on ties — so both
+      // engines replay the identical greedy trajectory; the oracle
+      // unrolls the same 10 rounds through temp tables with its own
+      // ORDER BY/LIMIT argmax. Per round: one element-keyed anti-join
+      // + one item-keyed count — k bounded linear passes, the covered
+      // set holds only chosen items' elements.
+      (s, d) => {
+        val inc = spread(t(s, d, "documents"))
+          .select(col("doc_id"), split(expr(sparkNorm), " ").as("toks"))
+          .filter(size(col("toks")) > 2)
+          .select(col("doc_id").as("item"), explode(expr(
+            "transform(sequence(0, size(toks) - 3), " +
+              "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"))
+            .as("element"))
+        graft.operators.MaxCoverage.greedy(inc, k = 10)
+          .select(col("rank"), col("item").as("doc_id"), col("gain"),
+            col("covered_total"))
+          .orderBy("rank")
+      },
+      Some(duckMaxCoverageSql(rounds = 10)))
   )
+
+  /** Staged greedy max-coverage oracle: the same trigram incidence,
+    * `rounds` unrolled pick/cover/restrict steps through temp tables,
+    * argmax by ORDER BY gain DESC, item LIMIT 1 (ties to the least
+    * doc — the Spark side's max(struct(gain, -item)) convention). */
+  private def duckMaxCoverageSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""CREATE OR REPLACE TEMP TABLE mc_pick AS
+          SELECT item, CAST(gain AS BIGINT) AS gain FROM (
+            SELECT item, count(*) AS gain FROM mc_rem GROUP BY item)
+          ORDER BY gain DESC, item LIMIT 1;
+          CREATE OR REPLACE TEMP TABLE mc_cov2 AS
+          SELECT element FROM mc_cov
+          UNION
+          SELECT r.element FROM mc_rem r JOIN mc_pick p ON r.item = p.item;
+          INSERT INTO mc_out
+          SELECT $i, item, gain, (SELECT count(*) FROM mc_cov2)
+          FROM mc_pick WHERE gain > 0;
+          CREATE OR REPLACE TEMP TABLE mc_cov AS SELECT * FROM mc_cov2;
+          CREATE OR REPLACE TEMP TABLE mc_rem2 AS
+          SELECT i.item, i.element FROM mc_rem i
+          WHERE NOT EXISTS (SELECT 1 FROM mc_cov c
+                            WHERE c.element = i.element);
+          CREATE OR REPLACE TEMP TABLE mc_rem AS SELECT * FROM mc_rem2;"""
+    }.mkString("\n")
+    s"""CREATE OR REPLACE TEMP TABLE mc_inc AS
+        SELECT DISTINCT doc_id AS item, g AS element FROM (
+          SELECT doc_id,
+            unnest(list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g
+          FROM (SELECT doc_id, string_split($duckNorm, ' ') AS toks
+                FROM documents)
+          WHERE len(toks) > 2);
+        CREATE OR REPLACE TEMP TABLE mc_rem AS SELECT * FROM mc_inc;
+        CREATE OR REPLACE TEMP TABLE mc_cov AS
+        SELECT element FROM mc_inc WHERE false;
+        CREATE OR REPLACE TEMP TABLE mc_out (
+          rank INT, doc_id BIGINT, gain BIGINT, covered_total BIGINT);
+        $steps
+        SELECT rank, doc_id, gain, covered_total FROM mc_out
+        ORDER BY rank"""
+  }
 
   /** DuckDB twin of the x_em_linkage EM loop, GENERATED from the same
     * gamma list and iteration count as the Spark side so the two cannot

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Lineage.CutOps
+
+/** Greedy maximum-coverage selection — the submodular data-selection
+  * primitive (Nemhauser-Wolsey-Fisher 1978: the greedy pick is a
+  * (1 - 1/e)-approximation, and that bound is tight): from a universe
+  * of (item, element) incidences, pick k items that together cover the
+  * most distinct elements, one argmax-of-marginal-gain per round. This
+  * is the coverage-flavored complement of the distance-flavored
+  * diversity selectors already shipped (k-center keeps far-apart
+  * points, SemDeDup drops near ones): facility-location/coverage
+  * selection is how a training-data curator picks a compact subset
+  * that still SEES every n-gram/skill/topic (CRAIG-style coreset
+  * selection, test-set coverage panels).
+  *
+  * Determinism: marginal gains are exact integer counts; the argmax is
+  * `max(struct(gain, -item))` — least item on ties — folded in-plan as
+  * a broadcast 1-row aggregate (no driver scalar steers the plan), so
+  * both engines replay the identical greedy trajectory.
+  *
+  * Scale shape per round: one anti-join of the incidence frame against
+  * the covered-element set (element-keyed), one item-keyed count, one
+  * 1-row argmax broadcast join — k bounded rounds, each a linear pass;
+  * the covered set only ever holds elements of CHOSEN items (k items'
+  * worth, not the universe). Round frames are lineage-cut.
+  */
+object MaxCoverage {
+
+  /** Pick `k` items greedily from an (item, element) incidence frame.
+    * Returns one row per selection round: (rank, item, gain,
+    * covered_total) — gain = newly covered elements, covered_total the
+    * running union size. Stops early (fewer rows) when everything is
+    * covered or items run out. */
+  def greedy(incidence: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"greedy: k must be >= 1, got $k")
+    val spark = incidence.sparkSession
+    val inc = incidence.select(col("item"), col("element"))
+      .distinct().cutLineage()
+    var covered: DataFrame = null // distinct elements of chosen items
+    var chosen = Vector.empty[DataFrame] // 1-row frames
+    var remaining = inc
+    var done = false
+    (1 to k).foreach { rank =>
+      if (!done) {
+        val marg = remaining.groupBy("item")
+          .agg(count(lit(1)).as("gain"))
+        val pick = broadcast(marg
+          .agg(max(struct(col("gain"), (-col("item")).as("ni"))).as("s"))
+          .select(col("s.gain").as("gain"), (-col("s.ni")).as("item")))
+        // no candidate left with positive gain -> stop
+        val picked = pick.filter(col("gain") > 0)
+        if (picked.isEmpty) { done = true }
+        else {
+          val pickedElems = remaining
+            .join(picked.select("item"), Seq("item"), "left_semi")
+            .select("element").distinct()
+          covered = (if (covered == null) pickedElems
+            else covered.unionByName(pickedElems).distinct()).cutLineage()
+          chosen = chosen :+ picked
+            .crossJoin(broadcast(covered.agg(count(lit(1)).as("covered_total"))))
+            .select(lit(rank).as("rank"), col("item"), col("gain"),
+              col("covered_total"))
+          remaining = remaining
+            .join(covered.select(col("element")), Seq("element"), "left_anti")
+            .select("item", "element")
+            .cutLineage()
+        }
+      }
+    }
+    if (chosen.isEmpty)
+      spark.range(0).select(lit(0).as("rank"), lit(0L).as("item"),
+        lit(0L).as("gain"), lit(0L).as("covered_total"))
+    else chosen.reduce(_ unionByName _)
+  }
+}

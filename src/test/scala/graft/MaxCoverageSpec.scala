@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.MaxCoverage
+
+/** Greedy max-coverage (operators/MaxCoverage) — exact agreement with
+  * an in-JVM greedy replay, the submodular structure (non-increasing
+  * gains), early stop, and the (1-1/e) guarantee vs the brute-force
+  * optimum on a small instance. */
+class MaxCoverageSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def localGreedy(
+      inc: Seq[(Long, String)], k: Int): Seq[(Int, Long, Long, Long)] = {
+    val sets = inc.distinct.groupBy(_._1).map { case (i, xs) =>
+      i -> xs.map(_._2).toSet }
+    var covered = Set.empty[String]
+    val out = Seq.newBuilder[(Int, Long, Long, Long)]
+    var stop = false
+    (1 to k).foreach { r =>
+      if (!stop) {
+        val (item, gain) = sets.keys.toSeq.sorted
+          .map(i => i -> (sets(i) -- covered).size)
+          .maxBy { case (i, g) => (g.toLong, -i) }
+        if (gain == 0) stop = true
+        else {
+          covered ++= sets(item)
+          out += ((r, item, gain.toLong, covered.size.toLong))
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def sparkGreedy(
+      inc: Seq[(Long, String)], k: Int): Seq[(Int, Long, Long, Long)] =
+    MaxCoverage.greedy(inc.toDF("item", "element"), k)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+  test("matches the in-JVM greedy replay on random incidences") {
+    val rnd = new scala.util.Random(41)
+    val inc = (1 to 500).map(_ =>
+      (rnd.nextInt(20).toLong, s"e${rnd.nextInt(80)}"))
+    assert(sparkGreedy(inc, 8) == localGreedy(inc, 8))
+  }
+
+  test("gains are non-increasing (submodularity of the greedy path)") {
+    val rnd = new scala.util.Random(13)
+    val inc = (1 to 400).map(_ =>
+      (rnd.nextInt(15).toLong, s"e${rnd.nextInt(60)}"))
+    val gains = sparkGreedy(inc, 10).map(_._3)
+    assert(gains == gains.sorted.reverse)
+  }
+
+  test("stops early once the universe is covered") {
+    val inc = Seq((1L, "a"), (1L, "b"), (2L, "b"), (2L, "c"), (3L, "a"))
+    val got = sparkGreedy(inc, 10)
+    assert(got.length < 10)
+    assert(got.last._4 == 3L) // a, b, c all covered
+  }
+
+  test("(1-1/e) guarantee vs the brute-force optimum at k = 3") {
+    val rnd = new scala.util.Random(7)
+    val inc = (1 to 200).map(_ =>
+      (rnd.nextInt(10).toLong, s"e${rnd.nextInt(40)}"))
+    val sets = inc.distinct.groupBy(_._1)
+      .map { case (i, xs) => i -> xs.map(_._2).toSet }
+    val best = sets.keys.toSeq.combinations(3)
+      .map(c => c.map(sets).reduce(_ ++ _).size).max
+    val greedy = sparkGreedy(inc, 3).last._4
+    assert(greedy.toDouble >= (1 - 1 / math.E) * best)
+  }
+
+  test("tie on gain picks the least item") {
+    val inc = Seq((5L, "a"), (5L, "b"), (2L, "c"), (2L, "d"), (9L, "e"))
+    assert(sparkGreedy(inc, 1).head._2 == 2L)
+  }
+}
