@@ -2275,10 +2275,16 @@ object AggWindowCatalog {
                FROM daily WINDOW o AS (PARTITION BY key ORDER BY pos
                  ROWS UNBOUNDED PRECEDING)),
              pairs AS MATERIALIZED (
-               SELECT j.key, j.pos AS j, l.pos AS l,
-                 (1000000 * (l.ps - j.ps0)) // (l.pc - j.pc0) AS av_e6
-               FROM pre j JOIN pre l
-                 ON j.key = l.key AND j.pos <= l.pos),
+               -- pmod-floor division: DuckDB // truncates toward zero,
+               -- and a negative-valued series needs a true floor
+               SELECT key, j, l,
+                 (num - (num % den + den) % den) // den AS av_e6
+               FROM (
+                 SELECT j.key, j.pos AS j, l.pos AS l,
+                   1000000 * (l.ps - j.ps0) AS num,
+                   l.pc - j.pc0 AS den
+                 FROM pre j JOIN pre l
+                   ON j.key = l.key AND j.pos <= l.pos)),
              m AS MATERIALIZED (
                SELECT key, j, l AS pos,
                  min(av_e6) OVER (PARTITION BY key, j ORDER BY l DESC
@@ -2354,9 +2360,14 @@ object AggWindowCatalog {
                  CAST(count(*) AS BIGINT) AS y
                FROM events GROUP BY 1, 2),
              slopes AS (
+               -- true FLOOR division (DuckDB // truncates toward zero
+               -- and slope numerators go negative): subtract the
+               -- non-negative pmod remainder first
                SELECT a.event_type, a.m AS xi, b.m AS xj,
-                 CAST((1000000 * (b.y - a.y)) // (b.m - a.m)
-                   AS BIGINT) AS slope_ppm
+                 CAST((1000000 * (b.y - a.y)
+                     - ((1000000 * (b.y - a.y)) % (b.m - a.m)
+                        + (b.m - a.m)) % (b.m - a.m))
+                   // (b.m - a.m) AS BIGINT) AS slope_ppm
                FROM monthly a JOIN monthly b
                  ON a.event_type = b.event_type AND a.m < b.m),
              med AS (
@@ -2370,16 +2381,106 @@ object AggWindowCatalog {
                  FROM slopes)
                WHERE rn = (np + 1) // 2),
              ols AS (
-               SELECT event_type, CAST(count(*) AS BIGINT) AS n_months,
-                 CAST((1000000 * (count(*) * sum(m * y)
-                     - sum(m) * sum(y)))
-                   // (count(*) * sum(m * m) - sum(m) * sum(m))
+               SELECT event_type, n_months,
+                 CAST((onum - (onum % oden + oden) % oden) // oden
                    AS BIGINT) AS ols_ppm
-               FROM monthly GROUP BY event_type)
+               FROM (
+                 SELECT event_type, CAST(count(*) AS BIGINT) AS n_months,
+                   CAST(1000000 * (count(*) * sum(m * y)
+                     - sum(m) * sum(y)) AS HUGEINT) AS onum,
+                   CAST(count(*) * sum(m * m) - sum(m) * sum(m)
+                     AS HUGEINT) AS oden
+                 FROM monthly GROUP BY event_type))
              SELECT ols.event_type, n_months, n_pairs, theilsen_ppm,
                ols_ppm
              FROM ols JOIN med ON ols.event_type = med.event_type
              ORDER BY ols.event_type""")),
+
+    Q("a_linreg_gd",
+      // A model TRAINING loop as a bit-exact relational program —
+      // full-batch gradient descent for least squares (predict
+      // l_extendedprice from l_quantity), the template for any
+      // distributed trainer: per iteration ONE map-side-combinable
+      // aggregate computes the exact gradient, a 1-row broadcast
+      // carries the updated weights into the next pass, the corpus is
+      // never collected. Everything is INTEGER: y quantizes once to
+      // e4 units, weights live in e4 units, per-row residuals and
+      // gradient contributions are BIGINT products, the learning rate
+      // is 1/1024 applied as two floored integer divisions (pmod
+      // floor-div — Spark's div truncates toward zero and residuals
+      // go negative) — so a 1000-executor run, this run, and the
+      // DuckDB oracle's unrolled replay land on identical weights at
+      // every iteration; no libm call anywhere (the reason this is
+      // least squares and not logistic: exp() is only 1-ulp-faithful
+      // and could flip a quantization boundary). Published: the full
+      // 8-iteration trajectory (weights + mean absolute residual —
+      // monotone decreasing on this data, visible in the rows).
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val data = t(s, d, "lineitem")
+          .select(col("l_quantity").cast("long").as("q"),
+            expr("CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)")
+              .as("y_e4"))
+        def fdiv(num: String, den: String) =
+          s"($num - pmod($num, $den)) div ($den)"
+        var params = Seq(1).toDF("__one")
+          .select(lit(0L).as("w1"), lit(0L).as("w0"), lit(0).as("iter"))
+        var hist = Vector.empty[org.apache.spark.sql.DataFrame]
+        (1 to 8).foreach { i =>
+          val g = data.crossJoin(broadcast(params))
+            .withColumn("r", expr("w1 * q + w0 - y_e4"))
+            .agg(sum(expr("r * q")).as("g1"), sum("r").as("g0"),
+              sum(abs(col("r"))).as("sae"), count(lit(1)).as("n"),
+              max("w1").as("w1"), max("w0").as("w0"))
+          params = g.select(
+            expr(s"w1 - ${fdiv(fdiv("g1", "n"), "1024")}").as("w1"),
+            expr(s"w0 - ${fdiv(fdiv("g0", "n"), "1024")}").as("w0"),
+            lit(i).as("iter"))
+          hist = hist :+ params.crossJoin(
+            g.select(expr(s"${fdiv("sae", "n")}").as("mae_e4")))
+            .select(col("iter"), col("w1").as("w1_e4"),
+              col("w0").as("w0_e4"), col("mae_e4"))
+        }
+        hist.reduce(_ unionByName _).orderBy("iter")
+      },
+      Some {
+        // DuckDB `//` TRUNCATES toward zero (-7 // 2 = -3), so true
+        // floor division needs the same pmod shift as the Spark side:
+        // subtract the non-negative remainder, then the exact-multiple
+        // `//` is the floored quotient — HUGEINT-safe (a float
+        // floor(a/b) would lose exactness past 2^53).
+        def fdiv(num: String, den: String) =
+          s"((($num) - ((($num) % ($den) + ($den)) % ($den))) // ($den))"
+        val iters = (1 to 8).map { i =>
+          s"""g$i AS (
+                SELECT CAST(sum((w1 * q + w0 - y_e4) * q) AS HUGEINT) AS g1,
+                  CAST(sum(w1 * q + w0 - y_e4) AS HUGEINT) AS g0,
+                  CAST(sum(abs(w1 * q + w0 - y_e4)) AS HUGEINT) AS sae,
+                  CAST(count(*) AS BIGINT) AS n
+                FROM lr_data, p${i - 1}),
+              p$i AS (
+                SELECT CAST(w1 - ${fdiv(fdiv("g1", "n"), "1024")} AS BIGINT)
+                    AS w1,
+                  CAST(w0 - ${fdiv(fdiv("g0", "n"), "1024")} AS BIGINT) AS w0,
+                  CAST(${fdiv("sae", "n")} AS BIGINT) AS mae_e4
+                FROM g$i, p${i - 1})"""
+        }.mkString(",\n")
+        val rows = (1 to 8).map(i =>
+          s"SELECT $i AS iter, w1 AS w1_e4, w0 AS w0_e4, mae_e4 FROM p$i")
+          .mkString("\n UNION ALL ")
+        s"""WITH lr_data AS MATERIALIZED (
+              SELECT CAST(l_quantity AS BIGINT) AS q,
+                CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT) AS y_e4
+              FROM lineitem),
+            p0 AS (SELECT CAST(0 AS HUGEINT) AS w1, CAST(0 AS HUGEINT) AS w0,
+                     CAST(0 AS BIGINT) AS mae_e4),
+            $iters
+            SELECT iter, CAST(w1_e4 AS BIGINT) AS w1_e4,
+              CAST(w0_e4 AS BIGINT) AS w0_e4,
+              CAST(mae_e4 AS BIGINT) AS mae_e4
+            FROM ($rows) ORDER BY iter"""
+      }),
 
     Q("w13_retention_cohorts",
       // Cohort retention — THE product-analytics rollup: users are
