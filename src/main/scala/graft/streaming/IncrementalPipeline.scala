@@ -251,6 +251,24 @@ object IncrementalPipeline {
     out.result().iterator
   }
 
+  /** Streaming heavy-hitter CANDIDATES — the x_heavy_hitters sketch
+    * pass as a continuous query: `mg_topk` is a TypedImperativeAggregate,
+    * so Structured Streaming's stateful aggregation carries its <= k-1
+    * Misra-Gries counters in the state store and merges each trigger's
+    * partial buffers into them with the same mergeable-summaries rule
+    * as any batch merge tree. The superset guarantee therefore holds
+    * over the WHOLE stream so far, at every trigger: any item with
+    * cumulative frequency > n/k is in the emitted candidate array
+    * (update output mode — each trigger re-emits the current array).
+    * The exact-recount verify pass stays a batch job over the
+    * accumulated corpus, as in the catalog query — the sketch is the
+    * part that must be continuous, the verify is cheap because the
+    * candidate set is <= k-1 rows. */
+  def streamingHeavyHitterCandidates(words: DataFrame, k: Int): DataFrame = {
+    graft.functions.MisraGriesAgg.register(words.sparkSession)
+    words.agg(expr(s"mg_topk(w, $k)").as("candidates"))
+  }
+
   /** Deduplicate a stream per key keeping the earliest event, with state
     * bounded by the watermark — the streaming face of A12. */
   def streamingDedup(events: DataFrame, watermark: String = "30 minutes"): DataFrame =

@@ -587,4 +587,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(oneBatch == localReplay(10L))
     assert(manyBatches == localReplay(10L))
   }
+
+  test("streaming heavy hitters: the MG superset guarantee holds across triggers") {
+    implicit val sql = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val k = 10
+    val q = IncrementalPipeline.streamingHeavyHitterCandidates(
+        input.toDF().toDF("w"), k)
+      .writeStream.outputMode("update").format("memory").queryName("hh").start()
+    // zipf-ish stream split across two triggers so the sketch state
+    // must survive in the state store between them
+    def zipf(lo: Int, hi: Int) =
+      (lo to hi).flatMap(i => Seq.fill(200 / i)(s"item_$i"))
+    val part1 = zipf(1, 20)
+    val part2 = zipf(1, 20) ++ Seq.fill(150)("item_1") // reinforce the head
+    input.addData(part1: _*)
+    q.processAllAvailable()
+    input.addData(part2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val all = part1 ++ part2
+    val heavy = all.groupBy(identity).collect {
+      case (w, xs) if xs.size.toLong * k > all.size => w
+    }.toSet
+    // last update-mode emission = the candidates over the whole stream
+    val lastCands = spark.table("hh").collect().last
+      .getSeq[String](0).toSet
+    assert(heavy.nonEmpty && heavy.subsetOf(lastCands),
+      s"missing ${heavy -- lastCands} from $lastCands")
+    assert(lastCands.size <= k - 1)
+  }
 }
