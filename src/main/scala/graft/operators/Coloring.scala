@@ -77,8 +77,11 @@ object Coloring {
       }).withColumn("color", expr(
         "filter(sequence(0, size(used)), i -> NOT array_contains(used, i))[0]"))
         .select("node", "color")
-      colored = (if (colored == null) newly
-        else colored.unionByName(newly)).cutLineage()
+        .cutLineage()
+      // colored stays an UNCUT union of the per-round cut frames: its
+      // lineage depth is the (O(log n)) round count over materialized
+      // leaves — one checkpoint per round instead of two.
+      colored = if (colored == null) newly else colored.unionByName(newly)
       un = un.join(newly.select("node"), Seq("node"), "left_anti").cutLineage()
       remaining = un.count()
     }
