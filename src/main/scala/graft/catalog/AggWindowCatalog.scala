@@ -2482,6 +2482,92 @@ object AggWindowCatalog {
             FROM ($rows) ORDER BY iter"""
       }),
 
+    Q("w21_p90_trend",
+      // Quantile trend per key — "is this tenant's tail drifting?", the
+      // per-entity latency/spend question a mean-based trend hides:
+      // per (event_type, month) the EXACT p90 of event value by
+      // nearest-rank (rank = ceil(0.9 n) over (cents, event_id) — a
+      // total order, so both engines pick the identical row; integer
+      // cents, no interpolation), then the w20 Theil-Sen machinery
+      // over each type's monthly p90 series (median of pairwise
+      // floored-ppm slopes, lower-middle pick). Scale shape: the p90
+      // rank is one window sharing the (type, month) partitioning —
+      // WindowGroupLimit-prunable since only rank r survives; the
+      // slope pair frame is months^2 per type, span-bounded.
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 2592000000000").as("m"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v_e2"),
+            col("event_id"))
+        val wM = Window.partitionBy("event_type", "m")
+        val wR = Window.partitionBy("event_type", "m")
+          .orderBy(col("v_e2"), col("event_id"))
+        val p90 = ev
+          .withColumn("n", count(lit(1)).over(wM))
+          .withColumn("rn", row_number().over(wR))
+          .filter(col("rn") === expr("(9 * n + 9) div 10"))
+          .select(col("event_type"), col("m"), col("v_e2").as("p90_e2"))
+        val a = p90.select(col("event_type"), col("m").as("xi"),
+          col("p90_e2").as("yi"))
+        val b = p90.select(col("event_type"), col("m").as("xj"),
+          col("p90_e2").as("yj"))
+        val slopes = a.join(b, Seq("event_type"))
+          .filter(col("xi") < col("xj"))
+          .withColumn("num", expr("1000000 * (yj - yi)"))
+          .withColumn("den", col("xj") - col("xi"))
+          .withColumn("slope_ppm", expr("(num - pmod(num, den)) div den"))
+        val wS = Window.partitionBy("event_type")
+          .orderBy(col("slope_ppm"), col("xi"), col("xj"))
+        val wT = Window.partitionBy("event_type")
+        val trend = slopes
+          .withColumn("rn", row_number().over(wS))
+          .withColumn("np", count(lit(1)).over(wT))
+          .filter(col("rn") === expr("(np + 1) div 2"))
+          .select(col("event_type"), col("slope_ppm").as("p90_slope_ppm"))
+        p90.groupBy("event_type")
+          .agg(count(lit(1)).as("n_months"),
+            min("p90_e2").as("p90_min_e2"), max("p90_e2").as("p90_max_e2"))
+          .join(trend, Seq("event_type"))
+          .select("event_type", "n_months", "p90_min_e2", "p90_max_e2",
+            "p90_slope_ppm")
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+               SELECT event_type, epoch_us(ts) // 2592000000000 AS m,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_e2, event_id
+               FROM events),
+             p90 AS MATERIALIZED (
+               SELECT event_type, m, v_e2 AS p90_e2 FROM (
+                 SELECT event_type, m, v_e2,
+                   row_number() OVER (PARTITION BY event_type, m
+                     ORDER BY v_e2, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type, m) AS n
+                 FROM ev)
+               WHERE rn = (9 * n + 9) // 10),
+             slopes AS (
+               SELECT a.event_type, a.m AS xi, b.m AS xj,
+                 CAST((1000000 * (b.p90_e2 - a.p90_e2)
+                     - ((1000000 * (b.p90_e2 - a.p90_e2)) % (b.m - a.m)
+                        + (b.m - a.m)) % (b.m - a.m))
+                   // (b.m - a.m) AS BIGINT) AS slope_ppm
+               FROM p90 a JOIN p90 b
+                 ON a.event_type = b.event_type AND a.m < b.m),
+             med AS (
+               SELECT event_type, slope_ppm AS p90_slope_ppm FROM (
+                 SELECT event_type, slope_ppm,
+                   row_number() OVER (PARTITION BY event_type
+                     ORDER BY slope_ppm, xi, xj) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS np
+                 FROM slopes)
+               WHERE rn = (np + 1) // 2)
+             SELECT p.event_type, CAST(count(*) AS BIGINT) AS n_months,
+               CAST(min(p90_e2) AS BIGINT) AS p90_min_e2,
+               CAST(max(p90_e2) AS BIGINT) AS p90_max_e2,
+               max(med.p90_slope_ppm) AS p90_slope_ppm
+             FROM p90 p JOIN med ON p.event_type = med.event_type
+             GROUP BY p.event_type ORDER BY p.event_type""")),
+
     Q("w13_retention_cohorts",
       // Cohort retention — THE product-analytics rollup: users are
       // cohorted by their first active week, and each (cohort week,
