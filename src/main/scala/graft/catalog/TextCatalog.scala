@@ -718,6 +718,112 @@ object TextCatalog {
               ORDER BY doc_id"""
       }),
 
+    Q("x_group_kfold",
+      // Group-aware k-fold assignment with a LEAKAGE AUDIT — the
+      // train/eval hygiene step after dedup (scikit-learn's GroupKFold
+      // made corpus-scale): hashing documents into folds independently
+      // leaks near-duplicates across the train/eval boundary, so the
+      // fold key must be the near-dup CLUSTER id (connected components
+      // of the banded simhash pair graph — the x_dedup_clusters
+      // machinery), every member of a cluster landing in ONE fold by
+      // construction. The row carries the audit that makes the hazard
+      // measurable: leak_pairs_naive counts near-dup pairs split
+      // across folds under the naive per-doc hash split (nonzero on
+      // this corpus), leak_pairs_grouped the same count under the
+      // cluster-keyed split — structurally zero, and the oracle
+      // derives both counts from its own independent component
+      // fixpoint. Scale shape: the pair graph and components are the
+      // shipped bucketed/pointer-jumping operators; fold assignment is
+      // one row-local hash on the cluster id.
+      (s, d) => {
+        val pairs = simhashNearDupPairs(s, d).cutLineage()
+        val comps = graft.operators.Components
+          .connectedComponents(pairs, "doc_a", "doc_b")
+        val folds = t(s, d, "documents").select(col("doc_id"))
+          .join(comps.select(col("node").as("doc_id"), col("comp")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+          .withColumn("fold", expr(
+            "CAST(conv(substring(md5(CAST(cluster_id AS STRING)), 1, 12), " +
+              "16, 10) AS BIGINT) % 5"))
+          .withColumn("fold_naive", expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), " +
+              "16, 10) AS BIGINT) % 5"))
+          .cutLineage()
+        def leak(c: String, name: String) = broadcast(pairs
+          .join(folds.select(col("doc_id").as("doc_a"), col(c).as("fa")),
+            Seq("doc_a"))
+          .join(folds.select(col("doc_id").as("doc_b"), col(c).as("fb")),
+            Seq("doc_b"))
+          .agg(sum(when(col("fa") =!= col("fb"), 1L).otherwise(0L)).as(name)))
+        folds.groupBy("fold")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct("cluster_id").as("n_clusters"))
+          .crossJoin(leak("fold", "leak_pairs_grouped"))
+          .crossJoin(leak("fold_naive", "leak_pairs_naive"))
+          .select("fold", "n_docs", "n_clusters", "leak_pairs_grouped",
+            "leak_pairs_naive")
+          .orderBy("fold")
+      },
+      Some {
+        val propagate =
+          """SELECT n.node, least(n.lbl, coalesce(m.ml, n.lbl)) AS lbl
+             FROM gkf_lbl n LEFT JOIN (
+               SELECT e.d AS node, min(p.lbl) AS ml
+               FROM gkf_edges e JOIN gkf_lbl p ON p.node = e.s
+               GROUP BY e.d) m ON m.node = n.node"""
+        val rounds = (1 to 12).map { _ =>
+          s"""CREATE OR REPLACE TEMP TABLE gkf_next AS $propagate;
+              CREATE OR REPLACE TEMP TABLE gkf_lbl AS
+              SELECT * FROM gkf_next;"""
+        }.mkString("\n              ")
+        val nib12 = (c: String) => (1 to 12).map(i =>
+          s"(strpos('0123456789abcdef', substring(md5(CAST($c AS VARCHAR)), $i, 1)) - 1) * ${1L << (4 * (12 - i))}")
+          .mkString("CAST(", " + ", " AS BIGINT)")
+        s"""CREATE OR REPLACE TEMP TABLE gkf_sims AS
+              WITH ${duckSimhashCte()} SELECT * FROM sims;
+              CREATE OR REPLACE TEMP TABLE gkf_pairs AS
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM gkf_sims a JOIN gkf_sims b
+                ON a.source = b.source AND a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 8;
+              CREATE OR REPLACE TEMP TABLE gkf_edges AS
+              SELECT doc_a AS s, doc_b AS d FROM gkf_pairs
+              UNION ALL SELECT doc_b, doc_a FROM gkf_pairs;
+              CREATE OR REPLACE TEMP TABLE gkf_lbl AS
+              SELECT DISTINCT s AS node, s AS lbl FROM gkf_edges;
+              $rounds
+              CREATE OR REPLACE TEMP TABLE gkf_chk AS $propagate;
+              CREATE OR REPLACE TEMP TABLE gkf_folds AS
+              SELECT doc_id, cluster_id,
+                ${nib12("cluster_id")} % 5 AS fold,
+                ${nib12("doc_id")} % 5 AS fold_naive
+              FROM (SELECT dd.doc_id,
+                      coalesce(c.lbl, dd.doc_id) AS cluster_id
+                    FROM documents dd
+                      LEFT JOIN gkf_lbl c ON dd.doc_id = c.node);
+              SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+                (SELECT CAST(sum(CASE WHEN fa.fold <> fb.fold
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                 FROM gkf_pairs p
+                 JOIN gkf_folds fa ON fa.doc_id = p.doc_a
+                 JOIN gkf_folds fb ON fb.doc_id = p.doc_b)
+                  AS leak_pairs_grouped,
+                (SELECT CAST(sum(CASE WHEN fa.fold_naive <> fb.fold_naive
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                 FROM gkf_pairs p
+                 JOIN gkf_folds fa ON fa.doc_id = p.doc_a
+                 JOIN gkf_folds fb ON fb.doc_id = p.doc_b)
+                  AS leak_pairs_naive
+              FROM gkf_folds
+              WHERE (SELECT count(*) FROM gkf_chk k JOIN gkf_lbl l
+                     ON k.node = l.node AND k.lbl <> l.lbl) = 0
+              GROUP BY fold
+              ORDER BY fold"""
+      }),
+
     Q("x_rolling_fingerprint",
       // Rabin–Karp rolling-hash fingerprint per document over the ASCII
       // projection: count / min / distinct-count of all 8-byte window
