@@ -2568,6 +2568,24 @@ object AggWindowCatalog {
              FROM p90 p JOIN med ON p.event_type = med.event_type
              GROUP BY p.event_type ORDER BY p.event_type""")),
 
+    Q("w22_markov_attrib",
+      // Markov-chain attribution by removal effect (operators/
+      // Attribution — Anderl et al. 2014): user journeys -> first-order
+      // chain over touchpoint states with CONV/NULL absorbers; a
+      // channel's credit is how much start-to-conversion probability
+      // drops when its visits redirect to NULL — the data-driven
+      // answer first/last-touch heuristics fake. The corpus is touched
+      // ONCE (one window pass + one pivoted aggregate into a single
+      // counts row); the five chain variants (base + four removals)
+      // value-iterate side by side on that 1-row frame for 24 rounds,
+      // every update pure BIGINT ppm (a documented monotone
+      // lower-bound truncation of the exact absorption probability,
+      // identical on both engines); the oracle replays the identical
+      // recurrence generated from the same term lists.
+      (s, d) => graft.operators.Attribution
+        .markovAttribution(t(s, d, "events"), iters = 24),
+      Some(graft.operators.Attribution.duckSql(iters = 24))),
+
     Q("w13_retention_cohorts",
       // Cohort retention — THE product-analytics rollup: users are
       // cohorted by their first active week, and each (cohort week,
