@@ -824,6 +824,99 @@ object TextCatalog {
               ORDER BY fold"""
       }),
 
+    Q("x_ppjoin",
+      // Exact set-similarity join by PREFIX FILTERING (SSJoin /
+      // PPJoin — Chaudhuri et al. 2006, Xiao et al. 2008): every
+      // document pair with trigram Jaccard >= 0.6, found by joining
+      // only each set's PREFIX — its |S| - ceil(0.6|S|) + 1 globally
+      // rarest shingles (ascending document frequency, ties by
+      // shingle): two sets that meet the threshold MUST share a
+      // prefix token, so the join fans out on rare tokens only — the
+      // deterministic-and-exact complement of the probabilistic
+      // minhash/simhash family, and a THIRD blocking discipline next
+      // to their banding and FastSS's deletion neighborhoods. The
+      // threshold test is pure integers (8*|A∩B| >= 3*(|A|+|B|) <=>
+      // jac >= 3/5 — no ppm rounding in the predicate; the published
+      // jac_ppm is display only); the oracle generates candidates
+      // from ALL shared shingles (trivially complete), so a green row
+      // is a machine-checked proof of the prefix-filter theorem on
+      // this corpus. Scale: prefix length shrinks as sets grow, df
+      // ranking puts the rarest tokens in the prefix, and the exact
+      // intersection join runs only over candidate docs.
+      (s, d) => {
+        val sh = spread(t(s, d, "documents"))
+          .withColumn("toks", split(expr(sparkNorm), " "))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(toks) - 3), " +
+              "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"))
+            .as("sh"))
+          .distinct()
+          .cutLineage()
+        val dfq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        val ranked = sh.join(dfq, Seq("sh"))
+          .withColumn("card",
+            count(lit(1)).over(Window.partitionBy("doc_id")))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+          .withColumn("pref_len",
+            expr("card - (3 * card + 4) div 5 + 1"))
+        val pref = ranked.filter(col("pos") <= col("pref_len"))
+          .select(col("doc_id"), col("sh"), col("card"))
+        val cand = pref.select(col("doc_id").as("doc_a"), col("sh"),
+            col("card").as("card_a"))
+          .join(pref.select(col("doc_id").as("doc_b"), col("sh"),
+            col("card").as("card_b")), Seq("sh"))
+          .filter(col("doc_a") < col("doc_b") &&
+            col("card_a") * 3 <= col("card_b") * 5 &&
+            col("card_b") * 3 <= col("card_a") * 5)
+          .select("doc_a", "doc_b", "card_a", "card_b")
+          .distinct()
+          .cutLineage()
+        val inDocs = cand.select(col("doc_a").as("doc_id"))
+          .union(cand.select(col("doc_b"))).distinct()
+        val shC = sh.join(inDocs, Seq("doc_id"), "left_semi")
+        val inter = shC.select(col("doc_id").as("doc_a"), col("sh"))
+          .join(shC.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+        cand.join(inter, Seq("doc_a", "doc_b"))
+          .filter(col("i") * 8 >= (col("card_a") + col("card_b")) * 3)
+          .withColumn("jac_ppm",
+            expr("1000000 * i div (card_a + card_b - i)"))
+          .select("doc_a", "doc_b", "card_a", "card_b", "i", "jac_ppm")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH shd AS MATERIALIZED (
+                 SELECT DISTINCT doc_id, sh FROM (
+                   SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i + 1] || ' '
+                         || toks[i + 2])) AS sh
+                   FROM (SELECT doc_id, string_split($duckNorm, ' ') AS toks
+                         FROM documents)
+                   WHERE len(toks) >= 3)),
+               cards AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS card
+                         FROM shd GROUP BY doc_id),
+               cand AS (
+                 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM shd a JOIN shd b
+                   ON a.sh = b.sh AND a.doc_id < b.doc_id),
+               inter AS (
+                 SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS i
+                 FROM cand c JOIN shd x ON x.doc_id = c.doc_a
+                   JOIN shd y ON y.doc_id = c.doc_b AND y.sh = x.sh
+                 GROUP BY c.doc_a, c.doc_b)
+               SELECT inter.doc_a, inter.doc_b,
+                 ca.card AS card_a, cb.card AS card_b, i,
+                 CAST(1000000 * i // (ca.card + cb.card - i) AS BIGINT)
+                   AS jac_ppm
+               FROM inter
+                 JOIN cards ca ON ca.doc_id = inter.doc_a
+                 JOIN cards cb ON cb.doc_id = inter.doc_b
+               WHERE i * 8 >= (ca.card + cb.card) * 3
+               ORDER BY inter.doc_a, inter.doc_b""")),
+
     Q("x_rolling_fingerprint",
       // Rabin–Karp rolling-hash fingerprint per document over the ASCII
       // projection: count / min / distinct-count of all 8-byte window
