@@ -269,6 +269,24 @@ object IncrementalPipeline {
     words.agg(expr(s"mg_topk(w, $k)").as("candidates"))
   }
 
+  /** WINDOWED heavy-hitter candidates — frequent items per event-time
+    * window, with state bounded by the watermark: the global sketch
+    * above answers "frequent over the whole stream", this one "frequent
+    * THIS hour", the form a trending/abuse monitor actually runs. One
+    * mg_topk buffer per open window in the state store (<= k-1 counters
+    * each); append mode emits a window's candidates once, when the
+    * watermark closes it, and the window's state is evicted — unbounded
+    * streams hold only the open windows' sketches. Late rows inside the
+    * watermark merge into their window's counters before it seals. */
+  def windowedHeavyHitterCandidates(words: DataFrame, k: Int,
+      window: String = "1 hour", watermark: String = "1 hour"): DataFrame = {
+    graft.functions.MisraGriesAgg.register(words.sparkSession)
+    words.withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window))
+      .agg(expr(s"mg_topk(w, $k)").as("candidates"))
+      .select(col("window.start").as("win_start"), col("candidates"))
+  }
+
   /** Deduplicate a stream per key keeping the earliest event, with state
     * bounded by the watermark — the streaming face of A12. */
   def streamingDedup(events: DataFrame, watermark: String = "30 minutes"): DataFrame =

@@ -617,4 +617,36 @@ class StreamingSpec extends AnyFunSuite {
       s"missing ${heavy -- lastCands} from $lastCands")
     assert(lastCands.size <= k - 1)
   }
+
+  test("windowed heavy hitters: per-window supersets, late row merges, window seals") {
+    import graft.streaming.SessionEvent
+    implicit val sql = spark.sqlContext
+    // reuse SessionEvent's (user_id, ts) shape: user_id doubles as the
+    // item id, stringified to the `w` column the sketch wants
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessionEvent]
+    def ev(item: Long, t: String) = SessionEvent(item, java.sql.Timestamp.valueOf(t))
+    val words = input.toDF()
+      .selectExpr("CAST(user_id AS STRING) AS w", "ts")
+    val q = IncrementalPipeline.windowedHeavyHitterCandidates(words, k = 5)
+      .writeStream.outputMode("append").format("memory").queryName("whh").start()
+    // window 10:00-11:00 — item 1 heavy, plus a late row for it later
+    input.addData(
+      (1 to 20).map(_ => ev(1, "2024-01-01 10:05:00")) ++
+        Seq(ev(2, "2024-01-01 10:10:00"), ev(3, "2024-01-01 10:20:00")): _*)
+    q.processAllAvailable()
+    // a late-but-inside row merges into the open 10:00 window
+    input.addData(ev(1, "2024-01-01 10:45:00"))
+    q.processAllAvailable()
+    assert(spark.table("whh").isEmpty, "append mode: window not sealed yet")
+    // advance the watermark past 12:00 -> the 10:00 window seals
+    input.addData(ev(9, "2024-01-01 13:30:00"))
+    q.processAllAvailable()
+    val closedW = spark.table("whh").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getSeq[String](1).toSet).toMap
+    q.stop()
+    val w10 = closedW.keys.find(_.startsWith("2024-01-01 10:00")).get
+    assert(closedW(w10).contains("1"),
+      s"item 1 (21 of 23 rows) must be a candidate: $closedW")
+    assert(closedW(w10).size <= 4)
+  }
 }
