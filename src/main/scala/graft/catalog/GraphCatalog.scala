@@ -1327,7 +1327,73 @@ object GraphCatalog {
           .orderBy("color")
       },
       Some(coloringOracle(rounds = 20)))
+  ,
+
+    Q("g_greedy_matching",
+      // Distributed greedy weighted matching (operators/Matching —
+      // Preis's locally-dominant edges, STACS 1999) on the undirected
+      // nation trade graph (weights = summed bidirectional lineitem
+      // counts): an edge outranking every edge at BOTH endpoints
+      // matches immediately; under the total (w desc, u, v) order the
+      // result IS the sequential sort-and-take greedy — the 1/2-approx
+      // maximum-weight matching — computed in O(log m) synchronized
+      // rounds instead of a sequential sweep. The assignment/pairing
+      // primitive (reviewer-document pairing, duplicate-pair
+      // consolidation) without the auction algorithm's value/eps price
+      // war. Oracle: 12 unrolled dominant-edge rounds with a
+      // survivors-remain guard; MatchingSpec pins equality with a
+      // sequential greedy twin.
+      (s, d) => {
+        val tr = tradeEdges(s, d)
+        val und = tr.select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v"), col("weight"))
+          .groupBy("u", "v").agg(sum("weight").as("w"))
+        graft.operators.Matching.greedy(und)
+          .withColumn("w", col("w").cast("long"))
+          .orderBy("u", "v")
+      },
+      Some(matchingOracle(rounds = 12)))
   )
+
+  /** Staged locally-dominant matching oracle: the symmetrized trade
+    * weights, `rounds` unrolled rounds (an edge is dominant iff its
+    * (w desc, u, v) rank is minimal among all edges sharing either
+    * endpoint), with an unmatched-edges-remain guard. */
+  private def matchingOracle(rounds: Int): String = {
+    val sweeps = (1 to rounds).map { i =>
+      s""",
+         mr$i AS (SELECT u, v, w, row_number() OVER (
+             ORDER BY w DESC, u, v) AS r FROM me${i - 1}),
+         dom$i AS MATERIALIZED (
+           SELECT e.u, e.v, e.w FROM mr$i e
+           WHERE NOT EXISTS (
+             SELECT 1 FROM mr$i f
+             WHERE f.r < e.r AND (f.u = e.u OR f.v = e.u
+               OR f.u = e.v OR f.v = e.v))),
+         me$i AS MATERIALIZED (
+           SELECT e.u, e.v, e.w FROM me${i - 1} e
+           WHERE NOT EXISTS (
+             SELECT 1 FROM dom$i d
+             WHERE d.u = e.u OR d.v = e.u OR d.u = e.v OR d.v = e.v))"""
+    }.mkString
+    val acc = (1 to rounds).map(i => s"SELECT u, v, w FROM dom$i")
+      .mkString("\n           UNION ALL ")
+    s"""WITH tr AS MATERIALIZED (
+           SELECT c_nationkey AS src, s_nationkey AS dst,
+             CAST(count(*) AS BIGINT) AS weight
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN supplier ON l_suppkey = s_suppkey
+           WHERE c_nationkey <> s_nationkey
+           GROUP BY 1, 2),
+         me0 AS MATERIALIZED (
+           SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+             CAST(sum(weight) AS BIGINT) AS w
+           FROM tr GROUP BY 1, 2)$sweeps
+         SELECT u, v, w FROM ($acc)
+         WHERE (SELECT count(*) FROM me$rounds) = 0
+         ORDER BY u, v"""
+  }
 
   /** Staged Jones-Plassmann oracle: the labelprop backbone symmetrized
     * with 48-bit md5 priorities, `rounds` unrolled rounds of
