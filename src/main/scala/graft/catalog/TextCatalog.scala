@@ -898,15 +898,16 @@ object TextCatalog {
                    WHERE len(toks) >= 3)),
                cards AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS card
                          FROM shd GROUP BY doc_id),
-               cand AS (
-                 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                 FROM shd a JOIN shd b
-                   ON a.sh = b.sh AND a.doc_id < b.doc_id),
                inter AS (
-                 SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS i
-                 FROM cand c JOIN shd x ON x.doc_id = c.doc_a
-                   JOIN shd y ON y.doc_id = c.doc_b AND y.sh = x.sh
-                 GROUP BY c.doc_a, c.doc_b)
+                 -- the sh-keyed self-join IS the complete candidate set
+                 -- AND the intersection count in one grouped pass (a
+                 -- per-candidate re-probe of shd exploded to |cand| x
+                 -- card rows and timed out on the sf1 corpus)
+                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS i
+                 FROM shd a JOIN shd b
+                   ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
                SELECT inter.doc_a, inter.doc_b,
                  ca.card AS card_a, cb.card AS card_b, i,
                  CAST(1000000 * i // (ca.card + cb.card - i) AS BIGINT)
