@@ -2586,6 +2586,47 @@ object AggWindowCatalog {
         .markovAttribution(t(s, d, "events"), iters = 24),
       Some(graft.operators.Attribution.duckSql(iters = 24))),
 
+    Q("w23_seq_patterns",
+      // Sequential pattern mining, the bounded-length core (SPAM /
+      // PrefixSpan restricted to consecutive length-3 patterns, gap 0):
+      // the top-10 event-type trigram PATHS by user support — "what do
+      // users actually do in sequence", the query behind churn-path
+      // and funnel-discovery analyses. Support = distinct users whose
+      // journey contains the consecutive triple (per-user dedup before
+      // counting, so one loopy user cannot inflate a pattern). One
+      // window pass (two leads) + one distinct + one count: the
+      // pattern vocabulary is |types|^3-bounded, the corpus is touched
+      // once. Total order (support desc, pattern) for the top-10.
+      (s, d) => {
+        val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("t2", lead("event_type", 1).over(wOrd))
+          .withColumn("t3", lead("event_type", 2).over(wOrd))
+          .filter(col("t3").isNotNull)
+          .select(col("user_id"),
+            concat_ws(">", col("event_type"), col("t2"), col("t3"))
+              .as("pattern"))
+          .distinct()
+          .groupBy("pattern").agg(count(lit(1)).as("n_users"))
+          .orderBy(desc("n_users"), col("pattern"))
+          .limit(10)
+      },
+      Some("""WITH seqd AS (
+               SELECT user_id, event_type,
+                 lead(event_type, 1) OVER w AS t2,
+                 lead(event_type, 2) OVER w AS t3
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             pats AS (
+               SELECT DISTINCT user_id,
+                 event_type || '>' || t2 || '>' || t3 AS pattern
+               FROM seqd WHERE t3 IS NOT NULL)
+             SELECT pattern, CAST(count(*) AS BIGINT) AS n_users
+             FROM pats GROUP BY pattern
+             ORDER BY n_users DESC, pattern LIMIT 10""")),
+
     Q("w13_retention_cohorts",
       // Cohort retention — THE product-analytics rollup: users are
       // cohorted by their first active week, and each (cohort week,

@@ -918,6 +918,72 @@ object TextCatalog {
                WHERE i * 8 >= (ca.card + cb.card) * 3
                ORDER BY inter.doc_a, inter.doc_b""")),
 
+    Q("x_rendezvous_shards",
+      // Rendezvous (highest-random-weight) sharding with the two
+      // audits that justify it (Thaler-Ravishankar 1998; the placement
+      // algebra behind consistent assignment in storage systems): each
+      // document lands on the shard s maximizing md5(doc_id ':' s) —
+      // pure integer argmax, no ring, no virtual nodes — and the row
+      // proves the two properties a deployment buys it for: (a)
+      // BALANCE — per-shard counts under 10 shards are near-uniform
+      // (the hash argmax is exchangeable across shards); (b) MINIMAL
+      // RESHUFFLE — growing 10 -> 11 shards moves EXACTLY the
+      // documents whose new shard-10 weight beats their old winner
+      // (~1/11 of the corpus, measured in-row as moved_ppm), while
+      // every other assignment is provably unchanged (the old argmax
+      // still wins among the original ten). Row-local hashes + one
+      // rollup; nothing shuffles on resize except the moved documents
+      // themselves — the property that makes 100 TB re-sharding a 9%
+      // copy, not a 100% one.
+      (s, d) => {
+        def w(sh: Int) = expr(
+          s"CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':$sh')), 1, 12), 16, 10) AS BIGINT)")
+        val withW = t(s, d, "documents").select(
+          (col("doc_id") +: (0 to 10).map(i => w(i).as(s"w$i"))): _*)
+        val best10 = (0 to 9).map(i =>
+          struct(col(s"w$i").as("wt"), lit(i).as("sh"))).reduce((a, b) =>
+          when(a("wt") >= b("wt"), a).otherwise(b))
+        val assigned = withW
+          .withColumn("b10", best10)
+          .withColumn("shard10", col("b10.sh"))
+          .withColumn("moved", (col("w10") > col("b10.wt")).cast("long"))
+        val tot = broadcast(assigned.agg(count(lit(1)).as("__n"),
+          sum("moved").as("__moved")))
+        assigned.groupBy("shard10")
+          .agg(count(lit(1)).as("n_docs"), sum("moved").as("n_moved_out"))
+          .crossJoin(tot)
+          .withColumn("moved_ppm_total", expr("1000000 * __moved div __n"))
+          .select("shard10", "n_docs", "n_moved_out", "moved_ppm_total")
+          .orderBy("shard10")
+      },
+      Some {
+        val nib = (expr: String) => (1 to 12).map(i =>
+          s"(strpos('0123456789abcdef', substring($expr, $i, 1)) - 1) * ${1L << (4 * (12 - i))}")
+          .mkString("CAST(", " + ", " AS BIGINT)")
+        val ws = (0 to 10).map(i =>
+          s"${nib(s"md5(CAST(doc_id AS VARCHAR) || ':$i')")} AS w$i")
+          .mkString(",\n                 ")
+        val greatest10 = (0 to 9).map(i => s"w$i").mkString("greatest(", ", ", ")")
+        val shardCase = "CASE " + (0 to 9).map(i =>
+          s"WHEN w$i = m10 THEN $i").mkString(" ") + " END"
+        s"""WITH ws AS (
+              SELECT doc_id, $ws FROM documents),
+            a AS (
+              SELECT doc_id, $greatest10 AS m10, w10 FROM ws),
+            asg AS (
+              SELECT ws.doc_id, $shardCase AS shard10,
+                CASE WHEN ws.w10 > a.m10 THEN 1 ELSE 0 END AS moved
+              FROM ws JOIN a ON ws.doc_id = a.doc_id),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(moved) AS BIGINT) AS mv FROM asg)
+            SELECT shard10, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(moved) AS BIGINT) AS n_moved_out,
+              CAST(1000000 * mv // n AS BIGINT) AS moved_ppm_total
+            FROM asg, tot
+            GROUP BY shard10, mv, n
+            ORDER BY shard10"""
+      }),
+
     Q("x_rolling_fingerprint",
       // Rabin–Karp rolling-hash fingerprint per document over the ASCII
       // projection: count / min / distinct-count of all 8-byte window
