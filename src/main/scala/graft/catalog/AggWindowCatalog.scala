@@ -2627,6 +2627,109 @@ object AggWindowCatalog {
              FROM pats GROUP BY pattern
              ORDER BY n_users DESC, pattern LIMIT 10""")),
 
+    Q("a_conformal",
+      // Split-conformal prediction intervals (Papadopoulos et al. 2002;
+      // Lei et al.) over the a_linreg_gd model — the distribution-free
+      // calibration step a deployed regressor needs: 3-way identity-
+      // hash split (train/calibration/test, the x_hash_split
+      // discipline, so membership is reproducible everywhere), the GD
+      // weights fit on TRAIN only (same bit-exact integer loop), the
+      // interval half-width q_hat = the ceil(0.9*(n_cal+1))-th
+      // smallest absolute calibration residual (the finite-sample
+      // conformal rank — an exact nearest-rank pick: ties in |r| all
+      // carry the same value, so the orderBy needs no tiebreak), and
+      // the honesty column: EMPIRICAL coverage on the held-out test
+      // split, which conformal theory lower-bounds by 90% under
+      // exchangeability — measured, not assumed, in the same row.
+      (s, d) => {
+        val data = t(s, d, "lineitem")
+          .select(col("l_quantity").cast("long").as("q"),
+            expr("CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)")
+              .as("y_e4"),
+            expr("CAST(conv(substring(md5(concat(CAST(l_orderkey AS STRING)," +
+              " ':', CAST(l_linenumber AS STRING))), 1, 12), 16, 10)" +
+              " AS BIGINT) % 3").as("split"))
+          .cutLineage()
+        def fdiv(num: String, den: String) =
+          s"($num - pmod($num, $den)) div ($den)"
+        val train = data.filter(col("split") === 0)
+        var wts = train.agg(lit(0L).as("w1"), lit(0L).as("w0"))
+        (1 to 8).foreach { _ =>
+          wts = train.crossJoin(broadcast(wts))
+            .withColumn("r", expr("w1 * q + w0 - y_e4"))
+            .agg(sum(expr("r * q")).as("g1"), sum("r").as("g0"),
+              count(lit(1)).as("n"), max("w1").as("w1"), max("w0").as("w0"))
+            .select(expr(s"w1 - ${fdiv(fdiv("g1", "n"), "1024")}").as("w1"),
+              expr(s"w0 - ${fdiv(fdiv("g0", "n"), "1024")}").as("w0"))
+        }
+        val cal = data.filter(col("split") === 1)
+          .crossJoin(broadcast(wts))
+          .withColumn("absr", abs(expr("w1 * q + w0 - y_e4")))
+        val nCal = broadcast(cal.agg(count(lit(1)).as("__nc")))
+        val qhat = broadcast(cal.crossJoin(nCal)
+          .withColumn("rn",
+            row_number().over(Window.orderBy(col("absr"))))
+          .filter(col("rn") === expr("(9 * (__nc + 1) + 9) div 10"))
+          .select(col("absr").as("q_hat_e4")))
+        val test = data.filter(col("split") === 2)
+          .crossJoin(broadcast(wts)).crossJoin(qhat)
+          .withColumn("covered",
+            (abs(expr("w1 * q + w0 - y_e4")) <= col("q_hat_e4")).cast("long"))
+        test.agg(count(lit(1)).as("n_test"), sum("covered").as("n_covered"),
+            max("q_hat_e4").as("q_hat_e4"), max("w1").as("w1_e4"),
+            max("w0").as("w0_e4"))
+          .crossJoin(nCal)
+          .withColumn("coverage_ppm",
+            expr("1000000 * n_covered div n_test"))
+          .select(col("__nc").as("n_cal"), col("n_test"), col("q_hat_e4"),
+            col("w1_e4"), col("w0_e4"), col("coverage_ppm"))
+      },
+      Some {
+        def fdiv(num: String, den: String) =
+          s"((($num) - ((($num) % ($den) + ($den)) % ($den))) // ($den))"
+        val h48 = (1 to 12).map(i =>
+          s"(strpos('0123456789abcdef', substring(md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)), $i, 1)) - 1) * ${1L << (4 * (12 - i))}")
+          .mkString("CAST(", " + ", " AS BIGINT)")
+        val iters = (1 to 8).map { i =>
+          s"""g$i AS (
+                SELECT CAST(sum((w1 * q + w0 - y_e4) * q) AS HUGEINT) AS g1,
+                  CAST(sum(w1 * q + w0 - y_e4) AS HUGEINT) AS g0,
+                  CAST(count(*) AS BIGINT) AS n
+                FROM cf_train, p${i - 1}),
+              p$i AS (
+                SELECT CAST(w1 - ${fdiv(fdiv("g1", "n"), "1024")} AS BIGINT)
+                    AS w1,
+                  CAST(w0 - ${fdiv(fdiv("g0", "n"), "1024")} AS BIGINT) AS w0
+                FROM g$i, p${i - 1})"""
+        }.mkString(",\n             ")
+        s"""WITH cf_data AS MATERIALIZED (
+              SELECT CAST(l_quantity AS BIGINT) AS q,
+                CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT) AS y_e4,
+                $h48 % 3 AS split
+              FROM lineitem),
+            cf_train AS (SELECT * FROM cf_data WHERE split = 0),
+            p0 AS (SELECT CAST(0 AS HUGEINT) AS w1, CAST(0 AS HUGEINT) AS w0),
+            $iters,
+            cal AS (
+              SELECT abs(w1 * q + w0 - y_e4) AS absr
+              FROM cf_data, p8 WHERE split = 1),
+            nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+            qh AS (
+              SELECT CAST(absr AS BIGINT) AS q_hat_e4 FROM (
+                SELECT absr, row_number() OVER (ORDER BY absr) AS rn
+                FROM cal), nc
+              WHERE rn = (9 * (n_cal + 1) + 9) // 10),
+            tst AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_test,
+                CAST(sum(CASE WHEN abs(w1 * q + w0 - y_e4) <= q_hat_e4
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+              FROM cf_data, p8, qh WHERE split = 2)
+            SELECT n_cal, n_test, q_hat_e4,
+              CAST(w1 AS BIGINT) AS w1_e4, CAST(w0 AS BIGINT) AS w0_e4,
+              CAST(1000000 * n_covered // n_test AS BIGINT) AS coverage_ppm
+            FROM nc, tst, qh, p8"""
+      }),
+
     Q("w13_retention_cohorts",
       // Cohort retention — THE product-analytics rollup: users are
       // cohorted by their first active week, and each (cohort week,
