@@ -918,6 +918,38 @@ object TextCatalog {
                WHERE i * 8 >= (ca.card + cb.card) * 3
                ORDER BY inter.doc_a, inter.doc_b""")),
 
+    Q("x_budgeted_coverage",
+      // BUDGETED maximum coverage (operators/MaxCoverage.greedyBudgeted
+      // — Khuller-Moss-Naor 1999): the data-buyer's form of coverage
+      // selection — maximize covered trigrams per CHARACTER spent
+      // (cost = n_chars, budget = 2500), picks by greedy cost-benefit
+      // ratio (ppm-quantized once per candidate, ties to higher gain
+      // then least doc) until the budget or the 12-pick cap runs out.
+      // Contrast x_max_coverage's unit-cost greedy: the ratio greedy
+      // prefers SHORT documents with fresh n-grams, and the two
+      // trajectories diverge on this corpus. The remaining budget
+      // rides a 1-row in-plan frame; the oracle replays the rounds
+      // through temp tables with its own ORDER BY argmax.
+      (s, d) => {
+        val docs = spread(t(s, d, "documents"))
+        val inc = docs
+          .select(col("doc_id"), split(expr(sparkNorm), " ").as("toks"))
+          .filter(size(col("toks")) > 2)
+          .select(col("doc_id").as("item"), explode(expr(
+            "transform(sequence(0, size(toks) - 3), " +
+              "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"))
+            .as("element"))
+        val costs = docs.select(col("doc_id").as("item"),
+          col("n_chars").as("cost"))
+        graft.operators.MaxCoverage
+          .greedyBudgeted(inc, costs, budget = 2500L, maxPicks = 12)
+          .select(col("rank"), col("item").as("doc_id"), col("gain"),
+            col("cost"), col("budget_left"), col("covered_total"))
+          .orderBy("rank")
+      },
+      Some(duckBudgetedCoverageSql(budget = 2500L, rounds = 12)))
+
+    ,
     Q("x_rendezvous_shards",
       // Rendezvous (highest-random-weight) sharding with the two
       // audits that justify it (Thaler-Ravishankar 1998; the placement
@@ -3900,6 +3932,63 @@ object TextCatalog {
       },
       Some(duckMaxCoverageSql(rounds = 10)))
   )
+
+  /** Staged budgeted-coverage oracle: trigram incidence + n_chars
+    * costs, `rounds` unrolled cost-benefit picks (ratio ppm DESC, gain
+    * DESC, item — the Spark argmax struct's order), affordability
+    * filter against a 1-row budget table that each pick decrements. */
+  private def duckBudgetedCoverageSql(budget: Long, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""CREATE OR REPLACE TEMP TABLE bc_pick AS
+          SELECT m.item, CAST(m.gain AS BIGINT) AS gain,
+            CAST(c.cost AS BIGINT) AS cost
+          FROM (SELECT item, count(*) AS gain FROM bc_rem GROUP BY item) m
+          JOIN bc_cost c ON c.item = m.item, bc_bud b
+          WHERE c.cost <= b.bud AND m.gain > 0
+          ORDER BY 1000000 * m.gain // c.cost DESC, m.gain DESC, m.item
+          LIMIT 1;
+          CREATE OR REPLACE TEMP TABLE bc_cov2 AS
+          SELECT element FROM bc_cov
+          UNION
+          SELECT r.element FROM bc_rem r JOIN bc_pick p ON r.item = p.item;
+          CREATE OR REPLACE TEMP TABLE bc_bud2 AS
+          SELECT b.bud - coalesce((SELECT cost FROM bc_pick), 0) AS bud
+          FROM bc_bud b;
+          INSERT INTO bc_out
+          SELECT $i, item, gain, cost, (SELECT bud FROM bc_bud2),
+            (SELECT count(*) FROM bc_cov2)
+          FROM bc_pick;
+          CREATE OR REPLACE TEMP TABLE bc_bud AS SELECT * FROM bc_bud2;
+          CREATE OR REPLACE TEMP TABLE bc_cov AS SELECT * FROM bc_cov2;
+          CREATE OR REPLACE TEMP TABLE bc_rem2 AS
+          SELECT i.item, i.element FROM bc_rem i
+          WHERE NOT EXISTS (SELECT 1 FROM bc_cov c
+                            WHERE c.element = i.element);
+          CREATE OR REPLACE TEMP TABLE bc_rem AS SELECT * FROM bc_rem2;"""
+    }.mkString("\n")
+    s"""CREATE OR REPLACE TEMP TABLE bc_inc AS
+        SELECT DISTINCT doc_id AS item, g AS element FROM (
+          SELECT doc_id,
+            unnest(list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g
+          FROM (SELECT doc_id, string_split($duckNorm, ' ') AS toks
+                FROM documents)
+          WHERE len(toks) > 2);
+        CREATE OR REPLACE TEMP TABLE bc_cost AS
+        SELECT doc_id AS item, CAST(n_chars AS BIGINT) AS cost
+        FROM documents;
+        CREATE OR REPLACE TEMP TABLE bc_rem AS SELECT * FROM bc_inc;
+        CREATE OR REPLACE TEMP TABLE bc_cov AS
+        SELECT element FROM bc_inc WHERE false;
+        CREATE OR REPLACE TEMP TABLE bc_bud AS
+        SELECT CAST($budget AS BIGINT) AS bud;
+        CREATE OR REPLACE TEMP TABLE bc_out (
+          rank INT, doc_id BIGINT, gain BIGINT, cost BIGINT,
+          budget_left BIGINT, covered_total BIGINT);
+        $steps
+        SELECT rank, doc_id, gain, cost, budget_left, covered_total
+        FROM bc_out ORDER BY rank"""
+  }
 
   /** Staged greedy max-coverage oracle: the same trigram incidence,
     * `rounds` unrolled pick/cover/restrict steps through temp tables,

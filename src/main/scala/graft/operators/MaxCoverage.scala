@@ -76,4 +76,75 @@ object MaxCoverage {
         lit(0L).as("gain"), lit(0L).as("covered_total"))
     else chosen.reduce(_ unionByName _)
   }
+
+  /** BUDGETED maximum coverage (Khuller-Moss-Naor 1999): pick items by
+    * greedy COST-BENEFIT ratio — argmax of newly-covered-elements per
+    * unit cost among items still affordable — until the budget or
+    * `maxPicks` runs out. (Khuller et al.'s full (1-1/sqrt(e))
+    * guarantee takes max(this, best single affordable item); the
+    * ratio-greedy is the workhorse half.) The ratio argmax is
+    * quantized to ppm once per candidate (gain*1e6 div cost — ties to
+    * higher gain, then least item), so the trajectory is bit-exact on
+    * any engine; the remaining budget rides a 1-row frame, in-plan.
+    *
+    * @param costs one row per item: (item, cost > 0).
+    * @return (rank, item, gain, cost, budget_left, covered_total). */
+  def greedyBudgeted(incidence: DataFrame, costs: DataFrame,
+      budget: Long, maxPicks: Int): DataFrame = {
+    require(maxPicks >= 1 && budget > 0)
+    val spark = incidence.sparkSession
+    val inc = incidence.select(col("item"), col("element"))
+      .distinct().cutLineage()
+    val cost = costs.select(col("item"), col("cost")).cutLineage()
+    var budgetF = spark.range(1).select(lit(budget).as("bud"))
+    var covered: DataFrame = null
+    var chosen = Vector.empty[DataFrame]
+    var remaining = inc
+    var done = false
+    (1 to maxPicks).foreach { rank =>
+      if (!done) {
+        val marg = remaining.groupBy("item")
+          .agg(count(lit(1)).as("gain"))
+          .join(cost, Seq("item"))
+        val pick = broadcast(marg.crossJoin(broadcast(budgetF))
+          .filter(col("cost") <= col("bud"))
+          .agg(max(struct(expr("1000000 * gain div cost").as("ratio"),
+            col("gain"), (-col("item")).as("ni"))).as("s"))
+          .select(col("s.gain").as("gain"), (-col("s.ni")).as("item")))
+        // cut the 1-row pick: every later frame of this round AND the
+        // next round's budget reference it — uncut, the round lineages
+        // compound into a planner-melting tree (measured: the 12-round
+        // catalog query never finished planning before this cut)
+        val picked = pick.filter(col("gain") > 0)
+          .join(cost, Seq("item"))
+          .cutLineage()
+        if (picked.isEmpty) { done = true }
+        else {
+          val pickedElems = remaining
+            .join(picked.select("item"), Seq("item"), "left_semi")
+            .select("element").distinct()
+          covered = (if (covered == null) pickedElems
+            else covered.unionByName(pickedElems).distinct()).cutLineage()
+          budgetF = budgetF.crossJoin(broadcast(picked.select("cost")))
+            .select((col("bud") - col("cost")).as("bud"))
+            .cutLineage()
+          chosen = chosen :+ picked
+            .crossJoin(broadcast(covered.agg(count(lit(1)).as("covered_total"))))
+            .crossJoin(broadcast(budgetF))
+            .select(lit(rank).as("rank"), col("item"), col("gain"),
+              col("cost"), col("bud").as("budget_left"),
+              col("covered_total"))
+          remaining = remaining
+            .join(covered.select(col("element")), Seq("element"), "left_anti")
+            .select("item", "element")
+            .cutLineage()
+        }
+      }
+    }
+    if (chosen.isEmpty)
+      spark.range(0).select(lit(0).as("rank"), lit(0L).as("item"),
+        lit(0L).as("gain"), lit(0L).as("cost"), lit(0L).as("budget_left"),
+        lit(0L).as("covered_total"))
+    else chosen.reduce(_ unionByName _)
+  }
 }

@@ -77,4 +77,45 @@ class MaxCoverageSpec extends AnyFunSuite {
     val inc = Seq((5L, "a"), (5L, "b"), (2L, "c"), (2L, "d"), (9L, "e"))
     assert(sparkGreedy(inc, 1).head._2 == 2L)
   }
+
+  test("budgeted greedy: ratio picks, affordability, and budget stop match the replay") {
+    val rnd = new scala.util.Random(19)
+    val inc = (1 to 400).map(_ =>
+      (rnd.nextInt(12).toLong, s"e${rnd.nextInt(70)}"))
+    val costs = (0L to 11L).map(i => i -> (10L + (i * 7) % 40)).toMap
+    val budget = 90L
+    // in-JVM replay of the same ppm-quantized cost-benefit greedy
+    def replay(): Seq[(Long, Long, Long)] = {
+      val sets = inc.distinct.groupBy(_._1)
+        .map { case (i, xs) => i -> xs.map(_._2).toSet }
+      var covered = Set.empty[String]; var bud = budget
+      val out = Seq.newBuilder[(Long, Long, Long)]
+      var stop = false
+      (1 to 12).foreach { _ =>
+        if (!stop) {
+          val cand = sets.keys.toSeq
+            .filter(i => costs(i) <= bud)
+            .map { i =>
+              val g = (sets(i) -- covered).size.toLong
+              (1000000L * g / costs(i), g, -i)
+            }.filter(_._2 > 0)
+          if (cand.isEmpty) stop = true
+          else {
+            val (_, g, ni) = cand.max
+            val i = -ni
+            covered ++= sets(i); bud -= costs(i)
+            out += ((i, g, bud))
+          }
+        }
+      }
+      out.result()
+    }
+    val got = MaxCoverage.greedyBudgeted(inc.toDF("item", "element"),
+        costs.toSeq.toDF("item", "cost"), budget, maxPicks = 12)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2),
+        r.getLong(r.fieldIndex("budget_left")))).toSeq
+    assert(got == replay())
+    assert(got.map(p => costs(p._1)).sum <= budget)
+  }
 }
