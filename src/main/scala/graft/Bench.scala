@@ -84,8 +84,16 @@ object Bench {
     // driver never sets it, so the recorded artifact is always the full
     // catalog).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // Sorted by name, NOT Map iteration order (round-11 verdict #5): a
+    // hash-ordered Map reshuffles EVERY query's neighborhood whenever the
+    // catalog grows, so each round's interleaving-sensitive costs (page
+    // cache, JIT state, GC pressure inherited from the previous query)
+    // land on different neighbors and manufacture fake cross-round
+    // regressions on unchanged plans. Name order keeps a query's
+    // neighborhood stable as the catalog grows.
     val qseq = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }
+      .sortBy(_._1)
     // Bench-set == catalog-set, structurally (round-8 verdict #3: the
     // r08 artifact covered 123 of 124 queries because a query landed
     // after the bench ran — the artifact must make that drift visible
@@ -103,7 +111,19 @@ object Bench {
         catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
+    // Untimed round 0 over the full bench set (round-11 verdict #5's
+    // "fixed warm pool"): every query's codegen, parquet footer reads and
+    // broadcast-relation classes are warm BEFORE the first timed round,
+    // so the min no longer depends on which neighbor happened to warm a
+    // shared code path first. Failures here are ignored — the timed
+    // rounds record them with attribution. Disable with
+    // SPARK_GRAFT_WARMUP=0 for quick local iteration.
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") pass()
     val perRound = (1 to rounds).map { _ =>
+      // Decouple rounds from each other's allocation pressure: a full GC
+      // between passes stops one round's tenured garbage from inflating
+      // the next round's first queries.
+      System.gc()
       val r = pass(); loadSamples += load1m(); r
     }
     val results = perRound.transpose.map { runs =>
