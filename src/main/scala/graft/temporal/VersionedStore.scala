@@ -50,9 +50,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object VersionedStore {
 
-  /** One committed version as recorded in its manifest. */
+  /** One committed version as recorded in its manifest. `dir` is the
+    * data directory name under the store root — `vNNNNNNNNNNNN` for
+    * single-writer [[commit]]s, a txn-unique `d-*` name for
+    * [[transact]] commits (OCC needs the data dir decoupled from the
+    * version number: two racing writers must never contend on a
+    * directory rename, only on the manifest CAS). */
   final case class VersionInfo(
-      version: Long, operation: String, files: Long, bytes: Long)
+      version: Long, operation: String, files: Long, bytes: Long,
+      dir: Option[String] = None)
 
   private val LogDir = "_log"
   private val StageDir = ".stage"
@@ -96,7 +102,8 @@ object VersionedStore {
   def currentVersion(spark: SparkSession, root: String): Option[Long] =
     versions(spark, root).lastOption
 
-  /** Parse one manifest (written by [[commit]], fixed field order). */
+  /** Parse one manifest (written by [[commit]] / [[transact]], fixed
+    * field order; `dir` present only on transact commits). */
   private def readManifest(fs: FileSystem, root: String, v: Long): VersionInfo = {
     val in = fs.open(manifestPath(root, v))
     val body = try {
@@ -104,13 +111,21 @@ object VersionedStore {
       val n = in.read(buf)
       new String(buf, 0, math.max(n, 0), "UTF-8")
     } finally in.close()
-    def field(k: String) =
+    def fieldOpt(k: String) =
       s""""$k"\\s*:\\s*("([^"]*)"|[0-9]+)""".r.findFirstMatchIn(body)
         .map(m => Option(m.group(2)).getOrElse(m.group(1)))
-        .getOrElse(sys.error(s"manifest $v: missing $k in $body"))
+    def field(k: String) = fieldOpt(k)
+      .getOrElse(sys.error(s"manifest $v: missing $k in $body"))
     VersionInfo(field("version").toLong, field("operation"),
-      field("files").toLong, field("bytes").toLong)
+      field("files").toLong, field("bytes").toLong, fieldOpt("dir"))
   }
+
+  /** Resolve a version's data directory through its manifest. */
+  private def dataDir(fs: FileSystem, root: String, v: Long): Path =
+    readManifest(fs, root, v).dir match {
+      case Some(d) => new Path(root, d)
+      case None => vDir(root, v)
+    }
 
   /** The version log as data: one [[VersionInfo]] per retained version. */
   def log(spark: SparkSession, root: String): Seq[VersionInfo] = {
@@ -182,7 +197,7 @@ object VersionedStore {
       s"VersionedStore: version $v not retained at $root " +
         s"(retained: ${if (vs.isEmpty) "none" else s"${vs.head}..${vs.last}"})"
     })
-    spark.read.parquet(vDir(root, v).toString)
+    spark.read.parquet(dataDir(fs, root, v).toString)
   }
 
   /** Read the current snapshot. */
@@ -195,7 +210,21 @@ object VersionedStore {
     * every reader's view), then its data dir; a crash in between leaves
     * an unmanifested dir below the horizon, swept by the next gc.
     * Returns the versions removed. */
-  def gc(spark: SparkSession, root: String, keep: Int): Seq[Long] = {
+  def gc(spark: SparkSession, root: String, keep: Int): Seq[Long] =
+    gc(spark, root, keep, orphanGraceMs = 3600L * 1000)
+
+  /** [[gc]] with an explicit orphan grace period. Beyond expiring
+    * versions, sweeps data dirs no retained manifest references:
+    *   - `vNNN` dirs below the horizon (crashed single-writer commit
+    *     or crashed gc);
+    *   - `d-*` dirs unreferenced by ANY retained manifest (a
+    *     [[transact]] loser that crashed between its data rename and
+    *     its cleanup) — but only when older than `orphanGraceMs`,
+    *     because an IN-FLIGHT transaction's data dir is unreferenced
+    *     for the instant between its rename and its manifest CAS.
+    *     Same contract as a table format's VACUUM retention window. */
+  def gc(spark: SparkSession, root: String, keep: Int,
+      orphanGraceMs: Long): Seq[Long] = {
     require(keep >= 1, s"gc keep must be >= 1, got $keep")
     val fs = fsOf(spark, root)
     val vs = versions(spark, root)
@@ -203,15 +232,25 @@ object VersionedStore {
     val horizon = vs.takeRight(keep).head
     val expired = vs.filter(_ < horizon)
     expired.foreach { v =>
+      val data = dataDir(fs, root, v) // resolve BEFORE the manifest dies
       require(fs.delete(manifestPath(root, v), false),
         s"VersionedStore: delete manifest $v failed")
-      checkedDelete(fs, vDir(root, v))
+      checkedDelete(fs, data)
     }
     // sweep data dirs below the horizon orphaned by a crashed gc
     fs.listStatus(new Path(root)).map(_.getPath).toSeq
       .filter(_.getName.matches("v\\d{12}"))
       .filter(p => p.getName.drop(1).toLong < horizon)
       .foreach(checkedDelete(fs, _))
+    // sweep txn data dirs no retained manifest references, past grace
+    val referenced = versions(spark, root)
+      .flatMap(v => readManifest(fs, root, v).dir).toSet
+    val now = System.currentTimeMillis()
+    fs.listStatus(new Path(root)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("d-"))
+      .filter(st => !referenced.contains(st.getPath.getName))
+      .filter(st => now - st.getModificationTime >= orphanGraceMs)
+      .foreach(st => checkedDelete(fs, st.getPath))
     expired
   }
 
@@ -329,5 +368,139 @@ object VersionedStore {
     if (files <= target) None
     else Some(commit(spark, root,
       readVersion(spark, root, cur).coalesce(target.toInt), "compact"))
+  }
+
+  // ---- optimistic concurrency control (Delta/Iceberg OCC shape) ----
+
+  /** A concurrent writer won the version this transaction attempted and
+    * the conflict is NOT resolvable by recompute (see [[conflictsWith]]).
+    * The store is untouched by the refused transaction. */
+  final class ConcurrentCommitException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Conflict classification between a losing transaction's operation
+    * and one concurrent winner's, in the snapshot-recompute model of
+    * [[transact]] (each attempt re-derives the FULL next snapshot from
+    * the then-current version, so a retry replays the writer's INTENT
+    * on the winner's result — serializable by construction):
+    *
+    *   - `append`, `delete`, `compact` (and any other named intent)
+    *     never conflict with each other: re-running the body against
+    *     the winner's snapshot yields exactly the state a serial
+    *     execution would — append lands its rows on top of the
+    *     winner's, delete re-evaluates its predicate, compact rewrites
+    *     whatever is now current. DISJOINT -> retry.
+    *   - a LOSING `overwrite` (blind snapshot replace) conflicts with
+    *     every winner: its intent presumes the base it read, and
+    *     replaying it would silently discard whatever the concurrent
+    *     commit wrote — the lost-update class Delta's WriteSerializable
+    *     level refuses (ConcurrentWriteException). CONFLICT -> refuse.
+    *   - an overwrite WINNER does not block other losers: retrying an
+    *     append/delete/compact against the overwritten snapshot is the
+    *     serial schedule "overwrite, then the loser" — exactly what a
+    *     lock-based writer would have produced.
+    *
+    * This is the same decision Delta's commit protocol makes from its
+    * read/write file sets, collapsed to operation level because a
+    * transact body re-reads the whole snapshot (its read set is always
+    * the full table). */
+  def conflictsWith(mine: String, winner: String): Boolean =
+    mine == "overwrite"
+
+  /** Per-root commit locks: on a plain local filesystem
+    * `create(overwrite = false)` is exists-check-then-open (not
+    * atomic), so the manifest CAS is additionally serialized in-JVM —
+    * the contract delta-io's LocalLogStore documents (single process
+    * per local store; HDFS needs no lock, its create-no-overwrite is
+    * one atomic namenode op). */
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Atomically publish manifest `n` — the OCC commit point. True iff
+    * THIS caller created it; false means a concurrent winner exists. */
+  private def casManifest(fs: FileSystem, root: String, n: Long,
+      content: String): Boolean = {
+    val lock = rootLocks.computeIfAbsent(
+      new Path(root).toUri.toString, _ => new Object)
+    lock.synchronized {
+      val p = manifestPath(root, n)
+      if (fs.exists(p)) false
+      else {
+        val logDir = new Path(root, LogDir)
+        if (!fs.exists(logDir))
+          require(fs.mkdirs(logDir), s"VersionedStore: mkdirs $logDir failed")
+        val out = try fs.create(p, false)
+        catch { case _: java.io.IOException => return false } // lost on HDFS
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+        true
+      }
+    }
+  }
+
+  /** Result of one [[transact]]: the committed version plus how many
+    * concurrent winners forced a recompute (0 = clean first attempt). */
+  final case class TxnResult(version: Long, retries: Int)
+
+  /** Optimistic-concurrency commit: derive the next FULL snapshot from
+    * the current one with `body` (None on an empty store), stage it to
+    * a txn-unique data dir, and attempt to publish version
+    * current+1 by manifest CAS. Losing the CAS means a concurrent
+    * writer committed first; the loser classifies the conflict with
+    * [[conflictsWith]] and either RECOMPUTES against the winner's
+    * snapshot and retries (append/delete/compact — convergent by
+    * construction) or REFUSES with [[ConcurrentCommitException]]
+    * (blind overwrite), deleting its own staged data either way. A
+    * reader pinned at any committed version is untouched throughout:
+    * losers never touch published dirs, winners only add.
+    *
+    * Commit protocol per attempt (compare [[commit]]'s single-writer
+    * protocol — steps 1-3 are contention-free because every path is
+    * txn-unique; step 4 is the only shared word):
+    *   1. rv = current version; out = body(snapshot at rv)
+    *   2. write `out` -> `.stage-<txn>`
+    *   3. rename -> `d-<rv+1>-<txn>`   (txn-unique: no rename race)
+    *   4. CAS-create `_log/<rv+1>.json` pointing at that dir
+    *
+    * A crash between 3 and 4 leaks one unreferenced `d-*` dir; [[gc]]
+    * sweeps it past the VACUUM grace window. */
+  def transact(spark: SparkSession, root: String, operation: String,
+      maxRetries: Int = 20, partitionCols: Seq[String] = Nil)
+      (body: Option[DataFrame] => DataFrame): TxnResult = {
+    val fs = fsOf(spark, root)
+    val txnId = java.util.UUID.randomUUID().toString.take(8)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val rv = currentVersion(spark, root)
+      val out = body(rv.map(readVersion(spark, root, _)))
+      val n = rv.getOrElse(0L) + 1
+      val stage = new Path(root, s"$StageDir-$txnId")
+      checkedDelete(fs, stage)
+      val w = out.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(stage.toString)
+      val dirName = f"d-$n%012d-$txnId"
+      val data = new Path(root, dirName)
+      checkedDelete(fs, data) // own leftover from a crashed prior attempt
+      checkedRename(fs, stage, data)
+      val (files, bytes) = du(fs, data)
+      val manifest = s"""{"version":$n,"operation":"$operation",""" +
+        s""""files":$files,"bytes":$bytes,"dir":"$dirName"}"""
+      if (casManifest(fs, root, n, manifest)) return TxnResult(n, attempt)
+      // Lost the race: a winner holds version n (and possibly more by
+      // now). Clean up our stale snapshot, classify, retry or refuse.
+      checkedDelete(fs, data)
+      val winnerOps = versions(spark, root).filter(_ >= n)
+        .map(readManifest(fs, root, _).operation)
+      winnerOps.find(conflictsWith(operation, _)).foreach { w =>
+        throw new ConcurrentCommitException(
+          s"VersionedStore: '$operation' at $root lost version $n to a " +
+            s"concurrent '$w' commit and cannot be replayed safely " +
+            "(blind overwrite intent); re-read and re-issue explicitly")
+      }
+      attempt += 1
+    }
+    throw new ConcurrentCommitException(
+      s"VersionedStore: '$operation' at $root exceeded $maxRetries retries " +
+        "under concurrent write pressure")
   }
 }

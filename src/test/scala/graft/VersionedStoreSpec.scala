@@ -167,4 +167,150 @@ class VersionedStoreSpec extends AnyFunSuite {
     // refusals happened BEFORE any byte landed: still 3 versions
     assert(VersionedStore.versions(spark, root) == Seq(1L, 2L, 3L))
   }
+
+  // ---- optimistic concurrency (transact) ---------------------------
+  // Interleavings are DETERMINISTIC: the losing transaction's body
+  // triggers the winning commit inline on its first invocation, so the
+  // loser is guaranteed to compute against a stale snapshot and lose
+  // the manifest CAS — the exact race, every run.
+
+  private def appendTxn(root: String, vals: Int*): VersionedStore.TxnResult =
+    VersionedStore.transact(spark, root, "append") { cur =>
+      cur.map(_.unionByName(df(vals: _*))).getOrElse(df(vals: _*))
+    }
+
+  test("occ: append racing append — loser recomputes and converges") {
+    val root = freshRoot("occ-aa")
+    VersionedStore.commit(spark, root, df(1))
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val res = VersionedStore.transact(spark, root, "append") { cur =>
+      if (fired.compareAndSet(false, true)) appendTxn(root, 2) // winner
+      cur.map(_.unionByName(df(3))).getOrElse(df(3))
+    }
+    assert(res.retries == 1, "the loser must have recomputed exactly once")
+    assert(res.version == 3L, "winner took v2, retried loser lands v3")
+    assert(rows(VersionedStore.read(spark, root)) ==
+      Set((1L, "r1"), (2L, "r2"), (3L, "r3")),
+      "no lost update: both appends present")
+  }
+
+  test("occ: append racing compact — both orders converge, rows exact") {
+    val root = freshRoot("occ-ac")
+    VersionedStore.commit(spark, root, df(1, 2).repartition(8))
+    // compact loses to a concurrent append
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val res = VersionedStore.transact(spark, root, "compact") { cur =>
+      if (fired.compareAndSet(false, true)) appendTxn(root, 3)
+      cur.get.coalesce(1)
+    }
+    assert(res.retries == 1)
+    assert(rows(VersionedStore.read(spark, root)) ==
+      Set((1L, "r1"), (2L, "r2"), (3L, "r3")),
+      "the retried compaction must carry the winner's appended row")
+    assert(VersionedStore.log(spark, root).last.files == 1)
+    // append loses to a concurrent compaction
+    val fired2 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val res2 = VersionedStore.transact(spark, root, "append") { cur =>
+      if (fired2.compareAndSet(false, true))
+        VersionedStore.transact(spark, root, "compact")(c => c.get.coalesce(1))
+      cur.get.unionByName(df(4))
+    }
+    assert(res2.retries == 1)
+    assert(rows(VersionedStore.read(spark, root)) ==
+      Set((1L, "r1"), (2L, "r2"), (3L, "r3"), (4L, "r4")))
+  }
+
+  test("occ: delete racing compact — predicate re-evaluates on the compacted snapshot") {
+    val root = freshRoot("occ-dc")
+    VersionedStore.commit(spark, root, df(1, 2, 3).repartition(8))
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val res = VersionedStore.transact(spark, root, "delete") { cur =>
+      if (fired.compareAndSet(false, true))
+        VersionedStore.transact(spark, root, "compact")(c => c.get.coalesce(1))
+      cur.get.filter(col("k") =!= 2L)
+    }
+    assert(res.retries == 1)
+    assert(rows(VersionedStore.read(spark, root)) ==
+      Set((1L, "r1"), (3L, "r3")),
+      "delete applied on top of the compacted snapshot")
+  }
+
+  test("occ: blind overwrite losing a race REFUSES and leaves the store untouched") {
+    val root = freshRoot("occ-ow")
+    VersionedStore.commit(spark, root, df(1))
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val e = intercept[VersionedStore.ConcurrentCommitException] {
+      VersionedStore.transact(spark, root, "overwrite") { _ =>
+        if (fired.compareAndSet(false, true)) appendTxn(root, 2)
+        df(99)
+      }
+    }
+    assert(e.getMessage.contains("cannot be replayed safely"))
+    assert(VersionedStore.versions(spark, root) == Seq(1L, 2L),
+      "only the winner's commit exists")
+    assert(rows(VersionedStore.read(spark, root)) ==
+      Set((1L, "r1"), (2L, "r2")),
+      "the refused overwrite must not have landed anything")
+    // an UNCONTENDED overwrite is fine (no winner to lose to)
+    val ok = VersionedStore.transact(spark, root, "overwrite")(_ => df(7))
+    assert(ok.retries == 0 && ok.version == 3L)
+    assert(rows(VersionedStore.read(spark, root)) == Set((7L, "r7")))
+  }
+
+  test("occ: reader pinned mid-race sees one consistent version throughout") {
+    val root = freshRoot("occ-pin")
+    VersionedStore.commit(spark, root, df(1, 2))
+    val pinned = VersionedStore.readVersion(spark, root, 1)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    VersionedStore.transact(spark, root, "append") { cur =>
+      if (fired.compareAndSet(false, true)) appendTxn(root, 3)
+      // materialize the pin in the middle of the race
+      assert(rows(pinned) == Set((1L, "r1"), (2L, "r2")))
+      cur.get.unionByName(df(4))
+    }
+    // and after the dust settles: still version 1's rows
+    assert(rows(pinned) == Set((1L, "r1"), (2L, "r2")))
+    assert(rows(VersionedStore.readVersion(spark, root, 1)) ==
+      Set((1L, "r1"), (2L, "r2")))
+  }
+
+  test("occ: two real threads x 5 appends each all land, no lost updates") {
+    val root = freshRoot("occ-thr")
+    VersionedStore.commit(spark, root, df(0))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val tasks = (1 to 2).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit =
+            (1 to 5).foreach(i => appendTxn(root, t * 10 + i))
+        })
+      }
+      tasks.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    assert(VersionedStore.currentVersion(spark, root).contains(11L),
+      "1 base + 10 appends = 11 sequential versions")
+    val expect = Set(0L) ++ (1 to 2).flatMap(t => (1 to 5).map(i => (t * 10 + i).toLong))
+    assert(rows(VersionedStore.read(spark, root)) ==
+      expect.map(v => (v, s"r$v")),
+      "every append from both threads must be present exactly once")
+  }
+
+  test("occ: crashed loser's orphan data dir is swept by gc past the grace window") {
+    val root = freshRoot("occ-orphan")
+    VersionedStore.commit(spark, root, df(1))
+    appendTxn(root, 2)
+    // simulate a txn that crashed between data rename and manifest CAS
+    df(99).write.parquet(s"$root/d-000000000009-deadbeef")
+    assert(VersionedStore.currentVersion(spark, root).contains(2L),
+      "the orphan is invisible to readers")
+    // within the grace window the orphan survives (it could be in-flight)
+    VersionedStore.gc(spark, root, keep = 2, orphanGraceMs = 3600000L)
+    assert(new java.io.File(s"$root/d-000000000009-deadbeef").exists())
+    // past the window it is reclaimed; committed data dirs stay
+    VersionedStore.gc(spark, root, keep = 2, orphanGraceMs = 0L)
+    assert(!new java.io.File(s"$root/d-000000000009-deadbeef").exists(),
+      "unreferenced txn dir past grace must be swept")
+    assert(rows(VersionedStore.read(spark, root)) ==
+      Set((1L, "r1"), (2L, "r2")), "referenced txn dirs are untouched")
+  }
 }
