@@ -3765,6 +3765,78 @@ object TextCatalog {
                WHERE freq * 200 > n
                ORDER BY freq DESC, w""")),
 
+    Q("x_hh_change",
+      // Heavy-hitter CHANGE detection (round-11 verdict #2 / seventh
+      // proposal #6) — the trending-words query: which items' frequency
+      // SHARE moved by more than delta between two windows, answered by
+      // the two-window composition of x_heavy_hitters' sketch-then-
+      // verify plan. One `mg_topk(w, 200)` per window (the windows here
+      // are the deterministic doc_id-parity halves; in the streaming
+      // face they are consecutive time windows — see
+      // IncrementalPipeline.windowedHeavyHitterCandidates) gives a
+      // candidate set GUARANTEED to contain every item whose share
+      // exceeds 1/200 in that window; the union of both candidate sets
+      // therefore covers every item the share-floor filter can accept.
+      // Pass 2 recounts the <= ~400 candidates exactly in BOTH windows
+      // with one broadcast semi-join — the full vocabulary never
+      // shuffles, which is what makes trend detection 100 TB-shaped
+      // (the oracle's exact two-window groupBy over every word is the
+      // plan that stops scaling). Output filter is purely
+      // exact-count-based (share >= 1/200 in either window AND
+      // |share_a - share_b| > 300 ppm, all BIGINT), so the sketch's
+      // superset guarantee is machine-checked by the green row, exactly
+      // as in x_heavy_hitters.
+      (s, d) => {
+        graft.functions.MisraGriesAgg.register(s)
+        val toks = spread(t(s, d, "documents"))
+          .select(pmod(col("doc_id"), lit(2)).as("win"),
+            explode(split(expr(sparkNorm), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+        val cands = toks.groupBy("win").agg(expr("mg_topk(w, 200)").as("cs"))
+          .select(explode(col("cs")).as("w")).distinct()
+        val tot = broadcast(toks.agg(
+          sum(when(col("win") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("win") === 1, 1L).otherwise(0L)).as("nb")))
+        toks.join(broadcast(cands), Seq("w"))
+          .groupBy("w")
+          .agg(coalesce(sum(when(col("win") === 0, 1L)), lit(0L)).as("freq_a"),
+            coalesce(sum(when(col("win") === 1, 1L)), lit(0L)).as("freq_b"))
+          .crossJoin(tot)
+          .withColumn("share_a_ppm", expr("1000000 * freq_a div na"))
+          .withColumn("share_b_ppm", expr("1000000 * freq_b div nb"))
+          .withColumn("delta_ppm", expr("abs(share_a_ppm - share_b_ppm)"))
+          .filter(col("freq_a") * 200 > col("na") ||
+            col("freq_b") * 200 > col("nb"))
+          .filter(col("delta_ppm") > 300)
+          .select("w", "freq_a", "freq_b", "share_a_ppm", "share_b_ppm",
+            "delta_ppm")
+          .orderBy(desc("delta_ppm"), col("w"))
+      },
+      Some(s"""WITH toks AS (
+                 SELECT doc_id % 2 AS win,
+                   unnest(string_split($duckNorm, ' ')) AS w
+                 FROM documents),
+               words AS MATERIALIZED (
+                 SELECT win, w, CAST(count(*) AS BIGINT) AS freq FROM toks
+                 WHERE length(w) > 0 GROUP BY 1, 2),
+               tot AS (SELECT
+                 CAST(sum(CASE WHEN win = 0 THEN freq ELSE 0 END) AS BIGINT) AS na,
+                 CAST(sum(CASE WHEN win = 1 THEN freq ELSE 0 END) AS BIGINT) AS nb
+                 FROM words),
+               sh AS (SELECT w,
+                 CAST(coalesce(sum(CASE WHEN win = 0 THEN freq END), 0) AS BIGINT) AS freq_a,
+                 CAST(coalesce(sum(CASE WHEN win = 1 THEN freq END), 0) AS BIGINT) AS freq_b
+                 FROM words GROUP BY w)
+               SELECT w, freq_a, freq_b,
+                 CAST(1000000 * freq_a // na AS BIGINT) AS share_a_ppm,
+                 CAST(1000000 * freq_b // nb AS BIGINT) AS share_b_ppm,
+                 CAST(abs(1000000 * freq_a // na - 1000000 * freq_b // nb)
+                   AS BIGINT) AS delta_ppm
+               FROM sh, tot
+               WHERE (freq_a * 200 > na OR freq_b * 200 > nb)
+                 AND abs(1000000 * freq_a // na - 1000000 * freq_b // nb) > 300
+               ORDER BY delta_ppm DESC, w""")),
+
     Q("x_em_linkage",
       // Fellegi-Sunter probabilistic record linkage with unsupervised
       // EM (operators/RecordLinkage — Fellegi & Sunter 1969, Winkler's

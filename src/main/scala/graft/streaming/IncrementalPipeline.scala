@@ -18,6 +18,16 @@ final case class DriftState(lastDay: Long, cusum: Long)
 final case class DriftOut(event_type: String, day: Long, c: Long,
     cusum: Long, alarm: Boolean)
 
+/** Typed records for the streaming isotonic (PAV) smoother. A pool is
+  * one block of adjacent positions the fit has merged: (sy, sw) are its
+  * exact integer weighted sum and weight — the whole PAV state per key
+  * is the pool stack, O(pools) <= O(positions seen) and in practice the
+  * number of monotone "levels" in the series. */
+final case class IsoPoint(key: String, pos: Long, y_e2: Long, w: Long)
+final case class IsoPool(sy: Long, sw: Long)
+final case class IsoState(lastPos: Long, pools: List[IsoPool])
+final case class IsoOut(key: String, pos: Long, fit_e6: Long, n_pools: Int)
+
 /** Structured-Streaming face of the engine (SURVEY.md §2.9 optional note):
   * the reference's "temporal" capability is snapshot-diff micro-batching,
   * which maps 1:1 onto `foreachBatch`; live event feeds (opens/clicks,
@@ -285,6 +295,67 @@ object IncrementalPipeline {
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window))
       .agg(expr(s"mg_topk(w, $k)").as("candidates"))
       .select(col("window.start").as("win_start"), col("candidates"))
+  }
+
+  /** Streaming isotonic (monotone non-decreasing) smoothing — the
+    * batch `w19_isotonic` fit (operators/Isotonic, the minimax form)
+    * maintained incrementally per key via pool-adjacent-violators,
+    * which IS the natural online algorithm: a new frontier point only
+    * ever merges backward into earlier pools (Robertson-Wright-Dykstra
+    * Thm 1.4.4's max-min never looks ahead of the frontier), so the
+    * state per key is exactly the PAV pool stack — O(pools), never
+    * O(points) — and each arrival costs amortized O(1) merges.
+    *
+    * Emits, per arriving position, the smoothed value AT THE FRONTIER:
+    * the final pool's weighted average after merging, quantized to the
+    * same integer micro-units as the batch operator (floor(1e6*sy/sw)).
+    * By the PAV/minimax identity this equals `Isotonic.fitE6` of the
+    * prefix evaluated at the frontier position — the spec pins that
+    * equality point by point. (Earlier positions' fits can change when
+    * a later arrival merges their pools; a calibration consumer reads
+    * the frontier level, and a full historical re-fit is the batch
+    * operator's job.) Pool averages are compared by BigInt
+    * cross-multiplication — no division, no float, no overflow seam —
+    * so the fold is bit-deterministic under any batching. Positions
+    * are strictly forward per key (a stale pos <= lastPos is ignored,
+    * same contract as [[driftMonitor]]: resolve out-of-order input
+    * upstream with a watermarked aggregate). */
+  def isotonicStream(points: DataFrame): Dataset[IsoOut] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points.selectExpr("key", "pos", "y_e2", "w").as[IsoPoint]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        isoFold)
+  }
+
+  /** Per-key PAV fold. Package-visible so the spec can drive the
+    * batching-invariance contract directly. */
+  private[streaming] def isoFold(key: String, rows: Iterator[IsoPoint],
+      state: GroupState[IsoState]): Iterator[IsoOut] = {
+    var st = state.getOption.getOrElse(IsoState(Long.MinValue, Nil))
+    val out = Seq.newBuilder[IsoOut]
+    // violation (merge) when the pool below has average >= the new
+    // pool's: sy_prev/sw_prev >= sy_new/sw_new, cross-multiplied exact
+    def violates(prev: IsoPool, top: IsoPool): Boolean =
+      BigInt(prev.sy) * top.sw >= BigInt(top.sy) * prev.sw
+    rows.toSeq.sortBy(_.pos).foreach { r =>
+      if (r.pos > st.lastPos) {
+        var top = IsoPool(r.y_e2, r.w)
+        var rest = st.pools
+        while (rest.nonEmpty && violates(rest.head, top)) {
+          top = IsoPool(rest.head.sy + top.sy, rest.head.sw + top.sw)
+          rest = rest.tail
+        }
+        val pools = top :: rest
+        val fit = ((BigInt(1000000) * top.sy - (((BigInt(1000000) * top.sy
+          % top.sw) + top.sw) % top.sw)) / top.sw).toLong // true floor
+        out += IsoOut(key, r.pos, fit, pools.length)
+        st = IsoState(r.pos, pools)
+      }
+    }
+    state.update(st)
+    out.result().iterator
   }
 
   /** Deduplicate a stream per key keeping the earliest event, with state

@@ -649,4 +649,79 @@ class StreamingSpec extends AnyFunSuite {
       s"item 1 (21 of 23 rows) must be a candidate: $closedW")
     assert(closedW(w10).size <= 4)
   }
+
+  test("streaming isotonic: pools merge backward, state survives triggers, keys independent") {
+    import graft.streaming.IsoPoint
+    implicit val sql = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[IsoPoint]
+    val q = IncrementalPipeline.isotonicStream(input.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("iso").start()
+    // y = 5, 3 across ONE trigger: the violator merges, frontier 4
+    input.addData(IsoPoint("a", 1, 5, 1), IsoPoint("a", 2, 3, 1))
+    q.processAllAvailable()
+    // y = 4 in the NEXT trigger: merges into the surviving (8,2) pool
+    // -> (12,3), frontier 4 — requires the pool stack to have crossed
+    // the trigger boundary in the state store
+    input.addData(IsoPoint("a", 3, 4, 1))
+    q.processAllAvailable()
+    // y = 10 starts a NEW pool (no violation); stale pos 2 is ignored;
+    // an independent key starts its own stack
+    input.addData(IsoPoint("a", 4, 10, 1), IsoPoint("a", 2, 999, 1),
+      IsoPoint("b", 1, 7, 1))
+    q.processAllAvailable()
+    val got = spark.table("iso").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    q.stop()
+    assert(got == Seq(
+      ("a", 1L, 5000000L, 1), ("a", 2L, 4000000L, 1), ("a", 3L, 4000000L, 1),
+      ("a", 4L, 10000000L, 2), ("b", 1L, 7000000L, 1)),
+      s"got $got")
+  }
+
+  test("streaming isotonic frontier equals the batch minimax fit on every prefix") {
+    import graft.streaming.{IncrementalPipeline => IP, IsoPoint, IsoState}
+    // a deterministic wiggly series with weights > 1 and negatives
+    val ys = Seq(40L, -13L, 22L, 22L, 7L, 90L, 55L, 61L, -5L, 130L, 130L, 129L)
+    val ws = Seq(1L, 2L, 1L, 3L, 1L, 2L, 1L, 1L, 4L, 1L, 2L, 1L)
+    val pts = ys.indices.map(i => IsoPoint("k", i + 1L, ys(i), ws(i)))
+    // drive the fold exactly as the executor does (the GroupState impl
+    // is private; the e2e test above exercises the real state plumbing)
+    def drive(batches: Seq[Seq[IsoPoint]]): Seq[(Long, Long)] = {
+      var st = IsoState(Long.MinValue, Nil)
+      batches.flatMap { b =>
+        val out = Seq.newBuilder[(Long, Long)]
+        b.sortBy(_.pos).foreach { r =>
+          var top = graft.streaming.IsoPool(r.y_e2, r.w)
+          var rest = st.pools
+          while (rest.nonEmpty &&
+              BigInt(rest.head.sy) * top.sw >= BigInt(top.sy) * rest.head.sw) {
+            top = graft.streaming.IsoPool(rest.head.sy + top.sy,
+              rest.head.sw + top.sw)
+            rest = rest.tail
+          }
+          val fit = ((BigInt(1000000) * top.sy -
+            (((BigInt(1000000) * top.sy % top.sw) + top.sw) % top.sw)) /
+            top.sw).toLong
+          out += ((r.pos, fit))
+          st = IsoState(r.pos, top :: rest)
+        }
+        out.result()
+      }
+    }
+    val streamed = drive(pts.grouped(3).toSeq)
+    // batching invariance: one batch == many batches
+    assert(drive(Seq(pts)) == streamed)
+    // frontier equality: the emitted fit at pos p equals the BATCH
+    // minimax operator's fit of the prefix 1..p evaluated at p
+    streamed.foreach { case (p, fitStream) =>
+      val prefix = pts.filter(_.pos <= p)
+        .map(x => (x.key, x.pos, x.y_e2, x.w))
+        .toDF("key", "pos", "y_e2", "w")
+      val fitBatch = graft.operators.Isotonic.fitE6(prefix)
+        .filter(col("pos") === p).select("fit_e6").collect()(0).getLong(0)
+      assert(fitBatch == fitStream,
+        s"prefix $p: stream $fitStream != batch $fitBatch")
+    }
+  }
 }
