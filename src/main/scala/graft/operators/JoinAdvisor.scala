@@ -91,4 +91,30 @@ object JoinAdvisor {
         "dist_est_a", "dist_est_b", "max_freq_a", "max_freq_b",
         "est_out", "exact_out", "err_ppm", "strategy")
   }
+
+  /** Profile the join, then REGISTER the verdict with the session's
+    * optimizer (graft.plans.AdvisedJoinHints): every subsequent
+    * un-hinted equi-join on this key pair — in this Dataset chain or a
+    * later SQL text — gets the advisor's physical strategy injected at
+    * plan time. Profiling here uses [[keyProfile]] only (two
+    * aggregation-only exchanges per side, one 4-long-row collect — no
+    * exact-join honesty pass: the consumer is the planner, which reads
+    * the estimate, exactly as the catalog row's strategy column does).
+    * Returns the chosen strategy. */
+  def adopt(a: DataFrame, keyA: String, b: DataFrame, keyB: String,
+      cfg: Config = Config()): String = {
+    def one(df: DataFrame) = df.collect()(0)
+    val pa = one(keyProfile(a, keyA, cfg.k))
+    val pb = one(keyProfile(b, keyB, cfg.k))
+    def l(r: org.apache.spark.sql.Row, f: String) = r.getLong(r.fieldIndex(f))
+    val strategy =
+      if (math.min(l(pa, "rows"), l(pb, "rows")) <= cfg.broadcastRows) "broadcast"
+      else if (l(pa, "max_freq") * l(pa, "dist_est") >= cfg.skewFactor * l(pa, "rows") ||
+        l(pb, "max_freq") * l(pb, "dist_est") >= cfg.skewFactor * l(pb, "rows"))
+        "shuffle_salted"
+      else "shuffle"
+    val smallKey = if (l(pa, "rows") <= l(pb, "rows")) keyA else keyB
+    graft.plans.AdvisedJoinHints.register(keyA, keyB, strategy, smallKey)
+    strategy
+  }
 }

@@ -56,6 +56,85 @@ object SelfJoinMergeHint extends Rule[LogicalPlan] {
   }
 }
 
+/** Optimizer rule consuming [[graft.operators.JoinAdvisor]]'s verdicts —
+  * SURVEY.md §4's "optional custom Rule", closing the loop the advisor
+  * opened: j14 computes the sketch-driven broadcast/salt/shuffle pick as
+  * an auditable row, and this rule is what makes a SESSION act on it.
+  * The fleet-scale story: an offline advisor pass profiles the join keys
+  * of recurring pipelines from sketch sidecars (the KMV estimate the
+  * advisor already prefers over the exact count) and registers its
+  * picks; every subsequent plan in the session gets the hint injected —
+  * the decision Spark's CBO would make IF its stats were collected,
+  * which at 100 TB they routinely are not (fresh parquet drops, no
+  * ANALYZE pass, byte-stats that miss row-level skew).
+  *
+  * Matching is by join-KEY NAME PAIR on an un-hinted equi-join: the
+  * registered (keyA, keyB) names must identify the join (schema
+  * convention in every catalog table: keys are prefixed, o_custkey vs
+  * c_custkey, so a pair names one join). Explicit user hints always win
+  * — the rule only fills JoinHint(None, None).
+  *
+  * Strategy mapping:
+  *   - `broadcast`      -> BROADCAST hint on the advisor's small side
+  *                         (row-count-based: catches the small-rows/
+  *                         fat-bytes dim that autoBroadcastJoinThreshold
+  *                         refuses);
+  *   - `shuffle_salted` -> SHUFFLE_MERGE on both sides: a skewed join
+  *                         must be a sort-merge join, because AQE's
+  *                         skew-join splitter (the runtime salting)
+  *                         ONLY rewrites SortMergeJoinExec — pinning
+  *                         merge is what guarantees the straggler fix
+  *                         is applicable, and forecloses a
+  *                         catastrophic broadcast/shuffled-hash pick;
+  *   - `shuffle`        -> SHUFFLE_MERGE on both sides (plain
+  *                         hash-partitioned merge join).
+  */
+object AdvisedJoinHints extends Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo}
+
+  /** One registered verdict: the unordered key-name pair, the strategy
+    * string the advisor emitted, and (for broadcast) the key name on
+    * the small side. */
+  final case class Advice(keys: Set[String], strategy: String, smallKey: String)
+
+  private val advices =
+    new java.util.concurrent.ConcurrentHashMap[Set[String], Advice]()
+
+  /** Register an advisor verdict (see JoinAdvisor.adopt). Key names
+    * must differ — the pair is matched unordered against both join
+    * sides. */
+  def register(keyA: String, keyB: String, strategy: String,
+      smallKey: String): Unit = {
+    require(keyA != keyB,
+      s"AdvisedJoinHints: key names must be distinct, got '$keyA' twice")
+    advices.put(Set(keyA, keyB), Advice(Set(keyA, keyB), strategy, smallKey))
+  }
+
+  def clear(): Unit = advices.clear()
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (advices.isEmpty) plan
+    else plan.transformUp {
+      case j @ Join(l, _, _, Some(cond), JoinHint(None, None)) =>
+        val pairs = cond.collect {
+          case EqualTo(x: AttributeReference, y: AttributeReference) =>
+            Set(x.name, y.name)
+        }
+        pairs.flatMap(p => Option(advices.get(p))).headOption match {
+          case Some(ad) if ad.strategy == "broadcast" =>
+            val bc = Some(HintInfo(Some(BROADCAST)))
+            if (l.output.exists(_.name == ad.smallKey))
+              j.copy(hint = JoinHint(bc, None))
+            else j.copy(hint = JoinHint(None, bc))
+          case Some(_) => // shuffle / shuffle_salted
+            val merge = Some(HintInfo(Some(SHUFFLE_MERGE)))
+            j.copy(hint = JoinHint(merge, merge))
+          case None => j
+        }
+    }
+}
+
 /** Session extension bundle: the self-join guard rule plus permanent
   * registrations of the native functions (`char_ngrams`, `simhash_agg`),
   * so `spark.sql(...)` sees them without per-query register() calls.
@@ -64,6 +143,7 @@ object SelfJoinMergeHint extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => SelfJoinMergeHint)
+    ext.injectOptimizerRule(_ => AdvisedJoinHints)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("char_ngrams"),
