@@ -3837,6 +3837,81 @@ object TextCatalog {
                  AND abs(1000000 * freq_a // na - 1000000 * freq_b // nb) > 300
                ORDER BY delta_ppm DESC, w""")),
 
+    Q("x_sorted_blocking",
+      // Sorted-neighborhood blocking (Hernandez & Stolfo's merge/purge,
+      // SIGMOD 1995) — the FOURTH similarity-join discipline in the
+      // catalog, next to banding (x_minhash_lsh/x_simhash), deletion
+      // neighborhoods (x_editdist_join) and prefix filtering (x_ppjoin):
+      // sort the corpus by a similarity-preserving key (first 16
+      // ASCII chars of the normalized text — stripped to [a-z0-9 ]
+      // because CJK makes Spark's UTF-16 ordering and substring
+      // semantics diverge from DuckDB's code-point ones), slide a
+      // w=10 window over the sorted order, and exact-verify only
+      // in-window pairs (token Jaccard >= 0.8, the integer form
+      // 9*|A intersect B| >= 4*(|A|+|B|) — no division). The sort is
+      // DISTRIBUTED, not a single global window: per-bucket positions
+      // (bucket = first key byte) plus broadcast cumulative offsets
+      // give every row its exact global rank with no 1-partition
+      // window, and the in-window pairing is the binned band
+      // self-join (bin = pos div w, probe bins {b, b-1}) — the same
+      // plan shape as j13_interval_overlap, so the whole operator is
+      // one sort-shaped shuffle + one merge self-join at any scale.
+      // The oracle states the flat global window over the identical
+      // key, so a green row proves the bucket+offset decomposition
+      // reproduces the sequential SNM pair set exactly.
+      (s, d) => {
+        val w = 10
+        val keyExpr = s"substring(regexp_replace($sparkNorm, " +
+          "'[^a-z0-9 ]', ''), 1, 16)"
+        val docs = spread(t(s, d, "documents"))
+          .select(col("doc_id"), expr(keyExpr).as("k"),
+            array_distinct(split(expr(sparkNorm), " ")).as("toks"))
+          .withColumn("bkt", substring(col("k"), 1, 1))
+        val offsets = docs.groupBy("bkt").agg(count(lit(1)).as("n"))
+          .withColumn("off", coalesce(sum("n").over(
+            Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .select("bkt", "off")
+        val pos = docs.join(broadcast(offsets), Seq("bkt"))
+          .withColumn("pos", col("off") + row_number().over(
+            Window.partitionBy("bkt").orderBy("k", "doc_id")))
+          .select(col("doc_id"), col("pos"), col("toks"),
+            size(col("toks")).as("sz"))
+        val a = pos.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
+          col("toks").as("ta"), col("sz").as("la"))
+          .withColumn("bin", expr(s"pa div $w"))
+        val b = pos.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
+          col("toks").as("tb"), col("sz").as("lb"))
+          .withColumn("bin", explode(expr(s"array(pb div $w, pb div $w - 1)")))
+        a.join(b.hint("merge"), Seq("bin"))
+          .filter(col("pb") > col("pa") && col("pb") - col("pa") < w)
+          .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+          .filter(col("inter") * 9 >= (col("la") + col("lb")) * 4)
+          .withColumn("jacc_ppm",
+            expr("1000000 * CAST(inter AS BIGINT) div (la + lb - inter)"))
+          .select("doc_a", "doc_b", "inter", "jacc_ppm")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH d AS (
+                 SELECT doc_id,
+                   substring(regexp_replace($duckNorm,
+                     '[^a-z0-9 ]', '', 'g'), 1, 16) AS k,
+                   list_distinct(string_split($duckNorm, ' ')) AS toks
+                 FROM documents),
+               p AS (SELECT doc_id, toks,
+                       row_number() OVER (ORDER BY k, doc_id) AS pos
+                     FROM d)
+               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(len(list_intersect(a.toks, b.toks)) AS INT) AS inter,
+                 CAST(1000000 * len(list_intersect(a.toks, b.toks))
+                   // (len(a.toks) + len(b.toks)
+                       - len(list_intersect(a.toks, b.toks))) AS BIGINT)
+                   AS jacc_ppm
+               FROM p a JOIN p b ON b.pos - a.pos BETWEEN 1 AND 9
+               WHERE 9 * len(list_intersect(a.toks, b.toks))
+                 >= 4 * (len(a.toks) + len(b.toks))
+               ORDER BY doc_a, doc_b""")),
+
     Q("x_em_linkage",
       // Fellegi-Sunter probabilistic record linkage with unsupervised
       // EM (operators/RecordLinkage — Fellegi & Sunter 1969, Winkler's

@@ -37,6 +37,16 @@ object VectorCatalog {
     (1 to 8).map(j => s"(CASE WHEN $elemFn($v, $j) > 0 THEN ${1 << (j - 1)} ELSE 0 END)")
       .mkString("CAST(", " + ", " AS BIGINT)")
 
+  /** JL projection width and its fixed 16x64 sign matrix: s(k, j) = +1
+    * iff the first md5 byte of "jl_<k>_<j>" is even. Public and
+    * engine-independent; baked into both v_jl_project texts as literal
+    * signs (the fixed-hyperplane discipline of [[bucketExpr]]). */
+  private val JlDims = 16
+  private def jlSign(k: Int, j: Int): Boolean = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (md.digest(s"jl_${k}_$j".getBytes("UTF-8"))(0) & 1) == 0
+  }
+
   /** Second independent sign-LSH family (dims 9-16) — v_nn_descent
     * seeds from BOTH: two families double the chance a true neighbor
     * pair shares at least one seed bucket (measured: +0.28 recall on
@@ -154,6 +164,214 @@ object VectorCatalog {
               FROM (SELECT *, row_number() OVER
                       (PARTITION BY q_id ORDER BY votes DESC, c_label) AS mrn FROM votes)
               WHERE mrn = 1 ORDER BY q_id""")),
+
+    Q("v_knn_shapley",
+      // Exact KNN data-Shapley valuation (Jia et al., PVLDB 2019: for
+      // an unweighted K-NN utility the Shapley value of every training
+      // point has a CLOSED FORM over the distance-sorted order —
+      // s(a_n) = eq_n/n, s(a_i) = s(a_{i+1}) + (eq_i - eq_{i+1}) /
+      // max(K, i)) — the data-valuation query of a curation pipeline:
+      // which training examples help or HURT a given eval point.
+      // O(n log n) per test point instead of the 2^n subsets the
+      // definition names, and the whole computation is two window
+      // passes over the per-test ranked frame: rank by the ulp-pinned
+      // cosine kernel, lead() for the adjacent-eq delta, suffix sum
+      // for the telescoping recursion. Shipped values quantize each
+      // TERM to e9 by true floor (numerators are +/-1e9, so Spark's
+      // pmod shift and DuckDB's double-% shift agree exactly; the sum
+      // of floored terms is the pinned definition, deterministic in
+      // any partitioning). Negative shap_e9 = the point actively
+      // misleads the K-neighborhood — the rows a buyer deletes first.
+      // At 100 TB the plan is Q x n (linear in the corpus, Q fixed
+      // eval points), never the quadratic the naive definition hides.
+      (s, d) => {
+        graft.functions.DotProduct.register(s)
+        val k = 5
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding").as("v"),
+            expr("sqrt(dot_product(embedding, embedding))").as("nrm"))
+        val q = e.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+            col("v").as("qv"), col("nrm").as("qn"))
+        val c = e.filter(col("vec_id") >= 4)
+          .select(col("vec_id").as("c_id"), col("label").as("c_label"),
+            col("v").as("cv"), col("nrm").as("cn"))
+        val wOrd = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("c_id").asc)
+        val ranked = q.crossJoin(c)
+          .withColumn("cos", cosCol("qv", "cv", "qn", "cn"))
+          .withColumn("i", row_number().over(wOrd).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("q_id")))
+          .withColumn("eq",
+            when(col("c_label") === col("q_label"), 1L).otherwise(0L))
+          .withColumn("eq_next", lead("eq", 1).over(wOrd))
+          .select("q_id", "c_id", "i", "n", "eq", "eq_next")
+        val terms = ranked
+          .withColumn("num",
+            when(col("eq_next").isNotNull,
+              lit(1000000000L) * (col("eq") - col("eq_next")))
+              .otherwise(lit(1000000000L) * col("eq")))
+          .withColumn("den",
+            when(col("eq_next").isNotNull,
+              greatest(lit(k.toLong), col("i"))).otherwise(col("n")))
+          .withColumn("term", expr("(num - pmod(num, den)) div den"))
+        val wSuf = Window.partitionBy("q_id").orderBy(col("i"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val wTop = Window.partitionBy("q_id")
+          .orderBy(col("shap_e9").desc, col("c_id").asc)
+        terms.withColumn("shap_e9", sum("term").over(wSuf))
+          .withColumn("trn", row_number().over(wTop))
+          .filter(col("trn") <= 10)
+          .select(col("q_id"), col("c_id"), col("i").as("rank_by_sim"),
+            col("eq"), col("shap_e9"))
+          .orderBy(col("q_id"), desc("shap_e9"), col("c_id"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label,
+                 CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+                    FROM e WHERE vec_id < 4),
+              c AS (SELECT vec_id AS c_id, label AS c_label, v AS cv
+                    FROM e WHERE vec_id >= 4),
+              sim AS (SELECT q_id, q_label, c_id, c_label, $duckCos AS cos
+                      FROM q, c),
+              ranked AS (SELECT q_id, c_id,
+                  CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, c_id) AS BIGINT) AS i,
+                  count(*) OVER (PARTITION BY q_id) AS n,
+                  CASE WHEN c_label = q_label THEN CAST(1 AS BIGINT)
+                       ELSE CAST(0 AS BIGINT) END AS eq
+                FROM sim),
+              t AS (SELECT q_id, c_id, i, n, eq,
+                  lead(eq) OVER (PARTITION BY q_id ORDER BY i) AS eq_next
+                FROM ranked),
+              t2 AS (SELECT q_id, c_id, i, eq,
+                  CASE WHEN eq_next IS NOT NULL
+                       THEN CAST(1000000000 AS BIGINT) * (eq - eq_next)
+                       ELSE CAST(1000000000 AS BIGINT) * eq END AS num,
+                  CASE WHEN eq_next IS NOT NULL
+                       THEN greatest(CAST(5 AS BIGINT), i) ELSE n END AS den
+                FROM t),
+              t3 AS (SELECT q_id, c_id, i, eq,
+                  CAST((num - ((num % den + den) % den)) // den AS BIGINT)
+                    AS term
+                FROM t2),
+              sh AS (SELECT q_id, c_id, i AS rank_by_sim, eq,
+                  CAST(sum(term) OVER (PARTITION BY q_id ORDER BY i
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                    AS BIGINT) AS shap_e9
+                FROM t3)
+              SELECT q_id, c_id, rank_by_sim, eq, shap_e9
+              FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY shap_e9 DESC, c_id) AS trn FROM sh)
+              WHERE trn <= 10
+              ORDER BY q_id, shap_e9 DESC, c_id""")),
+
+    Q("v_jl_project",
+      // Johnson-Lindenstrauss dimension reduction as an ANN-ladder rung
+      // (Achlioptas 2003: a +/-1 sign matrix is a JL projection — no
+      // Gaussians needed) next to the quantization rungs
+      // (v_int8_quantize/v_pq_codes): 64 dims project to 16 by
+      // y_k = sum_j s_kj * q_j over the e6-quantized components, where
+      // the 16x64 sign matrix is md5-derived ([[jlSign]]) and BAKED
+      // INTO BOTH ENGINES' texts as literals — like the fixed sign-LSH
+      // hyperplanes above, the matrix is part of the operator's
+      // definition, so the projection is one row-local codegen
+      // expression: zero shuffles, 4x less vector IO downstream, pure
+      // BIGINT end to end. The audit measures what JL actually
+      // GUARANTEES — pairwise distance distortion: for every
+      // (eval point, candidate) pair, ratio_ppm = 1e6 * ||pa-pb||^2 /
+      // (16 * ||qa-qb||^2) (E[proj L2^2] = m * orig L2^2 for +/-1
+      // signs), reported as min/median/max + the share within +/-50%
+      // per eval point, all exact integer arithmetic. Top-k ordering
+      // is deliberately NOT the claim: this corpus's vectors are
+      // random, so original distances concentrate and no m=16 sketch
+      // can rank them (measured recall@10 ~ 10% — the honest reason a
+      // retrieval pipeline checks the distortion histogram BEFORE
+      // adopting a compression, which is exactly this query).
+      (s, d) => {
+        val proj = (1 to JlDims).map { k =>
+          (1 to 64).map { j =>
+            s"${if (jlSign(k, j)) "+" else "-"} element_at(qv, $j)"
+          }.mkString("(", " ", ")")
+        }.mkString("array(", ", ", ")")
+        val e = t(s, d, "embeddings")
+          .withColumn("qv", expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS double) * 1000, 0) AS BIGINT))"))
+          .withColumn("py", expr(proj))
+        val q = e.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("q_id"), col("qv").as("qa"),
+            col("py").as("pa"))
+        val c = e.filter(col("vec_id") >= 4)
+          .select(col("vec_id").as("c_id"), col("qv").as("qb"),
+            col("py").as("pb"))
+        val pairs = q.crossJoin(c)
+          .withColumn("odist", expr(
+            "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)"))
+          .withColumn("pdist", expr(
+            "aggregate(zip_with(pa, pb, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)"))
+          .filter(col("odist") > 0)
+          .withColumn("ratio_ppm",
+            expr(s"(1000000 * pdist) div ($JlDims * odist)"))
+        val wMed = Window.partitionBy("q_id")
+          .orderBy(col("ratio_ppm"), col("c_id"))
+        pairs
+          .withColumn("rn", row_number().over(wMed))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy("q_id")))
+          .groupBy("q_id")
+          .agg(count(lit(1)).as("n_pairs"),
+            min("ratio_ppm").as("ratio_min_ppm"),
+            max(when(col("rn") === expr("(cnt + 1) div 2"), col("ratio_ppm")))
+              .as("ratio_med_ppm"),
+            max("ratio_ppm").as("ratio_max_ppm"),
+            sum(when(col("ratio_ppm").between(500000, 1500000), 1L)
+              .otherwise(0L)).as("n_within"))
+          .withColumn("within50_pct", expr("(n_within * 100) div n_pairs"))
+          .select("q_id", "n_pairs", "ratio_min_ppm", "ratio_med_ppm",
+            "ratio_max_ppm", "within50_pct")
+          .orderBy("q_id")
+      },
+      Some({
+        val proj = (1 to JlDims).map { k =>
+          (1 to 64).map { j =>
+            s"${if (jlSign(k, j)) "+" else "-"} qv[$j]"
+          }.mkString("(", " ", ")")
+        }.mkString("[", ", ", "]")
+        s"""WITH e AS (SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(round(x * 1000, 0) AS BIGINT)) AS qv
+               FROM embeddings),
+             p AS (SELECT vec_id, qv, $proj AS py FROM e),
+             q AS (SELECT vec_id AS q_id, qv AS qa, py AS pa
+                   FROM p WHERE vec_id < 4),
+             c AS (SELECT vec_id AS c_id, qv AS qb, py AS pb
+                   FROM p WHERE vec_id >= 4),
+             pairs AS (SELECT q_id, c_id,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> (qa[i] - qb[i]) * (qa[i] - qb[i]))) AS BIGINT) AS odist,
+                 CAST(list_sum(list_transform(range(1, ${JlDims + 1}),
+                   i -> (pa[i] - pb[i]) * (pa[i] - pb[i]))) AS BIGINT) AS pdist
+               FROM q, c),
+             r AS (SELECT q_id, c_id,
+                 CAST((1000000 * pdist) // ($JlDims * odist) AS BIGINT)
+                   AS ratio_ppm
+               FROM pairs WHERE odist > 0),
+             rk AS (SELECT q_id, ratio_ppm,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY ratio_ppm, c_id) AS rn,
+                 count(*) OVER (PARTITION BY q_id) AS cnt
+               FROM r)
+             SELECT q_id, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(min(ratio_ppm) AS BIGINT) AS ratio_min_ppm,
+               CAST(max(CASE WHEN rn = (cnt + 1) // 2 THEN ratio_ppm END)
+                 AS BIGINT) AS ratio_med_ppm,
+               CAST(max(ratio_ppm) AS BIGINT) AS ratio_max_ppm,
+               CAST(sum(CASE WHEN ratio_ppm BETWEEN 500000 AND 1500000
+                 THEN 1 ELSE 0 END) * 100 // count(*) AS BIGINT)
+                 AS within50_pct
+             FROM rk
+             GROUP BY q_id
+             ORDER BY q_id"""
+      })),
 
     Q("v_cosine_neardup",
       // Embedding-cosine near-dup (the M6 dedup family's vector member):
