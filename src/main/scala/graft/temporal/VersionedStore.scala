@@ -58,7 +58,7 @@ object VersionedStore {
     * directory rename, only on the manifest CAS). */
   final case class VersionInfo(
       version: Long, operation: String, files: Long, bytes: Long,
-      dir: Option[String] = None)
+      dir: Option[String] = None, parent: Option[Long] = None)
 
   private val LogDir = "_log"
   private val StageDir = ".stage"
@@ -117,8 +117,13 @@ object VersionedStore {
     def field(k: String) = fieldOpt(k)
       .getOrElse(sys.error(s"manifest $v: missing $k in $body"))
     VersionInfo(field("version").toLong, field("operation"),
-      field("files").toLong, field("bytes").toLong, fieldOpt("dir"))
+      field("files").toLong, field("bytes").toLong, fieldOpt("dir"),
+      fieldOpt("parent").map(_.toLong))
   }
+
+  /** One committed version's manifest info (refs/ancestry walks). */
+  def manifest(spark: SparkSession, root: String, v: Long): VersionInfo =
+    readManifest(fsOf(spark, root), root, v)
 
   /** Resolve a version's data directory through its manifest. */
   private def dataDir(fs: FileSystem, root: String, v: Long): Path =
@@ -230,17 +235,23 @@ object VersionedStore {
     val vs = versions(spark, root)
     if (vs.isEmpty) return Seq.empty
     val horizon = vs.takeRight(keep).head
-    val expired = vs.filter(_ < horizon)
+    // versions pinned by a branch or tag ref ([[Refs]]) survive any
+    // horizon — deleting a ref'd snapshot would break its readers
+    val pinned = Refs.pinnedVersions(spark, root)
+    val expired = vs.filter(v => v < horizon && !pinned.contains(v))
     expired.foreach { v =>
       val data = dataDir(fs, root, v) // resolve BEFORE the manifest dies
       require(fs.delete(manifestPath(root, v), false),
         s"VersionedStore: delete manifest $v failed")
       checkedDelete(fs, data)
     }
-    // sweep data dirs below the horizon orphaned by a crashed gc
+    // sweep data dirs below the horizon orphaned by a crashed gc —
+    // "orphaned" = the manifest is gone; a ref-pinned version below the
+    // horizon keeps its manifest and therefore its data
     fs.listStatus(new Path(root)).map(_.getPath).toSeq
       .filter(_.getName.matches("v\\d{12}"))
       .filter(p => p.getName.drop(1).toLong < horizon)
+      .filter(p => !fs.exists(manifestPath(root, p.getName.drop(1).toLong)))
       .foreach(checkedDelete(fs, _))
     // sweep txn data dirs no retained manifest references, past grace
     val referenced = versions(spark, root)
@@ -441,6 +452,32 @@ object VersionedStore {
     * concurrent winners forced a recompute (0 = clean first attempt). */
   final case class TxnResult(version: Long, retries: Int)
 
+  /** Stage `df` to a txn-unique data dir and attempt to publish it as
+    * version `n` (recording `parent` in the manifest) by manifest CAS.
+    * True iff THIS caller won version n; on false the staged data has
+    * already been deleted. The shared commit core of [[transact]] and
+    * the branch commits in [[Refs]]. */
+  private[temporal] def casCommit(spark: SparkSession, root: String,
+      df: DataFrame, n: Long, operation: String, parent: Option[Long],
+      partitionCols: Seq[String], txnId: String): Boolean = {
+    val fs = fsOf(spark, root)
+    val stage = new Path(root, s"$StageDir-$txnId")
+    checkedDelete(fs, stage)
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(stage.toString)
+    val dirName = f"d-$n%012d-$txnId"
+    val data = new Path(root, dirName)
+    checkedDelete(fs, data) // own leftover from a crashed prior attempt
+    checkedRename(fs, stage, data)
+    val (files, bytes) = du(fs, data)
+    val par = parent.map(p => s""","parent":$p""").getOrElse("")
+    val manifest = s"""{"version":$n,"operation":"$operation",""" +
+      s""""files":$files,"bytes":$bytes,"dir":"$dirName"$par}"""
+    if (casManifest(fs, root, n, manifest)) true
+    else { checkedDelete(fs, data); false }
+  }
+
   /** Optimistic-concurrency commit: derive the next FULL snapshot from
     * the current one with `body` (None on an empty store), stage it to
     * a txn-unique data dir, and attempt to publish version
@@ -473,22 +510,11 @@ object VersionedStore {
       val rv = currentVersion(spark, root)
       val out = body(rv.map(readVersion(spark, root, _)))
       val n = rv.getOrElse(0L) + 1
-      val stage = new Path(root, s"$StageDir-$txnId")
-      checkedDelete(fs, stage)
-      val w = out.write.mode("overwrite")
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-        .parquet(stage.toString)
-      val dirName = f"d-$n%012d-$txnId"
-      val data = new Path(root, dirName)
-      checkedDelete(fs, data) // own leftover from a crashed prior attempt
-      checkedRename(fs, stage, data)
-      val (files, bytes) = du(fs, data)
-      val manifest = s"""{"version":$n,"operation":"$operation",""" +
-        s""""files":$files,"bytes":$bytes,"dir":"$dirName"}"""
-      if (casManifest(fs, root, n, manifest)) return TxnResult(n, attempt)
+      if (casCommit(spark, root, out, n, operation, rv, partitionCols, txnId))
+        return TxnResult(n, attempt)
       // Lost the race: a winner holds version n (and possibly more by
-      // now). Clean up our stale snapshot, classify, retry or refuse.
-      checkedDelete(fs, data)
+      // now). Our stale snapshot is already cleaned; classify, retry
+      // or refuse.
       val winnerOps = versions(spark, root).filter(_ >= n)
         .map(readManifest(fs, root, _).operation)
       winnerOps.find(conflictsWith(operation, _)).foreach { w =>
