@@ -373,6 +373,89 @@ object VectorCatalog {
              ORDER BY q_id"""
       })),
 
+    Q("v_facility_location",
+      // Greedy facility-location exemplar selection (Lin & Bilmes 2011,
+      // operators/MaxCoverage.facilityGreedy): pick 5 vectors maximizing
+      // sum_x max_{s in S} sim(x, s) — "every point should be close to
+      // some chosen exemplar", the similarity-weighted complement of
+      // x_max_coverage's set coverage and the selection objective of
+      // exemplar-based corpus summarization. The similarity graph is
+      // SPARSIFIED by the sign-LSH blocking the ladder already uses
+      // (only pairs sharing an 8-bit bucket carry an edge, plus every
+      // point's self-edge), so each greedy round is one linear pass
+      // over |E| — the textbook dense n^2 never materializes at any
+      // scale. Similarities are exact BIGINT dot products of the
+      // e3-quantized vectors, the argmax is the in-plan 1-row fold
+      // (ties -> least vec_id), and the oracle REPLAYS the identical
+      // 5-round greedy as unrolled CTE stages — a green row
+      // machine-checks the whole trajectory, not just the final set.
+      (s, d) => {
+        val e0 = t(s, d, "embeddings")
+          .withColumn("qv", expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS double) * 1000, 0) AS BIGINT))"))
+          .withColumn("bkt", expr(bucketExpr("embedding", "element_at")))
+        val a = e0.select(col("vec_id").as("x"), col("qv").as("qa"), col("bkt"))
+        val b = e0.select(col("vec_id").as("item"), col("qv").as("qb"), col("bkt"))
+        val cross = a.join(b.hint("merge"), Seq("bkt"))
+          .filter(col("x") =!= col("item"))
+          .withColumn("sim", expr(
+            "aggregate(zip_with(qa, qb, (p, q) -> p * q), 0L, (acc, z) -> acc + z)"))
+          .select("x", "item", "sim")
+        val selfE = e0.select(col("vec_id").as("x"), col("vec_id").as("item"),
+          expr("aggregate(zip_with(qv, qv, (p, q) -> p * q), 0L, (acc, z) -> acc + z)")
+            .as("sim"))
+        graft.operators.MaxCoverage
+          .facilityGreedy(cross.unionByName(selfE), 5)
+          .orderBy("rank")
+      },
+      Some {
+        val bucket = (1 to 8)
+          .map(j => s"(CASE WHEN v[$j] > 0 THEN ${1 << (j - 1)} ELSE 0 END)")
+          .mkString("CAST(", " + ", " AS BIGINT)")
+        val rounds = (1 to 5).map { r =>
+          s"""m$r AS (SELECT item,
+                 CAST(sum(greatest(sim - cov, 0)) AS BIGINT) AS gain
+               FROM e JOIN cur${r - 1} USING (x) GROUP BY item),
+             p$r AS (SELECT gain, item FROM m$r WHERE gain > 0
+                     ORDER BY gain DESC, item LIMIT 1),
+             cur$r AS (SELECT c.x,
+                 greatest(c.cov, coalesce(pe.sim, 0)) AS cov
+               FROM cur${r - 1} c LEFT JOIN
+                 (SELECT e.x, e.sim FROM e JOIN p$r ON e.item = p$r.item) pe
+                 ON c.x = pe.x),
+             r$r AS (SELECT $r AS rank, item, gain,
+                 (SELECT CAST(sum(cov) AS BIGINT) FROM cur$r)
+                   AS objective_total
+               FROM p$r)"""
+        }.mkString(",\n")
+        s"""WITH q AS (SELECT vec_id,
+                 CAST(embedding AS DOUBLE[]) AS v,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(round(x * 1000, 0) AS BIGINT)) AS qv
+               FROM embeddings),
+             bk AS (SELECT vec_id, qv, $bucket AS bkt FROM q),
+             pairs AS (SELECT a.vec_id AS x, b.vec_id AS item,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> a.qv[i] * b.qv[i])) AS BIGINT) AS sim
+               FROM bk a JOIN bk b ON a.bkt = b.bkt
+               WHERE a.vec_id != b.vec_id
+               UNION ALL
+               SELECT vec_id AS x, vec_id AS item,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> qv[i] * qv[i])) AS BIGINT) AS sim
+               FROM bk),
+             e AS (SELECT x, item, max(sim) AS sim FROM pairs
+                   WHERE sim > 0 GROUP BY x, item),
+             cur0 AS (SELECT x, CAST(0 AS BIGINT) AS cov
+                      FROM (SELECT DISTINCT x FROM e)),
+             $rounds
+             SELECT rank, item, gain, objective_total
+             FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+                   UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+                   UNION ALL SELECT * FROM r5)
+             ORDER BY rank"""
+      }),
+
     Q("v_cosine_neardup",
       // Embedding-cosine near-dup (the M6 dedup family's vector member):
       // sign-LSH bucket as the blocking key, exact cosine within the

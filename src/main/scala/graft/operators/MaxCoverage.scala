@@ -147,4 +147,70 @@ object MaxCoverage {
         lit(0L).as("covered_total"))
     else chosen.reduce(_ unionByName _)
   }
+
+  /** Greedy FACILITY-LOCATION selection (Lin & Bilmes 2011's exemplar
+    * objective: maximize sum_x max_{s in S} sim(x, s)) — the
+    * similarity-weighted sibling of [[greedy]]'s set coverage: where
+    * max-coverage counts elements seen at all, facility location
+    * rewards how WELL each point is represented by its best exemplar,
+    * the objective behind exemplar-based corpus summarization. Monotone
+    * submodular, so the same greedy argmax carries the (1 - 1/e) bound.
+    *
+    * `sims` is a SPARSE nonnegative similarity edge list (x, item,
+    * sim) — at scale the sparsifier is a blocking pass (LSH buckets:
+    * only pairs sharing a bucket carry an edge; everything else
+    * contributes 0), which keeps every round one linear pass over |E|
+    * instead of the dense n^2 the textbook objective hides. Per round:
+    * join edges with the current per-point coverage, sum positive
+    * improvements per candidate, 1-row in-plan argmax (ties -> least
+    * item), update coverage by greatest(). All BIGINT; round frames
+    * lineage-cut (the x_budgeted_coverage planner lesson).
+    *
+    * @return one row per round: (rank, item, gain, objective_total). */
+  def facilityGreedy(sims: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"facilityGreedy: k must be >= 1, got $k")
+    val spark = sims.sparkSession
+    val e = sims.select(col("x"), col("item"), col("sim"))
+      .filter(col("sim") > 0)
+      .groupBy("x", "item").agg(max("sim").as("sim"))
+      .cutLineage()
+    var cur: DataFrame = null // (x, cov) — only points some pick covers
+    var chosen = Vector.empty[DataFrame]
+    var done = false
+    (1 to k).foreach { rank =>
+      if (!done) {
+        val withCur =
+          if (cur == null) e.withColumn("cov", lit(0L))
+          else e.join(cur, Seq("x"), "left")
+            .select(col("x"), col("item"), col("sim"),
+              coalesce(col("cov"), lit(0L)).as("cov"))
+        val marg = withCur.groupBy("item")
+          .agg(sum(greatest(col("sim") - col("cov"), lit(0L))).as("gain"))
+        val picked = broadcast(marg
+          .agg(max(struct(col("gain"), (-col("item")).as("ni"))).as("s"))
+          .select(col("s.gain").as("gain"), (-col("s.ni")).as("item")))
+          .filter(col("gain") > 0)
+          .cutLineage()
+        if (picked.isEmpty) { done = true }
+        else {
+          val pickedCov = e
+            .join(picked.select("item"), Seq("item"), "left_semi")
+            .select(col("x"), col("sim").as("ncov"))
+          cur = (if (cur == null) pickedCov.select(col("x"), col("ncov").as("cov"))
+            else cur.join(pickedCov, Seq("x"), "full")
+              .select(col("x"), greatest(coalesce(col("cov"), lit(0L)),
+                coalesce(col("ncov"), lit(0L))).as("cov"))).cutLineage()
+          chosen = chosen :+ picked
+            .crossJoin(broadcast(
+              cur.agg(sum("cov").cast("long").as("objective_total"))))
+            .select(lit(rank).as("rank"), col("item"), col("gain"),
+              col("objective_total"))
+        }
+      }
+    }
+    if (chosen.isEmpty)
+      spark.range(0).select(lit(0).as("rank"), lit(0L).as("item"),
+        lit(0L).as("gain"), lit(0L).as("objective_total"))
+    else chosen.reduce(_ unionByName _)
+  }
 }

@@ -118,4 +118,24 @@ class MaxCoverageSpec extends AnyFunSuite {
     assert(got == replay())
     assert(got.map(p => costs(p._1)).sum <= budget)
   }
+
+  test("facilityGreedy: hand-checkable trajectory, ties to least item, early stop") {
+    import spark.implicits._
+    // points 1..4; candidates 10 (covers 1,2 well), 20 (covers 3,4 well),
+    // 30 (covers everything a bit). Self-less toy graph.
+    val sims = Seq(
+      (1L, 10L, 9L), (2L, 10L, 8L), (3L, 10L, 1L),
+      (3L, 20L, 9L), (4L, 20L, 7L),
+      (1L, 30L, 5L), (2L, 30L, 5L), (3L, 30L, 5L), (4L, 30L, 5L)
+    ).toDF("x", "item", "sim")
+    val got = MaxCoverage.facilityGreedy(sims, 5).orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // round 1: gains — 10 -> 18, 20 -> 16, 30 -> 20: pick 30 (obj 20)
+    // round 2: 10 -> (9-5)+(8-5) = 7; 20 -> (9-5)+(7-5) = 6: pick 10 (obj 27)
+    // round 3: 20 -> 4+2 = 6: pick 20 (obj 33)
+    // round 4: nothing improves -> stop
+    assert(got == Seq((1, 30L, 20L, 20L), (2, 10L, 7L, 27L), (3, 20L, 6L, 33L)))
+    // submodularity sanity: per-round gains never increase
+    assert(got.map(_._3) == got.map(_._3).sorted.reverse)
+  }
 }
