@@ -3770,20 +3770,20 @@ object TextCatalog {
       // proposal #6) — the trending-words query: which items' frequency
       // SHARE moved by more than delta between two windows, answered by
       // the two-window composition of x_heavy_hitters' sketch-then-
-      // verify plan. One `mg_topk(w, 200)` per window (the windows here
+      // verify plan. One `mg_topk(w, 2000)` per window (the windows here
       // are the deterministic doc_id-parity halves; in the streaming
       // face they are consecutive time windows — see
       // IncrementalPipeline.windowedHeavyHitterCandidates) gives a
       // candidate set GUARANTEED to contain every item whose share
-      // exceeds 1/200 in that window; the union of both candidate sets
+      // exceeds 1/2000 in that window; the union of both candidate sets
       // therefore covers every item the share-floor filter can accept.
-      // Pass 2 recounts the <= ~400 candidates exactly in BOTH windows
+      // Pass 2 recounts the <= ~4000 candidates exactly in BOTH windows
       // with one broadcast semi-join — the full vocabulary never
       // shuffles, which is what makes trend detection 100 TB-shaped
       // (the oracle's exact two-window groupBy over every word is the
       // plan that stops scaling). Output filter is purely
-      // exact-count-based (share >= 1/200 in either window AND
-      // |share_a - share_b| > 300 ppm, all BIGINT), so the sketch's
+      // exact-count-based (share >= 1/2000 in either window AND
+      // |share_a - share_b| > 100 ppm, all BIGINT), so the sketch's
       // superset guarantee is machine-checked by the green row, exactly
       // as in x_heavy_hitters.
       (s, d) => {
@@ -3792,7 +3792,7 @@ object TextCatalog {
           .select(pmod(col("doc_id"), lit(2)).as("win"),
             explode(split(expr(sparkNorm), " ")).as("w"))
           .filter(length(col("w")) > 0)
-        val cands = toks.groupBy("win").agg(expr("mg_topk(w, 200)").as("cs"))
+        val cands = toks.groupBy("win").agg(expr("mg_topk(w, 2000)").as("cs"))
           .select(explode(col("cs")).as("w")).distinct()
         val tot = broadcast(toks.agg(
           sum(when(col("win") === 0, 1L).otherwise(0L)).as("na"),
@@ -3805,9 +3805,9 @@ object TextCatalog {
           .withColumn("share_a_ppm", expr("1000000 * freq_a div na"))
           .withColumn("share_b_ppm", expr("1000000 * freq_b div nb"))
           .withColumn("delta_ppm", expr("abs(share_a_ppm - share_b_ppm)"))
-          .filter(col("freq_a") * 200 > col("na") ||
-            col("freq_b") * 200 > col("nb"))
-          .filter(col("delta_ppm") > 300)
+          .filter(col("freq_a") * 2000 > col("na") ||
+            col("freq_b") * 2000 > col("nb"))
+          .filter(col("delta_ppm") > 100)
           .select("w", "freq_a", "freq_b", "share_a_ppm", "share_b_ppm",
             "delta_ppm")
           .orderBy(desc("delta_ppm"), col("w"))
@@ -3833,8 +3833,8 @@ object TextCatalog {
                  CAST(abs(1000000 * freq_a // na - 1000000 * freq_b // nb)
                    AS BIGINT) AS delta_ppm
                FROM sh, tot
-               WHERE (freq_a * 200 > na OR freq_b * 200 > nb)
-                 AND abs(1000000 * freq_a // na - 1000000 * freq_b // nb) > 300
+               WHERE (freq_a * 2000 > na OR freq_b * 2000 > nb)
+                 AND abs(1000000 * freq_a // na - 1000000 * freq_b // nb) > 100
                ORDER BY delta_ppm DESC, w""")),
 
     Q("x_sorted_blocking",
