@@ -3380,6 +3380,92 @@ object AggWindowCatalog {
              SELECT exact.day, n_exact, round(est, 2) AS n_hll,
                round(abs(est - n_exact) / n_exact, 4) AS rel_err
              FROM exact JOIN est ON exact.day = est.day
-             ORDER BY exact.day"""))
+             ORDER BY exact.day""")),
+
+    Q("w24_walkforward",
+      // Walk-forward (expanding-window) cross-validation assignment —
+      // the TEMPORAL complement of x_group_kfold: time-series models
+      // must evaluate on data strictly AFTER everything they trained
+      // on, or the eval score is contaminated by future information.
+      // Event days split into 5 contiguous tiles (ntile over the day
+      // order — deterministic, both engines); fold k (k = 2..5) trains
+      // on tiles < k and evaluates on tile k. Two audit columns per
+      // fold: leak_wf COUNTS train events at-or-after the fold's eval
+      // start (structurally zero — computed, never asserted), and
+      // n_naive_future counts the events a HASH split (48-bit md5 of
+      // event_id mod 5) would have put in TRAIN inside this fold's
+      // eval window — the quantified future-leakage a non-temporal
+      // split admits, exactly the x_group_kfold hazard-measurement
+      // discipline. Tiles are a 30-row dimension (broadcast); the
+      // corpus is touched twice (fold stats, leak recount), both
+      // passes map-side-combinable aggregations.
+      (s, d) => {
+        val h5 = "pmod(CAST(conv(substring(md5(CAST(event_id AS STRING)), " +
+          "1, 12), 16, 10) AS BIGINT), 5)"
+        val ev = t(s, d, "events")
+          .select(to_date(col("ts")).as("day"), col("event_id"))
+        val days = ev.select("day").distinct()
+          .withColumn("tile", ntile(5).over(Window.orderBy("day")))
+        val tagged = ev.join(broadcast(days), Seq("day"))
+          .withColumn("h5", expr(h5))
+        import s.implicits._
+        val foldDim = broadcast((2 to 5).toDF("fold"))
+        val base = tagged.crossJoin(foldDim)
+        val stats = base.groupBy("fold").agg(
+          countDistinct(when(col("tile") < col("fold"), col("day"))).as("train_days"),
+          countDistinct(when(col("tile") === col("fold"), col("day"))).as("eval_days"),
+          sum(when(col("tile") < col("fold"), 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("tile") === col("fold"), 1L).otherwise(0L)).as("n_eval"),
+          min(when(col("tile") === col("fold"), col("day"))).as("eval_start"),
+          max(when(col("tile") === col("fold"), col("day"))).as("eval_end"))
+        base.join(broadcast(stats), Seq("fold"))
+          .groupBy("fold")
+          .agg(
+            first("train_days").as("train_days"),
+            first("eval_days").as("eval_days"),
+            first("n_train").as("n_train"),
+            first("n_eval").as("n_eval"),
+            sum(when(col("tile") < col("fold") &&
+              col("day") >= col("eval_start"), 1L).otherwise(0L)).as("leak_wf"),
+            sum(when(col("h5") =!= (col("fold") - 1) &&
+              col("day").between(col("eval_start"), col("eval_end")), 1L)
+              .otherwise(0L)).as("n_naive_future"))
+          .orderBy("fold")
+      },
+      Some {
+        val nib = (i: Int) =>
+          s"(strpos('0123456789abcdef', substring(md5(CAST(event_id AS VARCHAR)), $i, 1)) - 1)"
+        val h48 = (1 to 12).map(i => s"${nib(i)} * ${1L << (4 * (12 - i))}")
+          .mkString("CAST(", " + ", " AS BIGINT)")
+        s"""WITH ev AS (SELECT CAST(ts AS DATE) AS day,
+                 (($h48 % 5) + 5) % 5 AS h5
+               FROM events),
+             days AS (SELECT day, ntile(5) OVER (ORDER BY day) AS tile
+                      FROM (SELECT DISTINCT day FROM ev)),
+             tagged AS (SELECT ev.day, ev.h5, days.tile
+                        FROM ev JOIN days USING (day)),
+             folds AS (SELECT unnest(range(2, 6)) AS fold),
+             stats AS (SELECT fold,
+                 CAST(count(DISTINCT CASE WHEN tile < fold THEN day END)
+                   AS BIGINT) AS train_days,
+                 CAST(count(DISTINCT CASE WHEN tile = fold THEN day END)
+                   AS BIGINT) AS eval_days,
+                 CAST(sum(CASE WHEN tile < fold THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_train,
+                 CAST(sum(CASE WHEN tile = fold THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_eval,
+                 min(CASE WHEN tile = fold THEN day END) AS eval_start,
+                 max(CASE WHEN tile = fold THEN day END) AS eval_end
+               FROM tagged, folds GROUP BY fold)
+             SELECT s.fold, s.train_days, s.eval_days, s.n_train, s.n_eval,
+               CAST(sum(CASE WHEN t.tile < s.fold AND t.day >= s.eval_start
+                 THEN 1 ELSE 0 END) AS BIGINT) AS leak_wf,
+               CAST(sum(CASE WHEN t.h5 != s.fold - 1
+                 AND t.day BETWEEN s.eval_start AND s.eval_end
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_naive_future
+             FROM stats s, tagged t
+             GROUP BY s.fold, s.train_days, s.eval_days, s.n_train, s.n_eval
+             ORDER BY s.fold"""
+      })
   )
 }

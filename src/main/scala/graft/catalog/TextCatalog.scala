@@ -3912,6 +3912,63 @@ object TextCatalog {
                  >= 4 * (len(a.toks) + len(b.toks))
                ORDER BY doc_a, doc_b""")),
 
+    Q("x_pmi_collocations",
+      // PMI-ranked collocations WITHOUT log (Church & Hanks 1990): PMI
+      // = log(c12*N / (c1*c2)) is monotone in the ratio inside the
+      // log, so ordering by the exact integer ratio_e4 = 1e4*c12*N div
+      // (c1*c2) IS the true PMI order with zero libm exposure (the
+      // a_linreg_gd rule: transcendentals are 1-ulp-faithful and can
+      // flip a quantization boundary; a monotone substitution removes
+      // them entirely). Bigrams are one row-local zip_with over each
+      // doc's token array — no position join, no shuffle before the
+      // vocabulary-bounded aggregations — and the unigram side
+      // broadcasts (the vocabulary is orders of magnitude smaller than
+      // the corpus at any scale). Min support 5 on the pair; top-20
+      // under a total (ratio, w1, w2) order. Overflow headroom is
+      // explicit: 1e4 * c12 * N needs c12*N < 9.2e14 (holds through
+      // sf1 by ~500x; the 100 TB form widens to DECIMAL(38,0)).
+      (s, d) => {
+        val toks = spread(t(s, d, "documents"))
+          .select(split(expr(sparkNorm), " ").as("ts"))
+        val uni = toks.select(explode(col("ts")).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val tot = broadcast(uni.agg(sum("c").cast("long").as("n")))
+        val big = toks.filter(size(col("ts")) >= 2)
+          .select(explode(expr(
+            "zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1), " +
+              "(a, b) -> struct(a AS w1, b AS w2))")).as("p"))
+          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+          .filter(col("c12") >= 5)
+        big
+          .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), Seq("w1"))
+          .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), Seq("w2"))
+          .crossJoin(tot)
+          .withColumn("ratio_e4", expr("10000 * c12 * n div (c1 * c2)"))
+          .select("w1", "w2", "c12", "c1", "c2", "ratio_e4")
+          .orderBy(desc("ratio_e4"), col("w1"), col("w2"))
+          .limit(20)
+      },
+      Some(s"""WITH toks AS (
+                 SELECT string_split($duckNorm, ' ') AS ts FROM documents),
+               uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+                       FROM (SELECT unnest(ts) AS w FROM toks)
+                       WHERE length(w) > 0 GROUP BY w),
+               tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+               big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM (
+                   SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS w1,
+                          unnest(list_transform(range(1, len(ts)), i -> ts[i + 1])) AS w2
+                   FROM toks)
+                 WHERE length(w1) > 0 AND length(w2) > 0 GROUP BY 1, 2)
+               SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2,
+                 CAST(10000 * b.c12 * n // (u1.c * u2.c) AS BIGINT) AS ratio_e4
+               FROM big b JOIN uni u1 ON b.w1 = u1.w
+                 JOIN uni u2 ON b.w2 = u2.w, tot
+               WHERE b.c12 >= 5
+               ORDER BY ratio_e4 DESC, b.w1, b.w2 LIMIT 20""")),
+
     Q("x_em_linkage",
       // Fellegi-Sunter probabilistic record linkage with unsupervised
       // EM (operators/RecordLinkage — Fellegi & Sunter 1969, Winkler's
