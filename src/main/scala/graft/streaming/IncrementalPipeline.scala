@@ -18,6 +18,17 @@ final case class DriftState(lastDay: Long, cusum: Long)
 final case class DriftOut(event_type: String, day: Long, c: Long,
     cusum: Long, alarm: Boolean)
 
+/** Typed records for sieve-streaming submodular selection. A sieve is
+  * one threshold's candidate set: `j` indexes the threshold
+  * tau_j = (5/4)^j (epsilon = 1/4), `ids` the chosen items (<= k),
+  * `covered` their element union — the whole state is O(#thresholds *
+  * k * elements-per-item), independent of stream length. */
+final case class SieveDoc(seq: Long, doc_id: Long, elems: Seq[Long])
+final case class SieveSet(j: Long, ids: List[Long], covered: List[Long])
+final case class SieveState(lastSeq: Long, m: Long, sieves: List[SieveSet])
+final case class SieveOut(seq: Long, best_j: Long, objective: Long,
+    ids: Seq[Long], n_sieves: Int)
+
 /** Typed records for the streaming isotonic (PAV) smoother. A pool is
   * one block of adjacent positions the fit has merged: (sy, sw) are its
   * exact integer weighted sum and weight — the whole PAV state per key
@@ -356,6 +367,92 @@ object IncrementalPipeline {
     }
     state.update(st)
     out.result().iterator
+  }
+
+  /** Sieve-streaming submodular selection (Badanidiyuru-Mirzasoleiman-
+    * Karbasi-Krause, KDD 2014) — the ONE-PASS face of the batch greedy
+    * selectors (MaxCoverage.greedy / facilityGreedy): pick <= k items
+    * from a stream maximizing coverage |union of chosen element sets|,
+    * holding only O(log OPT) threshold sieves in state — no second
+    * pass, no corpus retention. Each sieve j guesses OPT ~ tau_j =
+    * (5/4)^j and admits an arriving item iff its marginal gain >=
+    * (tau_j/2 - f(S_j)) / (k - |S_j|); the best sieve is a
+    * (1/2 - 1/4)-approximation of the true streaming OPT — the
+    * guarantee SieveStreamingSpec checks against a brute-force optimum.
+    * Thresholds are exact rationals 5^j/4^j compared by BigInt
+    * cross-multiplication (the isotonicStream discipline: no float
+    * ever orders a decision), and sieves instantiate lazily as the
+    * max-singleton lower bound m grows, so early garbage thresholds
+    * never hold state. Items process in `seq` order (forward-only,
+    * same contract as driftMonitor), which makes the fold
+    * deterministic under ANY trigger batching. */
+  def sieveSelect(docs: DataFrame, k: Int): Dataset[SieveOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.selectExpr("seq", "doc_id", "elems").as[SieveDoc]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Int, rows: Iterator[SieveDoc], state: GroupState[SieveState]) =>
+          sieveFold(k)(rows, state))
+  }
+
+  /** The per-batch fold: delegates to [[sieveStep]], the pure core. */
+  private[streaming] def sieveFold(k: Int)(rows: Iterator[SieveDoc],
+      state: GroupState[SieveState]): Iterator[SieveOut] = {
+    val st0 = state.getOption.getOrElse(SieveState(Long.MinValue, 0L, Nil))
+    val (st, out) = sieveStep(k)(st0, rows.toSeq)
+    state.update(st)
+    out.iterator
+  }
+
+  /** One batch of the sieve algorithm as a PURE function (state in,
+    * state + snapshot out) — package-visible so the spec can prove
+    * batching invariance by driving it directly. */
+  private[graft] def sieveStep(k: Int)(st0: SieveState,
+      rows: Seq[SieveDoc]): (SieveState, Option[SieveOut]) = {
+    var st = st0
+    val batch = rows.filter(_.seq > st.lastSeq).sortBy(_.seq)
+    if (batch.isEmpty) return (st, None)
+    def pow(b: Long, e: Long): BigInt = BigInt(b).pow(e.toInt)
+    batch.foreach { doc =>
+      val elems = doc.elems.distinct
+      val v = elems.size.toLong
+      if (v > 0) {
+        val m = math.max(st.m, v)
+        // active thresholds: (5/4)^j in [m, 2km]
+        val lo = Iterator.from(0).find(j => pow(5, j) >= BigInt(m) * pow(4, j)).get
+        val hi = Iterator.from(lo).find(j =>
+          pow(5, j) > BigInt(2L * k * m) * pow(4, j)).get - 1
+        val kept = st.sieves.filter(s => s.j >= lo && s.j <= hi)
+        val present = kept.map(_.j).toSet
+        val sieves = kept ++ (lo.toLong to hi.toLong)
+          .filterNot(present).map(j => SieveSet(j, Nil, Nil))
+        val updated = sieves.map { s =>
+          if (s.ids.size >= k || s.ids.contains(doc.doc_id)) s
+          else {
+            val gain = (elems.toSet -- s.covered).size.toLong
+            val f = s.covered.size.toLong
+            // gain >= (tau/2 - f) / (k - |S|), tau = 5^j/4^j:
+            // gain*(k-|S|)*2*4^j + f*2*4^j >= 5^j  (all exact BigInt)
+            val admit = (BigInt(gain) * (k - s.ids.size) * 2 + BigInt(f) * 2) *
+              pow(4, s.j) >= pow(5, s.j)
+            if (gain > 0 && admit)
+              SieveSet(s.j, doc.doc_id :: s.ids,
+                (s.covered.toSet ++ elems).toList.sorted)
+            else s
+          }
+        }
+        st = SieveState(doc.seq, m, updated)
+      } else st = st.copy(lastSeq = doc.seq)
+    }
+    val best = st.sieves
+      .map(s => (s.covered.size.toLong, -s.j, s))
+      .sortBy(t => (-t._1, -t._2)).headOption
+    (st, Some(best match {
+      case Some((obj, nj, s)) =>
+        SieveOut(st.lastSeq, -nj, obj, s.ids.sorted, st.sieves.size)
+      case None => SieveOut(st.lastSeq, -1L, 0L, Nil, 0)
+    }))
   }
 
   /** Deduplicate a stream per key keeping the earliest event, with state

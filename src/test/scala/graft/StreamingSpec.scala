@@ -679,6 +679,67 @@ class StreamingSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("sieve-streaming selection: one pass, bounded state, proven fraction of OPT") {
+    import graft.streaming.{IncrementalPipeline => IP, SieveDoc, SieveState}
+    // universe 1..90; two 35-element "big" docs arrive LAST (after many
+    // overlapping 8-element ones) — a one-pass selector must keep
+    // threshold guesses alive to catch them
+    val small = (0 until 20).map(i =>
+      SieveDoc(i + 1L, 100L + i, (1L to 8L).map(e => (e + i * 4) % 60 + 1)))
+    val big = Seq(
+      SieveDoc(21L, 1L, (1L to 35L)),
+      SieveDoc(22L, 2L, (36L to 70L)))
+    val all = small ++ big
+    val k = 2
+    // brute-force streaming OPT over all k-subsets
+    val opt = all.combinations(k).map(_.flatMap(_.elems).distinct.size).max
+    // drive the pure core in three different batchings; outputs after
+    // the LAST batch must be identical (determinism under triggers)
+    def drive(batches: Seq[Seq[SieveDoc]]) = {
+      var st = SieveState(Long.MinValue, 0L, Nil)
+      var last: Option[graft.streaming.SieveOut] = None
+      batches.foreach { b =>
+        val (st2, out) = IP.sieveStep(k)(st, b); st = st2
+        out.foreach(o => last = Some(o))
+      }
+      (st, last.get)
+    }
+    val (st1, one) = drive(Seq(all))
+    val (_, many) = drive(all.grouped(3).toSeq)
+    val (_, each) = drive(all.map(Seq(_)))
+    assert(one == many && many == each, s"batching must not matter: $one / $many / $each")
+    // the sieve guarantee: best sieve >= (1/2 - eps) OPT with eps = 1/4
+    assert(one.objective * 4 >= opt.toLong,
+      s"objective ${one.objective} must be >= OPT/4 (OPT = $opt)")
+    // on this fixture the guesses actually catch both big docs
+    assert(one.objective >= 60, s"expected the two big docs to win: $one")
+    // state bounded: every sieve holds <= k items
+    assert(st1.sieves.forall(_.ids.size <= k))
+    assert(st1.sieves.nonEmpty && st1.sieves.size <= 40)
+    // stale seq ignored (forward-only contract)
+    val (st2, _) = IP.sieveStep(k)(st1, Seq(SieveDoc(1L, 999L, (1L to 90L))))
+    assert(st2.sieves == st1.sieves, "a stale seq must not mutate the sieves")
+  }
+
+  test("sieve-streaming e2e: state survives triggers, objective never regresses") {
+    import graft.streaming.SieveDoc
+    implicit val sql = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SieveDoc]
+    val q = IncrementalPipeline.sieveSelect(input.toDF(), k = 2)
+      .writeStream.outputMode("append").format("memory").queryName("sieve").start()
+    input.addData(SieveDoc(1, 10, Seq(1, 2, 3)), SieveDoc(2, 11, Seq(3, 4)))
+    q.processAllAvailable()
+    input.addData(SieveDoc(3, 12, (10L to 40L)))
+    q.processAllAvailable()
+    val rows = spark.table("sieve").orderBy("seq").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    q.stop()
+    assert(rows.map(_._1) == Seq(2L, 3L), s"one snapshot per batch: $rows")
+    assert(rows.map(_._2) == rows.map(_._2).sorted,
+      s"objective must be monotone across triggers: $rows")
+    assert(rows.last._2 >= 31L, "the 31-element doc must be captured")
+  }
+
   test("streaming isotonic frontier equals the batch minimax fit on every prefix") {
     import graft.streaming.{IncrementalPipeline => IP, IsoPoint, IsoState}
     // a deterministic wiggly series with weights > 1 and negatives
