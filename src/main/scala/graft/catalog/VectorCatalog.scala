@@ -464,6 +464,127 @@ object VectorCatalog {
              ORDER BY rank"""
       }),
 
+    Q("v_dbscan",
+      // DBSCAN density clustering (Ester-Kriegel-Sander-Xu 1996) over
+      // the LSH-blocked neighbor graph: a point is CORE with >= 2
+      // eps-neighbors (exact integer L2^2 <= 1.5e6 on the e3-quantized
+      // vectors, neighbors restricted to sign-LSH bucket mates — the
+      // sparsifier that keeps the neighbor join linear at any scale),
+      // clusters are connected components of the core-core graph
+      // (operators/Components pointer jumping), BORDER points attach
+      // to the cluster of their MINIMUM core neighbor (classic DBSCAN
+      // is arrival-order-dependent here; the min pin makes it
+      // deterministic on any engine), everything else is NOISE. On
+      // this corpus the two scales exercise opposite regimes — sparse
+      // noise-dominated at sf0.01 (12 core / 467 noise), dense
+      // copy-family cliques at sf1 (~20k core: the scale corpus's
+      // per-copy embedding offsets ARE density clusters, and DBSCAN
+      // recovers exactly those families). Published: the top-10
+      // clusters with member/core counts plus the global noise count;
+      // the oracle replays the component fixpoint with the
+      // x_dedup_clusters 12-round unroll + loud convergence guard.
+      (s, d) => {
+        val eps2 = 1500000L
+        val e0 = t(s, d, "embeddings")
+          .withColumn("qv", expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS double) * 1000, 0) AS BIGINT))"))
+          .withColumn("bkt", expr(bucketExpr("embedding", "element_at")))
+        val a = e0.select(col("vec_id").as("x"), col("qv").as("qa"), col("bkt"))
+        val b = e0.select(col("vec_id").as("y"), col("qv").as("qb"), col("bkt"))
+        val nb = a.join(b.hint("merge"), Seq("bkt"))
+          .filter(col("x") =!= col("y"))
+          .withColumn("d2", expr(
+            "aggregate(zip_with(qa, qb, (p, q) -> (p - q) * (p - q)), 0L, (acc, z) -> acc + z)"))
+          .filter(col("d2") <= eps2)
+          .select("x", "y").cutLineage()
+        val core = nb.groupBy("x").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 2).select("x").cutLineage()
+        val coreE = nb
+          .join(core, Seq("x"), "left_semi")
+          .join(core.select(col("x").as("y")), Seq("y"), "left_semi")
+          .filter(col("x") < col("y"))
+          .select(col("x").as("a"), col("y").as("b"))
+        val comps = graft.operators.Components
+          .connectedComponents(coreE, "a", "b")
+        val coreClusters = core
+          .join(comps.select(col("node").as("x"), col("comp")), Seq("x"), "left")
+          .select(col("x"), coalesce(col("comp"), col("x")).as("cluster_id"))
+        val border = nb
+          .join(core, Seq("x"), "left_anti")
+          .join(coreClusters.select(col("x").as("y"), col("cluster_id")), Seq("y"))
+          .groupBy("x").agg(min("cluster_id").as("cluster_id"))
+        val members = coreClusters
+          .select(col("x"), col("cluster_id"), lit(1L).as("is_core"))
+          .unionByName(border.select(col("x"), col("cluster_id"),
+            lit(0L).as("is_core")))
+        val totals = broadcast(e0.agg(count(lit(1)).as("n_total"))
+          .crossJoin(members.agg(count(lit(1)).as("n_member_total"))))
+        members.groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_members"), sum("is_core").as("n_core"))
+          .crossJoin(totals)
+          .withColumn("n_noise_global", col("n_total") - col("n_member_total"))
+          .select("cluster_id", "n_members", "n_core", "n_noise_global")
+          .orderBy(desc("n_members"), col("cluster_id"))
+          .limit(10)
+      },
+      Some {
+        val bucket = (1 to 8)
+          .map(j => s"(CASE WHEN v[$j] > 0 THEN ${1 << (j - 1)} ELSE 0 END)")
+          .mkString("CAST(", " + ", " AS BIGINT)")
+        val propagate =
+          """SELECT n.node, least(n.lbl, coalesce(m.ml, n.lbl)) AS lbl
+             FROM vdb_lbl n LEFT JOIN (
+               SELECT e.d AS node, min(p.lbl) AS ml
+               FROM vdb_edges e JOIN vdb_lbl p ON p.node = e.s
+               GROUP BY e.d) m ON m.node = n.node"""
+        val rounds = (1 to 12).map { _ =>
+          s"""CREATE OR REPLACE TEMP TABLE vdb_next AS $propagate;
+              CREATE OR REPLACE TEMP TABLE vdb_lbl AS
+              SELECT * FROM vdb_next;"""
+        }.mkString("\n              ")
+        s"""CREATE OR REPLACE TEMP TABLE vdb_nb AS
+              WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                    x -> CAST(round(x * 1000, 0) AS BIGINT)) AS qv
+                FROM embeddings),
+              bk AS (SELECT vec_id, qv, $bucket AS bkt FROM e)
+              SELECT a.vec_id AS x, c.vec_id AS y
+              FROM bk a JOIN bk c ON a.bkt = c.bkt AND a.vec_id != c.vec_id
+              WHERE list_sum(list_transform(range(1, 65),
+                i -> (a.qv[i] - c.qv[i]) * (a.qv[i] - c.qv[i]))) <= 1500000;
+              CREATE OR REPLACE TEMP TABLE vdb_core AS
+              SELECT x FROM (SELECT x, count(*) AS dg FROM vdb_nb GROUP BY x)
+              WHERE dg >= 2;
+              CREATE OR REPLACE TEMP TABLE vdb_edges AS
+              SELECT n.x AS s, n.y AS d FROM vdb_nb n
+              JOIN vdb_core c1 ON n.x = c1.x
+              JOIN vdb_core c2 ON n.y = c2.x;
+              CREATE OR REPLACE TEMP TABLE vdb_lbl AS
+              SELECT DISTINCT s AS node, s AS lbl FROM vdb_edges;
+              $rounds
+              CREATE OR REPLACE TEMP TABLE vdb_chk AS $propagate;
+              WITH cc AS (SELECT c.x, coalesce(l.lbl, c.x) AS cluster_id
+                          FROM vdb_core c LEFT JOIN vdb_lbl l ON c.x = l.node),
+              bord AS (SELECT n.x, min(cc.cluster_id) AS cluster_id
+                       FROM vdb_nb n JOIN cc ON n.y = cc.x
+                       WHERE n.x NOT IN (SELECT x FROM vdb_core)
+                       GROUP BY n.x),
+              mem AS (SELECT x, cluster_id, 1 AS is_core FROM cc
+                      UNION ALL
+                      SELECT x, cluster_id, 0 AS is_core FROM bord),
+              tot AS (SELECT
+                (SELECT count(*) FROM embeddings) AS n_total,
+                (SELECT count(*) FROM mem) AS n_member_total)
+              SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+                CAST(sum(is_core) AS BIGINT) AS n_core,
+                CAST(n_total - n_member_total AS BIGINT) AS n_noise_global
+              FROM mem, tot
+              WHERE (SELECT count(*) FROM vdb_chk k JOIN vdb_lbl l
+                     ON k.node = l.node AND k.lbl <> l.lbl) = 0
+              GROUP BY cluster_id, n_total, n_member_total
+              ORDER BY n_members DESC, cluster_id LIMIT 10"""
+      }),
+
     Q("v_cosine_neardup",
       // Embedding-cosine near-dup (the M6 dedup family's vector member):
       // sign-LSH bucket as the blocking key, exact cosine within the
