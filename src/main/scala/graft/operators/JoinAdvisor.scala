@@ -114,7 +114,8 @@ object JoinAdvisor {
         "shuffle_salted"
       else "shuffle"
     val smallKey = if (l(pa, "rows") <= l(pb, "rows")) keyA else keyB
-    graft.plans.AdvisedJoinHints.register(keyA, keyB, strategy, smallKey)
+    graft.plans.AdvisedJoinHints.register(a.sparkSession, keyA, keyB,
+      strategy, smallKey)
     strategy
   }
 }

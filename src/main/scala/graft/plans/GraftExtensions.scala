@@ -91,6 +91,7 @@ object SelfJoinMergeHint extends Rule[LogicalPlan] {
   */
 object AdvisedJoinHints extends Rule[LogicalPlan] {
 
+  import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo}
 
   /** One registered verdict: the unordered key-name pair, the strategy
@@ -98,40 +99,65 @@ object AdvisedJoinHints extends Rule[LogicalPlan] {
     * the small side. */
   final case class Advice(keys: Set[String], strategy: String, smallKey: String)
 
-  private val advices =
-    new java.util.concurrent.ConcurrentHashMap[Set[String], Advice]()
+  /** Registry scoped PER SESSION (round-12 advice): advice adopted in
+    * one SparkSession must not leak into another session's plans —
+    * two sessions of one JVM can legitimately join same-named keys
+    * from different tables with opposite profiles, and fleet advice
+    * registered by a long-lived service session must not outlive that
+    * session. Weak keys let a closed session's advice be collected
+    * with it (the in-JVM analogue of the TTL the advice asked for —
+    * advice lifetime IS session lifetime). */
+  private val advices = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[Set[String], Advice]]())
 
-  /** Register an advisor verdict (see JoinAdvisor.adopt). Key names
-    * must differ — the pair is matched unordered against both join
-    * sides. */
-  def register(keyA: String, keyB: String, strategy: String,
-      smallKey: String): Unit = {
+  /** Register an advisor verdict for ONE session (see
+    * JoinAdvisor.adopt). Key names must differ — the pair is matched
+    * unordered against both join sides. */
+  def register(spark: SparkSession, keyA: String, keyB: String,
+      strategy: String, smallKey: String): Unit = {
     require(keyA != keyB,
       s"AdvisedJoinHints: key names must be distinct, got '$keyA' twice")
-    advices.put(Set(keyA, keyB), Advice(Set(keyA, keyB), strategy, smallKey))
+    advices.synchronized {
+      advices.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[Set[String], Advice]())
+    }.put(Set(keyA, keyB), Advice(Set(keyA, keyB), strategy, smallKey))
   }
 
-  def clear(): Unit = advices.clear()
+  /** Drop one session's advice. */
+  def clear(spark: SparkSession): Unit =
+    advices.synchronized { Option(advices.get(spark)).foreach(_.clear()) }
+
+  /** The rule fires against the ACTIVE session's registry only — the
+    * optimizer runs plan phases inside `SparkSession.withActive`, so
+    * the thread-local names the session whose plan this is. */
+  private def activeAdvices
+      : Option[java.util.concurrent.ConcurrentHashMap[Set[String], Advice]] =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .flatMap(s => advices.synchronized { Option(advices.get(s)) })
+      .filter(!_.isEmpty)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (advices.isEmpty) plan
-    else plan.transformUp {
-      case j @ Join(l, _, _, Some(cond), JoinHint(None, None)) =>
-        val pairs = cond.collect {
-          case EqualTo(x: AttributeReference, y: AttributeReference) =>
-            Set(x.name, y.name)
-        }
-        pairs.flatMap(p => Option(advices.get(p))).headOption match {
-          case Some(ad) if ad.strategy == "broadcast" =>
-            val bc = Some(HintInfo(Some(BROADCAST)))
-            if (l.output.exists(_.name == ad.smallKey))
-              j.copy(hint = JoinHint(bc, None))
-            else j.copy(hint = JoinHint(None, bc))
-          case Some(_) => // shuffle / shuffle_salted
-            val merge = Some(HintInfo(Some(SHUFFLE_MERGE)))
-            j.copy(hint = JoinHint(merge, merge))
-          case None => j
-        }
+    activeAdvices match {
+      case None => plan
+      case Some(reg) => plan.transformUp {
+        case j @ Join(l, _, _, Some(cond), JoinHint(None, None)) =>
+          val pairs = cond.collect {
+            case EqualTo(x: AttributeReference, y: AttributeReference) =>
+              Set(x.name, y.name)
+          }
+          pairs.flatMap(p => Option(reg.get(p))).headOption match {
+            case Some(ad) if ad.strategy == "broadcast" =>
+              val bc = Some(HintInfo(Some(BROADCAST)))
+              if (l.output.exists(_.name == ad.smallKey))
+                j.copy(hint = JoinHint(bc, None))
+              else j.copy(hint = JoinHint(None, bc))
+            case Some(_) => // shuffle / shuffle_salted
+              val merge = Some(HintInfo(Some(SHUFFLE_MERGE)))
+              j.copy(hint = JoinHint(merge, merge))
+            case None => j
+          }
+      }
     }
 }
 

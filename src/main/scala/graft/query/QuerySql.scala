@@ -15,14 +15,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * userOwnership cross-product fix carries over verbatim) — so a SQL
   * user inherits the same 100 TB discipline, not a naive re-derivation.
   *
-  * Parameter values are inlined as escaped literals: these are the
-  * reference's f-string parameters (it interpolates Cypher the same
-  * way), and every generator escapes quotes via [[sqlLit]].
+  * Parameter values are inlined as escaped literals via [[sqlLit]].
+  * (The reference itself does NOT interpolate: neo4j_reporter passes
+  * parameters to session.run as bound Cypher parameters — the safe
+  * path. Spark's public `sql()` has no bind API for these texts, so
+  * this front door inlines, and the escaping must therefore be
+  * complete: see sqlLit.)
   */
 object QuerySql {
 
-  /** Single-quoted SQL literal with embedded quotes doubled. */
-  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+  /** Single-quoted SQL literal, fully escaped for Spark's DEFAULT
+    * parser (spark.sql.parser.escapedStringLiterals=false), where
+    * backslash is an escape character INSIDE string literals: both the
+    * backslash and the quote must be escaped, in that order —
+    * quote-doubling alone would let a needle ending in '\' produce
+    * `'x\'`, whose \' escapes the closing quote and never terminates
+    * the literal (the classic breakout). Control characters that can
+    * end a literal early or smuggle line comments are escaped too. */
+  private[query] def sqlLit(s: String): String =
+    "'" + s.flatMap {
+      case '\\' => "\\\\"
+      case '\'' => "\\'"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\u0000' => "\\0"
+      case c => c.toString
+    } + "'"
 
   private val ownerName = "concat_ws(' ', first_name, last_name)"
 

@@ -142,9 +142,11 @@ object Refs {
     var attempt = 0
     while (attempt <= maxRetries) {
       val head = branchHead(spark, root, name)
-      val out = body(VersionedStore.readVersion(spark, root, head))
-      // version numbers come from the shared log: next free slot
+      // version numbers come from the shared log: next free slot, read
+      // BEFORE the body so a commit interleaved during the body's plan
+      // construction surfaces as an ordinary CAS loss (retried below)
       val n = VersionedStore.currentVersion(spark, root).getOrElse(0L) + 1
+      val out = body(VersionedStore.readVersion(spark, root, head))
       if (VersionedStore.casCommit(spark, root, out, n, operation,
           Some(head), partitionCols, txnId)) {
         // manifest won; now move the ref iff nobody moved it first
@@ -159,11 +161,48 @@ object Refs {
         // orphaned (un-ref'd) snapshot — harmless, gc-able — and we
         // recompute against the new head
       }
+      // Lost one of the two CAS points. Classify BEFORE retrying,
+      // mirroring [[VersionedStore.transact]]: the winners are the
+      // commits that moved THIS branch since our read (the new head's
+      // parent chain back to the head we based on — a loss to another
+      // branch's log-slot race leaves our base intact and is always
+      // replayable). A blind `overwrite` that lost to a moved head
+      // must refuse: replaying it would silently discard the winner's
+      // changes — the lost-update class transact refuses.
+      val newHead = branchHead(spark, root, name)
+      if (newHead != head) {
+        opsBetween(spark, root, newHead, head)
+          .find(VersionedStore.conflictsWith(operation, _)).foreach { w =>
+            throw new VersionedStore.ConcurrentCommitException(
+              s"Refs: '$operation' on branch '$name' at $root lost to a " +
+                s"concurrent '$w' commit (head $head -> $newHead) and " +
+                "cannot be replayed safely (blind overwrite intent); " +
+                "re-read and re-issue explicitly")
+          }
+      }
       attempt += 1
     }
     throw new VersionedStore.ConcurrentCommitException(
       s"Refs: branch '$name' at $root exceeded $maxRetries retries " +
         "under concurrent write pressure")
+  }
+
+  /** Operations on `from`'s parent chain back to (exclusive) `until` —
+    * the winner set a lost branch commit classifies against. If the
+    * chain never reaches `until` (a ref rewritten outside
+    * [[commitToBranch]]/[[fastForward]]), every walked op counts as a
+    * winner — the conservative read. O(chain length) tiny reads. */
+  private def opsBetween(spark: SparkSession, root: String, from: Long,
+      until: Long): Seq[String] = {
+    val retained = VersionedStore.versions(spark, root).toSet
+    val ops = Seq.newBuilder[String]
+    var cur = Option(from)
+    while (cur.exists(v => v != until && retained.contains(v))) {
+      val m = VersionedStore.manifest(spark, root, cur.get)
+      ops += m.operation
+      cur = m.parent
+    }
+    ops.result()
   }
 
   /** Is `ancestor` on `descendant`'s parent chain (inclusive)? Walks

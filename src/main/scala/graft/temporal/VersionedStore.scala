@@ -262,6 +262,17 @@ object VersionedStore {
       .filter(st => !referenced.contains(st.getPath.getName))
       .filter(st => now - st.getModificationTime >= orphanGraceMs)
       .foreach(st => checkedDelete(fs, st.getPath))
+    // sweep `.stage-<txn>` dirs past grace: a transact/casCommit that
+    // crashed DURING its staging write leaks one (txnIds are never
+    // reused, so nothing ever reclaims it — unlike the single-writer
+    // `.stage`, which the next commit overwrites in place). Grace
+    // matters for the same reason as `d-*`: an in-flight transaction's
+    // stage dir is live for the duration of its parquet write.
+    fs.listStatus(new Path(root)).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(StageDir + "-"))
+      .filter(st => now - st.getModificationTime >= orphanGraceMs)
+      .foreach(st => checkedDelete(fs, st.getPath))
     expired
   }
 

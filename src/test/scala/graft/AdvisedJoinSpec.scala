@@ -22,7 +22,7 @@ class AdvisedJoinSpec extends AnyFunSuite {
     try body
     finally {
       spark.experimental.extraOptimizations = prev
-      AdvisedJoinHints.clear()
+      AdvisedJoinHints.clear(spark)
     }
   }
 
@@ -64,7 +64,8 @@ class AdvisedJoinSpec extends AnyFunSuite {
 
   test("the hint lands on the SMALL side regardless of join order") {
     withRule {
-      AdvisedJoinHints.register("f_key", "d_key", "broadcast", smallKey = "d_key")
+      AdvisedJoinHints.register(spark, "f_key", "d_key", "broadcast",
+        smallKey = "d_key")
       // dim on the LEFT: the BROADCAST hint must follow the small side
       val flipped = dim.join(fact, col("d_key") === col("f_key"))
       val p = physical(flipped)
@@ -100,7 +101,8 @@ class AdvisedJoinSpec extends AnyFunSuite {
 
   test("explicit user hints always win over the registry") {
     withRule {
-      AdvisedJoinHints.register("f_key", "d_key", "broadcast", smallKey = "d_key")
+      AdvisedJoinHints.register(spark, "f_key", "d_key", "broadcast",
+        smallKey = "d_key")
       val userPinned = fact.join(dim.hint("merge"),
         col("f_key") === col("d_key"))
       assert(physical(userPinned).contains("SortMergeJoin"),
@@ -121,8 +123,38 @@ class AdvisedJoinSpec extends AnyFunSuite {
       val advisory = JoinAdvisor.advise("x", a, ka, b, kb, cfg)
         .select("strategy").collect()(0).getString(0)
       val adopted = JoinAdvisor.adopt(a, ka, b, kb, cfg)
-      AdvisedJoinHints.clear()
+      AdvisedJoinHints.clear(spark)
       assert(adopted == advisory, s"adopt '$adopted' != advise '$advisory'")
+    }
+  }
+
+  test("advice is session-scoped: another session's identical join is untouched") {
+    withRule {
+      AdvisedJoinHints.register(spark, "f_key", "d_key", "broadcast",
+        smallKey = "d_key")
+      val other = spark.newSession()
+      other.experimental.extraOptimizations =
+        other.experimental.extraOptimizations :+ AdvisedJoinHints
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      other.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        // the SAME key names, joined in the OTHER session: the round-12
+        // advice's leak case — a JVM-global registry would broadcast
+        // this unrelated join on a name collision
+        import other.implicits._
+        val oDim = (1 to 400).map(i => (i.toLong, s"d$i" * 50))
+          .toDF("d_key", "d_name")
+        val oFact = (1 to 20000).map(i => ((i % 400 + 1).toLong, i.toLong))
+          .toDF("f_key", "f_val")
+        val p = oFact.join(oDim, col("f_key") === col("d_key"))
+          .queryExecution.sparkPlan.toString
+        assert(p.contains("SortMergeJoin"),
+          s"advice registered in one session must not hint another's plan:\n$p")
+        // while the registering session still gets its own hint
+        val mine = physical(fact.join(dim, col("f_key") === col("d_key")))
+        assert(mine.contains("BroadcastHashJoin"), mine)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
   }
 }

@@ -192,6 +192,24 @@ class QuerySqlSpec extends AnyFunSuite {
       S.temporalStatistics(Seq("contacts_scd", "deals_scd")))
   }
 
+  test("sqlLit: breakout needles stay inert literals (backslash, quote, comment)") {
+    g // force fixture build + view registration
+    // trailing backslash — quote-doubling alone would emit 'x\' whose \'
+    // escapes the closing quote and the literal never terminates (the
+    // round-12 advice's breakout): must parse and match nothing
+    assert(spark.sql(S.findOwner("x\\")).count() == 0)
+    // quote-led OR-injection attempts: data, not predicate — if any of
+    // these escaped the literal they would either throw a parse error or
+    // match every row
+    assert(spark.sql(S.findOwner("' OR '1'='1")).count() == 0)
+    assert(spark.sql(S.findOwner("\\' OR 1=1 -- ")).count() == 0)
+    val all = spark.sql(S.findOwner("")).count() // empty needle = match all
+    assert(all > 0)
+    assert(spark.sql(S.findOwner("') OR ('1'='1")).count() < all)
+    // a legitimate apostrophe needle parses and matches literally
+    assert(spark.sql(S.findOwner("O'Brien")).count() == 0)
+  }
+
   test("the front door covers the full reference surface: 13 + 8 + 11") {
     // one parity test per reference query function; this test documents
     // the count so a future drop is loud

@@ -55,6 +55,48 @@ class RefsSpec extends AnyFunSuite {
       Set((1L, "r1"), (2L, "r2"), (3L, "r3")))
   }
 
+  test("a lost blind overwrite on a moved branch head refuses (no lost update)") {
+    val root = freshRoot("ovr")
+    VersionedStore.commit(spark, root, df(1))
+    Refs.createBranch(spark, root, "main")
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ex = intercept[VersionedStore.ConcurrentCommitException] {
+      Refs.commitToBranch(spark, root, "main", operation = "overwrite") { _ =>
+        if (fired.compareAndSet(false, true))
+          Refs.commitToBranch(spark, root, "main")(c => c.unionByName(df(2)))
+        df(9) // blind replace, based on the head this committer read
+      }
+    }
+    assert(ex.getMessage.contains("overwrite"), ex.getMessage)
+    // the concurrent winner's commit survives — the loser replayed
+    // NOTHING over it (the lost-update class transact refuses)
+    assert(rows(Refs.readBranch(spark, root, "main")) ==
+      Set((1L, "r1"), (2L, "r2")))
+  }
+
+  test("losing only the log slot to ANOTHER branch retries even for overwrite") {
+    val root = freshRoot("slot")
+    VersionedStore.commit(spark, root, df(1))
+    Refs.createBranch(spark, root, "main")
+    Refs.createBranch(spark, root, "side")
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // the interleaved SIDE commit takes the version slot main wanted,
+    // but main's own head never moves: main's overwrite intent still
+    // presumes exactly the base it read — replay is safe, not a
+    // conflict (this is what distinguishes the branch classification
+    // from transact's log-level one)
+    val res = Refs.commitToBranch(spark, root, "main",
+        operation = "overwrite") { _ =>
+      if (fired.compareAndSet(false, true))
+        Refs.commitToBranch(spark, root, "side")(c => c.unionByName(df(2)))
+      df(9)
+    }
+    assert(res.retries == 1, "the slot loser must recompute exactly once")
+    assert(rows(Refs.readBranch(spark, root, "main")) == Set((9L, "r9")))
+    assert(rows(Refs.readBranch(spark, root, "side")) ==
+      Set((1L, "r1"), (2L, "r2")))
+  }
+
   test("tags are immutable pins; duplicate branch/tag names refuse") {
     val root = freshRoot("tag")
     VersionedStore.commit(spark, root, df(1))

@@ -313,4 +313,22 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(rows(VersionedStore.read(spark, root)) ==
       Set((1L, "r1"), (2L, "r2")), "referenced txn dirs are untouched")
   }
+
+  test("occ: a crash DURING staging leaves .stage-<txn>; gc sweeps it past grace") {
+    val root = freshRoot("occ-stage")
+    VersionedStore.commit(spark, root, df(1))
+    // simulate a transact that died mid-parquet-write: txnIds are never
+    // reused, so without the sweep this dir would live forever (the
+    // round-12 advice's leak — the fixed-name single-writer `.stage`
+    // self-cleans on the next commit; these cannot)
+    df(99).write.parquet(s"$root/.stage-deadbeef")
+    // within the grace window it survives (could be an in-flight write)
+    VersionedStore.gc(spark, root, keep = 1, orphanGraceMs = 3600000L)
+    assert(new java.io.File(s"$root/.stage-deadbeef").exists())
+    // past the window it is reclaimed
+    VersionedStore.gc(spark, root, keep = 1, orphanGraceMs = 0L)
+    assert(!new java.io.File(s"$root/.stage-deadbeef").exists(),
+      "crashed-staging dir past grace must be swept")
+    assert(rows(VersionedStore.read(spark, root)) == Set((1L, "r1")))
+  }
 }
