@@ -2482,6 +2482,250 @@ object AggWindowCatalog {
             FROM ($rows) ORDER BY iter"""
       }),
 
+    Q("a_leverage",
+      // Influence diagnostics for the GD model (ninth-proposal #3):
+      // leverage and Cook's distance for a_linreg_gd's 2-parameter fit
+      // via the EXACT rational 2x2 inverse of X^T X — for the design
+      // [1, q], h_i = (Sqq - 2 q_i Sq + n q_i^2) / (n Sqq - Sq^2),
+      // pure integer sufficient statistics; Cook's D_i = r_i^2 h_i /
+      // (p s^2 (1 - h_i)^2) with p = 2, s^2 = SSE/(n-2), r_i the
+      // RE-TRAINED GD model's residual (the documented deviation from
+      // textbook Cook's OLS residuals: the bit-exact 8-iteration
+      // a_linreg_gd loop is replayed verbatim, so the diagnosed model
+      // IS the one the catalog ships). This is the catalog's first
+      // DECIMAL(38,0)/HUGEINT pairing — the centered sums exceed
+      // int64 at sf1 (SSE ~ 9.5e21 at sf0.01 already): every sum and
+      // product that can pass 2^63 is computed in DECIMAL(38,0) on
+      // Spark and HUGEINT in DuckDB, with identical staged floor
+      // divisions (documented monotone truncation, the w22
+      // discipline), scale-invariant by construction:
+      //   t12   = (1e12 * num) div (D - num)        [h/(1-h), e12]
+      //   nh12  = (n * t12 * (1e12 + t12)) div 1e12 [n h/(1-h)^2, e12
+      //           — n*h is scale-free, so this stays ~4e12 at ANY sf]
+      //   a10   = (1e10 * r^2 * (n-2)) div (2 SSE)  [r^2/(2 s^2), e10]
+      //   ncook_e6 = (a10 * nh12) div 1e16          [n * Cook, e6]
+      //   nlev_e6  = (1e6 * n * num) div D          [n * h, e6]
+      // Published (n-normalized: n*h averages to p=2 and n*Cook is
+      // O(1) at every scale — the scale-free units that keep e6
+      // resolution from sf0.001 to sf100): the top-10 rows by Cook
+      // with their identity, residual, and both diagnostics. Max
+      // intermediate ~6.4e34 at sf1, ~1e37 headroom bound at sf100 —
+      // inside DECIMAL(38,0) with margin stated here, not assumed.
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val data = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("long").as("q"),
+            expr("CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)")
+              .as("y_e4"))
+          .cutLineage()
+        def fdiv(num: String, den: String) =
+          s"(($num) - pmod(($num), ($den))) div ($den)"
+        // a_linreg_gd's training loop, bit-exact (gradient sums in
+        // DECIMAL(38,0): they pass 2^63 at a 100x corpus)
+        var wts = Seq(1).toDF("__one")
+          .select(lit(0L).as("w1"), lit(0L).as("w0"))
+        (1 to 8).foreach { _ =>
+          wts = data.crossJoin(broadcast(wts))
+            .withColumn("r", expr("w1 * q + w0 - y_e4"))
+            .agg(sum(expr("CAST(r AS DECIMAL(38,0)) * q")).as("g1"),
+              sum(expr("CAST(r AS DECIMAL(38,0))")).as("g0"),
+              count(lit(1)).as("n"), max("w1").as("w1"), max("w0").as("w0"))
+            .select(
+              expr(s"CAST(w1 - ${fdiv(fdiv("g1", "n"), "1024")} AS BIGINT)")
+                .as("w1"),
+              expr(s"CAST(w0 - ${fdiv(fdiv("g0", "n"), "1024")} AS BIGINT)")
+                .as("w0"))
+        }
+        val wtsC = broadcast(wts.cutLineage())
+        val st = broadcast(data.crossJoin(wtsC)
+          .withColumn("r", expr("w1 * q + w0 - y_e4"))
+          .agg(count(lit(1)).as("n"), sum("q").as("sq"),
+            sum(expr("q * q")).as("sqq"),
+            sum(expr("CAST(r AS DECIMAL(38,0)) * r")).as("sse")))
+        data.crossJoin(wtsC).crossJoin(st)
+          .withColumn("r", expr("w1 * q + w0 - y_e4"))
+          .withColumn("dd",
+            expr("CAST(n AS DECIMAL(38,0)) * sqq - CAST(sq AS DECIMAL(38,0)) * sq"))
+          .withColumn("num",
+            expr("CAST(sqq AS DECIMAL(38,0)) - 2 * q * sq" +
+              " + CAST(n AS DECIMAL(38,0)) * q * q"))
+          .withColumn("t12",
+            expr("(CAST(1000000000000 AS DECIMAL(38,0)) * num) div (dd - num)"))
+          .withColumn("nh12",
+            expr("(CAST(n AS DECIMAL(38,0)) * t12 * (1000000000000 + t12))" +
+              " div 1000000000000"))
+          .withColumn("a10",
+            expr("(CAST(10000000000 AS DECIMAL(38,0)) * r * r * (n - 2))" +
+              " div (2 * sse)"))
+          .withColumn("ncook_e6",
+            expr("(CAST(a10 AS DECIMAL(38,0)) * nh12) div 10000000000000000"))
+          .withColumn("nlev_e6",
+            expr("(CAST(1000000 AS DECIMAL(38,0)) * n * num) div dd"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("q"),
+            col("r").as("r_e4"), col("nlev_e6"), col("ncook_e6"))
+          .orderBy(desc("ncook_e6"), col("l_orderkey"), col("l_linenumber"))
+          .limit(10)
+      },
+      Some {
+        def fdiv(num: String, den: String) =
+          s"((($num) - ((($num) % ($den) + ($den)) % ($den))) // ($den))"
+        val iters = (1 to 8).map { i =>
+          s"""g$i AS (
+                SELECT CAST(sum(CAST(w1 * q + w0 - y_e4 AS HUGEINT) * q)
+                    AS HUGEINT) AS g1,
+                  CAST(sum(CAST(w1 * q + w0 - y_e4 AS HUGEINT)) AS HUGEINT)
+                    AS g0,
+                  CAST(count(*) AS BIGINT) AS n
+                FROM lev_data, p${i - 1}),
+              p$i AS (
+                SELECT CAST(w1 - ${fdiv(fdiv("g1", "n"), "1024")} AS BIGINT)
+                    AS w1,
+                  CAST(w0 - ${fdiv(fdiv("g0", "n"), "1024")} AS BIGINT) AS w0
+                FROM g$i, p${i - 1})"""
+        }.mkString(",\n             ")
+        s"""WITH lev_data AS MATERIALIZED (
+              SELECT l_orderkey, l_linenumber,
+                CAST(l_quantity AS BIGINT) AS q,
+                CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT) AS y_e4
+              FROM lineitem),
+            p0 AS (SELECT CAST(0 AS HUGEINT) AS w1, CAST(0 AS HUGEINT) AS w0),
+            $iters,
+            st AS (
+              SELECT CAST(count(*) AS HUGEINT) AS n,
+                CAST(sum(q) AS HUGEINT) AS sq,
+                CAST(sum(q * q) AS HUGEINT) AS sqq,
+                CAST(sum(CAST(w1 * q + w0 - y_e4 AS HUGEINT)
+                  * (w1 * q + w0 - y_e4)) AS HUGEINT) AS sse
+              FROM lev_data, p8),
+            base AS (
+              SELECT l_orderkey, l_linenumber, q,
+                CAST(w1 * q + w0 - y_e4 AS HUGEINT) AS r,
+                n * sqq - sq * sq AS dd,
+                sqq - 2 * q * sq + n * q * q AS num, n, sse
+              FROM lev_data, p8, st),
+            c1 AS (SELECT *,
+                (CAST(1000000000000 AS HUGEINT) * num) // (dd - num) AS t12
+              FROM base),
+            c2 AS (SELECT *,
+                (n * t12 * (1000000000000 + t12)) // 1000000000000 AS nh12,
+                (CAST(10000000000 AS HUGEINT) * r * r * (n - 2))
+                  // (2 * sse) AS a10
+              FROM c1)
+            SELECT l_orderkey, l_linenumber, CAST(q AS BIGINT) AS q,
+              CAST(r AS BIGINT) AS r_e4,
+              CAST((CAST(1000000 AS HUGEINT) * n * num) // dd AS BIGINT)
+                AS nlev_e6,
+              CAST((a10 * nh12) // 10000000000000000 AS BIGINT) AS ncook_e6
+            FROM c2
+            ORDER BY ncook_e6 DESC, l_orderkey, l_linenumber LIMIT 10"""
+      }),
+
+    Q("a_quantile_gd",
+      // Quantile (pinball-loss) regression by subgradient descent
+      // (Koenker-Bassett 1978 loss; the p90 conditional-quantile twin
+      // of a_linreg_gd, ninth-proposal #4): predict the 90th
+      // percentile of l_extendedprice from l_quantity. The pinball
+      // loss is piecewise linear, so the subgradient is SIGN-based —
+      // each row contributes -9 (under-predicted) or +1 (covered) in
+      // tenths, making every update INTEGER-exact with no libm
+      // anywhere (the reason logistic GD was declined does not apply).
+      // Steps are per-coordinate (diagonal preconditioning, public
+      // textbook practice): eta1=32 for the slope, eta0=131072 for the
+      // intercept — the intercept's subgradient is O(1) per row while
+      // the slope's is O(q), and the corpus's pinball optimum is in
+      // fact nearly FLAT (w0* ~ the marginal p90 ~ 94.7k currency
+      // units, w1* ~ 0: extendedprice is not q-proportional here), so
+      // the intercept is the long direction. 16 iterations land at
+      // ~1.5% above the scanned 1-D optimum's loss with held
+      // coverage ~0.897 vs the 0.9 a free intercept equalizes at the
+      // optimum. Published: the full trajectory — updated weights plus
+      // the pre-update mean pinball (x10, integer) and coverage ppm,
+      // the a_linreg_gd convention (metrics lag the update by one
+      // aggregate; monotone decreasing from row 2, visible in-row).
+      // Overflow headroom: eta0 * sum(s) <= 131072 * 9n ~ 7e12 at sf1,
+      // ~7e14 at sf100 — BIGINT-safe at 100x on both engines.
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val data = t(s, d, "lineitem")
+          .select(col("l_quantity").cast("long").as("q"),
+            expr("CAST(floor(l_extendedprice + 0.5) AS BIGINT)").as("y_c"))
+          .cutLineage()
+        def fdiv(num: String, den: String) =
+          s"(($num) - pmod(($num), ($den))) div ($den)"
+        var params = Seq(1).toDF("__one")
+          .select(lit(0L).as("w1"), lit(0L).as("w0"), lit(0).as("iter"))
+        var hist = Vector.empty[org.apache.spark.sql.DataFrame]
+        (1 to 16).foreach { i =>
+          val g = data.crossJoin(broadcast(params))
+            .withColumn("pred", expr("w1 * q + w0"))
+            .withColumn("sg",
+              expr("CASE WHEN y_c > pred THEN -9L ELSE 1L END"))
+            .agg(sum(expr("sg * q")).as("g1"), sum("sg").as("g0"),
+              sum(expr("CASE WHEN y_c > pred THEN 9 * (y_c - pred)" +
+                " ELSE pred - y_c END")).as("pb"),
+              sum(expr("CASE WHEN y_c <= pred THEN 1L ELSE 0L END"))
+                .as("nle"),
+              count(lit(1)).as("n"), max("w1").as("w1"), max("w0").as("w0"))
+          params = g.select(
+            expr(s"w1 - ${fdiv("32 * g1", "10 * n")}").as("w1"),
+            expr(s"w0 - ${fdiv("131072 * g0", "10 * n")}").as("w0"),
+            lit(i).as("iter"))
+          hist = hist :+ params.crossJoin(
+            g.select(expr("pb div n").as("pinball10_mean"),
+              expr("1000000 * nle div n").as("cov_ppm")))
+            .select(col("iter"), col("w1").as("w1_c"), col("w0").as("w0_c"),
+              col("pinball10_mean"), col("cov_ppm"))
+        }
+        hist.reduce(_ unionByName _).orderBy("iter")
+      },
+      Some {
+        def fdiv(num: String, den: String) =
+          s"((($num) - ((($num) % ($den) + ($den)) % ($den))) // ($den))"
+        // every g/p CTE MATERIALIZED: each is referenced twice, and
+        // DuckDB's inliner would otherwise expand the 16-level chain
+        // exponentially (2^16 re-evaluations — measured as a stuck
+        // oracle; the 8-level GD chains tolerate plain CTEs)
+        val iters = (1 to 16).map { i =>
+          s"""g$i AS MATERIALIZED (
+                SELECT CAST(sum((CASE WHEN y_c > w1 * q + w0 THEN -9
+                    ELSE 1 END) * q) AS BIGINT) AS g1,
+                  CAST(sum(CASE WHEN y_c > w1 * q + w0 THEN -9
+                    ELSE 1 END) AS BIGINT) AS g0,
+                  CAST(sum(CASE WHEN y_c > w1 * q + w0
+                    THEN 9 * (y_c - (w1 * q + w0))
+                    ELSE (w1 * q + w0) - y_c END) AS BIGINT) AS pb,
+                  CAST(sum(CASE WHEN y_c <= w1 * q + w0 THEN 1
+                    ELSE 0 END) AS BIGINT) AS nle,
+                  CAST(count(*) AS BIGINT) AS n
+                FROM qr_data, p${i - 1}),
+              p$i AS MATERIALIZED (
+                SELECT CAST(w1 - ${fdiv("32 * g1", "10 * n")} AS BIGINT)
+                    AS w1,
+                  CAST(w0 - ${fdiv("131072 * g0", "10 * n")} AS BIGINT)
+                    AS w0,
+                  CAST(${"pb // n"} AS BIGINT) AS pinball10_mean,
+                  CAST(1000000 * nle // n AS BIGINT) AS cov_ppm
+                FROM g$i, p${i - 1})"""
+        }.mkString(",\n             ")
+        val rows = (1 to 16).map(i =>
+          s"SELECT $i AS iter, w1 AS w1_c, w0 AS w0_c, pinball10_mean," +
+            s" cov_ppm FROM p$i")
+          .mkString("\n UNION ALL ")
+        s"""WITH qr_data AS MATERIALIZED (
+              SELECT CAST(l_quantity AS BIGINT) AS q,
+                CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y_c
+              FROM lineitem),
+            p0 AS (SELECT CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w0,
+                     CAST(0 AS BIGINT) AS pinball10_mean,
+                     CAST(0 AS BIGINT) AS cov_ppm),
+            $iters
+            SELECT iter, w1_c, w0_c, pinball10_mean, cov_ppm
+            FROM ($rows) ORDER BY iter"""
+      }),
+
     Q("w21_p90_trend",
       // Quantile trend per key — "is this tenant's tail drifting?", the
       // per-entity latency/spend question a mean-based trend hides:
@@ -2662,17 +2906,45 @@ object AggWindowCatalog {
             .select(expr(s"w1 - ${fdiv(fdiv("g1", "n"), "1024")}").as("w1"),
               expr(s"w0 - ${fdiv(fdiv("g0", "n"), "1024")}").as("w0"))
         }
+        val wtsC = wts.cutLineage() // 1-row weights: GD evaluated once
         val cal = data.filter(col("split") === 1)
-          .crossJoin(broadcast(wts))
+          .crossJoin(broadcast(wtsC))
           .withColumn("absr", abs(expr("w1 * q + w0 - y_e4")))
-        val nCal = broadcast(cal.agg(count(lit(1)).as("__nc")))
-        val qhat = broadcast(cal.crossJoin(nCal)
-          .withColumn("rn",
-            row_number().over(Window.orderBy(col("absr"))))
-          .filter(col("rn") === expr("(9 * (__nc + 1) + 9) div 10"))
+          .select("absr").cutLineage() // the ~n/20 split, materialized once
+        // The exact nearest-rank pick, as the a_hist_quantiles
+        // two-phase DISTRIBUTED selection (round-12 verdict #1 — the
+        // original global Window.orderBy sorted the whole calibration
+        // split in ONE task, the "fine at sf1, dead at 100x" shape):
+        // phase 1 buckets absr into 64 integer equi-width bins and
+        // finds the covering bucket on the 64-row cumsum frame; phase
+        // 2 ranks ONLY that bucket's ~n/64 rows. Ties in absr carry
+        // the same value and land in the same bucket, so the in-bucket
+        // rank (target - cum_before) picks exactly the value the flat
+        // global rank would — the oracle keeps stating the flat
+        // row_number and stays green unchanged.
+        val nCal = broadcast(cal.agg(count(lit(1)).as("__nc"),
+          min("absr").as("lo"), max("absr").as("hi")))
+        // integer width >= 1: no divide-by-zero when all absr tie
+        val bucketed = cal.crossJoin(nCal)
+          .withColumn("b", expr("(absr - lo) div ((hi - lo) div 64 + 1)"))
+        val pick = broadcast(bucketed
+          .groupBy("b").agg(count(lit(1)).as("cnt"))
+          .crossJoin(nCal)
+          .withColumn("cum", sum("cnt").over(Window.orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, 0))) // 64-row frame
+          .withColumn("target", expr("(9 * (__nc + 1) + 9) div 10"))
+          .filter(col("cum") >= col("target"))
+          .orderBy("b").limit(1)
+          .select(col("b"), (col("cum") - col("cnt")).as("cum_before"),
+            col("target")))
+        val qhat = broadcast(bucketed
+          .join(pick.select("b", "cum_before", "target"), Seq("b"))
+          .withColumn("rn", // rank ONLY the covering 1/64 slice
+            row_number().over(Window.partitionBy("b").orderBy("absr")))
+          .filter(col("rn") === col("target") - col("cum_before"))
           .select(col("absr").as("q_hat_e4")))
         val test = data.filter(col("split") === 2)
-          .crossJoin(broadcast(wts)).crossJoin(qhat)
+          .crossJoin(broadcast(wtsC)).crossJoin(qhat)
           .withColumn("covered",
             (abs(expr("w1 * q + w0 - y_e4")) <= col("q_hat_e4")).cast("long"))
         test.agg(count(lit(1)).as("n_test"), sum("covered").as("n_covered"),

@@ -37,6 +37,12 @@ object VectorCatalog {
     (1 to 8).map(j => s"(CASE WHEN $elemFn($v, $j) > 0 THEN ${1 << (j - 1)} ELSE 0 END)")
       .mkString("CAST(", " + ", " AS BIGINT)")
 
+  /** `v_dbscan` bucket-population cap: sign-LSH buckets above this are
+    * excluded from the quadratic neighbor self-join on BOTH engines
+    * (conservative degradation — see the v_dbscan scaladoc). ~6x sf1's
+    * measured max bucket (160), so every test SF is unchanged. */
+  private val DbscanMaxBucket = 1000L
+
   /** JL projection width and its fixed 16x64 sign matrix: s(k, j) = +1
     * iff the first md5 byte of "jl_<k>_<j>" is even. Public and
     * engine-independent; baked into both v_jl_project texts as literal
@@ -489,8 +495,25 @@ object VectorCatalog {
           .withColumn("qv", expr(
             "transform(embedding, x -> CAST(round(CAST(x AS double) * 1000, 0) AS BIGINT))"))
           .withColumn("bkt", expr(bucketExpr("embedding", "element_at")))
-        val a = e0.select(col("vec_id").as("x"), col("qv").as("qa"), col("bkt"))
-        val b = e0.select(col("vec_id").as("y"), col("qv").as("qb"), col("bkt"))
+        // Bucket-size cap (round-12 verdict #5, the x_minhash_lsh
+        // discipline): the within-bucket self-join is QUADRATIC in
+        // bucket population, and a densifying corpus (sf1's copy-family
+        // cliques are exactly that regime) would otherwise melt one
+        // bucket's task. Buckets above DbscanMaxBucket are excluded on
+        // BOTH engines — their members get no bucket-mate neighbors, so
+        // they degrade CONSERVATIVELY to noise (fewer core points,
+        // possibly split clusters; never a false merge). Cap 1000 is
+        // ~6x sf1's max bucket (160 measured, 256 fixed sign-buckets),
+        // so all three SFs are unchanged; the population drops are
+        // published by v_dbscan_bucket_stats. At 100x the honest lever
+        // is WIDENING the LSH (more sign bits -> 2^b buckets) before
+        // the cap binds globally — the cap is the guard-rail that makes
+        // the failure loud (vanishing members), not the scale plan.
+        val okBkt = e0.groupBy("bkt").agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") <= DbscanMaxBucket).select("bkt")
+        val e1 = e0.join(broadcast(okBkt), Seq("bkt"))
+        val a = e1.select(col("vec_id").as("x"), col("qv").as("qa"), col("bkt"))
+        val b = e1.select(col("vec_id").as("y"), col("qv").as("qb"), col("bkt"))
         val nb = a.join(b.hint("merge"), Seq("bkt"))
           .filter(col("x") =!= col("y"))
           .withColumn("d2", expr(
@@ -547,7 +570,10 @@ object VectorCatalog {
                   list_transform(CAST(embedding AS DOUBLE[]),
                     x -> CAST(round(x * 1000, 0) AS BIGINT)) AS qv
                 FROM embeddings),
-              bk AS (SELECT vec_id, qv, $bucket AS bkt FROM e)
+              bk0 AS (SELECT vec_id, qv, $bucket AS bkt FROM e),
+              ok AS (SELECT bkt FROM (SELECT bkt, count(*) AS bucket_n
+                     FROM bk0 GROUP BY bkt) WHERE bucket_n <= $DbscanMaxBucket),
+              bk AS (SELECT bk0.* FROM bk0 JOIN ok USING (bkt))
               SELECT a.vec_id AS x, c.vec_id AS y
               FROM bk a JOIN bk c ON a.bkt = c.bkt AND a.vec_id != c.vec_id
               WHERE list_sum(list_transform(range(1, 65),
@@ -583,6 +609,42 @@ object VectorCatalog {
                      ON k.node = l.node AND k.lbl <> l.lbl) = 0
               GROUP BY cluster_id, n_total, n_member_total
               ORDER BY n_members DESC, cluster_id LIMIT 10"""
+      }),
+
+    Q("v_dbscan_bucket_stats",
+      // The honesty row for v_dbscan's bucket cap (the
+      // x_minhash_bucket_stats discipline): sign-LSH bucket population
+      // profile + exactly how many buckets/vectors the DbscanMaxBucket
+      // cap excludes from the neighbor join. 0 dropped at every test SF
+      // (cap 1000 vs max 160 at sf1) — the row EXISTS so a densified
+      // corpus shows its loss loudly instead of silently clustering
+      // less. One aggregation over the corpus, 256-bounded group count.
+      (s, d) => t(s, d, "embeddings")
+        .select(expr(bucketExpr("embedding", "element_at")).as("bkt"))
+        .groupBy("bkt").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum("n").as("n_vectors"),
+          max("n").as("max_bucket"),
+          sum(when(col("n") > DbscanMaxBucket, 1L).otherwise(0L))
+            .as("dropped_buckets"),
+          sum(when(col("n") > DbscanMaxBucket, col("n")).otherwise(0L))
+            .as("dropped_rows")),
+      Some {
+        val bucket = (1 to 8)
+          .map(j => s"(CASE WHEN v[$j] > 0 THEN ${1 << (j - 1)} ELSE 0 END)")
+          .mkString("CAST(", " + ", " AS BIGINT)")
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+              CAST(sum(n) AS BIGINT) AS n_vectors,
+              CAST(max(n) AS BIGINT) AS max_bucket,
+              CAST(sum(CASE WHEN n > $DbscanMaxBucket THEN 1 ELSE 0 END)
+                AS BIGINT) AS dropped_buckets,
+              CAST(sum(CASE WHEN n > $DbscanMaxBucket THEN n ELSE 0 END)
+                AS BIGINT) AS dropped_rows
+            FROM (SELECT bkt, count(*) AS n FROM (
+                    SELECT $bucket AS bkt FROM (
+                      SELECT CAST(embedding AS DOUBLE[]) AS v
+                      FROM embeddings))
+                  GROUP BY bkt)"""
       }),
 
     Q("v_cosine_neardup",
