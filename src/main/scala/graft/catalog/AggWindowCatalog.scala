@@ -2003,9 +2003,13 @@ object AggWindowCatalog {
       // multiplies the variance instead of dividing —
       //   (c*n - sum)^2 > 9 * (n*sum_sq - sum^2)  [and c*n > sum]
       // — so mean and variance never materialize as floats and the
-      // whole detector is BIGINT-exact on any engine (counts are
+      // whole detector is integer-exact on any engine (counts are
       // integers; that is the trick). The stats window and the rollup
-      // share the user_id partitioning: one shuffle.
+      // share the user_id partitioning: one shuffle. The SQUARED terms
+      // are computed in DECIMAL(38,0)/HUGEINT (round-12 verdict #7):
+      // (c*n - s)^2 and s^2 are quadratic in a user's event volume, so
+      // a hot key at a 100x corpus could pass 2^63 while every test SF
+      // stays far below it — widened, the guard never wraps silently.
       (s, d) => {
         val hourly = t(s, d, "events")
           .groupBy(col("user_id"),
@@ -2017,7 +2021,9 @@ object AggWindowCatalog {
           .withColumn("s", sum("c").over(wU))
           .withColumn("ss", sum(expr("c * c")).over(wU))
           .withColumn("anom", (expr("c * n > s") &&
-            expr("(c * n - s) * (c * n - s) > 9 * (n * ss - s * s)")).cast("int"))
+            expr("CAST(c * n - s AS DECIMAL(38,0)) * (c * n - s)" +
+              " > 9 * (CAST(n AS DECIMAL(38,0)) * ss" +
+              " - CAST(s AS DECIMAL(38,0)) * s)")).cast("int"))
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_hours"), max("c").as("max_c"),
             sum("anom").as("n_anomalous"))
@@ -2035,7 +2041,9 @@ object AggWindowCatalog {
              SELECT user_id, CAST(count(*) AS BIGINT) AS n_hours,
                CAST(max(c) AS BIGINT) AS max_c,
                CAST(sum(CASE WHEN c * n > s
-                         AND (c * n - s) * (c * n - s) > 9 * (n * ss - s * s)
+                         AND CAST(c * n - s AS HUGEINT) * (c * n - s)
+                           > 9 * (CAST(n AS HUGEINT) * ss
+                             - CAST(s AS HUGEINT) * s)
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous
              FROM st GROUP BY user_id ORDER BY user_id""")),
 
@@ -3395,7 +3403,10 @@ object AggWindowCatalog {
       // event_type partitioning (prefix sum + running min) replace the
       // sequential scan — which is exactly what makes the detector
       // distributable: each type's series is one hash partition, no
-      // iteration, no state. The oracle deliberately computes the
+      // iteration, no state. Overflow audit (round-12 verdict #7): the
+      // prefix sum is bounded by S*n_days (~2.2e11 at a 100x corpus,
+      // seven orders inside int64) and the alarm compare by 2*S — no
+      // widening needed; the bound is stated here, not assumed. The oracle deliberately computes the
       // LITERAL max(0,..) recurrence with a recursive CTE (depth =
       // days, never rows), so a green row is a machine-checked proof
       // of the prefix-min identity on this corpus. Alarm threshold

@@ -3924,9 +3924,12 @@ object TextCatalog {
       // vocabulary-bounded aggregations — and the unigram side
       // broadcasts (the vocabulary is orders of magnitude smaller than
       // the corpus at any scale). Min support 5 on the pair; top-20
-      // under a total (ratio, w1, w2) order. Overflow headroom is
-      // explicit: 1e4 * c12 * N needs c12*N < 9.2e14 (holds through
-      // sf1 by ~500x; the 100 TB form widens to DECIMAL(38,0)).
+      // under a total (ratio, w1, w2) order. The ratio is computed in
+      // DECIMAL(38,0)/HUGEINT (round-12 verdict #7 — the stated ~500x
+      // int64 margin at sf1 became ~5x at sf100, so the risky product
+      // 1e4*c12*N is now WIDENED rather than margin-argued: headroom
+      // is 1e38, i.e. ~1e23 corpora; the BIGINT quotient is bounded by
+      // 1e4*N/c_max < 1e4*N, int64-safe while N < 9e14 tokens).
       (s, d) => {
         val toks = spread(t(s, d, "documents"))
           .select(split(expr(sparkNorm), " ").as("ts"))
@@ -3946,7 +3949,9 @@ object TextCatalog {
           .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), Seq("w1"))
           .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), Seq("w2"))
           .crossJoin(tot)
-          .withColumn("ratio_e4", expr("10000 * c12 * n div (c1 * c2)"))
+          .withColumn("ratio_e4", expr(
+            "CAST(CAST(10000 AS DECIMAL(38,0)) * c12 * n" +
+              " div (CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)"))
           .select("w1", "w2", "c12", "c1", "c2", "ratio_e4")
           .orderBy(desc("ratio_e4"), col("w1"), col("w2"))
           .limit(20)
@@ -3963,7 +3968,7 @@ object TextCatalog {
                    FROM toks)
                  WHERE length(w1) > 0 AND length(w2) > 0 GROUP BY 1, 2)
                SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2,
-                 CAST(10000 * b.c12 * n // (u1.c * u2.c) AS BIGINT) AS ratio_e4
+                 CAST(CAST(10000 AS HUGEINT) * b.c12 * n // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS ratio_e4
                FROM big b JOIN uni u1 ON b.w1 = u1.w
                  JOIN uni u2 ON b.w2 = u2.w, tot
                WHERE b.c12 >= 5
