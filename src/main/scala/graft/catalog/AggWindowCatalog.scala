@@ -3463,6 +3463,133 @@ object AggWindowCatalog {
                  AS BIGINT) AS first_alarm_day
              FROM rec GROUP BY event_type ORDER BY event_type""")),
 
+    Q("w25_segmented_trend",
+      // Segmented trend around the detected changepoint (tenth-
+      // proposal #2): w17's CUSUM statistic peaks at the classic
+      // max-CUSUM changepoint estimate; this query SPLITS each event
+      // type's daily series there (tie -> earliest day, a total order)
+      // and fits the exact closed-form OLS slope on each side —
+      // "did the drift the detector fired on actually change the
+      // trend". No GD: slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) over
+      // integer sufficient statistics with x centered at the
+      // changepoint (shift-invariant, keeps |x| <= series span), the
+      // ppm quotient floored via the pmod shift (numerator is SIGNED)
+      // in DECIMAL(38,0)/HUGEINT — 1e6 * n * Sxy brushes int64 at
+      // 100x, so it is widened, not margin-argued. Also published:
+      // the level shift between segment means in exact ppm. One
+      // type-partitioned shuffle shared by the cusum windows and both
+      // segment aggregates; types with a degenerate side (< 2 days)
+      // drop out (documented — cannot happen on a year-long series
+      // unless the peak sits at the boundary).
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("c"))
+        val wT = Window.partitionBy("event_type")
+        val wOrd = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cp = daily
+          .withColumn("n", count(lit(1)).over(wT))
+          .withColumn("s", sum("c").over(wT))
+          .withColumn("p", sum(expr("c * n - s")).over(wOrd))
+          .withColumn("cusum", col("p") - least(lit(0L), min("p").over(wOrd)))
+          .groupBy("event_type")
+          .agg(max(struct(col("cusum"), (lit(0L) - col("day")).as("nd")))
+            .as("m"))
+          .select(col("event_type"), (lit(0L) - col("m.nd")).as("cp_day"))
+        def fdivDec(num: String, den: String) =
+          s"CAST((($num) - pmod(($num), ($den))) div ($den) AS BIGINT)"
+        val sides = daily.join(broadcast(cp), Seq("event_type"))
+          .withColumn("side", when(col("day") <= col("cp_day"), 1).otherwise(2))
+          .withColumn("x", col("day") - col("cp_day"))
+          .groupBy("event_type", "side", "cp_day")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+            sum(expr("x * x")).as("sxx"), sum("c").as("sy"),
+            sum(expr("x * c")).as("sxy"))
+          .filter(col("n") >= 2)
+          .withColumn("num", expr(
+            "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+          .withColumn("den", expr(
+            "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+          .withColumn("slope_ppm",
+            expr(fdivDec("CAST(1000000 AS DECIMAL(38,0)) * num", "den")))
+        sides.groupBy("event_type", "cp_day")
+          .agg(max(when(col("side") === 1, col("n"))).as("n1"),
+            max(when(col("side") === 1, col("sy"))).as("sy1"),
+            max(when(col("side") === 1, col("slope_ppm"))).as("slope1_ppm"),
+            max(when(col("side") === 2, col("n"))).as("n2"),
+            max(when(col("side") === 2, col("sy"))).as("sy2"),
+            max(when(col("side") === 2, col("slope_ppm"))).as("slope2_ppm"))
+          .filter(col("slope1_ppm").isNotNull && col("slope2_ppm").isNotNull)
+          .withColumn("dmean_ppm", expr(fdivDec(
+            "CAST(1000000 AS DECIMAL(38,0)) * (sy2 * n1 - sy1 * n2)",
+            "CAST(n1 AS DECIMAL(38,0)) * n2")))
+          .select("event_type", "cp_day", "n1", "slope1_ppm", "n2",
+            "slope2_ppm", "dmean_ppm")
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+               SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                 CAST(count(*) AS BIGINT) AS c
+               FROM events GROUP BY 1, 2),
+             st AS (
+               SELECT *, CAST(count(*) OVER w AS BIGINT) AS n,
+                 CAST(sum(c) OVER w AS BIGINT) AS s
+               FROM daily WINDOW w AS (PARTITION BY event_type)),
+             cu AS (
+               SELECT event_type, day,
+                 p - least(0, min(p) OVER (PARTITION BY event_type
+                   ORDER BY day ROWS UNBOUNDED PRECEDING)) AS cusum
+               FROM (SELECT *, sum(c * n - s) OVER (PARTITION BY event_type
+                       ORDER BY day ROWS UNBOUNDED PRECEDING) AS p
+                     FROM st)),
+             cp AS (
+               SELECT event_type, day AS cp_day FROM (
+                 SELECT event_type, day, row_number() OVER (
+                   PARTITION BY event_type ORDER BY cusum DESC, day) AS rn
+                 FROM cu) WHERE rn = 1),
+             seg AS (
+               SELECT d.event_type, cp_day,
+                 CASE WHEN d.day <= cp_day THEN 1 ELSE 2 END AS side,
+                 d.day - cp_day AS x, c
+               FROM daily d JOIN cp USING (event_type)),
+             agg AS (
+               SELECT event_type, side, cp_day,
+                 CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(c) AS BIGINT) AS sy,
+                 CAST(sum(x * c) AS BIGINT) AS sxy
+               FROM seg GROUP BY 1, 2, 3),
+             sl AS (
+               SELECT *,
+                 CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+                 CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den
+               FROM agg WHERE n >= 2),
+             sp AS (
+               SELECT event_type, cp_day, side, n, sy,
+                 CAST(((1000000 * num) - (((1000000 * num) % den + den) % den))
+                   // den AS BIGINT) AS slope_ppm
+               FROM sl),
+             pv AS (
+               SELECT event_type, cp_day,
+                 max(CASE WHEN side = 1 THEN n END) AS n1,
+                 max(CASE WHEN side = 1 THEN sy END) AS sy1,
+                 max(CASE WHEN side = 1 THEN slope_ppm END) AS slope1_ppm,
+                 max(CASE WHEN side = 2 THEN n END) AS n2,
+                 max(CASE WHEN side = 2 THEN sy END) AS sy2,
+                 max(CASE WHEN side = 2 THEN slope_ppm END) AS slope2_ppm
+               FROM sp GROUP BY 1, 2)
+             SELECT event_type, cp_day, n1, slope1_ppm, n2, slope2_ppm,
+               CAST((num2 - ((num2 % den2 + den2) % den2)) // den2 AS BIGINT)
+                 AS dmean_ppm
+             FROM (SELECT *,
+                     CAST(1000000 AS HUGEINT) * (sy2 * n1 - sy1 * n2) AS num2,
+                     CAST(n1 AS HUGEINT) * n2 AS den2
+                   FROM pv
+                   WHERE slope1_ppm IS NOT NULL AND slope2_ppm IS NOT NULL)
+             ORDER BY event_type""")),
+
     Q("w18_acf",
       // Autocorrelation function (lags 1..7) of each event type's
       // daily count series — THE seasonality/persistence diagnostic

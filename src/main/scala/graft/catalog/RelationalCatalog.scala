@@ -771,6 +771,139 @@ object RelationalCatalog {
              SELECT w_id, w_start, CAST(count(*) AS BIGINT) AS n_sessions,
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
              FROM w JOIN sess ON s_start <= w_end AND w_start <= s_end
-             GROUP BY 1, 2 ORDER BY w_id"""))
+             GROUP BY 1, 2 ORDER BY w_id""")),
+
+    Q("x_assoc_rules",
+      // Association rules with a-priori pruning (Agrawal-Srikant
+      // 1993/94, tenth-proposal #1): frequent part PAIRS across order
+      // baskets, ranked by LIFT — "customers who buy A also buy B",
+      // the market-basket query. The a-priori monotonicity prune runs
+      // FIRST: only parts in >= 10 orders enter the pair join (a
+      // broadcast semi-join; on this uniform corpus it prunes little,
+      // but at 100 TB it is what keeps the basket self-join off the
+      // long-tail item explosion — the pair space is quadratic only in
+      // FREQUENT items per basket, and baskets are ~4 items). Lift is
+      // ordered by the exact cross-multiplied integer ratio in
+      // DECIMAL(38,0)/HUGEINT (the x_pmi_collocations discipline:
+      // monotone in true lift, zero libm, no division overflow at any
+      // scale); confidence both directions in exact ppm. Min pair
+      // support 2 (this corpus's co-orders are near-random: measured
+      // max pair support 5 at sf0.01); top-20 under a total
+      // (lift, pa, pb) order.
+      (s, d) => {
+        val it = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val f1 = it.groupBy("p").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 10)
+        val itF = it.join(broadcast(f1.select("p")), Seq("p"))
+        val pairs = itF.select(col("o"), col("p").as("pa"))
+          .join(itF.select(col("o"), col("p").as("pb")).hint("merge"),
+            Seq("o"))
+          .filter(col("pa") < col("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("c12"))
+          .filter(col("c12") >= 2)
+        val nOrd = broadcast(it.select("o").distinct()
+          .agg(count(lit(1)).as("n")))
+        pairs
+          .join(broadcast(f1.select(col("p").as("pa"), col("c").as("c1"))),
+            Seq("pa"))
+          .join(broadcast(f1.select(col("p").as("pb"), col("c").as("c2"))),
+            Seq("pb"))
+          .crossJoin(nOrd)
+          .withColumn("lift_e4", expr(
+            "CAST(CAST(10000 AS DECIMAL(38,0)) * c12 * n" +
+              " div (CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)"))
+          .withColumn("conf_ab_ppm", expr("1000000 * c12 div c1"))
+          .withColumn("conf_ba_ppm", expr("1000000 * c12 div c2"))
+          .select("pa", "pb", "c12", "c1", "c2", "lift_e4",
+            "conf_ab_ppm", "conf_ba_ppm")
+          .orderBy(desc("lift_e4"), col("pa"), col("pb"))
+          .limit(20)
+      },
+      Some("""WITH it AS (
+               SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             f1 AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM it
+                    GROUP BY p HAVING count(*) >= 10),
+             itf AS (SELECT it.* FROM it JOIN f1 USING (p)),
+             pairs AS (
+               SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS c12
+               FROM itf a JOIN itf b ON a.o = b.o AND a.p < b.p
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+             nord AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM it)
+             SELECT pa, pb, c12, u1.c AS c1, u2.c AS c2,
+               CAST(CAST(10000 AS HUGEINT) * c12 * n
+                 // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS lift_e4,
+               CAST(1000000 * c12 // u1.c AS BIGINT) AS conf_ab_ppm,
+               CAST(1000000 * c12 // u2.c AS BIGINT) AS conf_ba_ppm
+             FROM pairs JOIN f1 u1 ON pairs.pa = u1.p
+               JOIN f1 u2 ON pairs.pb = u2.p, nord
+             ORDER BY lift_e4 DESC, pa, pb LIMIT 20""")),
+
+    Q("j16_allen_relations",
+      // Full Allen interval-relation classification (Allen 1983,
+      // tenth-proposal #6): every pair of a customer's order intervals
+      // [orderdate, last shipdate] — in epoch days, exact integers —
+      // classified into Allen's relation algebra, counted per
+      // relation. Pair orientation is canonical (A = the (start, key)-
+      // smaller interval), which makes exactly 8 of the 13 relations
+      // reachable: before/meets/overlaps/finished_by/contains when A
+      // starts strictly first, equals/starts/started_by on tied
+      // starts — the inverse five need A to start later, excluded by
+      // construction (stated, not discovered). Scale shape: the pair
+      // frame is per-customer and orders-per-customer is corpus-
+      // bounded (~10), so the join is linear in customers — the j13
+      // family's interval algebra closed out with classification.
+      // Orders with no lineitem rows have no end bound and drop out
+      // via the inner join (documented).
+      (s, d) => {
+        val iv = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey").as("ok"))
+          .agg(expr("max(unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000)").as("e"))
+          .join(t(s, d, "orders").select(col("o_orderkey").as("ok"),
+            col("o_custkey"),
+            expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("b")),
+            Seq("ok"))
+        val a = iv.select(col("o_custkey"), col("ok").as("ka"),
+          col("b").as("ba"), col("e").as("ea"))
+        val bb = iv.select(col("o_custkey"), col("ok").as("kb"),
+          col("b").as("bb"), col("e").as("eb"))
+        a.join(bb.hint("merge"), Seq("o_custkey"))
+          .filter(col("ba") < col("bb") ||
+            (col("ba") === col("bb") && col("ka") < col("kb")))
+          .withColumn("rel", expr("""CASE
+              WHEN ba = bb AND ea = eb THEN 'equals'
+              WHEN ba = bb AND ea < eb THEN 'starts'
+              WHEN ba = bb THEN 'started_by'
+              WHEN ea < bb THEN 'before'
+              WHEN ea = bb THEN 'meets'
+              WHEN ea < eb THEN 'overlaps'
+              WHEN ea = eb THEN 'finished_by'
+              ELSE 'contains' END"""))
+          .groupBy("rel").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("rel")
+      },
+      Some("""WITH iv AS (
+               SELECT o_orderkey AS ok, o_custkey,
+                 epoch_us(o_orderdate) // 86400000000 AS b, e
+               FROM orders JOIN (
+                 SELECT l_orderkey,
+                   max(epoch_us(l_shipdate) // 86400000000) AS e
+                 FROM lineitem GROUP BY 1) li ON o_orderkey = l_orderkey),
+             pr AS (
+               SELECT a.b AS ba, a.e AS ea, c.b AS bb, c.e AS eb
+               FROM iv a JOIN iv c ON a.o_custkey = c.o_custkey
+                 AND (a.b < c.b OR (a.b = c.b AND a.ok < c.ok)))
+             SELECT CASE
+                 WHEN ba = bb AND ea = eb THEN 'equals'
+                 WHEN ba = bb AND ea < eb THEN 'starts'
+                 WHEN ba = bb THEN 'started_by'
+                 WHEN ea < bb THEN 'before'
+                 WHEN ea = bb THEN 'meets'
+                 WHEN ea < eb THEN 'overlaps'
+                 WHEN ea = eb THEN 'finished_by'
+                 ELSE 'contains' END AS rel,
+               CAST(count(*) AS BIGINT) AS n_pairs
+             FROM pr GROUP BY 1 ORDER BY rel"""))
   )
 }
