@@ -3387,6 +3387,146 @@ object AggWindowCatalog {
                  AS err_ppm
              FROM exact ORDER BY q""")),
 
+    Q("a_jenks_breaks",
+      // Optimal 1-D segmentation / Jenks natural breaks (Fisher 1958;
+      // tenth-proposal #3): the exact minimum-SSE partition of order
+      // totals into k=4 classes, computed by dynamic programming ON
+      // THE 64-BUCKET HISTOGRAM SKETCH, not the corpus — the corpus is
+      // touched once to build (cnt, sum, sumsq) per bucket; the DP is
+      // a bounded 64x64 pair frame plus three min-joins, every
+      // intermediate broadcast-sized at ANY corpus scale (the
+      // sketch-native complement of a_hist_quantiles: that query reads
+      // ranks off the sketch, this one reads an optimal partition).
+      // All integer: values quantize to tens of dollars (sumsq then
+      // stays int64 through sf100 — stated, not assumed), segment cost
+      // is the DEFINED floor cost(i,j) = ss_ij - floor(sum_ij^2 /
+      // cnt_ij) (the true within-segment SSE floored — a documented
+      // monotone truncation, error < 1 unit^2 per segment, identical
+      // on both engines; the square is DECIMAL(38,0)/HUGEINT), DP ties
+      // break to the smallest split index (total order). Published:
+      // the three break positions (histogram bucket ids), the four
+      // class populations, and the optimal total cost. The oracle
+      // replays the identical DP in SQL.
+      (s, d) => {
+        val src = t(s, d, "orders")
+          .select(expr("CAST(floor(o_totalprice + 0.5) AS BIGINT) div 10")
+            .as("x"))
+        val bounds = broadcast(src.agg(min("x").as("lo"), max("x").as("hi")))
+        val wOrd = Window.orderBy("b") // <= 64-row frames throughout
+        val pre = src.crossJoin(bounds)
+          .withColumn("b", expr("(x - lo) div ((hi - lo) div 64 + 1)"))
+          .groupBy("b").agg(count(lit(1)).as("cnt"), sum("x").as("sm"),
+            sum(expr("x * x")).as("ss"))
+          .withColumn("idx", row_number().over(wOrd))
+          .withColumn("ccnt", sum("cnt").over(
+            wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("csum", sum("sm").over(
+            wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("css", sum("ss").over(
+            wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+          .select("idx", "b", "ccnt", "csum", "css")
+          .cutLineage() // one corpus pass; everything below is sketch-sized
+        val m = broadcast(pre.agg(max("idx").as("m")))
+        val zero = pre.sparkSession.range(1)
+          .select(lit(0).as("idx"), lit(-1L).as("b"), lit(0L).as("ccnt"),
+            lit(0L).as("csum"), lit(0L).as("css"))
+        val pre0 = pre.unionByName(zero)
+        val cost = pre0.select(col("idx").as("i"), col("ccnt").as("c_i"),
+            col("csum").as("s_i"), col("css").as("q_i"))
+          .crossJoin(pre.select(col("idx").as("j"), col("ccnt").as("c_j"),
+            col("csum").as("s_j"), col("css").as("q_j")))
+          .filter(col("i") < col("j"))
+          .withColumn("cost", expr(
+            "q_j - q_i - (CAST(s_j - s_i AS DECIMAL(38,0)) * (s_j - s_i))" +
+              " div (c_j - c_i)"))
+          .select("i", "j", "cost")
+        val f1 = cost.filter(col("i") === 0)
+          .select(col("j"), col("cost").as("f"))
+        def level(prev: org.apache.spark.sql.DataFrame) =
+          prev.select(col("j").as("i"), col("f").as("fp"))
+            .join(cost, Seq("i"))
+            .groupBy("j")
+            .agg(min(struct((col("fp") + col("cost")).as("f"),
+              col("i").as("a"))).as("m"))
+            .select(col("j"), col("m.f").as("f"), col("m.a").as("a"))
+        val f2 = level(f1)
+        val f3 = level(f2)
+        val f4 = level(f3)
+        // backtrack the three split positions from the final cell
+        val last = f4.join(m, col("j") === col("m")).select(
+          col("f").as("total_cost"), col("a").as("p3"))
+        val bt2 = last.join(f3.select(col("j").as("p3"), col("a").as("p2")),
+          Seq("p3"))
+        val bt1 = bt2.join(f2.select(col("j").as("p2"), col("a").as("p1")),
+          Seq("p2"))
+        bt1
+          .join(pre.select(col("idx").as("p1"), col("b").as("break1"),
+            col("ccnt").as("n1")), Seq("p1"))
+          .join(pre.select(col("idx").as("p2"), col("b").as("break2"),
+            col("ccnt").as("cc2")), Seq("p2"))
+          .join(pre.select(col("idx").as("p3"), col("b").as("break3"),
+            col("ccnt").as("cc3")), Seq("p3"))
+          .crossJoin(broadcast(pre.agg(max("ccnt").as("ntot"))))
+          .select(col("break1"), col("break2"), col("break3"),
+            col("n1"), (col("cc2") - col("n1")).as("n2"),
+            (col("cc3") - col("cc2")).as("n3"),
+            (col("ntot") - col("cc3")).as("n4"), col("total_cost"))
+      },
+      Some("""WITH src AS (
+               SELECT CAST(floor(o_totalprice + 0.5) AS BIGINT) // 10 AS x
+               FROM orders),
+             bounds AS (SELECT min(x) AS lo, max(x) AS hi FROM src),
+             hist AS (
+               SELECT b, CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(sum(x) AS BIGINT) AS sm, CAST(sum(x * x) AS BIGINT) AS ss
+               FROM (SELECT x, (x - lo) // ((hi - lo) // 64 + 1) AS b
+                     FROM src, bounds) GROUP BY b),
+             pre AS MATERIALIZED (
+               SELECT row_number() OVER (ORDER BY b) AS idx, b,
+                 sum(cnt) OVER w AS ccnt, sum(sm) OVER w AS csum,
+                 sum(ss) OVER w AS css
+               FROM hist
+               WINDOW w AS (ORDER BY b ROWS UNBOUNDED PRECEDING)),
+             pre0 AS (SELECT * FROM pre
+               UNION ALL SELECT 0, -1, 0, 0, 0),
+             cost AS MATERIALIZED (
+               SELECT a.idx AS i, c.idx AS j,
+                 c.css - a.css - CAST((CAST(c.csum - a.csum AS HUGEINT)
+                   * (c.csum - a.csum)) // (c.ccnt - a.ccnt) AS BIGINT)
+                   AS cost
+               FROM pre0 a JOIN pre c ON a.idx < c.idx),
+             f1 AS MATERIALIZED (
+               SELECT j, cost AS f FROM cost WHERE i = 0),
+             f2 AS MATERIALIZED (
+               SELECT j, f, a FROM (
+                 SELECT c.j, p.f + c.cost AS f, c.i AS a, row_number() OVER (
+                   PARTITION BY c.j ORDER BY p.f + c.cost, c.i) AS rn
+                 FROM f1 p JOIN cost c ON c.i = p.j) WHERE rn = 1),
+             f3 AS MATERIALIZED (
+               SELECT j, f, a FROM (
+                 SELECT c.j, p.f + c.cost AS f, c.i AS a, row_number() OVER (
+                   PARTITION BY c.j ORDER BY p.f + c.cost, c.i) AS rn
+                 FROM f2 p JOIN cost c ON c.i = p.j) WHERE rn = 1),
+             f4 AS MATERIALIZED (
+               SELECT j, f, a FROM (
+                 SELECT c.j, p.f + c.cost AS f, c.i AS a, row_number() OVER (
+                   PARTITION BY c.j ORDER BY p.f + c.cost, c.i) AS rn
+                 FROM f3 p JOIN cost c ON c.i = p.j) WHERE rn = 1),
+             last AS (
+               SELECT f AS total_cost, a AS p3 FROM f4
+               WHERE j = (SELECT max(idx) FROM pre)),
+             bt AS (
+               SELECT last.total_cost, f3.a AS p2, last.p3, f2s.a AS p1
+               FROM last JOIN f3 ON f3.j = last.p3
+               JOIN (SELECT j, a FROM f2) f2s ON f2s.j = f3.a)
+             SELECT p1b.b AS break1, p2b.b AS break2, p3b.b AS break3,
+               p1b.ccnt AS n1, p2b.ccnt - p1b.ccnt AS n2,
+               p3b.ccnt - p2b.ccnt AS n3,
+               (SELECT max(ccnt) FROM pre) - p3b.ccnt AS n4, total_cost
+             FROM bt JOIN pre p1b ON p1b.idx = bt.p1
+               JOIN pre p2b ON p2b.idx = bt.p2
+               JOIN pre p3b ON p3b.idx = bt.p3""")),
+
     Q("w17_cusum",
       // CUSUM changepoint detection (Page 1954) per event type over the
       // daily count series — the sequential drift detector that fires
@@ -3589,6 +3729,89 @@ object AggWindowCatalog {
                    FROM pv
                    WHERE slope1_ppm IS NOT NULL AND slope2_ppm IS NOT NULL)
              ORDER BY event_type""")),
+
+    Q("w26_kaplan_meier",
+      // Kaplan-Meier survival (Kaplan & Meier 1958; tenth-proposal
+      // #4): customer time-to-churn with right-censoring at the
+      // horizon — the product-limit estimator behind every retention
+      // curve, over the 6.5-year order history (the events table spans
+      // only a month, so users there cannot churn; customers ARE the
+      // honest survival subject on this corpus: 322 of 1500 churn at
+      // sf0.01). A customer is a churn EVENT if their last order sits
+      // more than 365 days before the last order date corpus-wide
+      // (exact epoch-day integers), else CENSORED at the horizon;
+      // observed time is whole months (div 30), ~66 distinct steps. The survival curve is a
+      // cumulative PRODUCT of (n_t - d_t)/n_t — the rational-
+      // compounding trap that made Holt-Winters infeasible-exact — so
+      // each step applies the w22 monotone ppm truncation:
+      //   S_ppm(t) = (S_ppm(t-1) * (n_t - d_t)) div n_t,
+      // a documented lower bound within steps*1ppm of the exact
+      // product, identical on both engines. Scale shape: ONE per-user
+      // aggregate (the only corpus pass), then a <= span/30-row frame;
+      // the fold runs as an `aggregate` HOF over the sorted step
+      // array on Spark and a bounded recursive CTE in DuckDB (depth =
+      // months, never rows). At-risk counts are suffix sums on that
+      // bounded frame. Product headroom: 1e6 * n_users <= 6e13 at
+      // sf100 — int64-safe, stated.
+      (s, d) => {
+        val users = t(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg(expr("min(unix_micros(CAST(o_orderdate AS TIMESTAMP))" +
+              " div 86400000000)").as("fd"),
+            expr("max(unix_micros(CAST(o_orderdate AS TIMESTAMP))" +
+              " div 86400000000)").as("ld"))
+        val hz = broadcast(users.agg(max("ld").as("hz")))
+        val obs = users.crossJoin(hz)
+          .withColumn("churn", (col("ld") < col("hz") - 365).cast("long"))
+          .withColumn("t", expr(
+            "CASE WHEN ld < hz - 365 THEN (ld - fd) div 30" +
+              " ELSE (hz - fd) div 30 END"))
+        val steps = obs.groupBy("t")
+          .agg(count(lit(1)).as("ending"), sum("churn").as("d"))
+          .withColumn("n", sum("ending").over(Window.orderBy(col("t").desc)
+            .rowsBetween(Window.unboundedPreceding, 0))) // suffix = at-risk
+          .select("t", "n", "d")
+        steps.agg(sort_array(collect_list(struct(col("t").as("t"),
+            col("n").as("n"), col("d").as("d")))).as("arr"))
+          .select(posexplode(col("arr")).as(Seq("pos", "r")), col("arr"))
+          .withColumn("s_ppm", expr(
+            "aggregate(slice(arr, 1, pos + 1), 1000000L," +
+              " (acc, x) -> (acc * (x.n - x.d)) div x.n)"))
+          .select(col("r.t").as("t_months"), col("r.n").as("n_at_risk"),
+            col("r.d").as("d_churned"), col("s_ppm"))
+          .orderBy("t_months")
+      },
+      Some("""WITH RECURSIVE users AS (
+               SELECT o_custkey,
+                 min(epoch_us(o_orderdate) // 86400000000) AS fd,
+                 max(epoch_us(o_orderdate) // 86400000000) AS ld
+               FROM orders GROUP BY o_custkey),
+             hz AS (SELECT max(ld) AS hz FROM users),
+             obs AS (
+               SELECT CASE WHEN ld < hz - 365 THEN (ld - fd) // 30
+                        ELSE (hz - fd) // 30 END AS t,
+                 CASE WHEN ld < hz - 365 THEN 1 ELSE 0 END AS churn
+               FROM users, hz),
+             steps AS (
+               SELECT t, CAST(count(*) AS BIGINT) AS ending,
+                 CAST(sum(churn) AS BIGINT) AS d
+               FROM obs GROUP BY t),
+             st AS (
+               SELECT t, d,
+                 CAST(sum(ending) OVER (ORDER BY t DESC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n,
+                 row_number() OVER (ORDER BY t) AS rn
+               FROM steps),
+             km AS (
+               SELECT t, n, d, rn,
+                 CAST((1000000 * (n - d)) // n AS BIGINT) AS s_ppm
+               FROM st WHERE rn = 1
+               UNION ALL
+               SELECT st.t, st.n, st.d, st.rn,
+                 CAST((km.s_ppm * (st.n - st.d)) // st.n AS BIGINT) AS s_ppm
+               FROM km JOIN st ON st.rn = km.rn + 1)
+             SELECT t AS t_months, n AS n_at_risk, d AS d_churned, s_ppm
+             FROM km ORDER BY t_months""")),
 
     Q("w18_acf",
       // Autocorrelation function (lags 1..7) of each event type's
