@@ -3813,6 +3813,119 @@ object AggWindowCatalog {
              SELECT t AS t_months, n AS n_at_risk, d AS d_churned, s_ppm
              FROM km ORDER BY t_months""")),
 
+    Q("w27_dtw_align",
+      // Band-limited dynamic time warping (Sakoe & Chiba 1978;
+      // tenth-proposal #5) between event types' daily count series —
+      // the catalog's first SEQUENCE-ALIGNMENT operator class: which
+      // series move together even when one lags the other, the
+      // question lockstep correlation (w18's ACF is within-series)
+      // cannot answer. Pure integers: |a_i - b_j| step costs over the
+      // gap-filled day grid (missing days are real zeros, the w18
+      // discipline), Sakoe-Chiba band +/-3 days, INF = 1e15 sentinel
+      // with explicit no-overflow propagation (cost never adds to
+      // INF). Scale shape: ONE corpus pass builds the per-type dense
+      // arrays (map_from_entries + transform over the bounded span);
+      // the DP is a nested `aggregate` HOF fold — outer over the <=
+      // span days, inner over the 7 band offsets, carrying only the
+      // 7-cell band — evaluated per type pair on a vocabulary-bounded
+      // (types x types) frame that never re-touches the corpus. The
+      // oracle replays the identical recurrence as a bounded recursive
+      // CTE (depth = days) whose 7 band cells chain through DuckDB's
+      // lateral column aliases. Feasibility bound stated: span <= ~400
+      // days keeps both folds printable; longer horizons need the
+      // anti-diagonal wavefront form (declared, not attempted).
+      (s, d) => {
+        val INF = "1000000000000000L"
+        def cost(j: String) =
+          s"abs(element_at(va, i + 1) - element_at(vb, ($j) + 1))"
+        val best =
+          s"""least(
+             CASE WHEN k <= 5 THEN element_at(prev, k + 2) ELSE $INF END,
+             element_at(prev, k + 1),
+             CASE WHEN k >= 1 THEN element_at(nb, k) ELSE $INF END)"""
+        val fold =
+          s"""aggregate(
+            sequence(0, CAST(tt - 1 AS INT)),
+            array_repeat($INF, 7),
+            (prev, i) -> aggregate(
+              sequence(0, 6),
+              CAST(array() AS array<bigint>),
+              (nb, k) -> concat(nb, array(
+                CASE WHEN i + k - 3 < 0 OR i + k - 3 > tt - 1 THEN $INF
+                     WHEN i = 0 AND k = 3 THEN ${cost("i + k - 3")}
+                     WHEN $best >= $INF THEN $INF
+                     ELSE ${cost("i + k - 3")} + $best
+                END))))"""
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("c"))
+        val bounds = broadcast(daily.agg(min("day").as("d0"),
+          max("day").as("d1")))
+        val ser = daily.groupBy("event_type")
+          .agg(map_from_entries(collect_list(struct(col("day"), col("c"))))
+            .as("m"))
+          .crossJoin(bounds)
+          .withColumn("v", expr("transform(sequence(0, CAST(d1 - d0 AS INT))," +
+            " i -> coalesce(element_at(m, d0 + i), 0L))"))
+          .select(col("event_type"), col("v"))
+        ser.select(col("event_type").as("ta"), col("v").as("va"))
+          .crossJoin(ser.select(col("event_type").as("tb"), col("v").as("vb")))
+          .filter(col("ta") < col("tb")) // vocabulary-bounded pair frame
+          .withColumn("tt", expr("CAST(size(va) AS BIGINT)"))
+          .withColumn("band", expr(fold))
+          .select(col("ta"), col("tb"), col("tt").as("n_days"),
+            expr("element_at(band, 4)").as("dtw"))
+          .orderBy("ta", "tb")
+      },
+      Some {
+        val INF = "1000000000000000"
+        def bexpr(k: Int): String = {
+          val j = s"(i + 1 + $k - 3)"
+          val cost = s"abs(list_extract(va, i + 2) - list_extract(vb, $j + 1))"
+          val c1 =
+            s"CASE WHEN $k <= 5 THEN list_extract(band, $k + 2) ELSE $INF END"
+          val c2 = s"list_extract(band, $k + 1)"
+          val c3 = if (k >= 1) s"b${k - 1}" else INF
+          val best = s"least($c1, $c2, $c3)"
+          s"""CASE WHEN $j < 0 OR $j > tt - 1 THEN $INF
+              WHEN i + 1 = 0 AND $k = 3 THEN $cost
+              WHEN $best >= $INF THEN $INF
+              ELSE $cost + $best END AS b$k"""
+        }
+        val bs = (0 to 6).map(bexpr).mkString(",\n  ")
+        s"""WITH RECURSIVE daily AS (
+              SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1, 2),
+            bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+            grid AS (SELECT d0 + i AS day, i FROM (
+                SELECT unnest(range(0, CAST(d1 - d0 + 1 AS BIGINT))) AS i
+                FROM bounds), bounds),
+            dense AS (SELECT t.event_type, g.i, coalesce(dd.c, 0) AS c
+              FROM (SELECT DISTINCT event_type FROM daily) t CROSS JOIN grid g
+              LEFT JOIN daily dd
+                ON dd.event_type = t.event_type AND dd.day = g.day),
+            ser AS (SELECT event_type, list(c ORDER BY i) AS v
+                    FROM dense GROUP BY 1),
+            pairs AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                a.v AS va, b.v AS vb, CAST(len(a.v) AS BIGINT) AS tt
+              FROM ser a JOIN ser b ON a.event_type < b.event_type),
+            rec AS (
+              SELECT ta, tb, va, vb, tt, CAST(-1 AS BIGINT) AS i,
+                [CAST($INF AS BIGINT), $INF, $INF, $INF, $INF, $INF, $INF]
+                  AS band
+              FROM pairs
+              UNION ALL
+              SELECT ta, tb, va, vb, tt, i + 1,
+                [b0, b1, b2, b3, b4, b5, b6] AS band
+              FROM (SELECT *,
+                $bs
+                FROM rec WHERE i + 1 <= tt - 1) rec2)
+            SELECT ta, tb, tt AS n_days, list_extract(band, 4) AS dtw
+            FROM rec WHERE i = tt - 1 ORDER BY ta, tb"""
+      }),
+
     Q("w18_acf",
       // Autocorrelation function (lags 1..7) of each event type's
       // daily count series — THE seasonality/persistence diagnostic
