@@ -3619,8 +3619,9 @@ object AggWindowCatalog {
       // the level shift between segment means in exact ppm. One
       // type-partitioned shuffle shared by the cusum windows and both
       // segment aggregates; types with a degenerate side (< 2 days)
-      // drop out (documented — cannot happen on a year-long series
-      // unless the peak sits at the boundary).
+      // drop out (documented — on this corpus's month-long event span
+      // it can happen only when the peak sits at the boundary, and
+      // the drop is loud, never a silent partial row).
       (s, d) => {
         val daily = t(s, d, "events")
           .groupBy(col("event_type"),
