@@ -4139,8 +4139,69 @@ object TextCatalog {
             col("covered_total"))
           .orderBy("rank")
       },
-      Some(duckMaxCoverageSql(rounds = 10)))
+      Some(duckMaxCoverageSql(rounds = 10))),
+
+    Q("x_aho_corasick",
+      // Multi-pattern single-pass scan (Aho–Corasick 1975) — the 100 TB
+      // form of x_blocklist_filter: that query (and any instr/regexp
+      // formulation) scans the corpus once PER NEEDLE, so a
+      // hundreds-of-terms blocklist reads the corpus hundreds of times;
+      // the dictionary automaton (functions/MultiMatch.scala, a native
+      // codegen Expression) reads each byte exactly ONCE for the whole
+      // vocabulary. Matching is SUBSTRING-level (not token-exact like
+      // x_blocklist_filter), counts include overlapping occurrences,
+      // and the vocabulary is chosen to exercise the automaton's two
+      // hard cases: needles reachable only via dictionary suffix links
+      // ('scan' ⊃ 'can' ⊃ 'an'; 'slow' ⊃ 'low'; 'spark' ⊃ 'par') and a
+      // self-overlapping needle ('a a' matches twice in 'a a a' — a
+      // replace()-based count would see one). The oracle states the
+      // naive per-needle character-position count — green proves the
+      // single-pass byte automaton against the k-pass definition.
+      // Published per (source, needle): docs hit + total occurrences.
+      (s, d) => {
+        graft.functions.MultiMatch.register(s)
+        val ndl = acNeedles.map(n => s"'$n'").mkString(", ")
+        t(s, d, "documents")
+          .withColumn("counts", expr(s"multi_match($sparkNorm, $ndl)"))
+          .select(col("source"), posexplode(col("counts")).as(Seq("i", "cnt")))
+          .withColumn("needle",
+            element_at(array(acNeedles.map(lit): _*), col("i") + 1))
+          .groupBy("source", "needle")
+          .agg(sum(when(col("cnt") > 0, 1L).otherwise(0L)).as("n_docs_hit"),
+            sum("cnt").as("n_hits"))
+          .orderBy("source", "needle")
+      },
+      Some(duckAhoCorasickSql))
   )
+
+  /** Needle vocabulary for `x_aho_corasick` — overlap structure chosen
+    * to exercise dictionary suffix links and overlapping occurrences
+    * (see the query's plan note). Shared with the generated oracle so
+    * the two sides can never drift. */
+  private lazy val acNeedles =
+    Seq("scan", "can", "an", "slow", "low", "spark", "par", "row", "a a")
+
+  /** DuckDB twin of `x_aho_corasick`, GENERATED from [[acNeedles]]: one
+    * naive pass per needle — count every character start position where
+    * the k-char slice equals the needle (overlapping-correct, unlike a
+    * replace()-based count), then the same per-(source, needle) rollup. */
+  private def duckAhoCorasickSql: String = {
+    val blocks = acNeedles.map { nd =>
+      val k = nd.length
+      s"""SELECT source, '$nd' AS needle,
+            CAST(len(list_filter(range(1, len(norm) - $k + 2),
+              i -> substring(norm, CAST(i AS INT), $k) = '$nd')) AS BIGINT)
+              AS cnt
+          FROM n"""
+    }
+    s"""WITH n AS (SELECT source, $duckNorm AS norm FROM documents),
+        hits AS (${blocks.mkString(" UNION ALL ")})
+        SELECT source, needle,
+          CAST(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_docs_hit,
+          CAST(sum(cnt) AS BIGINT) AS n_hits
+        FROM hits GROUP BY source, needle ORDER BY source, needle"""
+  }
 
   /** Staged budgeted-coverage oracle: trigram incidence + n_chars
     * costs, `rounds` unrolled cost-benefit picks (ratio ppm DESC, gain

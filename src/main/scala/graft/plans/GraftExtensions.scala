@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CharNGrams, DotProduct, RollingHash, SimHashAgg}
+import graft.functions.{CharNGrams, DotProduct, MultiMatch, RollingHash, SimHashAgg}
 
 /** Optimizer rule guarding the near-dup self-join pathology (SURVEY.md
   * §7.3 mechanism (c): a `Rule[LogicalPlan]` injected via
@@ -200,5 +200,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (exprs: Seq[Expression]) => RollingHash.build(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("multi_match"),
+      new ExpressionInfo(classOf[MultiMatch].getName, "multi_match"),
+      (exprs: Seq[Expression]) => MultiMatch.build(exprs)))
   }
 }
