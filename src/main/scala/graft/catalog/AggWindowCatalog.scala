@@ -4213,6 +4213,269 @@ object AggWindowCatalog {
              FROM stats s, tagged t
              GROUP BY s.fold, s.train_days, s.eval_days, s.n_train, s.n_eval
              ORDER BY s.fold"""
-      })
+      }),
+
+    Q("w28_matrix_profile",
+      // L1 matrix profile (after Yeh et al. 2016, integer L1 variant):
+      // per event type, every length-4 sliding window of the DAILY
+      // count series gets the distance to its nearest NON-TRIVIAL
+      // match (exclusion zone |i-j| <= 2 removes self-overlap) — the
+      // time-series primitive where minima are motifs (repeated
+      // shapes) and maxima are discords (anomalous days). Scale
+      // shape: the corpus is touched ONCE (the per-(type, day) count
+      // aggregate); everything after runs on the span-bounded series
+      // frame — the dense calendar is sequence(d0, d1) off a 1-row
+      // global span aggregate, window assembly is 3 lead()s over
+      // type-partitioned <=|days| rows, and the all-pairs step is a
+      // type-keyed self-join of |days|-3 windows, T^2 per type with
+      // T = calendar days, NEVER corpus rows (at 100 TB T only grows
+      // with the time span; a years-long horizon is ~1e3 windows →
+      // 1e6 bounded pairs per type). All distances exact BIGINTs;
+      // nearest neighbor ties break to the earliest candidate day via
+      // min(struct(dist, nn_day)); motif/discord flags compare
+      // against the per-type extrema on the same bounded frame.
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"))
+        val span = ev.agg(min("day").as("d0"), max("day").as("d1"))
+        val days = span.select(explode(expr("sequence(d0, d1)")).as("day"))
+        val grid = ev.select("event_type").distinct()
+          .crossJoin(broadcast(days))
+        val daily = ev.groupBy("event_type", "day")
+          .agg(count(lit(1)).as("c"))
+        val wOrd = Window.partitionBy("event_type").orderBy("day")
+        val win = grid.join(daily, Seq("event_type", "day"), "left")
+          .na.fill(0L, Seq("c"))
+          .withColumn("i", row_number().over(wOrd))
+          .withColumn("w0", col("c"))
+          .withColumn("w1", lead("c", 1).over(wOrd))
+          .withColumn("w2", lead("c", 2).over(wOrd))
+          .withColumn("w3", lead("c", 3).over(wOrd))
+          .filter(col("w3").isNotNull)
+          .select("event_type", "day", "i", "w0", "w1", "w2", "w3")
+        val a = win.as("a")
+        val b = win.as("b")
+        val prof = a.join(b,
+            col("a.event_type") === col("b.event_type") &&
+              abs(col("a.i") - col("b.i")) > 2)
+          .select(col("a.event_type").as("event_type"),
+            col("a.day").as("day"),
+            (abs(col("a.w0") - col("b.w0")) + abs(col("a.w1") - col("b.w1")) +
+              abs(col("a.w2") - col("b.w2")) + abs(col("a.w3") - col("b.w3")))
+              .as("dist"),
+            col("b.day").as("bday"))
+          .groupBy("event_type", "day")
+          .agg(min(struct(col("dist"), col("bday"))).as("m"))
+          .select(col("event_type"), col("day"),
+            col("m.dist").as("profile_l1"), col("m.bday").as("nn_day"))
+        val ext = Window.partitionBy("event_type")
+        prof
+          .withColumn("is_motif",
+            (col("profile_l1") === min("profile_l1").over(ext)).cast("int"))
+          .withColumn("is_discord",
+            (col("profile_l1") === max("profile_l1").over(ext)).cast("int"))
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("w_start"),
+            col("profile_l1"),
+            date_format(col("nn_day"), "yyyy-MM-dd").as("nn_start"),
+            col("is_motif"), col("is_discord"))
+          .orderBy("event_type", "w_start")
+      },
+      Some("""WITH span AS (SELECT min(CAST(ts AS DATE)) AS d0,
+                  max(CAST(ts AS DATE)) AS d1 FROM events),
+              days AS (SELECT CAST(unnest(generate_series(d0, d1,
+                  INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+              daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2),
+              series AS (SELECT ty.event_type, days.day,
+                  COALESCE(daily.c, 0) AS c
+                FROM (SELECT DISTINCT event_type FROM events) ty
+                CROSS JOIN days
+                LEFT JOIN daily ON daily.event_type = ty.event_type
+                  AND daily.day = days.day),
+              win AS (SELECT event_type, day,
+                  row_number() OVER w AS i,
+                  c AS w0, lead(c, 1) OVER w AS w1,
+                  lead(c, 2) OVER w AS w2, lead(c, 3) OVER w AS w3
+                FROM series
+                WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+              wf AS (SELECT * FROM win WHERE w3 IS NOT NULL),
+              pairs AS (SELECT a.event_type, a.day,
+                  abs(a.w0 - b.w0) + abs(a.w1 - b.w1) + abs(a.w2 - b.w2)
+                    + abs(a.w3 - b.w3) AS dist,
+                  b.day AS bday
+                FROM wf a JOIN wf b ON a.event_type = b.event_type
+                  AND abs(a.i - b.i) > 2),
+              prof AS (SELECT event_type, day, dist AS profile_l1,
+                  bday AS nn_day
+                FROM (SELECT *, row_number() OVER (
+                    PARTITION BY event_type, day
+                    ORDER BY dist, bday) AS rn FROM pairs)
+                WHERE rn = 1)
+              SELECT event_type, strftime(day, '%Y-%m-%d') AS w_start,
+                profile_l1,
+                strftime(nn_day, '%Y-%m-%d') AS nn_start,
+                CAST(profile_l1 = min(profile_l1)
+                  OVER (PARTITION BY event_type) AS INT) AS is_motif,
+                CAST(profile_l1 = max(profile_l1)
+                  OVER (PARTITION BY event_type) AS INT) AS is_discord
+              FROM prof ORDER BY event_type, w_start""")),
+
+    Q("a_gini_split",
+      // Exact CART split selection by Gini (Breiman et al. 1984): the
+      // best binary threshold on order total predicting l_returnflag,
+      // chosen on the 64-bucket class-count sketch — the corpus is
+      // touched once (the FK join + per-(bucket, class) counts);
+      // split evaluation runs on the dense 64-row cumulative frame and
+      // candidate ranking on a bounded 63x63 pairwise compare. The
+      // argmin is EXACT-RATIONAL, no floats: the weighted-Gini score
+      // of split t is A/nL + B/nR with A = nL^2 - sum_c nLc^2 (and B
+      // its right twin), compared lexicographically as (integer part
+      // qa+qb <= 2n in BIGINT; fractional part ra*nR + rb*nL over
+      // nL*nR cross-multiplied in DECIMAL(38,0)). Splitting off the
+      // integer part is what keeps the pairwise products at n^4/2
+      // (~6.5e34 at sf100, stated margin inside DECIMAL(38,0)/
+      // HUGEINT) where the naive full-score cross-product (n^5) would
+      // overflow at sf10. Ties (e.g. thresholds inside an empty bucket
+      // run) break to the smallest bucket. The information-gain
+      // variant is declared infeasible-exact: entropy needs sums of
+      // p*log p, and no monotone integer substitution exists for a
+      // SUM of logs (the Holt-Winters class). Published: top-5 splits
+      // by exact rank with threshold cents, side sizes, and the
+      // floor-ppm impurity for human eyes.
+      (s, d) => {
+        val joined = t(s, d, "lineitem")
+          .join(t(s, d, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_returnflag").as("cls"),
+            col("o_totalprice").as("x"))
+        val bounds = joined.agg(min("x").as("lo"), max("x").as("hi"))
+        val bucketExpr =
+          "least(63, CAST(floor((x - lo) / ((hi - lo) / 64.0)) AS INT))"
+        val hist = joined.crossJoin(broadcast(bounds))
+          .withColumn("b", expr(bucketExpr))
+          .groupBy("b").agg(
+            sum(when(col("cls") === "A", 1L).otherwise(0L)).as("ca"),
+            sum(when(col("cls") === "N", 1L).otherwise(0L)).as("cn"),
+            sum(when(col("cls") === "R", 1L).otherwise(0L)).as("cr"))
+          .cutLineage()
+        val dense = s.range(64).toDF("b")
+          .join(hist, Seq("b"), "left")
+          .na.fill(0L, Seq("ca", "cn", "cr"))
+        val tot = broadcast(dense.agg(sum("ca").as("ta"), sum("cn").as("tn"),
+          sum("cr").as("tr")))
+        val wCum = Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cand = dense
+          .withColumn("la", sum("ca").over(wCum))
+          .withColumn("ln", sum("cn").over(wCum))
+          .withColumn("lr", sum("cr").over(wCum))
+          .filter(col("b") < 63)
+          .crossJoin(tot)
+          .withColumn("nl", expr("la + ln + lr"))
+          .withColumn("nr", expr("(ta - la) + (tn - ln) + (tr - lr)"))
+          .withColumn("aa", expr(
+            "CAST(nl AS DECIMAL(38,0)) * nl - (CAST(la AS DECIMAL(38,0)) * la" +
+              " + CAST(ln AS DECIMAL(38,0)) * ln + CAST(lr AS DECIMAL(38,0)) * lr)"))
+          .withColumn("bb", expr(
+            "CAST(nr AS DECIMAL(38,0)) * nr" +
+              " - (CAST(ta - la AS DECIMAL(38,0)) * (ta - la)" +
+              " + CAST(tn - ln AS DECIMAL(38,0)) * (tn - ln)" +
+              " + CAST(tr - lr AS DECIMAL(38,0)) * (tr - lr))"))
+          .withColumn("qint", expr("CAST(aa div nl + bb div nr AS BIGINT)"))
+          .withColumn("fn", expr(
+            "CAST((aa - (aa div nl) * nl) * nr + (bb - (bb div nr) * nr) * nl" +
+              " AS DECIMAL(38,0))"))
+          .withColumn("fd", expr("CAST(nl AS DECIMAL(38,0)) * nr"))
+          .withColumn("g_ppm", expr(
+            "CAST((1000000 * (aa * nr + bb * nl)) div (fd * (nl + nr)) AS BIGINT)"))
+          .select("b", "nl", "nr", "qint", "fn", "fd", "g_ppm")
+        val x = cand.as("x")
+        val y = cand.as("y")
+        val beats =
+          (col("y.qint") < col("x.qint")) ||
+            (col("y.qint") === col("x.qint") &&
+              col("y.fn") * col("x.fd") < col("x.fn") * col("y.fd")) ||
+            (col("y.qint") === col("x.qint") &&
+              col("y.fn") * col("x.fd") === col("x.fn") * col("y.fd") &&
+              col("y.b") < col("x.b"))
+        x.join(y, beats, "left")
+          .groupBy(col("x.b").as("split_bucket"), col("x.nl").as("n_left"),
+            col("x.nr").as("n_right"), col("x.g_ppm").as("gini_ppm"))
+          .agg((count(col("y.b")) + 1).as("rank"))
+          .filter(col("rank") <= 5)
+          .crossJoin(broadcast(bounds))
+          .select(col("rank"), col("split_bucket"),
+            expr("CAST(floor((lo + (split_bucket + 1) * ((hi - lo) / 64.0))" +
+              " * 100 + 0.5) AS BIGINT)").as("thresh_c2"),
+            col("n_left"), col("n_right"), col("gini_ppm"))
+          .orderBy("rank")
+      },
+      Some("""WITH joined AS (
+                SELECT l_returnflag AS cls, o_totalprice AS x
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              bounds AS (SELECT min(x) AS lo, max(x) AS hi FROM joined),
+              hist AS (
+                SELECT least(63, CAST(floor((x - lo) / ((hi - lo) / 64.0))
+                    AS INT)) AS b,
+                  CAST(sum(CASE WHEN cls = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+                    AS ca,
+                  CAST(sum(CASE WHEN cls = 'N' THEN 1 ELSE 0 END) AS BIGINT)
+                    AS cn,
+                  CAST(sum(CASE WHEN cls = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+                    AS cr
+                FROM joined, bounds GROUP BY 1),
+              dense AS (
+                SELECT CAST(r.b AS INT) AS b, COALESCE(ca, 0) AS ca,
+                  COALESCE(cn, 0) AS cn, COALESCE(cr, 0) AS cr
+                FROM (SELECT unnest(range(0, 64)) AS b) r
+                LEFT JOIN hist ON hist.b = r.b),
+              tot AS (SELECT sum(ca) AS ta, sum(cn) AS tn, sum(cr) AS tr
+                      FROM dense),
+              cand AS (
+                SELECT b, nl, nr,
+                  CAST(aa // nl + bb // nr AS BIGINT) AS qint,
+                  CAST((aa % nl) * nr + (bb % nr) * nl AS HUGEINT) AS fn,
+                  CAST(nl AS HUGEINT) * nr AS fd,
+                  CAST((1000000 * (aa * nr + bb * nl))
+                    // (CAST(nl AS HUGEINT) * nr * (nl + nr)) AS BIGINT)
+                    AS g_ppm
+                FROM (
+                  SELECT b, nl, nr,
+                    CAST(nl AS HUGEINT) * nl
+                      - (CAST(la AS HUGEINT) * la + CAST(ln AS HUGEINT) * ln
+                        + CAST(lr AS HUGEINT) * lr) AS aa,
+                    CAST(nr AS HUGEINT) * nr
+                      - (CAST(ta - la AS HUGEINT) * (ta - la)
+                        + CAST(tn - ln AS HUGEINT) * (tn - ln)
+                        + CAST(tr - lr AS HUGEINT) * (tr - lr)) AS bb
+                  FROM (
+                    SELECT b,
+                      sum(ca) OVER w AS la, sum(cn) OVER w AS ln,
+                      sum(cr) OVER w AS lr,
+                      sum(ca) OVER w + sum(cn) OVER w + sum(cr) OVER w AS nl,
+                      (ta - sum(ca) OVER w) + (tn - sum(cn) OVER w)
+                        + (tr - sum(cr) OVER w) AS nr,
+                      ta, tn, tr
+                    FROM dense, tot
+                    WINDOW w AS (ORDER BY b ROWS UNBOUNDED PRECEDING))
+                  WHERE b < 63)),
+              ranked AS (
+                SELECT x.b AS split_bucket, x.nl AS n_left, x.nr AS n_right,
+                  x.g_ppm AS gini_ppm,
+                  CAST(1 + count(y.b) AS BIGINT) AS rank
+                FROM cand x LEFT JOIN cand y
+                  ON (y.qint < x.qint)
+                  OR (y.qint = x.qint AND y.fn * x.fd < x.fn * y.fd)
+                  OR (y.qint = x.qint AND y.fn * x.fd = x.fn * y.fd
+                      AND y.b < x.b)
+                GROUP BY 1, 2, 3, 4)
+              SELECT rank, split_bucket,
+                CAST(floor((lo + (split_bucket + 1) * ((hi - lo) / 64.0))
+                  * 100 + 0.5) AS BIGINT) AS thresh_c2,
+                n_left, n_right, gini_ppm
+              FROM ranked, bounds
+              WHERE rank <= 5 ORDER BY rank"""))
   )
 }
