@@ -29,6 +29,17 @@ final case class SieveState(lastSeq: Long, m: Long, sieves: List[SieveSet])
 final case class SieveOut(seq: Long, best_j: Long, objective: Long,
     ids: Seq[Long], n_sieves: Int)
 
+/** Typed records for the DGIM sliding-window counter. A bucket covers a
+  * run of events ending at `ts` (the most recent event it absorbed) and
+  * holds an exact power-of-two `size`; the per-key state is the bucket
+  * list newest-first — O(k log W) entries total, independent of stream
+  * length or window width in events. */
+final case class EhEvent(key: String, seq: Long, ts: Long)
+final case class EhBucket(ts: Long, size: Long)
+final case class EhState(lastSeq: Long, buckets: List[EhBucket])
+final case class EhOut(key: String, seq: Long, ts: Long, est: Long,
+    n_buckets: Int)
+
 /** Typed records for the streaming isotonic (PAV) smoother. A pool is
   * one block of adjacent positions the fit has merged: (sy, sw) are its
   * exact integer weighted sum and weight — the whole PAV state per key
@@ -453,6 +464,81 @@ object IncrementalPipeline {
         SieveOut(st.lastSeq, -nj, obj, s.ids.sorted, st.sieves.size)
       case None => SieveOut(st.lastSeq, -1L, 0L, Nil, 0)
     }))
+  }
+
+  /** Sliding-window event counts with bounded error in bounded state —
+    * exponential histograms (Datar-Gionis-Indyk-Motwani, SICOMP 2002):
+    * per key, "how many events landed in the last W time units" answered
+    * from O(k log W) state, where the exact answer would require
+    * retaining every event timestamp in the window (at 100 TB a hot key
+    * can hold millions of in-window events; this holds ~k log2 W
+    * buckets). Each arriving event becomes a size-1 bucket; whenever
+    * more than k buckets share a size, the two OLDEST merge into one of
+    * twice the size stamped with the newer timestamp (so sizes stay
+    * powers of two and each size has <= k buckets); buckets whose stamp
+    * leaves the window expire wholesale. The estimate counts every
+    * bucket fully except the oldest, which contributes half — the DGIM
+    * bound: only the oldest bucket (size S) can straddle the window
+    * boundary, every smaller size holds >= k-1 buckets once a larger
+    * one exists, so the relative error is <= (S/2)/((k-1)(S-1)+1)
+    * <= 1/(k-1), tightening to 1/(2(k-1)) as S grows — audited against
+    * the exact windowed count in StreamingSpec (k >= 2). Events process in `seq`
+    * order, forward-only per key (stale seq <= lastSeq ignored — the
+    * driftMonitor contract), with event time `ts` non-decreasing in seq
+    * (resolve out-of-order input upstream with a watermarked sort);
+    * that makes the fold deterministic under ANY trigger batching,
+    * which the spec pins by driving the pure core [[ehStep]]. */
+  def ehSlidingCount(events: DataFrame, windowW: Long, k: Int): Dataset[EhOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("key", "seq", "ts").as[EhEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[EhEvent], state: GroupState[EhState]) => {
+          val st0 = state.getOption.getOrElse(EhState(Long.MinValue, Nil))
+          val (st, out) = ehStep(windowW, k)(key, st0, rows.toSeq)
+          state.update(st)
+          out.iterator
+        })
+  }
+
+  /** One batch of the DGIM fold as a PURE function (state in, state +
+    * emissions out) — package-visible so the spec can prove batching
+    * invariance and the error bound by driving it directly. */
+  private[graft] def ehStep(windowW: Long, k: Int)(key: String,
+      st0: EhState, rows: Seq[EhEvent]): (EhState, Seq[EhOut]) = {
+    require(windowW > 0 && k >= 2, s"ehSlidingCount: need W > 0, k >= 2")
+    var st = st0
+    val out = Seq.newBuilder[EhOut]
+    // cascade: buckets newest-first with non-decreasing sizes; merging
+    // the two oldest of an over-full size can over-fill the next size,
+    // so walk sizes upward until every size holds <= k buckets
+    def cascade(bs0: List[EhBucket]): List[EhBucket] = {
+      var done = List.empty[EhBucket]
+      var cur = bs0
+      var size = 1L
+      var more = true
+      while (more) {
+        val (same, rest) = cur.span(_.size == size)
+        if (same.length > k) {
+          val merged = EhBucket(same(same.length - 2).ts, size * 2)
+          done = done ++ same.dropRight(2)
+          cur = merged :: rest
+          size *= 2
+        } else if (rest.isEmpty) { done = done ++ same; more = false }
+        else { done = done ++ same; cur = rest; size = rest.head.size }
+      }
+      done
+    }
+    rows.filter(_.seq > st.lastSeq).sortBy(_.seq).foreach { e =>
+      val inserted = cascade(EhBucket(e.ts, 1L) :: st.buckets)
+      val live = inserted.filter(_.ts > e.ts - windowW)
+      val total = live.map(_.size).sum
+      val est = if (live.isEmpty) 0L else total - live.last.size / 2
+      out += EhOut(key, e.seq, e.ts, est, live.length)
+      st = EhState(e.seq, live)
+    }
+    (st, out.result())
   }
 
   /** Deduplicate a stream per key keeping the earliest event, with state

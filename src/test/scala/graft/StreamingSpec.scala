@@ -785,4 +785,70 @@ class StreamingSpec extends AnyFunSuite {
         s"prefix $p: stream $fitStream != batch $fitBatch")
     }
   }
+
+  test("DGIM sliding count: batching-invariant, error-bounded, state-bounded") {
+    import graft.streaming.{IncrementalPipeline => IP, EhEvent, EhState}
+    val W = 64L
+    val k = 4
+    // deterministic bursty arrivals: content-derived gaps (0-4), with a
+    // 30-unit silence every 50 events — ts non-decreasing by build
+    val gaps = (1 to 400).map(i =>
+      ((i * 2654435761L >>> 13) % 5) + (if (i % 50 == 0) 30L else 0L))
+    val events = gaps.scanLeft(0L)(_ + _).tail.zipWithIndex.map {
+      case (t, i) => EhEvent("h", i + 1L, t)
+    }
+    def drive(batches: Seq[Seq[EhEvent]]): Seq[(Long, Long, Long, Int)] = {
+      var st = EhState(Long.MinValue, Nil)
+      batches.flatMap { b =>
+        val (st2, out) = IP.ehStep(W, k)("h", st, b)
+        st = st2
+        out.map(o => (o.seq, o.ts, o.est, o.n_buckets))
+      }
+    }
+    val one = drive(Seq(events))
+    val many = drive(events.grouped(7).toSeq)
+    val each = drive(events.map(Seq(_)))
+    assert(one == many && many == each, "batching must not matter")
+    // error bound vs the exact windowed count at every emission
+    one.foreach { case (seq, t, est, _) =>
+      val exact = events.count(e => e.seq <= seq && e.ts > t - W).toLong
+      assert(math.abs(est - exact) * (k - 1) <= exact,
+        s"seq=$seq t=$t est=$est exact=$exact: rel err must be <= 1/(k-1)")
+    }
+    // state bound: <= k buckets per size, O(k log W) buckets total
+    val maxBuckets = one.map(_._4).max
+    assert(maxBuckets <= k * (64 - java.lang.Long.numberOfLeadingZeros(W) + 2),
+      s"state must stay O(k log W), saw $maxBuckets buckets")
+    // stale seq ignored (forward-only contract)
+    val (stF, _) = IP.ehStep(W, k)("h", EhState(Long.MinValue, Nil), events)
+    val (stG, outG) = IP.ehStep(W, k)("h", stF, Seq(EhEvent("h", 5L, 3L)))
+    assert(outG.isEmpty && stG == stF, "stale seq must be a no-op")
+  }
+
+  test("DGIM sliding count: end-to-end through the state store, keys independent") {
+    import graft.streaming.EhEvent
+    implicit val sql = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EhEvent]
+    val q = IncrementalPipeline.ehSlidingCount(input.toDF(), windowW = 10L, k = 2)
+      .writeStream.outputMode("append").format("memory").queryName("eh").start()
+    // 4 events inside one window for key a; one for key b
+    input.addData(EhEvent("a", 1, 1), EhEvent("a", 2, 2), EhEvent("b", 1, 1))
+    q.processAllAvailable()
+    // next trigger: two more for a (state crossed the trigger), then a
+    // far-future event that expires everything before it
+    input.addData(EhEvent("a", 3, 3), EhEvent("a", 4, 4))
+    q.processAllAvailable()
+    input.addData(EhEvent("a", 5, 100))
+    q.processAllAvailable()
+    val got = spark.table("eh").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    q.stop()
+    // hand-replayed DGIM with k=2: event 3 overflows size 1 (three
+    // singletons), so the two oldest merge into a size-2 bucket and the
+    // estimate drops to total - oldest/2 = 2; event 4 -> [1,1,2], est 3;
+    // the ts=100 event expires everything -> exact 1 again
+    assert(got == Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 2L),
+      ("a", 4L, 3L), ("a", 5L, 1L), ("b", 1L, 1L)), s"got $got")
+  }
 }
