@@ -4476,6 +4476,254 @@ object AggWindowCatalog {
                   * 100 + 0.5) AS BIGINT) AS thresh_c2,
                 n_left, n_right, gini_ppm
               FROM ranked, bounds
-              WHERE rank <= 5 ORDER BY rank"""))
+              WHERE rank <= 5 ORDER BY rank""")),
+
+    Q("a_benford_audit",
+      // Benford first-digit audit (Benford 1938; Hill 1995 for why
+      // mixed-scale financial data obeys it) — the classic fraud/
+      // data-quality screen: the first significant digit distribution
+      // of order totals vs the Benford expectation. Everything is
+      // integer-exact with zero runtime logarithms: the observed digit
+      // is the leading character of the exact cents BIGINT rendered as
+      // a string (no floor(log10) float ladder), and the expected
+      // shares log10(1+1/d) are PUBLIC CONSTANTS hardcoded as ppm
+      // literals on both engines — they sum to exactly 1,000,000, so
+      // the in-row invariant is checkable by eye. One corpus pass onto
+      // a 9-row frame; the max-gap digit (the auditor's starting
+      // point) is flagged via a 9-row window. Synthetic TPC-H-style
+      // totals are sums of uniformish parts, NOT Benford-distributed —
+      // the large gaps this query reports on the test corpus are the
+      // CORRECT readout (the audit detecting non-Benford data), which
+      // the oracle confirms digit by digit.
+      (s, d) => {
+        val bppm = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+          66947L, 57992L, 51153L, 45757L)
+        val expected = broadcast(s.range(1, 10).toDF("digit")
+          .withColumn("expected_ppm",
+            element_at(array(bppm.map(lit): _*), col("digit").cast("int"))))
+        val obs = t(s, d, "orders")
+          .select(expr("CAST(substring(CAST(CAST(floor(o_totalprice * 100" +
+            " + 0.5) AS BIGINT) AS STRING), 1, 1) AS BIGINT)").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+        val tot = broadcast(obs.agg(sum("n").as("tot")))
+        expected.join(obs, Seq("digit"), "left").na.fill(0L, Seq("n"))
+          .crossJoin(tot)
+          .withColumn("observed_ppm", expr("(1000000 * n) div tot"))
+          .withColumn("gap_ppm", abs(col("observed_ppm") - col("expected_ppm")))
+          .withColumn("is_max_gap",
+            (col("gap_ppm") === max("gap_ppm").over(Window.partitionBy()))
+              .cast("int"))
+          .select(col("digit"), col("n"), col("observed_ppm"),
+            col("expected_ppm"), col("gap_ppm"), col("is_max_gap"))
+          .orderBy("digit")
+      },
+      Some("""WITH expected AS (
+                SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+                  (4, 96910), (5, 79181), (6, 66947), (7, 57992),
+                  (8, 51153), (9, 45757)) AS t(digit, expected_ppm)),
+              obs AS (
+                SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100
+                    + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                  CAST(count(*) AS BIGINT) AS n
+                FROM orders GROUP BY 1),
+              tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM obs)
+              SELECT CAST(e.digit AS BIGINT) AS digit, COALESCE(o.n, 0) AS n,
+                (1000000 * COALESCE(o.n, 0)) // tot AS observed_ppm,
+                CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+                abs((1000000 * COALESCE(o.n, 0)) // tot - e.expected_ppm)
+                  AS gap_ppm,
+                CAST(abs((1000000 * COALESCE(o.n, 0)) // tot
+                    - e.expected_ppm)
+                  = max(abs((1000000 * COALESCE(o.n, 0)) // tot
+                    - e.expected_ppm)) OVER () AS INT) AS is_max_gap
+              FROM expected e LEFT JOIN obs o ON e.digit = o.digit, tot
+              ORDER BY digit""")),
+
+    Q("w29_runs_test",
+      // Wald-Wolfowitz runs test (1940) — is each event type's daily
+      // up/down move sequence random, or does drift/seasonality chain
+      // moves together: R = number of maximal same-sign runs over the
+      // day-over-day move signs (zero-moves dropped, the standard
+      // treatment, documented). Under the null, E[R] = 1 + 2·n1·n2/n
+      // and Var[R] = 2·n1·n2·(2·n1·n2 − n) / (n²·(n−1)) — both exact
+      // rationals of tiny integers (n <= calendar days), so the
+      // "beyond 2 sigma" verdict is decided by EXACT cross-
+      // multiplication, no sqrt and no float: (R·n − n − 2·n1·n2)²
+      // · (n−1) > 8·n1·n2·(2·n1·n2 − n) ⟺ (R − E)² > 4·Var. Scale
+      // shape: one corpus pass to daily counts; signs, runs, and the
+      // verdict all live on the type-partitioned calendar frame
+      // (two lag() windows over <= |days| rows per type). Degenerate
+      // series (n < 2 or single-sign, Var <= 0) report flag 0.
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"))
+        val daily = ev.groupBy("event_type", "day")
+          .agg(count(lit(1)).as("c"))
+        val wOrd = Window.partitionBy("event_type").orderBy("day")
+        val moves = daily
+          .withColumn("prev", lag("c", 1).over(wOrd))
+          .filter(col("prev").isNotNull && col("c") =!= col("prev"))
+          .withColumn("sign", when(col("c") > col("prev"), 1).otherwise(-1))
+          .withColumn("chg",
+            when(col("sign") =!= lag("sign", 1).over(wOrd), 1L).otherwise(0L))
+        moves.groupBy("event_type")
+          .agg(sum(when(col("sign") === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("sign") === -1, 1L).otherwise(0L)).as("n2"),
+            (sum("chg") + 1).as("r"))
+          .withColumn("n", col("n1") + col("n2"))
+          .withColumn("mean_ppm", expr("(1000000 * (n + 2 * n1 * n2)) div n"))
+          .withColumn("beyond_2sigma", expr(
+            "CAST(n >= 2 AND 2 * n1 * n2 > n AND " +
+              "(r * n - n - 2 * n1 * n2) * (r * n - n - 2 * n1 * n2)" +
+              " * (n - 1) > 8 * n1 * n2 * (2 * n1 * n2 - n) AS INT)"))
+          .select("event_type", "n1", "n2", "r", "mean_ppm", "beyond_2sigma")
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2),
+              mv AS (
+                SELECT event_type, day, c,
+                  lag(c) OVER (PARTITION BY event_type ORDER BY day) AS prev
+                FROM daily),
+              signs AS (
+                SELECT event_type, day,
+                  CASE WHEN c > prev THEN 1 ELSE -1 END AS sign
+                FROM mv WHERE prev IS NOT NULL AND c != prev),
+              runs AS (
+                SELECT event_type, sign,
+                  CASE WHEN sign != lag(sign) OVER (PARTITION BY event_type
+                    ORDER BY day) THEN 1 ELSE 0 END AS chg
+                FROM signs),
+              st AS (
+                SELECT event_type,
+                  CAST(sum(CASE WHEN sign = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n1,
+                  CAST(sum(CASE WHEN sign = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n2,
+                  CAST(sum(chg) + 1 AS BIGINT) AS r
+                FROM runs GROUP BY 1)
+              SELECT event_type, n1, n2, r,
+                (1000000 * (n1 + n2 + 2 * n1 * n2)) // (n1 + n2) AS mean_ppm,
+                CAST(n1 + n2 >= 2 AND 2 * n1 * n2 > n1 + n2 AND
+                  (r * (n1 + n2) - (n1 + n2) - 2 * n1 * n2)
+                    * (r * (n1 + n2) - (n1 + n2) - 2 * n1 * n2)
+                    * (n1 + n2 - 1)
+                  > 8 * n1 * n2 * (2 * n1 * n2 - (n1 + n2)) AS INT)
+                  AS beyond_2sigma
+              FROM st ORDER BY event_type""")),
+
+    Q("a_mann_whitney",
+      // Mann-Whitney U (1947), exact with midranks: does returnflag-A's
+      // extended-price distribution stochastically dominate R's — the
+      // nonparametric two-sample test next to w14_ab_chisq's categorical
+      // one. Everything is integer-exact on cents: U is computed WITHOUT
+      // a global rank as U2_A = sum_v ca(v)·(2·cumR_lt(v) + cr(v))
+      // (each A row beats the R rows strictly below it, half-credits
+      // ties; x2 keeps the halves integral). cumR_lt avoids the
+      // unpartitioned-window funnel with the a_hist_quantiles two-phase
+      // trick on INTEGER bucketing — 64-row cross-bucket cumulative +
+      // a within-bucket prefix window PARTITIONED by bucket (~1/64 of
+      // the distinct values per task; at 100x recurse to 64^2 buckets
+      // rather than widening the window). The oracle deliberately uses
+      // the OTHER textbook formulation (flat midrank-sum window,
+      // U = sum 2·midrank_A − nA(nA+1)) so green proves the identity,
+      // not the code. Variance carries the full tie correction
+      // Var = nAnR((n+1)n(n−1) − sum(t^3−t)) / (12n(n−1)) in
+      // DECIMAL(38,0)/HUGEINT, and z^2 is published as a staged floor
+      // division (the a_leverage discipline: q1 = (u2−nAnR)^2 div nAnR
+      // first, monotone truncation documented): max intermediate ~2e32
+      // at sf1, margin to ~sf30 stated here — the sqrt-free verdict is
+      // the exact z2_e6 > 4e6 comparison. In-row invariants:
+      // u2_a + u2_r = 2·nA·nR, effect size as exact ppm.
+      (s, d) => {
+        val vals = t(s, d, "lineitem")
+          .filter(col("l_returnflag").isin("A", "R"))
+          .select(col("l_returnflag").as("g"),
+            expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("v"))
+          .groupBy("v").agg(
+            sum(when(col("g") === "A", 1L).otherwise(0L)).as("ca"),
+            sum(when(col("g") === "R", 1L).otherwise(0L)).as("cr"))
+          .cutLineage()
+        val bounds = broadcast(vals.agg(min("v").as("lo"), max("v").as("hi")))
+        val bucketed = vals.crossJoin(bounds)
+          .withColumn("b", expr("least(63, ((v - lo) * 64) div (hi - lo + 1))"))
+        val byBucket = bucketed.groupBy("b").agg(sum("cr").as("br"))
+          .withColumn("cum_r_below", expr(
+            "sum(br) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) - br"))
+        val wIn = Window.partitionBy("b").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cums = bucketed.join(broadcast(byBucket), Seq("b"))
+          .withColumn("cum_r_lt",
+            col("cum_r_below") + sum("cr").over(wIn) - col("cr"))
+        val st = cums.agg(
+          sum("ca").as("n_a"), sum("cr").as("n_r"),
+          sum(expr("ca * (2 * cum_r_lt + cr)")).as("u2_a"),
+          sum(when(col("ca") + col("cr") > 1, 1L).otherwise(0L))
+            .as("n_tie_groups"),
+          sum(expr("CAST(ca + cr AS DECIMAL(38,0)) * (ca + cr) * (ca + cr)" +
+            " - (ca + cr)")).as("tt"))
+        st
+          .withColumn("n", expr("n_a + n_r"))
+          .withColumn("u2_r", expr("2 * n_a * n_r - u2_a"))
+          .withColumn("effect_ppm",
+            expr("(1000000 * u2_a) div (2 * n_a * n_r)"))
+          .withColumn("q1", expr(
+            "(CAST(u2_a - n_a * n_r AS DECIMAL(38,0)) * (u2_a - n_a * n_r))" +
+              " div (CAST(n_a AS DECIMAL(38,0)) * n_r)"))
+          .withColumn("z2_e6", expr(
+            "CAST((CAST(3000000 AS DECIMAL(38,0)) * n * (n - 1) * q1)" +
+              " div (CAST(n + 1 AS DECIMAL(38,0)) * n * (n - 1) - tt)" +
+              " AS BIGINT)"))
+          .select(col("n_a"), col("n_r"), col("u2_a"),
+            col("u2_r"), col("effect_ppm"), col("n_tie_groups"),
+            col("z2_e6"),
+            expr("CAST(sign(u2_a - n_a * n_r) AS BIGINT)").as("a_shifted"))
+      },
+      Some("""WITH vals AS (
+                SELECT l_returnflag AS g,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+                FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+              grp AS (
+                SELECT v,
+                  CAST(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+                    AS ca,
+                  CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+                    AS cr
+                FROM vals GROUP BY 1),
+              ranked AS (
+                SELECT v, ca, cr,
+                  sum(ca + cr) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                    - (ca + cr) AS cnt_lt
+                FROM grp),
+              st AS (
+                SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                  CAST(sum(cr) AS BIGINT) AS n_r,
+                  CAST(sum(ca * (2 * cnt_lt + (ca + cr) + 1)) AS BIGINT)
+                    AS mid2_a,
+                  CAST(sum(CASE WHEN ca + cr > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_tie_groups,
+                  CAST(sum(CAST(ca + cr AS HUGEINT) * (ca + cr) * (ca + cr)
+                    - (ca + cr)) AS HUGEINT) AS tt
+                FROM ranked)
+              SELECT n_a, n_r,
+                CAST(mid2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+                CAST(2 * n_a * n_r - (mid2_a - n_a * (n_a + 1)) AS BIGINT)
+                  AS u2_r,
+                (1000000 * (mid2_a - n_a * (n_a + 1))) // (2 * n_a * n_r)
+                  AS effect_ppm,
+                n_tie_groups,
+                CAST((CAST(3000000 AS HUGEINT) * (n_a + n_r)
+                    * (n_a + n_r - 1)
+                    * ((CAST(mid2_a - n_a * (n_a + 1) - n_a * n_r
+                        AS HUGEINT)
+                      * (mid2_a - n_a * (n_a + 1) - n_a * n_r))
+                      // (CAST(n_a AS HUGEINT) * n_r)))
+                  // (CAST(n_a + n_r + 1 AS HUGEINT) * (n_a + n_r)
+                    * (n_a + n_r - 1) - tt) AS BIGINT) AS z2_e6,
+                CAST(sign(mid2_a - n_a * (n_a + 1) - n_a * n_r) AS BIGINT)
+                  AS a_shifted
+              FROM st"""))
   )
 }

@@ -1,6 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.catalog.Q.t
 
@@ -904,6 +905,138 @@ object RelationalCatalog {
                  WHEN ea = eb THEN 'finished_by'
                  ELSE 'contains' END AS rel,
                CAST(count(*) AS BIGINT) AS n_pairs
-             FROM pr GROUP BY 1 ORDER BY rel"""))
+             FROM pr GROUP BY 1 ORDER BY rel""")),
+
+    Q("j17_interval_schedule",
+    // Activity selection (eleventh-proposal #4): per customer, the
+    // provably-MAXIMUM set of pairwise non-overlapping order intervals
+    // — the classic greedy-by-earliest-end algorithm, exact by the
+    // exchange argument, over the same [orderdate, last-shipdate]
+    // epoch-day intervals as j16. Non-overlap is strict (next.b >
+    // prev.e: closed intervals sharing a day conflict, the Allen
+    // 'meets' case). Scale shape: one corpus aggregation builds each
+    // customer's interval array (orders-per-customer is corpus-bounded
+    // ~10-40, so the array and the fold depth are bounded per key, the
+    // w27 aggregate-HOF discipline — no window, no iteration over the
+    // corpus); the published rollup is the (n_orders, n_selected)
+    // distribution, a vocabulary-bounded frame. The oracle replays the
+    // identical fold as a bounded recursive CTE walking each
+    // customer's rank-ordered intervals (depth = max orders per
+    // customer). Deterministic: the greedy scan order is the total
+    // (end, start, orderkey) sort on both engines.
+    (s, d) => {
+      val iv = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(expr("max(unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000)").as("e"))
+        .join(t(s, d, "orders").select(col("o_orderkey").as("ok"),
+          col("o_custkey"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("b")),
+          Seq("ok"))
+      iv.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          expr("""aggregate(
+              array_sort(collect_list(named_struct('e', e, 'b', b, 'ok', ok))),
+              named_struct('cnt', CAST(0 AS BIGINT), 'le', CAST(-1 AS BIGINT)),
+              (acc, x) -> IF(x.b > acc.le,
+                named_struct('cnt', acc.cnt + 1, 'le', x.e), acc),
+              acc -> acc.cnt)""").as("n_selected"))
+        .groupBy("n_orders", "n_selected")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("n_orders", "n_selected")
+    },
+    Some("""WITH RECURSIVE iv AS (
+             SELECT o_custkey,
+               epoch_us(o_orderdate) // 86400000000 AS b, e,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY e, epoch_us(o_orderdate) // 86400000000,
+                   o_orderkey) AS r
+             FROM orders JOIN (
+               SELECT l_orderkey,
+                 max(epoch_us(l_shipdate) // 86400000000) AS e
+               FROM lineitem GROUP BY 1) li ON o_orderkey = l_orderkey),
+           walk AS (
+             SELECT o_custkey, 0 AS r, CAST(0 AS BIGINT) AS cnt,
+               CAST(-1 AS BIGINT) AS last_e
+             FROM (SELECT DISTINCT o_custkey FROM iv)
+             UNION ALL
+             SELECT w.o_custkey, w.r + 1,
+               CASE WHEN i.b > w.last_e THEN w.cnt + 1 ELSE w.cnt END,
+               CASE WHEN i.b > w.last_e THEN i.e ELSE w.last_e END
+             FROM walk w JOIN iv i ON i.o_custkey = w.o_custkey
+               AND i.r = w.r + 1),
+           fin AS (
+             SELECT o_custkey, CAST(max(r) AS BIGINT) AS n_orders,
+               max_by(cnt, r) AS n_selected
+             FROM walk GROUP BY o_custkey)
+           SELECT n_orders, n_selected,
+             CAST(count(*) AS BIGINT) AS n_customers
+           FROM fin GROUP BY 1, 2 ORDER BY n_orders, n_selected""")),
+
+    Q("j18_stabbing_count",
+      // Interval stabbing by sweep (the difference-array classic,
+      // Bentley's sweep-line family): for every calendar day, how many
+      // order intervals [orderdate, last shipdate] are active — the
+      // AGGREGATE face of the interval family (j9 joins point-to-
+      // interval, j13/j16 classify pairs, j17 selects; this one
+      // answers "concurrency over time", the capacity-planning
+      // readout). The 100 TB shape: each interval contributes exactly
+      // TWO delta events (+1 at start, -1 the day after end), so the
+      // corpus collapses in ONE map-side-combinable aggregation onto
+      // the day-bounded delta frame; the running concurrency is a
+      // prefix sum over the dense calendar (sequence() off a 1-row
+      // span aggregate — ~2,400 rows at every SF, a bounded single-
+      // partition window by design, same as w28's series frame).
+      // Published per day: interval starts, active count, and the
+      // peak-day flag (ties all flagged; exact integers).
+      (s, d) => {
+        val iv = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey").as("ok"))
+          .agg(expr("max(unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000)").as("e"))
+          .join(t(s, d, "orders").select(col("o_orderkey").as("ok"),
+            expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("b")),
+            Seq("ok"))
+        val deltas = iv.select(col("b").as("day"), lit(1L).as("delta"))
+          .unionByName(iv.select((col("e") + 1).as("day"), lit(-1L).as("delta")))
+          .groupBy("day").agg(sum("delta").as("delta"))
+        val starts = iv.groupBy(col("b").as("day"))
+          .agg(count(lit(1)).as("n_starts"))
+        val span = iv.agg(min("b").as("d0"), max("e").as("d1"))
+        val days = span.select(explode(expr("sequence(d0, d1)")).as("day"))
+        val active = days
+          .join(deltas, Seq("day"), "left").na.fill(0L, Seq("delta"))
+          .join(starts, Seq("day"), "left").na.fill(0L, Seq("n_starts"))
+          .withColumn("n_active", sum("delta").over(
+            Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)))
+        active
+          .withColumn("is_peak",
+            (col("n_active") === max("n_active").over(Window.partitionBy()))
+              .cast("int"))
+          .select(col("day"), col("n_starts"), col("n_active"), col("is_peak"))
+          .orderBy("day")
+      },
+      Some("""WITH iv AS (
+               SELECT epoch_us(o_orderdate) // 86400000000 AS b, e
+               FROM orders JOIN (
+                 SELECT l_orderkey,
+                   max(epoch_us(l_shipdate) // 86400000000) AS e
+                 FROM lineitem GROUP BY 1) li ON o_orderkey = l_orderkey),
+             deltas AS (
+               SELECT day, CAST(sum(delta) AS BIGINT) AS delta
+               FROM (SELECT b AS day, 1 AS delta FROM iv
+                     UNION ALL SELECT e + 1, -1 FROM iv)
+               GROUP BY 1),
+             starts AS (SELECT b AS day, CAST(count(*) AS BIGINT) AS n_starts
+                        FROM iv GROUP BY 1),
+             span AS (SELECT min(b) AS d0, max(e) AS d1 FROM iv),
+             days AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM span),
+             active AS (
+               SELECT days.day, COALESCE(starts.n_starts, 0) AS n_starts,
+                 CAST(sum(COALESCE(deltas.delta, 0)) OVER (ORDER BY days.day
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_active
+               FROM days LEFT JOIN deltas ON deltas.day = days.day
+               LEFT JOIN starts ON starts.day = days.day)
+             SELECT day, n_starts, n_active,
+               CAST(n_active = max(n_active) OVER () AS INT) AS is_peak
+             FROM active ORDER BY day"""))
   )
 }

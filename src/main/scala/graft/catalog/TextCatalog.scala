@@ -4171,7 +4171,201 @@ object TextCatalog {
             sum("cnt").as("n_hits"))
           .orderBy("source", "needle")
       },
-      Some(duckAhoCorasickSql))
+      Some(duckAhoCorasickSql)),
+
+    Q("x_huffman_bound",
+      // Optimal prefix-code lengths for the token vocabulary (Huffman
+      // 1952, two-queue construction van Leeuwen 1976) — the exact
+      // compression bound the x_unigram/x_bpe token-cost family can be
+      // judged against: per token its optimal code length, the
+      // corpus's weighted bits-per-token vs the flat fixed-width code,
+      // and the Kraft sum as an IN-ROW invariant (sum 2^(Lmax-l) must
+      // equal 2^Lmax exactly — a single wrong length breaks it).
+      // Scale shape: the corpus is touched once (the token-frequency
+      // aggregate); the construction runs entirely on the vocabulary-
+      // bounded 1-row frame as ONE aggregate-HOF fold of V-1 merges
+      // (the w27 discipline) — each step takes the two cheapest nodes
+      // off the (weight, birth-id)-sorted queue, appends the merge,
+      // and bumps the member leaves' depths. Determinism: ties break
+      // on birth id (leaves in weight-ascending rank order, merges
+      // numbered after), the identical total order on both engines;
+      // the oracle replays the same V-1 steps as a bounded recursive
+      // CTE over LIST state. The flat baseline is integer-exact too:
+      // bits = length(bin(V-1)), no log2 float anywhere.
+      (s, d) => {
+        val leaves = spread(t(s, d, "documents"))
+          .select(explode(split(expr(sparkNorm), " ")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("freq"))
+          .orderBy(desc("freq"), col("token")).limit(64)
+          .withColumn("id", (row_number().over(
+            Window.orderBy(col("freq").asc, col("token").asc)) - 1).cast("int"))
+        val folded = leaves.agg(
+          expr("array_sort(collect_list(named_struct(" +
+            "'w', freq, 'id', id, 'm', array(id))))").as("ns"),
+          expr("collect_list(named_struct(" +
+            "'id', id, 'token', token, 'freq', freq))").as("ls"))
+          .withColumn("dep", expr("""
+            aggregate(
+              sequence(1, size(ns) - 1),
+              named_struct('q', ns, 'dep', transform(ns, x -> 0)),
+              (acc, t) -> named_struct(
+                'q', array_sort(concat(
+                  slice(acc.q, 3, size(acc.q) - 2),
+                  array(named_struct(
+                    'w', acc.q[0].w + acc.q[1].w,
+                    'id', size(ns) - 1 + t,
+                    'm', concat(acc.q[0].m, acc.q[1].m))))),
+                'dep', transform(acc.dep, (dd, k) ->
+                  dd + IF(array_contains(acc.q[0].m, k)
+                    OR array_contains(acc.q[1].m, k), 1, 0))),
+              acc -> acc.dep)"""))
+        val out = folded
+          .select(explode(col("ls")).as("l"), col("dep"))
+          .select(col("l.token").as("token"), col("l.freq").as("freq"),
+            expr("CAST(element_at(dep, l.id + 1) AS BIGINT)").as("code_len"))
+        val st = broadcast(out.agg(
+          sum(expr("freq * code_len")).as("total_bits"),
+          sum("freq").as("total_toks"),
+          max("code_len").as("lmax"),
+          count(lit(1)).as("nv")))
+        val kraft = broadcast(out.crossJoin(st)
+          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), " +
+            "CAST(lmax - code_len AS INT))")).as("ksum")))
+        out.crossJoin(st).crossJoin(kraft)
+          .select(col("token"), col("freq"), col("code_len"),
+            expr("freq * code_len").as("w_bits"),
+            expr("(1000000 * total_bits) div total_toks")
+              .as("bits_per_token_ppm"),
+            expr("CAST(length(bin(nv - 1)) AS BIGINT)").as("flat_bits"),
+            expr("CAST(ksum = shiftleft(CAST(1 AS BIGINT), CAST(lmax AS INT))" +
+              " AS INT)").as("kraft_ok"))
+          .orderBy(desc("freq"), col("token"))
+      },
+      Some(s"""WITH RECURSIVE
+              tok AS (SELECT unnest(string_split($duckNorm, ' ')) AS token
+                      FROM documents),
+              freqs AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
+                        FROM tok GROUP BY 1
+                        ORDER BY freq DESC, token LIMIT 64),
+              leaves AS (SELECT token, freq,
+                  CAST(row_number() OVER (ORDER BY freq, token) - 1 AS INT)
+                    AS id
+                FROM freqs),
+              init AS (SELECT
+                  list(struct_pack(w := freq, id := id, m := [id])
+                    ORDER BY freq, id) AS q,
+                  CAST(count(*) AS INT) AS nv
+                FROM leaves),
+              walk AS (
+                SELECT 0 AS t, q, [0 FOR k IN range(nv)] AS dep, nv FROM init
+                UNION ALL
+                SELECT t + 1,
+                  list_sort(list_concat(q[3:],
+                    [struct_pack(w := q[1].w + q[2].w,
+                       id := nv + t,
+                       m := list_concat(q[1].m, q[2].m))])),
+                  [dep[k + 1] + CASE WHEN list_contains(q[1].m, k)
+                     OR list_contains(q[2].m, k) THEN 1 ELSE 0 END
+                   FOR k IN range(len(dep))],
+                  nv
+                FROM walk WHERE t < nv - 1),
+              fin AS (SELECT dep FROM walk WHERE t = nv - 1),
+              outt AS (SELECT l.token, l.freq,
+                  CAST(dep[l.id + 1] AS BIGINT) AS code_len
+                FROM leaves l, fin),
+              st AS (SELECT CAST(sum(freq * code_len) AS BIGINT)
+                    AS total_bits,
+                  CAST(sum(freq) AS BIGINT) AS total_toks,
+                  max(code_len) AS lmax,
+                  CAST(count(*) AS BIGINT) AS nv FROM outt),
+              kr AS (SELECT CAST(sum(CAST(1 AS BIGINT)
+                    << CAST(lmax - code_len AS INT)) AS BIGINT) AS ksum
+                FROM outt, st)
+              SELECT token, freq, code_len,
+                CAST(freq * code_len AS BIGINT) AS w_bits,
+                CAST((1000000 * total_bits) // total_toks AS BIGINT)
+                  AS bits_per_token_ppm,
+                CAST(length(bin(nv - 1)) AS BIGINT) AS flat_bits,
+                CAST(CASE WHEN ksum = CAST(1 AS BIGINT)
+                  << CAST(lmax AS INT) THEN 1 ELSE 0 END AS INT) AS kraft_ok
+              FROM outt, st, kr
+              ORDER BY freq DESC, token""")),
+
+    Q("x_lz_complexity",
+      // Lempel-Ziv-76 complexity (Lempel & Ziv 1976, the Kaspar-
+      // Schuster counting scheme): per document, the number of LZ
+      // phrases in its character stream — the compression-complexity
+      // quality signal next to x_gopher_repetition/x_dup_span_fraction
+      // (templated/boilerplate text parses into few long phrases, so
+      // LOW phrase density flags it; x_huffman_bound prices symbol
+      // frequencies, this prices STRUCTURE). The parse is the exact
+      // canonical one: scan left to right, extend the current phrase
+      // while the window [start..k] still occurs somewhere in the
+      // prefix ending at k-1 (overlap allowed), count a phrase and
+      // restart at each failure, +1 for a pending unfinished phrase.
+      // Feasibility bound stated up front: the declarative fold is
+      // O(len^2) per row with an O(len) instr probe inside, so the
+      // input is the first 64 ASCII chars (~11 tokens) — enough to
+      // separate the corpus's repetition strata; longer windows want
+      // the suffix-automaton formulation (declared, not attempted;
+      // the proposal's 256-char cap priced the oracle's recursive
+      // replay wrong by 64x). Scale shape: one corpus pass, the fold
+      // is row-local inside codegen, and the rollup is a source-
+      // bounded aggregate. The oracle replays the identical fold as a
+      // bounded recursive CTE (depth 64, all docs advance together).
+      (s, d) => {
+        val rolled = spread(t(s, d, "documents"))
+          .withColumn("a", expr("substring(regexp_replace(" +
+            s"$sparkNorm, '[^\\\\x00-\\\\x7f]', ''), 1, 64)"))
+          .withColumn("n", length(col("a")))
+          .filter(col("n") >= 1)
+          .withColumn("c", expr("""
+            aggregate(sequence(1, n), named_struct('c', 0, 'st', 1),
+              (acc, k) -> IF(instr(substring(a, 1, k - 1),
+                  substring(a, acc.st, k - acc.st + 1)) > 0,
+                acc,
+                named_struct('c', acc.c + 1, 'st', k + 1)),
+              acc -> acc.c + IF(acc.st <= n, 1, 0))"""))
+        rolled.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("c").cast("long")).as("sum_phrases"),
+            sum(col("n").cast("long")).as("sum_chars"),
+            min(col("c").cast("long")).as("min_phrases"),
+            max(col("c").cast("long")).as("max_phrases"))
+          .withColumn("phrases_per_char_ppm",
+            expr("(1000000 * sum_phrases) div sum_chars"))
+          .orderBy("source")
+      },
+      Some(s"""WITH RECURSIVE dd AS (
+                SELECT doc_id, source,
+                  substring(regexp_replace($duckNorm, '[^\\x00-\\x7f]', '',
+                    'g'), 1, 64) AS a
+                FROM documents),
+              d2 AS (SELECT doc_id, source, a, len(a) AS n FROM dd
+                     WHERE len(a) >= 1),
+              walk AS (
+                SELECT doc_id, 0 AS k, 0 AS c, 1 AS st FROM d2
+                UNION ALL
+                SELECT w.doc_id, w.k + 1,
+                  CASE WHEN strpos(substring(d.a, 1, w.k),
+                      substring(d.a, w.st, w.k + 2 - w.st)) > 0
+                    THEN w.c ELSE w.c + 1 END,
+                  CASE WHEN strpos(substring(d.a, 1, w.k),
+                      substring(d.a, w.st, w.k + 2 - w.st)) > 0
+                    THEN w.st ELSE w.k + 2 END
+                FROM walk w JOIN d2 d USING (doc_id) WHERE w.k < d.n),
+              fin AS (
+                SELECT w.doc_id, d.source, d.n,
+                  w.c + CASE WHEN w.st <= d.n THEN 1 ELSE 0 END AS c
+                FROM walk w JOIN d2 d USING (doc_id) WHERE w.k = d.n)
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(c) AS BIGINT) AS sum_phrases,
+                CAST(sum(n) AS BIGINT) AS sum_chars,
+                CAST(min(c) AS BIGINT) AS min_phrases,
+                CAST(max(c) AS BIGINT) AS max_phrases,
+                (1000000 * CAST(sum(c) AS BIGINT))
+                  // CAST(sum(n) AS BIGINT) AS phrases_per_char_ppm
+              FROM fin GROUP BY source ORDER BY source"""))
   )
 
   /** Needle vocabulary for `x_aho_corasick` — overlap structure chosen

@@ -40,6 +40,15 @@ final case class EhState(lastSeq: Long, buckets: List[EhBucket])
 final case class EhOut(key: String, seq: Long, ts: Long, est: Long,
     n_buckets: Int)
 
+/** Typed records for the KMV streaming sampler. The per-key state is
+  * the <= k identities with the smallest content-derived hashes plus
+  * the forward-only cursor — O(k), independent of stream length. */
+final case class KmvEvent(key: String, seq: Long, id: Long)
+final case class KmvEntry(h: Long, id: Long)
+final case class KmvState(lastSeq: Long, sample: List[KmvEntry])
+final case class KmvOut(key: String, seq: Long, n_sample: Int,
+    kth_hash: Long, fingerprint: Long)
+
 /** Typed records for the streaming isotonic (PAV) smoother. A pool is
   * one block of adjacent positions the fit has merged: (sy, sw) are its
   * exact integer weighted sum and weight — the whole PAV state per key
@@ -539,6 +548,63 @@ object IncrementalPipeline {
       st = EhState(e.seq, live)
     }
     (st, out.result())
+  }
+
+  /** Bounded-state uniform sample over an unbounded stream — the
+    * streaming face of the a_kmv_* family (k minimum values, Bar-Yossef
+    * et al. 2002 as a sampler): per key, keep the <= k DISTINCT item
+    * identities whose content-derived 48-bit hashes (first 12 hex chars
+    * of md5(id), the x_hash_split discipline) are smallest. Membership
+    * is a pure function of identity, so re-delivery, trigger batching,
+    * and arrival order can never move the sample — the property random-
+    * reservoir sampling cannot give a distributed at-least-once stream.
+    * Each trigger emits one snapshot: sample size, the kth (largest
+    * kept) hash — which doubles as the KMV distinct-count statistic —
+    * and an order-free fingerprint (sum of kept hashes) that the spec
+    * pins equal to the BATCH selection over every prefix. Events
+    * process in `seq` order, forward-only (stale seq <= lastSeq is a
+    * no-op, the driftMonitor contract). */
+  def kmvSample(events: DataFrame, k: Int): Dataset[KmvOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("key", "seq", "id").as[KmvEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[KmvEvent], state: GroupState[KmvState]) => {
+          val st0 = state.getOption.getOrElse(KmvState(Long.MinValue, Nil))
+          val (st, out) = kmvStep(k)(key, st0, rows.toSeq)
+          state.update(st)
+          out.iterator
+        })
+  }
+
+  /** The 48-bit content hash shared with the batch split/sample queries:
+    * top 6 bytes of md5 of the decimal identity. */
+  private[graft] def kmvHash48(id: Long): Long =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .take(6).foldLeft(0L)((a, b) => (a << 8) | (b & 0xff))
+
+  /** One batch of the KMV fold as a PURE function — package-visible so
+    * the spec can prove batching invariance and batch-prefix equality
+    * by driving it directly. Emits one snapshot per non-empty batch. */
+  private[graft] def kmvStep(k: Int)(key: String,
+      st0: KmvState, rows: Seq[KmvEvent]): (KmvState, Seq[KmvOut]) = {
+    require(k >= 1, "kmvSample: need k >= 1")
+    var st = st0
+    val fresh = rows.filter(_.seq > st.lastSeq).sortBy(_.seq)
+    if (fresh.isEmpty) return (st, Nil)
+    fresh.foreach { e =>
+      val sample =
+        if (st.sample.exists(_.id == e.id)) st.sample
+        else (KmvEntry(kmvHash48(e.id), e.id) :: st.sample)
+          .sortBy(x => (x.h, x.id)).take(k)
+      st = KmvState(e.seq, sample)
+    }
+    val kth = if (st.sample.size < k) -1L
+      else st.sample.map(_.h).max
+    (st, Seq(KmvOut(key, st.lastSeq, st.sample.size, kth,
+      st.sample.map(_.h).sum)))
   }
 
   /** Deduplicate a stream per key keeping the earliest event, with state

@@ -851,4 +851,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 2L),
       ("a", 4L, 3L), ("a", 5L, 1L), ("b", 1L, 1L)), s"got $got")
   }
+
+  test("KMV streaming sample: batching-invariant, equals the batch selection, bounded") {
+    import graft.streaming.{IncrementalPipeline => IP, KmvEvent, KmvState}
+    val k = 8
+    // 200 events over 60 distinct ids, with re-deliveries mixed in
+    val events = (1 to 200).map(i => KmvEvent("s", i.toLong, (i * 37 % 60) + 1L))
+    def drive(batches: Seq[Seq[KmvEvent]]) = {
+      var st = KmvState(Long.MinValue, Nil)
+      val outs = batches.flatMap { b =>
+        val (st2, out) = IP.kmvStep(k)("s", st, b); st = st2; out
+      }
+      (st, outs)
+    }
+    val (stOne, one) = drive(Seq(events))
+    val (stMany, many) = drive(events.grouped(13).toSeq)
+    assert(stOne == stMany, "state must not depend on batching")
+    assert(one.last == many.last, "final snapshot must not depend on batching")
+    // every snapshot equals the batch selection over its prefix
+    many.foreach { snap =>
+      val ids = events.filter(_.seq <= snap.seq).map(_.id).distinct
+      val want = ids.map(id => (IP.kmvHash48(id), id)).sorted.take(k)
+      assert(snap.n_sample == want.size && snap.fingerprint == want.map(_._1).sum,
+        s"prefix ${snap.seq}: stream snapshot must equal the batch k-min selection")
+      assert(snap.kth_hash == (if (want.size < k) -1L else want.map(_._1).max))
+    }
+    // bounded state; stale re-delivery is a no-op
+    assert(stOne.sample.size <= k)
+    val (stAgain, outAgain) = IP.kmvStep(k)("s", stOne, Seq(KmvEvent("s", 3L, 999L)))
+    assert(outAgain.isEmpty && stAgain == stOne)
+  }
+
+  test("KMV streaming sample: end-to-end, sample identical under reordered triggers") {
+    import graft.streaming.KmvEvent
+    implicit val sql = spark.sqlContext
+    def run(name: String, batches: Seq[Seq[KmvEvent]]): (Int, Long, Long) = {
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KmvEvent]
+      val q = IncrementalPipeline.kmvSample(input.toDF(), k = 4)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val last = spark.table(name).collect()
+        .map(r => (r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+        .maxBy(_._1)
+      q.stop()
+      (last._2, last._3, last._4)
+    }
+    val evs = (1 to 30).map(i => KmvEvent("k", i.toLong, i * 7L % 19 + 1))
+    val a = run("kmv_a", Seq(evs))
+    val b = run("kmv_b", evs.grouped(7).toSeq)
+    assert(a == b, s"trigger shape must not move the sample: $a vs $b")
+  }
 }
