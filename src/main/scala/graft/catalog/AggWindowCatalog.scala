@@ -4724,6 +4724,175 @@ object AggWindowCatalog {
                     * (n_a + n_r - 1) - tt) AS BIGINT) AS z2_e6,
                 CAST(sign(mid2_a - n_a * (n_a + 1) - n_a * n_r) AS BIGINT)
                   AS a_shifted
-              FROM st"""))
+              FROM st""")),
+
+    Q("w31_lis",
+      // Longest strictly-increasing (and strictly-decreasing)
+      // subsequence of each event type's daily count series — the
+      // patience algorithm (Schensted 1961; Mallows 1973 named the
+      // solitaire): "how trending is this series REALLY" next to
+      // w25's local slopes and w29's runs randomness — a monotone
+      // drift shows as LIS approaching the day count, a mean-reverting
+      // series keeps both LIS and LDS near sqrt(n). The fold carries
+      // only the tails array (tails[i] = smallest tail of any
+      // increasing subsequence of length i+1, always sorted): each
+      // value replaces the first tail >= it or appends — position
+      // found by counting tails < x, exact integers throughout; LDS is
+      // the same fold over the negated series. Scale shape: one corpus
+      // pass to daily counts, the fold runs on the type-partitioned
+      // <=|days| array (the w27 aggregate-HOF discipline). Oracle
+      // replays both folds as a bounded recursive CTE over LIST state
+      // (all types advance together, depth = days).
+      (s, d) => {
+        def lis(col0: String) =
+          s"""size(aggregate($col0,
+               array_repeat(CAST(0 AS BIGINT), 0),
+               (acc, x) -> IF(size(filter(acc, t -> t < x)) = size(acc),
+                 concat(acc, array(x)),
+                 transform(acc, (t, i) ->
+                   IF(i = size(filter(acc, t -> t < x)), x, t)))))"""
+        t(s, d, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            expr("array_sort(collect_list(named_struct('day', day, 'c', c)))")
+              .as("ser"))
+          .withColumn("cs", expr("transform(ser, x -> x.c)"))
+          .withColumn("lis_len", expr(lis("cs")).cast("long"))
+          .withColumn("lds_len",
+            expr(lis("transform(cs, v -> -v)")).cast("long"))
+          .select("event_type", "n_days", "lis_len", "lds_len")
+          .orderBy("event_type")
+      },
+      Some("""WITH RECURSIVE daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2),
+              ser AS (SELECT event_type, c,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY day) AS r
+                FROM daily),
+              nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+                     FROM ser GROUP BY 1),
+              walk AS (
+                SELECT event_type, 0 AS r, CAST([] AS BIGINT[]) AS up,
+                  CAST([] AS BIGINT[]) AS dn
+                FROM nn
+                UNION ALL
+                SELECT w.event_type, w.r + 1,
+                  CASE WHEN len(list_filter(w.up, t -> t < s.c)) = len(w.up)
+                    THEN list_append(w.up, s.c)
+                    ELSE [CASE WHEN k = len(list_filter(w.up,
+                        t -> t < s.c)) + 1
+                      THEN s.c ELSE w.up[CAST(k AS INT)] END
+                      FOR k IN range(1, len(w.up) + 1)] END,
+                  CASE WHEN len(list_filter(w.dn, t -> t < -s.c)) = len(w.dn)
+                    THEN list_append(w.dn, -s.c)
+                    ELSE [CASE WHEN k = len(list_filter(w.dn,
+                        t -> t < -s.c)) + 1
+                      THEN -s.c ELSE w.dn[CAST(k AS INT)] END
+                      FOR k IN range(1, len(w.dn) + 1)] END
+                FROM walk w JOIN ser s ON s.event_type = w.event_type
+                  AND s.r = w.r + 1)
+              SELECT w.event_type, nn.n_days,
+                CAST(len(w.up) AS BIGINT) AS lis_len,
+                CAST(len(w.dn) AS BIGINT) AS lds_len
+              FROM walk w JOIN nn ON nn.event_type = w.event_type
+              WHERE w.r = nn.n_days
+              ORDER BY w.event_type""")),
+
+    Q("a_kendall_tau",
+      // Exact Kendall tau-b (Kendall 1938) between order quantity and
+      // extended price — rank correlation WITHOUT a global sort, by
+      // hierarchical inversion counting: discordant pairs D = sum over
+      // distinct (x, y) cells of cnt * #(x' < x AND y' > y), where the
+      // 2-D dominance count is built in three bounded steps — (1) one
+      // corpus pass to the distinct-cell frame; (2) each cell's count
+      // fans out to the x-values ABOVE it (the x vocabulary is the
+      // bounded quantity domain, <= 50 values, so the fan-out is a
+      // vocabulary-bounded explode, never a pair join); (3) one
+      // y-descending suffix window PER x-value (50 partitions, each a
+      // y-sorted fraction of the distinct-cell frame — at 100x these
+      // partitions are corpus-sized; the recurse is y-bucketing the
+      // suffix pass exactly like a_mann_whitney's two-phase, declared
+      // here, not needed through sf1). Concordant pairs come from the
+      // tie identity C = n0 - n1 - n2 + n3 - D, which the ORACLE
+      // proves by computing C DIRECTLY with its own y-ascending prefix
+      // pass — green means the identity and both dominance passes
+      // agree. tau-b's sqrt denominator stays unevaluated: published
+      // as the exact floor e6 of tau^2 = (C-D)^2 / ((n0-n1)(n0-n2))
+      // in DECIMAL(38,0)/HUGEINT (max intermediate ~3e32 at sf1,
+      // stated margin ~sf30) plus the exact sign.
+      (s, d) => {
+        val p = t(s, d, "lineitem")
+          .select(col("l_quantity").cast("long").as("x"),
+            expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+              .as("y"))
+          .groupBy("x", "y").agg(count(lit(1)).as("cnt"))
+          .cutLineage()
+        val xmax = broadcast(p.agg(max("x").as("xmax")))
+        val contrib = p.crossJoin(xmax).filter(col("x") < col("xmax"))
+          .select(explode(expr("sequence(x + 1, xmax)")).as("v"),
+            col("y"), col("cnt"))
+          .unionByName(p.select(col("x").as("v"), col("y"),
+            lit(0L).as("cnt")))
+        val wSuf = Window.partitionBy("v").orderBy(col("y").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val dom = contrib.groupBy("v", "y").agg(sum("cnt").as("cx"))
+          .withColumn("a_gt", sum("cx").over(wSuf) - col("cx"))
+        val st = p.join(dom.select(col("v").as("x"), col("y"), col("a_gt")),
+            Seq("x", "y"))
+          .agg(sum("cnt").as("n"),
+            sum(expr("cnt * a_gt")).as("nd"),
+            sum(expr("cnt * (cnt - 1) div 2")).as("n3"))
+        val t1 = broadcast(p.groupBy("x").agg(sum("cnt").as("tx"))
+          .agg(sum(expr("tx * (tx - 1) div 2")).as("n1")))
+        val t2 = broadcast(p.groupBy("y").agg(sum("cnt").as("ty"))
+          .agg(sum(expr("ty * (ty - 1) div 2")).as("n2")))
+        st.crossJoin(t1).crossJoin(t2)
+          .withColumn("n0", expr("n * (n - 1) div 2"))
+          .withColumn("nc", expr("n0 - n1 - n2 + n3 - nd"))
+          .withColumn("direction", expr("CAST(sign(nc - nd) AS BIGINT)"))
+          .withColumn("taub2_e6", expr(
+            "CAST((1000000 * CAST(nc - nd AS DECIMAL(38,0)) * (nc - nd))" +
+              " div (CAST(n0 - n1 AS DECIMAL(38,0)) * (n0 - n2)) AS BIGINT)"))
+          .select("n", "n0", "nc", "nd", "n1", "n2", "n3",
+            "direction", "taub2_e6")
+      },
+      Some("""WITH p AS (
+                SELECT CAST(l_quantity AS BIGINT) AS x,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+                  CAST(count(*) AS BIGINT) AS cnt
+                FROM lineitem GROUP BY 1, 2),
+              xm AS (SELECT max(x) AS xmax FROM p),
+              contrib AS (
+                SELECT CAST(u.v AS BIGINT) AS v, y, cnt
+                FROM p, xm, UNNEST(range(x + 1, xmax + 1)) AS u(v)
+                UNION ALL SELECT x, y, 0 FROM p),
+              dom AS (
+                SELECT v, y,
+                  sum(cx) OVER (PARTITION BY v ORDER BY y DESC
+                    ROWS UNBOUNDED PRECEDING) - cx AS a_gt,
+                  sum(cx) OVER (PARTITION BY v ORDER BY y ASC
+                    ROWS UNBOUNDED PRECEDING) - cx AS a_lt
+                FROM (SELECT v, y, CAST(sum(cnt) AS BIGINT) AS cx
+                      FROM contrib GROUP BY 1, 2)),
+              st AS (
+                SELECT CAST(sum(p.cnt) AS BIGINT) AS n,
+                  CAST(sum(p.cnt * dom.a_gt) AS BIGINT) AS nd,
+                  CAST(sum(p.cnt * dom.a_lt) AS BIGINT) AS nc,
+                  CAST(sum(p.cnt * (p.cnt - 1) // 2) AS BIGINT) AS n3
+                FROM p JOIN dom ON dom.v = p.x AND dom.y = p.y),
+              t1 AS (SELECT CAST(sum(tx * (tx - 1) // 2) AS BIGINT) AS n1
+                     FROM (SELECT sum(cnt) AS tx FROM p GROUP BY x)),
+              t2 AS (SELECT CAST(sum(ty * (ty - 1) // 2) AS BIGINT) AS n2
+                     FROM (SELECT sum(cnt) AS ty FROM p GROUP BY y))
+              SELECT n, n * (n - 1) // 2 AS n0, nc, nd, n1, n2, n3,
+                CAST(sign(nc - nd) AS BIGINT) AS direction,
+                CAST((1000000 * CAST(nc - nd AS HUGEINT) * (nc - nd))
+                  // (CAST(n * (n - 1) // 2 - n1 AS HUGEINT)
+                    * (n * (n - 1) // 2 - n2)) AS BIGINT) AS taub2_e6
+              FROM st, t1, t2"""))
   )
 }

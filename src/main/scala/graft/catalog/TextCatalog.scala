@@ -4365,7 +4365,60 @@ object TextCatalog {
                 CAST(max(c) AS BIGINT) AS max_phrases,
                 (1000000 * CAST(sum(c) AS BIGINT))
                   // CAST(sum(n) AS BIGINT) AS phrases_per_char_ppm
-              FROM fin GROUP BY source ORDER BY source"""))
+              FROM fin GROUP BY source ORDER BY source""")),
+
+    Q("x_flesch_readability",
+      // Flesch reading-ease (Flesch 1948), integer-exact — the
+      // readability rung of the quality-scoring ladder (x_quality_score
+      // prices length/punct/stopwords; this prices sentence and word
+      // COMPLEXITY): score = 206.835 − 1.015·(words/sentences) −
+      // 84.6·(syllables/word), published as the e3 fixed-point with
+      // staged floor divisions (206835 − (1015·W) div S − (84600·Y)
+      // div W — monotone truncation, the w22 discipline; no float
+      // division anywhere). Two stated simplifications, identical on
+      // both engines: sentences = 1 + period count (the synthetic
+      // corpus has NO sentence punctuation, so S = n_docs and the
+      // words-per-sentence term reads whole-document length — the
+      // comparative readout across sources is still exact), and
+      // syllables = maximal [aeiouy]+ group count (the classic
+      // heuristic without the silent-e refinement; every corpus token
+      // contains a vowel, so the per-word >= 1 clamp never binds).
+      // Scale shape: one corpus pass of row-local regexp counts into a
+      // source-bounded aggregate.
+      (s, d) => {
+        spread(t(s, d, "documents"))
+          .withColumn("norm", expr(sparkNorm))
+          .select(col("source"),
+            expr("size(split(norm, ' '))").cast("long").as("w"),
+            expr("CAST(1 + size(regexp_extract_all(norm, '\\\\.', 0))" +
+              " AS BIGINT)").as("sent"),
+            expr("size(regexp_extract_all(norm, '[aeiouy]+', 0))")
+              .cast("long").as("y"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("w").as("n_words"),
+            sum("sent").as("n_sentences"), sum("y").as("n_syllables"))
+          .withColumn("flesch_e3", expr(
+            "206835 - (1015 * n_words) div n_sentences" +
+              " - (84600 * n_syllables) div n_words"))
+          .orderBy("source")
+      },
+      Some(s"""WITH per AS (
+                SELECT source,
+                  CAST(len(string_split(norm, ' ')) AS BIGINT) AS w,
+                  CAST(1 + len(regexp_extract_all(norm, '\\.')) AS BIGINT)
+                    AS sent,
+                  CAST(len(regexp_extract_all(norm, '[aeiouy]+'))
+                    AS BIGINT) AS y
+                FROM (SELECT source, $duckNorm AS norm FROM documents))
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(w) AS BIGINT) AS n_words,
+                CAST(sum(sent) AS BIGINT) AS n_sentences,
+                CAST(sum(y) AS BIGINT) AS n_syllables,
+                206835 - (1015 * CAST(sum(w) AS BIGINT))
+                    // CAST(sum(sent) AS BIGINT)
+                  - (84600 * CAST(sum(y) AS BIGINT))
+                    // CAST(sum(w) AS BIGINT) AS flesch_e3
+              FROM per GROUP BY source ORDER BY source"""))
   )
 
   /** Needle vocabulary for `x_aho_corasick` — overlap structure chosen
