@@ -4418,6 +4418,65 @@ object TextCatalog {
                     // CAST(sum(sent) AS BIGINT)
                   - (84600 * CAST(sum(y) AS BIGINT))
                     // CAST(sum(w) AS BIGINT) AS flesch_e3
+              FROM per GROUP BY source ORDER BY source""")),
+
+    Q("x_distinct_substrings",
+      // Distinct-substring count per document (thirteenth-proposal #2;
+      // suffix automata, Blumer et al. 1985) — the substring-DIVERSITY
+      // quality signal completing the compression family: x_huffman
+      // prices symbol frequencies, x_lz_complexity prices parse
+      // structure, this counts the substring vocabulary itself (near
+      // n(n+1)/2 for diverse text, collapsing for templated text). The
+      // Spark side is the native `suffix_distinct` expression
+      // (functions/SuffixDistinct.scala): O(n) automaton states, zero
+      // intermediate strings, count = sum(len(v) - len(link(v))); the
+      // oracle states the NAIVE form — explode all O(n^2) slices of
+      // the 64-char horizon and count distinct — so green proves the
+      // automaton against the definition (the x_aho_corasick recipe;
+      // SuffixDistinctSpec additionally pins the expression against
+      // the declarative twin on real docs and adversarial strings).
+      // Published per source with the diversity ratio in exact ppm of
+      // the n(n+1)/2 possible slices.
+      (s, d) => {
+        graft.functions.SuffixDistinct.register(s)
+        spread(t(s, d, "documents"))
+          .withColumn("a", expr("substring(regexp_replace(" +
+            s"$sparkNorm, '[^\\\\x00-\\\\x7f]', ''), 1, 64)"))
+          .withColumn("n", length(col("a")).cast("long"))
+          .filter(col("n") >= 1)
+          .withColumn("dc", expr("suffix_distinct(a)"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("dc").as("sum_distinct"),
+            sum(expr("n * (n + 1) div 2")).as("sum_possible"),
+            min("dc").as("min_distinct"), max("dc").as("max_distinct"))
+          .withColumn("diversity_ppm",
+            expr("(1000000 * sum_distinct) div sum_possible"))
+          .orderBy("source")
+      },
+      Some(s"""WITH dd AS (
+                SELECT doc_id, source,
+                  substring(regexp_replace($duckNorm, '[^\\x00-\\x7f]', '',
+                    'g'), 1, 64) AS a
+                FROM documents),
+              d2 AS (SELECT doc_id, source, a, CAST(len(a) AS BIGINT) AS n
+                     FROM dd WHERE len(a) >= 1),
+              per AS (
+                SELECT doc_id, source, n,
+                  CAST(count(DISTINCT a[CAST(i AS INT):CAST(j AS INT)])
+                    AS BIGINT) AS dc
+                FROM d2, UNNEST(range(1, n + 1)) AS u(i),
+                  UNNEST(range(1, n + 1)) AS w(j)
+                WHERE j >= i
+                GROUP BY 1, 2, 3)
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(dc) AS BIGINT) AS sum_distinct,
+                CAST(sum(n * (n + 1) // 2) AS BIGINT) AS sum_possible,
+                CAST(min(dc) AS BIGINT) AS min_distinct,
+                CAST(max(dc) AS BIGINT) AS max_distinct,
+                (1000000 * CAST(sum(dc) AS BIGINT))
+                  // CAST(sum(n * (n + 1) // 2) AS BIGINT)
+                  AS diversity_ppm
               FROM per GROUP BY source ORDER BY source"""))
   )
 

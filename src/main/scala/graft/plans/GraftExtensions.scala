@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CharNGrams, DotProduct, MultiMatch, RollingHash, SimHashAgg}
+import graft.functions.{CharNGrams, DotProduct, MultiMatch, RollingHash, SimHashAgg, SuffixDistinct}
 
 /** Optimizer rule guarding the near-dup self-join pathology (SURVEY.md
   * §7.3 mechanism (c): a `Rule[LogicalPlan]` injected via
@@ -204,5 +204,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("multi_match"),
       new ExpressionInfo(classOf[MultiMatch].getName, "multi_match"),
       (exprs: Seq[Expression]) => MultiMatch.build(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("suffix_distinct"),
+      new ExpressionInfo(classOf[SuffixDistinct].getName, "suffix_distinct"),
+      (exprs: Seq[Expression]) => SuffixDistinct.build(exprs)))
   }
 }

@@ -40,6 +40,17 @@ final case class EhState(lastSeq: Long, buckets: List[EhBucket])
 final case class EhOut(key: String, seq: Long, ts: Long, est: Long,
     n_buckets: Int)
 
+/** Typed records for the Greenwald-Khanna streaming quantile summary.
+  * A tuple covers a run of values ending at `v`: `g` is how many ranks
+  * it absorbs, `delta` its rank uncertainty — the invariant
+  * g + delta <= 2*eps*n bounds every quantile query's rank error by
+  * eps*n while the summary holds O((1/eps) log(eps n)) tuples. */
+final case class GkEvent(key: String, seq: Long, v: Long)
+final case class GkTuple(v: Long, g: Long, delta: Long)
+final case class GkState(lastSeq: Long, n: Long, summary: List[GkTuple])
+final case class GkOut(key: String, seq: Long, n: Long, n_tuples: Int,
+    p50: Long, p90: Long)
+
 /** Typed records for the KMV streaming sampler. The per-key state is
   * the <= k identities with the smallest content-derived hashes plus
   * the forward-only cursor — O(k), independent of stream length. */
@@ -548,6 +559,93 @@ object IncrementalPipeline {
       st = EhState(e.seq, live)
     }
     (st, out.result())
+  }
+
+  /** Deterministic epsilon-approximate streaming quantiles — Greenwald-
+    * Khanna (SIGMOD 2001), the classic order-statistics summary: per
+    * key, p50/p90 estimates whose RANK error is <= eps*n at every
+    * point, from O((1/eps) log(eps n)) state — where the exact answer
+    * needs every value retained (a_quantile_sketch's histogram face
+    * needs value bounds known up front; GK needs nothing). Each arrival
+    * inserts a tuple (v, g=1, delta=band) at its sorted position
+    * (extremes get delta 0); COMPRESS merges a tuple into its successor
+    * while g_i + g_{i+1} + delta_{i+1} stays within the band
+    * 2*eps*n — and runs at DETERMINISTIC points in the event count
+    * (every floor(1/(2 eps)) arrivals), never at batch boundaries, so
+    * the summary is a pure function of the seq-ordered prefix and
+    * trigger batching cannot move it (spec-pinned, the ehStep
+    * discipline). Queries walk the cumulative ranks and return the
+    * first tuple whose [rmin, rmax] sits within eps*n of the target —
+    * existence is exactly what the compress invariant guarantees.
+    * Forward-only on seq (stale <= lastSeq ignored). */
+  def gkQuantile(events: DataFrame, eps: Double): Dataset[GkOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("key", "seq", "v").as[GkEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[GkEvent], state: GroupState[GkState]) => {
+          val st0 = state.getOption.getOrElse(GkState(Long.MinValue, 0L, Nil))
+          val (st, out) = gkStep(eps)(key, st0, rows.toSeq)
+          state.update(st)
+          out.iterator
+        })
+  }
+
+  /** One batch of the GK fold as a PURE function — package-visible for
+    * the spec's batching-invariance and error-bound audits. Emits one
+    * snapshot per non-empty batch. */
+  private[graft] def gkStep(eps: Double)(key: String,
+      st0: GkState, rows: Seq[GkEvent]): (GkState, Seq[GkOut]) = {
+    require(eps > 0 && eps < 0.5, "gkQuantile: need 0 < eps < 0.5")
+    val span = math.max(1L, math.floor(1.0 / (2 * eps)).toLong)
+    var st = st0
+    val fresh = rows.filter(_.seq > st.lastSeq).sortBy(_.seq)
+    if (fresh.isEmpty) return (st, Nil)
+
+    def compress(summary: List[GkTuple], band: Long): List[GkTuple] =
+      // right-to-left: merge tuple i into i+1 while the invariant
+      // holds; the first tuple never merges (keeps the minimum exact)
+      summary match {
+        case first :: rest =>
+          first :: rest.foldRight(List.empty[GkTuple]) { (t, acc) =>
+            acc match {
+              case nxt :: tail if t.g + nxt.g + nxt.delta <= band =>
+                GkTuple(nxt.v, t.g + nxt.g, nxt.delta) :: tail
+              case _ => t :: acc
+            }
+          }
+        case Nil => Nil
+      }
+
+    fresh.foreach { e =>
+      val n1 = st.n + 1
+      val band = math.floor(2 * eps * n1).toLong
+      val (before, after) = st.summary.span(_.v <= e.v)
+      // interior inserts carry floor(2 eps n) - 1, NOT floor(2 eps n):
+      // the new tuple's g + delta must stay <= 2 eps n or the query's
+      // existence proof breaks at small n (g=1 plus a full band is one
+      // rank too wide)
+      val delta =
+        if (before.isEmpty || after.isEmpty) 0L
+        else math.max(0L, band - 1)
+      var summary = before ::: (GkTuple(e.v, 1L, delta) :: after)
+      if (n1 % span == 0) summary = compress(summary, band)
+      st = GkState(e.seq, n1, summary)
+    }
+
+    def query(phi: Double): Long = {
+      val r = math.max(1L, math.ceil(phi * st.n).toLong)
+      val e = eps * st.n // the REAL tolerance, not floored
+      var cum = 0L
+      st.summary.foreach { t =>
+        cum += t.g
+        if (r - cum <= e && cum + t.delta - r <= e) return t.v
+      }
+      st.summary.last.v
+    }
+    (st, Seq(GkOut(key, st.lastSeq, st.n, st.summary.length,
+      query(0.5), query(0.9))))
   }
 
   /** Bounded-state uniform sample over an unbounded stream — the

@@ -901,4 +901,64 @@ class StreamingSpec extends AnyFunSuite {
     val b = run("kmv_b", evs.grouped(7).toSeq)
     assert(a == b, s"trigger shape must not move the sample: $a vs $b")
   }
+
+  test("GK quantiles: rank error bounded, batching-invariant, state sublinear") {
+    import graft.streaming.{IncrementalPipeline => IP, GkEvent, GkState}
+    val eps = 0.05
+    // deterministic scrambled values: heavy-tailed-ish, with duplicates
+    val events = (1 to 2000).map { i =>
+      val h = (i * 2654435761L) & 0x7fffffffL
+      GkEvent("q", i.toLong, (h % 997) * (h % 7 + 1))
+    }
+    def drive(batches: Seq[Seq[GkEvent]]) = {
+      var st = GkState(Long.MinValue, 0L, Nil)
+      val outs = batches.flatMap { b =>
+        val (st2, out) = IP.gkStep(eps)("q", st, b); st = st2; out
+      }
+      (st, outs)
+    }
+    val (stOne, _) = drive(Seq(events))
+    val (stMany, many) = drive(events.grouped(17).toSeq)
+    assert(stOne == stMany, "summary must be a pure function of the prefix")
+    // rank-error audit at every snapshot: the estimate's true rank band
+    // must come within eps*n of the target rank
+    many.foreach { snap =>
+      val prefix = events.filter(_.seq <= snap.seq).map(_.v)
+      val n = prefix.size
+      val e = math.floor(eps * n).toLong
+      for ((phi, est) <- Seq((0.5, snap.p50), (0.9, snap.p90))) {
+        val target = math.max(1L, math.ceil(phi * n).toLong)
+        val lo = prefix.count(_ < est) + 1L
+        val hi = prefix.count(_ <= est).toLong
+        assert(lo <= target + e && hi >= target - e,
+          s"n=$n phi=$phi est=$est rank band [$lo,$hi] target $target +- $e")
+      }
+    }
+    // state bound: O((1/eps) log(eps n)) << n
+    assert(stOne.summary.length < 200,
+      s"2000 values must compress far below n, got ${stOne.summary.length} tuples")
+    // stale no-op
+    val (stAgain, outAgain) = IP.gkStep(eps)("q", stOne, Seq(GkEvent("q", 5L, 1L)))
+    assert(outAgain.isEmpty && stAgain == stOne)
+  }
+
+  test("GK quantiles: end-to-end through the state store") {
+    import graft.streaming.GkEvent
+    implicit val sql = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[GkEvent]
+    val q = IncrementalPipeline.gkQuantile(input.toDF(), eps = 0.1)
+      .writeStream.outputMode("append").format("memory").queryName("gk").start()
+    input.addData((1 to 50).map(i => GkEvent("a", i.toLong, i.toLong)): _*)
+    q.processAllAvailable()
+    input.addData((51 to 100).map(i => GkEvent("a", i.toLong, i.toLong)): _*)
+    q.processAllAvailable()
+    val last = spark.table("gk").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+      .maxBy(_._1)
+    q.stop()
+    // uniform 1..100: p50 within 10 ranks of 50, p90 within 10 of 90
+    assert(last._2 == 100L)
+    assert(math.abs(last._3 - 50L) <= 10 && math.abs(last._4 - 90L) <= 10,
+      s"got $last")
+  }
 }
