@@ -4893,6 +4893,124 @@ object AggWindowCatalog {
                 CAST((1000000 * CAST(nc - nd AS HUGEINT) * (nc - nd))
                   // (CAST(n * (n - 1) // 2 - n1 AS HUGEINT)
                     * (n * (n - 1) // 2 - n2)) AS BIGINT) AS taub2_e6
-              FROM st, t1, t2"""))
+              FROM st, t1, t2""")),
+
+    Q("a_hodges_lehmann",
+      // Hodges-Lehmann pseudo-median (1963) of order totals — the
+      // robust location estimator (median of all n(n+1)/2 pairwise
+      // Walsh averages, 29% breakdown, ~0.96 efficiency vs the mean)
+      // whose FLAT exact form is O(n^2) and DECLARED infeasible at
+      // scale; shipped in the a_hist_quantiles shape instead:
+      // (1) ESTIMATE from the pairwise-SUM histogram — the 64-bucket
+      // cents histogram self-joins into a 64x64 bounded pair frame,
+      // pair counts are exact products (c1*c2 off-diagonal,
+      // c(c+1)/2 on it), the covering sum-bucket s = b1+b2 is found
+      // at the lower-median pair rank on the 127-row cumulative, and
+      // the estimate is the floored integer upper edge
+      // (2*lo + (s+2)(hi-lo+1) div 64) div 2 — every step integer,
+      // no IEEE anywhere (unlike a_hist_quantiles' float chain);
+      // (2) AUDIT against the EXACT pseudo-median of a bounded
+      // content-derived subsample — the 500 orders with smallest
+      // 48-bit md5 hashes (the KMV discipline: bounded at ANY corpus
+      // size, identity-deterministic), whose 125k Walsh sums rank on
+      // a bounded single-partition frame (documented, the audit-path
+      // bound of a_hist_quantiles). err_ppm between the two is the
+      // in-row honesty column. Pair counts <= n^2 stay inside int64
+      // through sf100 (2.2e16).
+      (s, d) => {
+        val xs = t(s, d, "orders").select(
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("x"),
+          col("o_orderkey"))
+        val bounds = broadcast(xs.agg(min("x").as("lo"), max("x").as("hi"),
+          count(lit(1)).as("n")))
+        val hist = xs.crossJoin(bounds)
+          .withColumn("b", expr("((x - lo) * 64) div (hi - lo + 1)"))
+          .groupBy("b").agg(count(lit(1)).as("c"))
+        val dense = s.range(64).toDF("b")
+          .join(hist, Seq("b"), "left").na.fill(0L, Seq("c"))
+        val pairs = dense.as("h1").join(dense.as("h2"),
+            col("h1.b") <= col("h2.b"))
+          .select((col("h1.b") + col("h2.b")).as("sb"),
+            when(col("h1.b") < col("h2.b"), col("h1.c") * col("h2.c"))
+              .otherwise(expr("h1.c * (h1.c + 1) div 2")).as("pc"))
+          .groupBy("sb").agg(sum("pc").as("pc"))
+          .withColumn("cum", expr(
+            "sum(pc) OVER (ORDER BY sb ROWS UNBOUNDED PRECEDING)"))
+        val pick = pairs.crossJoin(bounds)
+          .filter(expr("cum >= (n * (n + 1) div 2 + 1) div 2"))
+          .orderBy("sb").limit(1)
+          .select(col("sb").as("cover_s"),
+            expr("(2 * lo + ((sb + 2) * (hi - lo + 1)) div 64) div 2")
+              .as("est_c2"))
+        val sub = xs
+          .withColumn("h", expr("CAST(conv(substring(md5(" +
+            "CAST(o_orderkey AS STRING)), 1, 12), 16, 10) AS BIGINT)"))
+          .orderBy("h", "o_orderkey").limit(500)
+          .withColumn("r", row_number().over(
+            Window.orderBy("h", "o_orderkey")))
+        val m = broadcast(sub.agg(count(lit(1)).as("m")))
+        val exact = sub.as("a").join(sub.as("b"), col("a.r") <= col("b.r"))
+          .select((col("a.x") + col("b.x")).as("ws"))
+          .withColumn("wr", row_number().over(Window.orderBy("ws")))
+          .crossJoin(m)
+          .filter(expr("wr = (m * (m + 1) div 2 + 1) div 2"))
+          .select(col("m").as("n_sub"), expr("ws div 2").as("exact_sub_c2"))
+        broadcast(pick).crossJoin(broadcast(exact)).crossJoin(bounds)
+          .select(col("n"), col("n_sub"), col("cover_s"), col("est_c2"),
+            col("exact_sub_c2"),
+            expr("(1000000 * abs(est_c2 - exact_sub_c2)) div exact_sub_c2")
+              .as("err_ppm"))
+      },
+      Some {
+        val nib = (i: Int) =>
+          s"(strpos('0123456789abcdef', substring(md5(CAST(o_orderkey AS VARCHAR)), $i, 1)) - 1)"
+        val h48 = (1 to 12).map(i => s"${nib(i)} * ${1L << (4 * (12 - i))}")
+          .mkString("CAST(", " + ", " AS BIGINT)")
+        s"""WITH xs AS (
+              SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x,
+                o_orderkey
+              FROM orders),
+            bounds AS (SELECT min(x) AS lo, max(x) AS hi,
+              CAST(count(*) AS BIGINT) AS n FROM xs),
+            hist AS (
+              SELECT ((x - lo) * 64) // (hi - lo + 1) AS b,
+                CAST(count(*) AS BIGINT) AS c
+              FROM xs, bounds GROUP BY 1),
+            dense AS (
+              SELECT CAST(r.b AS BIGINT) AS b, COALESCE(c, 0) AS c
+              FROM (SELECT unnest(range(0, 64)) AS b) r
+              LEFT JOIN hist ON hist.b = r.b),
+            pairs AS (
+              SELECT sb, CAST(sum(pc) AS BIGINT) AS pc,
+                CAST(sum(sum(pc)) OVER (ORDER BY sb
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              FROM (
+                SELECT h1.b + h2.b AS sb,
+                  CASE WHEN h1.b < h2.b THEN h1.c * h2.c
+                    ELSE h1.c * (h1.c + 1) // 2 END AS pc
+                FROM dense h1 JOIN dense h2 ON h1.b <= h2.b)
+              GROUP BY sb),
+            pick AS (
+              SELECT sb AS cover_s,
+                (2 * lo + ((sb + 2) * (hi - lo + 1)) // 64) // 2 AS est_c2
+              FROM pairs, bounds
+              WHERE cum >= (n * (n + 1) // 2 + 1) // 2
+              ORDER BY sb LIMIT 1),
+            sub AS (
+              SELECT x, row_number() OVER (ORDER BY $h48, o_orderkey) AS r
+              FROM xs
+              ORDER BY $h48, o_orderkey LIMIT 500),
+            mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM sub),
+            exact AS (
+              SELECT m AS n_sub, ws // 2 AS exact_sub_c2
+              FROM (SELECT a.x + b.x AS ws,
+                      row_number() OVER (ORDER BY a.x + b.x) AS wr
+                    FROM sub a JOIN sub b ON a.r <= b.r), mm
+              WHERE wr = (m * (m + 1) // 2 + 1) // 2)
+            SELECT n, n_sub, cover_s, est_c2, exact_sub_c2,
+              (1000000 * abs(est_c2 - exact_sub_c2)) // exact_sub_c2
+                AS err_ppm
+            FROM pick, exact, bounds"""
+      })
   )
 }
