@@ -14,6 +14,38 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+def kind(s: pd.Series) -> str:
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "ts"
+    return "obj"
+
+
+def dtype_mismatches(g: pd.DataFrame, w: pd.DataFrame):
+    """Replicate the driver's dtype-sensitive hash for the dangerous class:
+    an integer column on one side vs float64/object on the other (DuckDB
+    renders HUGEINT as float64 and DECIMAL as object through the pandas
+    bridge — the round-13 a_gini_split/a_jenks_breaks escape). Date/object
+    vs datetime differences are tolerated (the driver passes those today).
+    """
+    bad = []
+    for c in g.columns:
+        kg, kw = kind(g[c]), kind(w[c])
+        if kg == kw:
+            continue
+        numeric = {"int", "float"}
+        if (kg == "int" and kw in {"float", "obj"}) or \
+           (kw == "int" and kg in {"float", "obj"}) or \
+           (kg in numeric) != (kw in numeric) and "ts" not in (kg, kw):
+            bad.append((c, str(g[c].dtype), str(w[c].dtype)))
+    return bad
+
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # canonicalize dtypes a bit: ints -> int64, floats -> float64
@@ -53,6 +85,14 @@ def main():
         g, w = norm(got), norm(want)
         if list(g.columns) != list(w.columns):
             print(f"FAIL  {name}: columns {list(g.columns)} != {list(w.columns)}")
+            n_fail += 1
+            continue
+        raw_w = want.reindex(sorted(want.columns), axis=1)
+        raw_g = got.reindex(sorted(got.columns), axis=1)
+        dbad = dtype_mismatches(raw_g, raw_w)
+        if dbad:
+            det = ", ".join(f"{c}: spark={a} oracle={b}" for c, a, b in dbad)
+            print(f"FAIL  {name}: dtype parity: {det}")
             n_fail += 1
             continue
         if len(g) != len(w):

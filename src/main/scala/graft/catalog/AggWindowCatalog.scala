@@ -917,7 +917,7 @@ object AggWindowCatalog {
 
     Q("t13_compact_roundtrip",
       // OPTIMIZE / small-file compaction (graft.temporal.Compaction):
-      // events land date-partitioned as ~32 small files per partition
+      // events land month-partitioned as 8 small files per partition
       // (one per writer task — the accretion pattern every streaming
       // sink produces), compactPartitionedPath bin-packs each partition
       // to its byte target in ONE shuffle job (per-partition salt
@@ -927,16 +927,24 @@ object AggWindowCatalog {
       // salted rewrite is row-exact (no drop, no dup) end to end.
       // Sums integerize per-row before the BIGINT sum so accumulation
       // order can't move a ulp. Scratch dir cleared per call.
+      // Month (not day) partitions with 8 writer tasks: the semantics
+      // — multi-file partitions bin-packed and re-read row-exact —
+      // need several files per partition, not the ~2900 tiny files the
+      // original day x 32 layout paid 9.5 s of pure file overhead for
+      // at sf0.1 (round-13 verdict: shrink the synthetic fragment
+      // count, the proof doesn't need that much disk).
       (s, d) => {
         import graft.temporal.Compaction
         val root = Q.scratch(s, d, "t13")
         val ev = t(s, d, "events")
+          .withColumn("event_month", date_format(col("ts"), "yyyy-MM"))
           .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
           .withColumn("value_e4",
             expr("cast(floor(value * 10000 + 0.5) as bigint)"))
-          .select("event_date", "event_id", "user_id", "event_type", "value_e4")
-        ev.repartition(32).write.partitionBy("event_date").parquet(root)
-        Compaction.compactPartitionedPath(s, root, Seq("event_date"))
+          .select("event_month", "event_date", "event_id", "user_id",
+            "event_type", "value_e4")
+        ev.repartition(8).write.partitionBy("event_month").parquet(root)
+        Compaction.compactPartitionedPath(s, root, Seq("event_month"))
         s.read.parquet(root)
           .withColumn("event_date", col("event_date").cast("string"))
           .groupBy("event_date")
@@ -3520,9 +3528,11 @@ object AggWindowCatalog {
                FROM last JOIN f3 ON f3.j = last.p3
                JOIN (SELECT j, a FROM f2) f2s ON f2s.j = f3.a)
              SELECT p1b.b AS break1, p2b.b AS break2, p3b.b AS break3,
-               p1b.ccnt AS n1, p2b.ccnt - p1b.ccnt AS n2,
-               p3b.ccnt - p2b.ccnt AS n3,
-               (SELECT max(ccnt) FROM pre) - p3b.ccnt AS n4, total_cost
+               CAST(p1b.ccnt AS BIGINT) AS n1,
+               CAST(p2b.ccnt - p1b.ccnt AS BIGINT) AS n2,
+               CAST(p3b.ccnt - p2b.ccnt AS BIGINT) AS n3,
+               CAST((SELECT max(ccnt) FROM pre) - p3b.ccnt AS BIGINT) AS n4,
+               CAST(total_cost AS BIGINT) AS total_cost
              FROM bt JOIN pre p1b ON p1b.idx = bt.p1
                JOIN pre p2b ON p2b.idx = bt.p2
                JOIN pre p3b ON p3b.idx = bt.p3""")),
@@ -4332,8 +4342,14 @@ object AggWindowCatalog {
       // argmin is EXACT-RATIONAL, no floats: the weighted-Gini score
       // of split t is A/nL + B/nR with A = nL^2 - sum_c nLc^2 (and B
       // its right twin), compared lexicographically as (integer part
-      // qa+qb <= 2n in BIGINT; fractional part ra*nR + rb*nL over
-      // nL*nR cross-multiplied in DECIMAL(38,0)). Splitting off the
+      // in BIGINT; fractional part ra*nR + rb*nL over nL*nR
+      // cross-multiplied in DECIMAL(38,0)). The raw fraction
+      // (ra*nR + rb*nL)/(nL*nR) lies in [0,2), so its integer carry
+      // (0 or 1) is folded into qint and the remainder kept as fn < fd
+      // BEFORE comparing — without that normalization two candidates
+      // whose integer parts differ by 1 could be misranked (round-13
+      // ADVICE finding, fixed identically on both engines; fn < fd
+      // also tightens the pairwise product bound). Splitting off the
       // integer part is what keeps the pairwise products at n^4/2
       // (~6.5e34 at sf100, stated margin inside DECIMAL(38,0)/
       // HUGEINT) where the naive full-score cross-product (n^5) would
@@ -4383,11 +4399,14 @@ object AggWindowCatalog {
               " - (CAST(ta - la AS DECIMAL(38,0)) * (ta - la)" +
               " + CAST(tn - ln AS DECIMAL(38,0)) * (tn - ln)" +
               " + CAST(tr - lr AS DECIMAL(38,0)) * (tr - lr))"))
-          .withColumn("qint", expr("CAST(aa div nl + bb div nr AS BIGINT)"))
-          .withColumn("fn", expr(
+          .withColumn("fn0", expr(
             "CAST((aa - (aa div nl) * nl) * nr + (bb - (bb div nr) * nr) * nl" +
               " AS DECIMAL(38,0))"))
           .withColumn("fd", expr("CAST(nl AS DECIMAL(38,0)) * nr"))
+          .withColumn("qint", expr(
+            "CAST(aa div nl + bb div nr + fn0 div fd AS BIGINT)"))
+          .withColumn("fn", expr(
+            "CAST(fn0 - (fn0 div fd) * fd AS DECIMAL(38,0))"))
           .withColumn("g_ppm", expr(
             "CAST((1000000 * (aa * nr + bb * nl)) div (fd * (nl + nr)) AS BIGINT)"))
           .select("b", "nl", "nr", "qint", "fn", "fd", "g_ppm")
@@ -4435,13 +4454,17 @@ object AggWindowCatalog {
                       FROM dense),
               cand AS (
                 SELECT b, nl, nr,
-                  CAST(aa // nl + bb // nr AS BIGINT) AS qint,
-                  CAST((aa % nl) * nr + (bb % nr) * nl AS HUGEINT) AS fn,
-                  CAST(nl AS HUGEINT) * nr AS fd,
+                  CAST(aa // nl + bb // nr + fn0 // fd AS BIGINT) AS qint,
+                  fn0 % fd AS fn,
+                  fd,
                   CAST((1000000 * (aa * nr + bb * nl))
-                    // (CAST(nl AS HUGEINT) * nr * (nl + nr)) AS BIGINT)
+                    // (fd * (nl + nr)) AS BIGINT)
                     AS g_ppm
                 FROM (
+                  SELECT b, nl, nr, aa, bb,
+                    CAST((aa % nl) * nr + (bb % nr) * nl AS HUGEINT) AS fn0,
+                    CAST(nl AS HUGEINT) * nr AS fd
+                  FROM (
                   SELECT b, nl, nr,
                     CAST(nl AS HUGEINT) * nl
                       - (CAST(la AS HUGEINT) * la + CAST(ln AS HUGEINT) * ln
@@ -4460,9 +4483,11 @@ object AggWindowCatalog {
                       ta, tn, tr
                     FROM dense, tot
                     WINDOW w AS (ORDER BY b ROWS UNBOUNDED PRECEDING))
-                  WHERE b < 63)),
+                  WHERE b < 63))),
               ranked AS (
-                SELECT x.b AS split_bucket, x.nl AS n_left, x.nr AS n_right,
+                SELECT x.b AS split_bucket,
+                  CAST(x.nl AS BIGINT) AS n_left,
+                  CAST(x.nr AS BIGINT) AS n_right,
                   x.g_ppm AS gini_ppm,
                   CAST(1 + count(y.b) AS BIGINT) AS rank
                 FROM cand x LEFT JOIN cand y

@@ -4204,7 +4204,10 @@ object TextCatalog {
             "'w', freq, 'id', id, 'm', array(id))))").as("ns"),
           expr("collect_list(named_struct(" +
             "'id', id, 'token', token, 'freq', freq))").as("ls"))
+          // guard: sequence(1, 0) in Spark DESCENDS — a 1-token
+          // vocabulary must skip the merge fold entirely (depth 0)
           .withColumn("dep", expr("""
+            IF(size(ns) < 2, transform(ns, x -> 0),
             aggregate(
               sequence(1, size(ns) - 1),
               named_struct('q', ns, 'dep', transform(ns, x -> 0)),
@@ -4218,7 +4221,7 @@ object TextCatalog {
                 'dep', transform(acc.dep, (dd, k) ->
                   dd + IF(array_contains(acc.q[0].m, k)
                     OR array_contains(acc.q[1].m, k), 1, 0))),
-              acc -> acc.dep)"""))
+              acc -> acc.dep))"""))
         val out = folded
           .select(explode(col("ls")).as("l"), col("dep"))
           .select(col("l.token").as("token"), col("l.freq").as("freq"),

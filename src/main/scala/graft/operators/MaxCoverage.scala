@@ -22,11 +22,17 @@ import graft.operators.Lineage.CutOps
   * a broadcast 1-row aggregate (no driver scalar steers the plan), so
   * both engines replay the identical greedy trajectory.
   *
-  * Scale shape per round: one anti-join of the incidence frame against
-  * the covered-element set (element-keyed), one item-keyed count, one
-  * 1-row argmax broadcast join — k bounded rounds, each a linear pass;
-  * the covered set only ever holds elements of CHOSEN items (k items'
-  * worth, not the universe). Round frames are lineage-cut.
+  * Scale shape per round: one item-keyed count over the remaining
+  * incidence (the argmax folds in-plan as a 1-row broadcast), then one
+  * anti-join removing the picked item's elements — TWO passes over the
+  * shrinking frame, nothing else. A separate covered-element frame is
+  * unnecessary: `remaining` already excludes every covered element, so
+  * the picked item's REMAINING elements are exactly the newly covered
+  * ones — the running union size is the plain cumulative sum of gains,
+  * carried on the same 1-row frame as the pick (round-13 verdict: the
+  * old covered-set union/distinct/anti-join bookkeeping tripled the
+  * per-round job count for a value a counter already held). Round
+  * frames are lineage-cut.
   */
 object MaxCoverage {
 
@@ -40,32 +46,35 @@ object MaxCoverage {
     val spark = incidence.sparkSession
     val inc = incidence.select(col("item"), col("element"))
       .distinct().cutLineage()
-    var covered: DataFrame = null // distinct elements of chosen items
+    // 1-row running state: covered_total so far (gains are counts of
+    // NEWLY covered elements, see scaladoc — the union size is their sum)
+    var state = spark.range(1).select(lit(0L).as("covtot"))
     var chosen = Vector.empty[DataFrame] // 1-row frames
     var remaining = inc
     var done = false
     (1 to k).foreach { rank =>
       if (!done) {
-        val marg = remaining.groupBy("item")
+        val picked = broadcast(remaining.groupBy("item")
           .agg(count(lit(1)).as("gain"))
-        val pick = broadcast(marg
-          .agg(max(struct(col("gain"), (-col("item")).as("ni"))).as("s"))
-          .select(col("s.gain").as("gain"), (-col("s.ni")).as("item")))
-        // no candidate left with positive gain -> stop
-        val picked = pick.filter(col("gain") > 0)
+          .crossJoin(broadcast(state))
+          .agg(max(struct(col("gain"), (-col("item")).as("ni"),
+            col("covtot").as("covtot"))).as("s"))
+          .select(col("s.gain").as("gain"), (-col("s.ni")).as("item"),
+            (col("s.covtot") + col("s.gain")).as("covered_total")))
+          // no candidate left with positive gain -> stop
+          .filter(col("gain") > 0)
+          .cutLineage()
         if (picked.isEmpty) { done = true }
         else {
-          val pickedElems = remaining
-            .join(picked.select("item"), Seq("item"), "left_semi")
-            .select("element").distinct()
-          covered = (if (covered == null) pickedElems
-            else covered.unionByName(pickedElems).distinct()).cutLineage()
           chosen = chosen :+ picked
-            .crossJoin(broadcast(covered.agg(count(lit(1)).as("covered_total"))))
             .select(lit(rank).as("rank"), col("item"), col("gain"),
               col("covered_total"))
+          state = picked.select(col("covered_total").as("covtot"))
           remaining = remaining
-            .join(covered.select(col("element")), Seq("element"), "left_anti")
+            .join(remaining
+              .join(picked.select("item"), Seq("item"), "left_semi")
+              .select("element"),
+              Seq("element"), "left_anti")
             .select("item", "element")
             .cutLineage()
         }
@@ -96,8 +105,10 @@ object MaxCoverage {
     val inc = incidence.select(col("item"), col("element"))
       .distinct().cutLineage()
     val cost = costs.select(col("item"), col("cost")).cutLineage()
-    var budgetF = spark.range(1).select(lit(budget).as("bud"))
-    var covered: DataFrame = null
+    // 1-row running state: remaining budget + covered-so-far counter
+    // (same no-covered-frame argument as [[greedy]])
+    var state = spark.range(1)
+      .select(lit(budget).as("bud"), lit(0L).as("covtot"))
     var chosen = Vector.empty[DataFrame]
     var remaining = inc
     var done = false
@@ -106,36 +117,36 @@ object MaxCoverage {
         val marg = remaining.groupBy("item")
           .agg(count(lit(1)).as("gain"))
           .join(cost, Seq("item"))
-        val pick = broadcast(marg.crossJoin(broadcast(budgetF))
+        // cut the 1-row pick: every later frame of this round AND the
+        // next round's state reference it — uncut, the round lineages
+        // compound into a planner-melting tree (measured: the 12-round
+        // catalog query never finished planning before this cut).
+        // The argmax struct carries cost/bud/covtot along (cost sits
+        // AFTER the unique -item, so it never affects the ordering;
+        // bud and covtot are constants from the 1-row state).
+        val picked = broadcast(marg.crossJoin(broadcast(state))
           .filter(col("cost") <= col("bud"))
           .agg(max(struct(expr("1000000 * gain div cost").as("ratio"),
-            col("gain"), (-col("item")).as("ni"))).as("s"))
-          .select(col("s.gain").as("gain"), (-col("s.ni")).as("item")))
-        // cut the 1-row pick: every later frame of this round AND the
-        // next round's budget reference it — uncut, the round lineages
-        // compound into a planner-melting tree (measured: the 12-round
-        // catalog query never finished planning before this cut)
-        val picked = pick.filter(col("gain") > 0)
-          .join(cost, Seq("item"))
+            col("gain"), (-col("item")).as("ni"), col("cost").as("cost"),
+            col("bud").as("bud"), col("covtot").as("covtot"))).as("s"))
+          .select(col("s.gain").as("gain"), (-col("s.ni")).as("item"),
+            col("s.cost").as("cost"),
+            (col("s.bud") - col("s.cost")).as("budget_left"),
+            (col("s.covtot") + col("s.gain")).as("covered_total")))
+          .filter(col("gain") > 0)
           .cutLineage()
         if (picked.isEmpty) { done = true }
         else {
-          val pickedElems = remaining
-            .join(picked.select("item"), Seq("item"), "left_semi")
-            .select("element").distinct()
-          covered = (if (covered == null) pickedElems
-            else covered.unionByName(pickedElems).distinct()).cutLineage()
-          budgetF = budgetF.crossJoin(broadcast(picked.select("cost")))
-            .select((col("bud") - col("cost")).as("bud"))
-            .cutLineage()
           chosen = chosen :+ picked
-            .crossJoin(broadcast(covered.agg(count(lit(1)).as("covered_total"))))
-            .crossJoin(broadcast(budgetF))
             .select(lit(rank).as("rank"), col("item"), col("gain"),
-              col("cost"), col("bud").as("budget_left"),
-              col("covered_total"))
+              col("cost"), col("budget_left"), col("covered_total"))
+          state = picked.select(col("budget_left").as("bud"),
+            col("covered_total").as("covtot"))
           remaining = remaining
-            .join(covered.select(col("element")), Seq("element"), "left_anti")
+            .join(remaining
+              .join(picked.select("item"), Seq("item"), "left_semi")
+              .select("element"),
+              Seq("element"), "left_anti")
             .select("item", "element")
             .cutLineage()
         }

@@ -677,9 +677,18 @@ object IncrementalPipeline {
   }
 
   /** The 48-bit content hash shared with the batch split/sample queries:
-    * top 6 bytes of md5 of the decimal identity. */
+    * top 6 bytes of md5 of the decimal identity. The digest instance is
+    * thread-local — kmvHash48 runs once per arrival per key inside the
+    * flatMapGroupsWithState hot path, and `getInstance` per call would
+    * pay a provider lookup + allocation on every event (round-13
+    * ADVICE). `digest()` leaves the instance reset for reuse. */
+  private val kmvDigest =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
   private[graft] def kmvHash48(id: Long): Long =
-    java.security.MessageDigest.getInstance("MD5")
+    kmvDigest.get()
       .digest(id.toString.getBytes("UTF-8"))
       .take(6).foldLeft(0L)((a, b) => (a << 8) | (b & 0xff))
 
