@@ -1037,6 +1037,92 @@ object RelationalCatalog {
                LEFT JOIN starts ON starts.day = days.day)
              SELECT day, n_starts, n_active,
                CAST(n_active = max(n_active) OVER () AS INT) AS is_peak
-             FROM active ORDER BY day"""))
+             FROM active ORDER BY day""")),
+
+    Q("j19_weighted_sched",
+      // WEIGHTED interval scheduling, exact DP (Kleinberg-Tardos ch. 6;
+      // fourteenth-proposal #3) — j17's unweighted greedy generalized:
+      // per customer, the maximum total o_totalprice (exact cents) over
+      // pairwise non-overlapping order intervals, via the classic
+      // sort-by-end DP dp[i] = max(dp[i-1], w_i + dp[p(i)]) where p(i)
+      // is the last interval ending strictly before interval i begins
+      // (same strict non-overlap as j17: closed intervals sharing a day
+      // conflict). Scale shape: one corpus aggregation builds each
+      // customer's interval array (corpus-bounded ~10-40 per key), the
+      // DP is an aggregate-HOF fold carrying the ascending ends list
+      // and the nondecreasing dp list — the predecessor lookup is a
+      // filter-count on the bounded ends list (the dp list is
+      // nondecreasing, so dp[#\{e < b\}] IS max over all compatible
+      // prefixes). No window, no corpus iteration. Published: the
+      // top-15 customers by optimal value (total order: value desc,
+      // custkey), with j17's n_orders for contrast. The oracle replays
+      // the identical fold as a bounded recursive CTE walking each
+      // customer's (end, begin, orderkey)-ranked intervals with LIST
+      // state.
+      (s, d) => {
+        val iv = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey").as("ok"))
+          .agg(expr("max(unix_micros(CAST(l_shipdate AS TIMESTAMP))" +
+            " div 86400000000)").as("e"))
+          .join(t(s, d, "orders").select(col("o_orderkey").as("ok"),
+            col("o_custkey"),
+            expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))" +
+              " div 86400000000").as("b"),
+            expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+              .as("w")),
+            Seq("ok"))
+        iv.groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            expr("""aggregate(
+                array_sort(collect_list(named_struct(
+                  'e', e, 'b', b, 'ok', ok, 'w', w))),
+                named_struct('ends', CAST(array() AS ARRAY<BIGINT>),
+                  'dp', CAST(array() AS ARRAY<BIGINT>)),
+                (acc, x) -> named_struct(
+                  'ends', concat(acc.ends, array(x.e)),
+                  'dp', concat(acc.dp, array(greatest(
+                    IF(size(acc.dp) = 0, 0L, element_at(acc.dp, -1)),
+                    x.w + IF(size(filter(acc.ends, t -> t < x.b)) = 0, 0L,
+                      element_at(acc.dp,
+                        size(filter(acc.ends, t -> t < x.b)))))))),
+                acc -> IF(size(acc.dp) = 0, 0L, element_at(acc.dp, -1)))""")
+              .as("best_c"))
+          .orderBy(desc("best_c"), col("o_custkey"))
+          .limit(15)
+          .select(col("o_custkey"), col("n_orders"), col("best_c"))
+      },
+      Some("""WITH RECURSIVE iv AS (
+               SELECT o_custkey,
+                 epoch_us(o_orderdate) // 86400000000 AS b, e,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS w,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY e, epoch_us(o_orderdate) // 86400000000,
+                     o_orderkey) AS r
+               FROM orders JOIN (
+                 SELECT l_orderkey,
+                   max(epoch_us(l_shipdate) // 86400000000) AS e
+                 FROM lineitem GROUP BY 1) li ON o_orderkey = l_orderkey),
+             walk AS (
+               SELECT o_custkey, 0 AS r,
+                 CAST([] AS BIGINT[]) AS ends, CAST([] AS BIGINT[]) AS dp
+               FROM (SELECT DISTINCT o_custkey FROM iv)
+               UNION ALL
+               SELECT w.o_custkey, w.r + 1,
+                 list_append(w.ends, i.e),
+                 list_append(w.dp, greatest(
+                   CASE WHEN len(w.dp) = 0 THEN 0 ELSE w.dp[len(w.dp)] END,
+                   i.w + CASE
+                     WHEN len(list_filter(w.ends, t -> t < i.b)) = 0 THEN 0
+                     ELSE w.dp[len(list_filter(w.ends, t -> t < i.b))]
+                   END))
+               FROM walk w JOIN iv i ON i.o_custkey = w.o_custkey
+                 AND i.r = w.r + 1),
+             fin AS (
+               SELECT o_custkey, CAST(max(r) AS BIGINT) AS n_orders,
+                 max_by(CASE WHEN len(dp) = 0 THEN 0 ELSE dp[len(dp)] END, r)
+                   AS best_c
+               FROM walk GROUP BY o_custkey)
+             SELECT o_custkey, n_orders, CAST(best_c AS BIGINT) AS best_c
+             FROM fin ORDER BY best_c DESC, o_custkey LIMIT 15"""))
   )
 }

@@ -4480,8 +4480,165 @@ object TextCatalog {
                 (1000000 * CAST(sum(dc) AS BIGINT))
                   // CAST(sum(n * (n + 1) // 2) AS BIGINT)
                   AS diversity_ppm
-              FROM per GROUP BY source ORDER BY source"""))
+              FROM per GROUP BY source ORDER BY source""")),
+
+    Q("x_multi_replace",
+      // Single-pass leftmost-longest multi-pattern REPLACEMENT
+      // (functions/MultiReplace.scala, a native codegen Expression;
+      // fourteenth-proposal #2) — the redaction engine x_redact_pii
+      // lacks: that query rewrites with one regexp pass PER pattern,
+      // where order is a silent semantic knob; multi_replace pins the
+      // tokenizer-standard rule (leftmost wins, longest wins among
+      // same-start) in ONE byte pass and returns the rewrite plus
+      // per-needle replacement counts. The vocabulary is chosen so the
+      // oracle can state the rule as a sequential longest-first
+      // replace() chain and be provably equal: pairwise, no needle's
+      // proper suffix is another's prefix and no needle occurs inside
+      // another at a nonzero offset (checked over {the, 'the ',
+      // 'and ', 'with ', 'from '}: the dangerous pairs are 'with '/
+      // 'the' via suffix "th " vs prefix "the" — 3rd char ' ' vs 'e'
+      // breaks it — and nothing else shares a boundary), so matches of
+      // DIFFERENT needles can never overlap in any text; the one
+      // nested pair 'the' < 'the ' is exactly the longest-rule case,
+      // and replacing 'the ' before bare 'the' in the chain reproduces
+      // it. The replacement '_' occurs in no needle, so a replace can
+      // never manufacture a new match. Bare-'the' count = all 'the'
+      // minus 'the ' (each self-overlap-free). Published per source:
+      // doc count, the five replacement counts, rewritten length sum,
+      // and a summed md5-prefix fingerprint of the rewritten text —
+      // byte-level equality of every rewrite, not just counts.
+      (s, d) => {
+        graft.functions.MultiReplace.register(s)
+        val ndl = mrNeedles.map(n => s"'$n'").mkString(", ")
+        spread(t(s, d, "documents"))
+          .withColumn("mr", expr(s"multi_replace($sparkNorm, '_', $ndl)"))
+          .select(col("source"), col("mr.rewritten").as("rew"),
+            col("mr.counts").as("cnts"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(expr("element_at(cnts, 1)")).as("c_the"),
+            sum(expr("element_at(cnts, 2)")).as("c_the_sp"),
+            sum(expr("element_at(cnts, 3)")).as("c_and"),
+            sum(expr("element_at(cnts, 4)")).as("c_with"),
+            sum(expr("element_at(cnts, 5)")).as("c_from"),
+            sum(length(col("rew")).cast("long")).as("sum_new_len"),
+            sum(expr("CAST(conv(substring(md5(rew), 1, 12), 16, 10)" +
+              " AS BIGINT)")).as("rew_fp"))
+          .orderBy("source")
+      },
+      Some(duckMultiReplaceSql)),
+
+    Q("x_kanon_audit",
+      // Mondrian k-anonymity audit (LeFevre et al. 2006, ICDE —
+      // fourteenth-proposal #5): the privacy-audit rung of the curation
+      // ladder. Customers partition into equivalence classes by the
+      // quasi-identifier (nation, mktsegment, $2000 balance bucket);
+      // the audit publishes the k-anonymity profile of that
+      // partitioning — group count, smallest group, exact lower-median
+      // group size, and the ppm of RECORDS sitting in groups below
+      // k = 5 — plus the profile of each single generalization one
+      // Mondrian step would consider (drop a quasi-identifier
+      // dimension, or widen the balance bucket 4x), so the row set IS
+      // the cut decision: the variant with the lowest below-k ppm is
+      // what Mondrian would take. All counts exact integers; the
+      // median is the sorted-sizes element at (n+1) div 2 (the group
+      // vocabulary is QI-bounded — 25 nations x 5 segments x ~56
+      // buckets — so the collect is broadcast-sized at ANY corpus
+      // scale; the corpus is touched once per variant for the group
+      // sizes). Balance cents shift by +100000 before bucketing so
+      // the division never sees a negative operand (Spark `div`
+      // truncates toward zero, DuckDB `//` floors — they only agree
+      // on nonnegative input).
+      (s, d) => {
+        val src = t(s, d, "customer").select(
+          col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+          expr("(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000)" +
+            " div 200000").as("bk"),
+          expr("(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000)" +
+            " div 800000").as("bk4"))
+        def profile(variant: String, keys: Seq[String]) =
+          src.groupBy(keys.map(col): _*)
+            .agg(count(lit(1)).as("sz"))
+            .agg(count(lit(1)).as("n_groups"),
+              min("sz").as("min_size"),
+              expr("element_at(array_sort(collect_list(sz))," +
+                " CAST((count(1) + 1) div 2 AS INT))").as("median_size"),
+              expr("1000000 * sum(IF(sz < 5, sz, 0L)) div sum(sz)")
+                .as("below_k_ppm"))
+            .select(lit(variant).as("variant"), col("n_groups"),
+              col("min_size"), col("median_size"), col("below_k_ppm"))
+        profile("a_base", Seq("nk", "seg", "bk"))
+          .unionByName(profile("b_drop_nation", Seq("seg", "bk")))
+          .unionByName(profile("c_drop_segment", Seq("nk", "bk")))
+          .unionByName(profile("d_widen_balance", Seq("nk", "seg", "bk4")))
+          .orderBy("variant")
+      },
+      Some {
+        def prof(variant: String, keys: String) =
+          s"""SELECT '$variant' AS variant,
+                CAST(count(*) AS BIGINT) AS n_groups,
+                CAST(min(sz) AS BIGINT) AS min_size,
+                CAST((list_sort(list(sz)))[CAST((count(*) + 1) // 2 AS INT)]
+                  AS BIGINT) AS median_size,
+                CAST(1000000 * sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)
+                  // sum(sz) AS BIGINT) AS below_k_ppm
+              FROM (SELECT count(*) AS sz FROM src GROUP BY $keys)"""
+        s"""WITH src AS (
+              SELECT c_nationkey AS nk, c_mktsegment AS seg,
+                (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000)
+                  // 200000 AS bk,
+                (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000)
+                  // 800000 AS bk4
+              FROM customer)
+            ${prof("a_base", "nk, seg, bk")}
+            UNION ALL ${prof("b_drop_nation", "seg, bk")}
+            UNION ALL ${prof("c_drop_segment", "nk, bk")}
+            UNION ALL ${prof("d_widen_balance", "nk, seg, bk4")}
+            ORDER BY variant"""
+      })
   )
+
+  /** Needle vocabulary for `x_multi_replace` — the array index IS the
+    * published count column (c_the, c_the_sp, c_and, c_with, c_from).
+    * Chosen for the provable chain-equivalence precondition in the
+    * query's plan note: zero cross-needle overlaps in ANY text, one
+    * nested-prefix pair exercising the longest rule. */
+  private lazy val mrNeedles = Seq("the", "the ", "and ", "with ", "from ")
+
+  /** DuckDB twin of `x_multi_replace`: the longest-first sequential
+    * replace() chain (equal to leftmost-longest under the vocabulary
+    * precondition), per-needle counts from length deltas BEFORE any
+    * rewrite, and the same md5-prefix fingerprint of the rewritten
+    * text (hex nibbles to BIGINT, the x_rendezvous_shards recipe). */
+  private def duckMultiReplaceSql: String = {
+    val nib = (e: String) => (1 to 12).map(i =>
+      s"(strpos('0123456789abcdef', substring($e, $i, 1)) - 1) * ${1L << (4 * (12 - i))}")
+      .mkString("CAST(", " + ", " AS BIGINT)")
+    def occ(nd: String) =
+      s"(len(norm) - len(replace(norm, '$nd', ''))) // ${nd.length}"
+    s"""WITH n AS (SELECT source, $duckNorm AS norm FROM documents),
+        r AS (SELECT source, norm,
+            replace(replace(replace(replace(replace(norm,
+              'with ', '_'), 'from ', '_'), 'the ', '_'), 'and ', '_'),
+              'the', '_') AS rew
+          FROM n),
+        c AS (SELECT source, rew,
+            ${occ("the")} - ${occ("the ")} AS c_the,
+            ${occ("the ")} AS c_the_sp,
+            ${occ("and ")} AS c_and,
+            ${occ("with ")} AS c_with,
+            ${occ("from ")} AS c_from
+          FROM r)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(c_the) AS BIGINT) AS c_the,
+          CAST(sum(c_the_sp) AS BIGINT) AS c_the_sp,
+          CAST(sum(c_and) AS BIGINT) AS c_and,
+          CAST(sum(c_with) AS BIGINT) AS c_with,
+          CAST(sum(c_from) AS BIGINT) AS c_from,
+          CAST(sum(len(rew)) AS BIGINT) AS sum_new_len,
+          CAST(sum(${nib("md5(rew)")}) AS BIGINT) AS rew_fp
+        FROM c GROUP BY source ORDER BY source"""
+  }
 
   /** Needle vocabulary for `x_aho_corasick` — overlap structure chosen
     * to exercise dictionary suffix links and overlapping occurrences
