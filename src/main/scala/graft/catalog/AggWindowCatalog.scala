@@ -5036,6 +5036,231 @@ object AggWindowCatalog {
               (1000000 * abs(est_c2 - exact_sub_c2)) // exact_sub_c2
                 AS err_ppm
             FROM pick, exact, bounds"""
-      })
+      }),
+
+    Q("a_grouped_gk",
+      // Per-nation Greenwald–Khanna quantile summaries (GK, SIGMOD
+      // 2001; fourteenth-proposal #1): the bounded-state quantile
+      // sketch as a BATCH fold, trajectory-replayed on both engines.
+      // The summary is the classic (v, g, Δ) tuple list under the
+      // deterministic INCREMENTAL schedule: values arrive in ascending
+      // order (each insert is the running maximum, so Δ = 0 exactly),
+      // and every insert attempts ONE merge — the first adjacent pair
+      // (i-1, i) with i >= 3 whose g_{i-1} + g_i + Δ_i <= floor(m/8)
+      // (ε = 1/16) collapses into tuple i. Merging only ever keeps the
+      // LATER tuple and never touches the first, so min and max stay
+      // exact; every surviving tuple satisfies g + Δ <= 2εm at its
+      // last merge, which is the GK invariant that bounds any rank
+      // query's error by 2εm. The add-one-merge-one schedule holds the
+      // summary at the ~2/(2ε) = 16-tuple equilibrium (adjacent pairs
+      // all exceed the threshold) — the bounded state that makes GK
+      // the 100 TB quantile answer. Estimates are read with the
+      // first-rmax-covering-rank rule; the row also publishes each
+      // estimate's EXACT rank error against the group's value array
+      // and the band it must sit inside — the ε-guarantee is computed,
+      // not asserted. The fold runs per nation over the first 512
+      // customers by key (the oracle replays all 512 inserts as a
+      // recursive CTE with LIST state — the slice bounds ITS recursion
+      // budget; the sketch itself never needs the bound). The
+      // unbounded scale path — arbitrary arrival order, mergeable
+      // partial summaries as a TypedImperativeAggregate — is
+      // functions/GkQuantileAgg.scala, band-spec'd in GkQuantileSpec
+      // (order-sensitive trajectories cannot be oracle-replayed; the
+      // guarantee, not the trajectory, is the contract there).
+      (s, d) => {
+        val tsT = "ARRAY<STRUCT<v: BIGINT, g: BIGINT, d: BIGINT>>"
+        val fold = s"""aggregate(
+          xs,
+          named_struct('m', 0L, 'ts', CAST(array() AS $tsT)),
+          (acc, x) -> named_struct('m', acc.m + 1, 'ts',
+            element_at(transform(
+              array(concat(acc.ts,
+                array(named_struct('v', x, 'g', 1L, 'd', 0L)))),
+              ts1 -> element_at(transform(
+                array(IF(size(ts1) < 3, CAST(NULL AS INT),
+                  try_element_at(filter(sequence(3, size(ts1)), i ->
+                    element_at(ts1, i - 1).g + element_at(ts1, i).g
+                      + element_at(ts1, i).d <= (acc.m + 1) div 8), 1))),
+                idx -> IF(idx IS NULL, ts1,
+                  concat(
+                    slice(ts1, 1, idx - 2),
+                    array(named_struct('v', element_at(ts1, idx).v,
+                      'g', element_at(ts1, idx - 1).g
+                        + element_at(ts1, idx).g,
+                      'd', element_at(ts1, idx).d)),
+                    IF(idx = size(ts1), CAST(array() AS $tsT),
+                      slice(ts1, idx + 1, size(ts1) - idx))))), 1)), 1)))"""
+        def est(r: String) =
+          s"""element_at(ts, try_element_at(filter(
+               sequence(1, size(ts)), i ->
+                 aggregate(slice(ts, 1, i), 0L, (a, t) -> a + t.g)
+                   + element_at(ts, i).d >= $r), 1)).v"""
+        def err(q: String, r: String) =
+          s"""greatest(0L,
+               CAST(size(filter(xs, e -> e < $q)) AS BIGINT) + 1 - $r,
+               $r - CAST(size(filter(xs, e -> e <= $q)) AS BIGINT))"""
+        t(s, d, "customer")
+          .select(col("c_nationkey").as("nk"),
+            expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("c"),
+            col("c_custkey"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("nk").orderBy("c_custkey")))
+          .filter(col("rn") <= 512)
+          .groupBy("nk")
+          .agg(sort_array(collect_list(col("c"))).as("xs"),
+            count(lit(1)).as("n"))
+          .withColumn("ts", expr(fold + ".ts"))
+          .withColumn("r25", expr("(n + 3) div 4"))
+          .withColumn("r50", expr("(n + 1) div 2"))
+          .withColumn("r75", expr("(3 * n + 3) div 4"))
+          .withColumn("q25_est", expr(est("r25")))
+          .withColumn("q50_est", expr(est("r50")))
+          .withColumn("q75_est", expr(est("r75")))
+          .withColumn("err25", expr(err("q25_est", "r25")))
+          .withColumn("err50", expr(err("q50_est", "r50")))
+          .withColumn("err75", expr(err("q75_est", "r75")))
+          .withColumn("band", expr("greatest(1L, n div 8)"))
+          .select(col("nk"), col("n"),
+            expr("CAST(size(ts) AS BIGINT)").as("summary_size"),
+            col("q25_est"), col("q50_est"), col("q75_est"),
+            col("err25"), col("err50"), col("err75"), col("band"),
+            expr("CAST(IF(err25 <= band AND err50 <= band" +
+              " AND err75 <= band, 1, 0) AS INT)").as("band_ok"))
+          .orderBy("nk")
+      },
+      Some {
+        def destKey(r: String) =
+          s"""ts[list_filter(range(1, len(ts) + 1), i ->
+               list_sum(list_transform(ts[1:CAST(i AS INT)], t -> t.g))
+                 + ts[i].d >= $r)[1]].v"""
+        def derr(q: String, r: String) =
+          s"""greatest(CAST(0 AS BIGINT),
+               len(list_filter(xs, e -> e < $q)) + 1 - $r,
+               $r - len(list_filter(xs, e -> e <= $q)))"""
+        s"""WITH RECURSIVE src AS (
+              SELECT c_nationkey AS nk,
+                CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS c,
+                row_number() OVER (PARTITION BY c_nationkey
+                  ORDER BY c_custkey) AS rn
+              FROM customer),
+            arr AS (
+              SELECT nk, list(c ORDER BY c) AS xs,
+                CAST(count(*) AS BIGINT) AS n
+              FROM src WHERE rn <= 512 GROUP BY nk),
+            walk AS (
+              SELECT nk, CAST(0 AS BIGINT) AS m,
+                CAST([] AS STRUCT(v BIGINT, g BIGINT, d BIGINT)[]) AS ts
+              FROM arr
+              UNION ALL
+              SELECT w.nk, w.m + 1,
+                list_transform([list_append(w.ts,
+                    {'v': a.xs[CAST(w.m + 1 AS INT)],
+                     'g': CAST(1 AS BIGINT), 'd': CAST(0 AS BIGINT)})],
+                  ts1 -> list_transform(
+                    [list_filter(range(3, len(ts1) + 1), i ->
+                       ts1[i - 1].g + ts1[i].g + ts1[i].d
+                         <= (w.m + 1) // 8)[1]],
+                    idx -> CASE WHEN idx IS NULL THEN ts1
+                      ELSE list_concat(list_concat(
+                        ts1[1:CAST(idx - 2 AS INT)],
+                        [{'v': ts1[idx].v,
+                          'g': ts1[idx - 1].g + ts1[idx].g,
+                          'd': ts1[idx].d}]),
+                        ts1[CAST(idx + 1 AS INT):])
+                      END)[1])[1]
+              FROM walk w JOIN arr a ON a.nk = w.nk WHERE w.m < a.n),
+            fin AS (
+              SELECT w.nk, w.ts, a.xs, a.n,
+                (a.n + 3) // 4 AS r25, (a.n + 1) // 2 AS r50,
+                (3 * a.n + 3) // 4 AS r75
+              FROM walk w JOIN arr a ON a.nk = w.nk WHERE w.m = a.n),
+            es AS (
+              SELECT nk, n, xs, r25, r50, r75,
+                CAST(len(ts) AS BIGINT) AS summary_size,
+                CAST(${destKey("r25")} AS BIGINT) AS q25_est,
+                CAST(${destKey("r50")} AS BIGINT) AS q50_est,
+                CAST(${destKey("r75")} AS BIGINT) AS q75_est
+              FROM fin),
+            ee AS (
+              SELECT nk, n, summary_size, q25_est, q50_est, q75_est,
+                CAST(${derr("q25_est", "r25")} AS BIGINT) AS err25,
+                CAST(${derr("q50_est", "r50")} AS BIGINT) AS err50,
+                CAST(${derr("q75_est", "r75")} AS BIGINT) AS err75,
+                greatest(CAST(1 AS BIGINT), n // 8) AS band
+              FROM es)
+            SELECT nk, n, summary_size, q25_est, q50_est, q75_est,
+              err25, err50, err75, CAST(band AS BIGINT) AS band,
+              CAST(CASE WHEN err25 <= band AND err50 <= band
+                AND err75 <= band THEN 1 ELSE 0 END AS INT) AS band_ok
+            FROM ee ORDER BY nk"""
+      }),
+
+    Q("a_gk_band_audit",
+      // The MERGEABLE GK aggregate under the band-audit gate
+      // (functions/GkQuantileAgg.scala — a_grouped_gk's unbounded
+      // scale path): gk_quantile's tuple trajectory depends on which
+      // partition's partial merges first, so its OUTPUT cannot be
+      // hash-replayed; what IS deterministic is the theorem — every
+      // rank query answers within 2εn — and this row publishes that
+      // check COMPUTED from the actual sketch (estimate from the
+      // summary, exact rank interval from the group's value array,
+      // band = n/8 at ε = 1/16) next to the oracle-exact quantiles.
+      // DuckDB publishes the same exact quantiles and asserts the
+      // theorem's flag; a regression in insert/merge/compress flips
+      // the Spark-computed flag and the row goes red. The exact
+      // quantile columns keep the row non-vacuous on their own.
+      (s, d) => {
+        graft.functions.GkQuantileAgg.register(s)
+        def est(r: String) =
+          s"""element_at(ts, try_element_at(filter(
+               sequence(1, size(ts)), i ->
+                 aggregate(slice(ts, 1, i), 0L, (a, t) -> a + t.g)
+                   + element_at(ts, i).d >= $r), 1)).v"""
+        def err(q: String, r: String) =
+          s"""greatest(0L,
+               CAST(size(filter(xs, e -> e < $q)) AS BIGINT) + 1 - $r,
+               $r - CAST(size(filter(xs, e -> e <= $q)) AS BIGINT))"""
+        t(s, d, "customer")
+          .select(col("c_nationkey").as("nk"),
+            expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("c"))
+          .groupBy("nk")
+          .agg(expr("gk_quantile(c, 16)").as("gk"),
+            sort_array(collect_list(col("c"))).as("xs"))
+          .withColumn("n", col("gk.n"))
+          .withColumn("ts", col("gk.ts"))
+          .withColumn("r25", expr("(n + 3) div 4"))
+          .withColumn("r50", expr("(n + 1) div 2"))
+          .withColumn("r75", expr("(3 * n + 3) div 4"))
+          .withColumn("q25_exact_c", expr("element_at(xs, CAST(r25 AS INT))"))
+          .withColumn("q50_exact_c", expr("element_at(xs, CAST(r50 AS INT))"))
+          .withColumn("q75_exact_c", expr("element_at(xs, CAST(r75 AS INT))"))
+          .withColumn("band", expr("greatest(1L, n div 8)"))
+          .withColumn("e25", expr(est("r25")))
+          .withColumn("e50", expr(est("r50")))
+          .withColumn("e75", expr(est("r75")))
+          .select(col("nk"), col("n"),
+            col("q25_exact_c"), col("q50_exact_c"), col("q75_exact_c"),
+            expr("CAST(IF(" + err("e25", "r25") + " <= band AND "
+              + err("e50", "r50") + " <= band AND "
+              + err("e75", "r75") + " <= band, 1, 0) AS INT)")
+              .as("band_ok"))
+          .orderBy("nk")
+      },
+      Some("""WITH arr AS (
+               SELECT c_nationkey AS nk,
+                 list(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                   ORDER BY CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                   AS xs,
+                 CAST(count(*) AS BIGINT) AS n
+               FROM customer GROUP BY 1)
+             SELECT nk, n,
+               CAST(xs[CAST((n + 3) // 4 AS INT)] AS BIGINT)
+                 AS q25_exact_c,
+               CAST(xs[CAST((n + 1) // 2 AS INT)] AS BIGINT)
+                 AS q50_exact_c,
+               CAST(xs[CAST((3 * n + 3) // 4 AS INT)] AS BIGINT)
+                 AS q75_exact_c,
+               CAST(1 AS INT) AS band_ok
+             FROM arr ORDER BY nk"""))
   )
 }

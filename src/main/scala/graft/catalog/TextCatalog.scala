@@ -4482,6 +4482,60 @@ object TextCatalog {
                   AS diversity_ppm
               FROM per GROUP BY source ORDER BY source""")),
 
+    Q("x_frequent_spans",
+      // Corpus-wide top-k most frequent substrings at exact lengths
+      // {4, 7} (fourteenth-proposal #4) — the EXACT version of
+      // x_repeated_spans' sampled view, via the suffix automaton
+      // extended with endpos occurrence counts
+      // (functions/SuffixSpans.scala: cnt propagation down the link
+      // tree, each distinct span emitted ONCE per doc with its
+      // in-document count already folded). Scale shape: the per-doc
+      // emission is the distinct-span vocabulary (automaton states),
+      // not the n-L+1 position explode the oracle states — at 100 TB
+      // the rollup shuffles vocabulary-sized partial counts with
+      // map-side combine, and the final top-10 is
+      // TakeOrderedAndProject, never a corpus-sized window. The
+      // 200-char ASCII horizon keeps the oracle's position explode
+      // tractable (the x_distinct_substrings discipline); rank ties
+      // break lexicographically (span unique within a length, so the
+      // order is total).
+      (s, d) => {
+        graft.functions.SuffixSpans.register(s)
+        val base = spread(t(s, d, "documents"))
+          .withColumn("a", expr("substring(regexp_replace(" +
+            s"$sparkNorm, '[^\\\\x00-\\\\x7f]', ''), 1, 200)"))
+        def top(l: Int) = {
+          val ranked = base.filter(length(col("a")) >= l)
+            .select(explode(expr(s"suffix_spans(a, $l)")).as("e"))
+            .groupBy(col("e.span").as("span"))
+            .agg(sum(col("e.cnt")).as("cnt"))
+            .orderBy(desc("cnt"), col("span")).limit(10)
+          ranked.withColumn("rank", row_number().over(
+              Window.orderBy(desc("cnt"), col("span"))).cast("long"))
+            .select(lit(l.toLong).as("span_len"), col("rank"),
+              col("span"), col("cnt"))
+        }
+        top(4).unionByName(top(7)).orderBy("span_len", "rank")
+      },
+      Some {
+        def block(l: Int) =
+          s"""SELECT CAST($l AS BIGINT) AS span_len,
+                CAST(row_number() OVER (ORDER BY cnt DESC, span)
+                  AS BIGINT) AS rank, span, cnt
+              FROM (
+                SELECT substring(a, CAST(i AS INT), $l) AS span,
+                  CAST(count(*) AS BIGINT) AS cnt
+                FROM dd, UNNEST(range(1, len(a) - $l + 2)) AS u$l(i)
+                WHERE len(a) >= $l GROUP BY 1)
+              ORDER BY cnt DESC, span LIMIT 10"""
+        s"""WITH dd AS (
+              SELECT substring(regexp_replace($duckNorm,
+                '[^\\x00-\\x7f]', '', 'g'), 1, 200) AS a
+              FROM documents)
+            SELECT * FROM ((${block(4)}) UNION ALL (${block(7)}))
+            ORDER BY span_len, rank"""
+      }),
+
     Q("x_multi_replace",
       // Single-pass leftmost-longest multi-pattern REPLACEMENT
       // (functions/MultiReplace.scala, a native codegen Expression;

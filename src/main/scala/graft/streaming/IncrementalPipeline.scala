@@ -60,6 +60,16 @@ final case class KmvState(lastSeq: Long, sample: List[KmvEntry])
 final case class KmvOut(key: String, seq: Long, n_sample: Int,
     kth_hash: Long, fingerprint: Long)
 
+/** Typed records for the decayed heavy-hitter sketch. Per-key state is
+  * the <= k-1 Misra-Gries counters plus the event count and forward
+  * cursor — O(k), independent of stream length and of how far counts
+  * have decayed. */
+final case class DtEvent(key: String, seq: Long, item: String)
+final case class DtState(lastSeq: Long, m: Long,
+    counters: List[(String, Long)])
+final case class DtOut(key: String, seq: Long, m: Long, epoch: Long,
+    items: Seq[String], counts: Seq[Long])
+
 /** Typed records for the streaming isotonic (PAV) smoother. A pool is
   * one block of adjacent positions the fit has merged: (sy, sw) are its
   * exact integer weighted sum and weight — the whole PAV state per key
@@ -712,6 +722,91 @@ object IncrementalPipeline {
       else st.sample.map(_.h).max
     (st, Seq(KmvOut(key, st.lastSeq, st.sample.size, kth,
       st.sample.map(_.h).sum)))
+  }
+
+  /** Streaming top-k with exponential decay (fourteenth-proposal #6):
+    * Misra-Gries counters (the mg_topk sketch) where every counter
+    * HALVES — integer floor, zeros dropped — each time the per-key
+    * event count crosses a multiple of `halfLife`. Halving at
+    * DETERMINISTIC event-count epochs (not wall clock) is the w22 ppm
+    * discipline applied to counters: the decayed count of an item is a
+    * pure function of the event prefix, so re-delivery and trigger
+    * batching can never change it — a time-based decay would make the
+    * sketch depend on when the trigger fired.
+    *
+    * What a counter means: sum over the item's occurrences of
+    * 2^-(epochs elapsed since that occurrence), floor-accumulated —
+    * recent occurrences count ~1, occurrences h events ago count ~1/2.
+    * Guarantee (spec-pinned): counters only UNDERCOUNT the exact
+    * floor-decayed recount, and by at most 4·halfLife/k + 2 — a
+    * Misra-Gries cancellation costs an item at most 1 and consumes k
+    * units of counter mass; an epoch adds halfLife units and carries
+    * at most ~halfLife decayed units in (the halving fixpoint of
+    * M' = (M + halfLife)/2), so an epoch funds at most 2·halfLife/k
+    * cancellations; each halving then halves the accumulated error and
+    * adds at most 1 of truncation: err <= sum over epochs e of
+    * 2^-(E-e) · (2·halfLife/k + 1) < 2(2·halfLife/k + 1). Any item
+    * whose exact decayed count exceeds that bound is therefore IN the
+    * sketch — the trending-now superset guarantee, where plain mg_topk
+    * can never forget an early flood.
+    *
+    * Emits one snapshot per non-empty trigger batch: the current
+    * counters sorted by (count desc, item asc) — a pure function of
+    * the event prefix (batching-invariant, the kmvSample contract).
+    * Events process in `seq` order, forward-only. */
+  def decayTopk(events: DataFrame, k: Int, halfLife: Long): Dataset[DtOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("key", "seq", "item").as[DtEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[DtEvent], state: GroupState[DtState]) => {
+          val st0 = state.getOption.getOrElse(DtState(Long.MinValue, 0L, Nil))
+          val (st, out) = dtStep(k, halfLife)(key, st0, rows.toSeq)
+          state.update(st)
+          out.iterator
+        })
+  }
+
+  /** One batch of the decayed heavy-hitter fold as a PURE function —
+    * package-visible so the spec can prove batching invariance and the
+    * decayed-count error bound by driving it directly. */
+  private[graft] def dtStep(k: Int, halfLife: Long)(key: String,
+      st0: DtState, rows: Seq[DtEvent]): (DtState, Seq[DtOut]) = {
+    require(k >= 2, "decayTopk: need k >= 2")
+    require(halfLife >= 1, "decayTopk: need halfLife >= 1")
+    var st = st0
+    val fresh = rows.filter(_.seq > st.lastSeq).sortBy(_.seq)
+    if (fresh.isEmpty) return (st, Nil)
+    val counters = scala.collection.mutable.HashMap(st.counters: _*)
+    var m = st.m
+    fresh.foreach { e =>
+      counters.get(e.item) match {
+        case Some(c) => counters.update(e.item, c + 1)
+        case None if counters.size < k - 1 => counters.update(e.item, 1L)
+        case None =>
+          // Misra-Gries cancellation: decrement everything, drop zeros.
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          counters.keysIterator.foreach { key2 =>
+            val c = counters(key2) - 1
+            if (c == 0L) dead += key2 else counters.update(key2, c)
+          }
+          dead.foreach(counters.remove)
+      }
+      m += 1
+      if (m % halfLife == 0) {
+        // Epoch boundary: halve every counter (integer floor).
+        val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+        counters.keysIterator.foreach { key2 =>
+          val c = counters(key2) / 2
+          if (c == 0L) dead += key2 else counters.update(key2, c)
+        }
+        dead.foreach(counters.remove)
+      }
+    }
+    st = DtState(fresh.last.seq, m, counters.toList.sortBy(x => (-x._2, x._1)))
+    (st, Seq(DtOut(key, st.lastSeq, m, m / halfLife,
+      st.counters.map(_._1), st.counters.map(_._2))))
   }
 
   /** Deduplicate a stream per key keeping the earliest event, with state
