@@ -4649,7 +4649,306 @@ object TextCatalog {
             UNION ALL ${prof("c_drop_segment", "nk, bk")}
             UNION ALL ${prof("d_widen_balance", "nk, seg, bk4")}
             ORDER BY variant"""
-      })
+      }),
+
+    Q("x_count_min",
+      // Count-Min sketch with a point-query audit (Cormode &
+      // Muthukrishnan 2005; fifteenth-proposal #1) — the one classic
+      // sketch family the catalog was missing. The 4x256 sketch is
+      // built RELATIONALLY: token counts (one corpus pass with
+      // map-side combine), each token fanned to its 4 md5-derived
+      // cells, cells summed — additions commute, so unlike CM's
+      // conservative-update variant (declared infeasible-
+      // deterministic: cell state depends on arrival order) the
+      // sketch is a pure function of the multiset and replays exactly
+      // on any engine. Published: the top-20 exact tokens with their
+      // point-query estimates (min over the 4 rows) and the gap — the
+      // CM theorem made visible: est >= exact ALWAYS (overcount-only,
+      // an in-row invariant the driver hashes), est - exact bounded
+      // by the collision mass in the lightest row. At 100 TB the
+      // sketch is a 1024-cell broadcast frame; the estimate join
+      // touches 20 x 4 rows.
+      (s, d) => {
+        val toks = spread(t(s, d, "documents"))
+          .select(explode(split(expr(sparkNorm), " ")).as("tok"))
+          .filter(length(col("tok")) > 0)
+        val tc = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+          .cutLineage() // reused by the cell build AND the top-20
+        def cell(r: Int) =
+          s"pmod(CAST(conv(substring(md5(concat('$r:', tok)), 1, 12)," +
+            s" 16, 10) AS BIGINT), 256)"
+        val cells = (0 until 4).map(r => tc.select(lit(r).as("r"),
+            expr(cell(r)).as("cl"), col("c")))
+          .reduce(_ unionByName _)
+          .groupBy("r", "cl").agg(sum("c").as("cc"))
+        val top = tc.orderBy(desc("c"), col("tok")).limit(20)
+        val probes = (0 until 4).map(r => top.select(col("tok"),
+            col("c").as("c_exact"), lit(r).as("r"), expr(cell(r)).as("cl")))
+          .reduce(_ unionByName _)
+        probes.join(cells, Seq("r", "cl"))
+          .groupBy("tok", "c_exact")
+          .agg(min("cc").as("c_est"))
+          .select(col("tok"), col("c_exact"), col("c_est"),
+            (col("c_est") - col("c_exact")).as("overcount"))
+          .orderBy(desc("c_exact"), col("tok"))
+      },
+      Some(duckCountMinSql)),
+
+    Q("x_ams_f2",
+      // AMS second-moment (self-join size) sketch (Alon-Matias-Szegedy
+      // 1996, the Godel-prize construction; fifteenth-proposal #3):
+      // F2 = sum of squared token frequencies — the collision-mass /
+      // skew statistic a curator reads before choosing dedup
+      // thresholds, and the textbook "tug-of-war" estimate: 16
+      // estimators each sum sign(j, token) * freq with md5-derived
+      // +/-1 signs (engine-independent bits, fully order-free), are
+      // squared, averaged in 4 groups of 4, and the LOWER MEDIAN of
+      // the group means is the estimate. Everything integer: signs
+      // from the first md5 nibble's parity, squares/sums in
+      // DECIMAL(38,0)/HUGEINT (S_j^2 and F2 ~ c_max * N exceed int64
+      // past ~sf30 — stated margin; published values are floor-
+      // divided to thousands to stay BIGINT at any SF), the error in
+      // exact ppm. One corpus pass to token counts; the estimator
+      // frame is 16 rows.
+      (s, d) => {
+        val toks = spread(t(s, d, "documents"))
+          .select(explode(split(expr(sparkNorm), " ")).as("tok"))
+          .filter(length(col("tok")) > 0)
+        val tc = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+          .cutLineage()
+        def sign(j: Int) =
+          s"(1 - 2 * (CAST(conv(substring(md5(concat('$j:', tok)), 1, 1)," +
+            s" 16, 10) AS INT) % 2))"
+        val ests = (0 until 16).map(j => tc.select(lit(j).as("j"),
+            expr(s"CAST(${sign(j)} * c AS BIGINT)").as("sc")))
+          .reduce(_ unionByName _)
+          .groupBy("j").agg(sum("sc").as("sj"))
+          .withColumn("sj2", expr("CAST(sj AS DECIMAL(38,0)) * sj"))
+          .withColumn("grp", expr("j div 4"))
+          .groupBy("grp").agg(expr("CAST(sum(sj2) div 4 AS DECIMAL(38,0))")
+            .as("gmean"))
+        val med = ests.select(col("gmean"))
+          .agg(expr("element_at(array_sort(collect_list(gmean)), 2)")
+            .as("f2_est"))
+        val exact = tc.agg(
+          expr("sum(CAST(c AS DECIMAL(38,0)) * c)").as("f2_exact"),
+          sum("c").as("n_tokens"), count(lit(1)).as("n_vocab"))
+        exact.crossJoin(broadcast(med))
+          .select(col("n_tokens"), col("n_vocab"),
+            expr("CAST(f2_exact div 1000 AS BIGINT)").as("f2_exact_k"),
+            expr("CAST(f2_est div 1000 AS BIGINT)").as("f2_est_k"),
+            expr("CAST((1000000 * abs(f2_est - f2_exact)) div f2_exact" +
+              " AS BIGINT)").as("err_ppm"))
+      },
+      Some(duckAmsF2Sql)),
+
+    Q("x_periodicity",
+      // Exact string periodicity via the border (KMP failure)
+      // identity smallest-period p = n - border(n) (fifteenth-
+      // proposal #4) — the exact-STRUCTURE complement of
+      // x_gopher_repetition's heuristic ratios: a document whose
+      // 64-char horizon is k-periodic (p divides n, p < n) is
+      // template/boilerplate by construction. The border is stated
+      // definition-direct on the bounded horizon — largest b < n with
+      // prefix b = suffix b, an O(n^2) row-local filter over
+      // sequence(1, n-1) (the x_lz_complexity feasibility discipline:
+      // the failure-function fold is the longer-horizon path,
+      // declared not attempted). Published per source: docs, bordered
+      // docs, exactly-periodic docs, the summed periods/lengths, and
+      // mean repetitions (n div p) in ppm.
+      (s, d) => {
+        spread(t(s, d, "documents"))
+          .withColumn("a", expr("substring(regexp_replace(" +
+            s"$sparkNorm, '[^\\\\x00-\\\\x7f]', ''), 1, 64)"))
+          .withColumn("n", length(col("a")).cast("long"))
+          .filter(col("n") >= 2)
+          .withColumn("border", expr(
+            "CAST(coalesce(array_max(filter(sequence(1, CAST(n AS INT) - 1)," +
+              " b -> substring(a, 1, b)" +
+              " = substring(a, CAST(n AS INT) - b + 1, b))), 0) AS BIGINT)"))
+          .withColumn("p", expr("n - border"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(expr("IF(border > 0, 1L, 0L)")).as("n_bordered"),
+            sum(expr("IF(p < n AND n % p = 0, 1L, 0L)")).as("n_periodic"),
+            sum("p").as("sum_period"), sum("n").as("sum_len"),
+            expr("1000000 * sum(n div p) div count(1)").as("reps_ppm"))
+          .orderBy("source")
+      },
+      Some(s"""WITH dd AS (
+                SELECT source, substring(regexp_replace($duckNorm,
+                  '[^\\x00-\\x7f]', '', 'g'), 1, 64) AS a
+                FROM documents),
+              d2 AS (SELECT source, a, CAST(len(a) AS BIGINT) AS n
+                     FROM dd WHERE len(a) >= 2),
+              pp AS (
+                SELECT source, n,
+                  CAST(COALESCE(list_max(list_filter(range(1, n),
+                    b -> substring(a, 1, CAST(b AS INT))
+                      = substring(a, CAST(n - b + 1 AS INT),
+                          CAST(b AS INT)))), 0) AS BIGINT) AS border
+                FROM d2),
+              qq AS (SELECT source, n, border, n - border AS p FROM pp)
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN border > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_bordered,
+                CAST(sum(CASE WHEN p < n AND n % p = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_periodic,
+                CAST(sum(p) AS BIGINT) AS sum_period,
+                CAST(sum(n) AS BIGINT) AS sum_len,
+                CAST(1000000 * sum(n // p) // count(*) AS BIGINT)
+                  AS reps_ppm
+              FROM qq GROUP BY source ORDER BY source""")),
+
+    Q("x_bwt_runs",
+      // Burrows-Wheeler run count (Burrows & Wheeler 1994; the r of
+      // r-indexes, Gagie et al. 2020 — fifteenth-proposal #5): sort
+      // all rotations of the sentinel-terminated 64-char horizon,
+      // read the last column, count its equal-character runs — the
+      // compressibility measure BWT-based systems are built on,
+      // published next to the RAW run count so the row shows the
+      // transform's clustering gain. The sentinel is chr(9)/tab:
+      // lexicographically below every corpus char and impossible in
+      // normalized text (whitespace collapses to single spaces), so
+      // rotation order is total and engine-identical (both engines
+      // compare ASCII bytewise). Row-local ~65x65 char work on the
+      // bounded horizon; one corpus pass to the source rollup.
+      (s, d) => {
+        spread(t(s, d, "documents"))
+          .withColumn("a", expr("concat(substring(regexp_replace(" +
+            s"$sparkNorm, '[^\\\\x00-\\\\x7f]', ''), 1, 64), char(9))"))
+          .withColumn("n", expr("CAST(length(a) AS INT)"))
+          .filter(col("n") >= 2)
+          .withColumn("bwt", expr(
+            "transform(array_sort(transform(sequence(0, n - 1)," +
+              " i -> concat(substring(a, i + 1, n - i)," +
+              " substring(a, 1, i)))), r -> substring(r, n, 1))"))
+          .withColumn("runs_bwt", expr(
+            "1 + CAST(size(filter(sequence(2, n), i ->" +
+              " element_at(bwt, i) != element_at(bwt, i - 1))) AS BIGINT)"))
+          .withColumn("runs_raw", expr(
+            "1 + CAST(size(filter(sequence(2, n), i ->" +
+              " substring(a, i, 1) != substring(a, i - 1, 1))) AS BIGINT)"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("runs_bwt").as("sum_runs_bwt"),
+            sum("runs_raw").as("sum_runs_raw"),
+            sum(expr("CAST(n AS BIGINT)")).as("sum_len"),
+            expr("1000000 * sum(runs_bwt) div sum(CAST(n AS BIGINT))")
+              .as("bwt_density_ppm"),
+            expr("1000000 * sum(runs_bwt) div sum(runs_raw)")
+              .as("bwt_vs_raw_ppm"))
+          .orderBy("source")
+      },
+      Some(s"""WITH dd AS (
+                SELECT source,
+                  substring(regexp_replace($duckNorm,
+                    '[^\\x00-\\x7f]', '', 'g'), 1, 64) || chr(9) AS a
+                FROM documents),
+              d2 AS (SELECT source, a, CAST(len(a) AS INT) AS n
+                     FROM dd WHERE len(a) >= 2),
+              bb AS (
+                SELECT source, n,
+                  list_transform(list_sort(
+                    [substring(a, i + 1, n - i) || substring(a, 1, i)
+                     FOR i IN range(n)]),
+                    r -> substring(r, n, 1)) AS bwt,
+                  a
+                FROM d2),
+              rr AS (
+                SELECT source, n,
+                  1 + len(list_filter(range(2, n + 1),
+                    i -> bwt[i] != bwt[i - 1])) AS runs_bwt,
+                  1 + len(list_filter(range(2, n + 1),
+                    i -> substring(a, CAST(i AS INT), 1)
+                      != substring(a, CAST(i - 1 AS INT), 1))) AS runs_raw
+                FROM bb)
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(runs_bwt) AS BIGINT) AS sum_runs_bwt,
+                CAST(sum(runs_raw) AS BIGINT) AS sum_runs_raw,
+                CAST(sum(n) AS BIGINT) AS sum_len,
+                CAST(1000000 * sum(runs_bwt) // sum(n) AS BIGINT)
+                  AS bwt_density_ppm,
+                CAST(1000000 * sum(runs_bwt) // sum(runs_raw) AS BIGINT)
+                  AS bwt_vs_raw_ppm
+              FROM rr GROUP BY source ORDER BY source""")),
+
+    Q("x_common_spans",
+      // Cross-document longest common substring
+      // (functions/SuffixLcs.scala, the automaton family's two-string
+      // op — fifteenth-proposal #2): per source, each document's LCS
+      // with its doc_id successor over the 32-char ASCII horizon —
+      // the adjacent-pair design keeps the pair count LINEAR in the
+      // corpus (the blocking discipline; all-pairs LCS is the
+      // quadratic trap) while still measuring the shared-boilerplate
+      // signal the curation ladder wants. Spark side: automaton of a,
+      // one O(|a|+|b|) walk of b per pair, zero intermediate strings.
+      // The oracle states the definition — explode BOTH horizons'
+      // O(n^2) distinct slices and join on equality, max matching
+      // length — so green proves the automaton walk against the
+      // slice-set semantics (the x_distinct_substrings recipe, squared).
+      (s, d) => {
+        graft.functions.SuffixLcs.register(s)
+        val docs = spread(t(s, d, "documents"))
+          .withColumn("a", expr("substring(regexp_replace(" +
+            s"$sparkNorm, '[^\\\\x00-\\\\x7f]', ''), 1, 32)"))
+          .select(col("source"), col("doc_id"), col("a"))
+        docs
+          .withColumn("b", lead("a", 1).over(
+            Window.partitionBy("source").orderBy("doc_id")))
+          .filter(col("b").isNotNull &&
+            length(col("a")) > 0 && length(col("b")) > 0)
+          .withColumn("lcs", expr("suffix_lcs(a, b)"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_pairs"),
+            max("lcs").as("max_lcs"),
+            sum("lcs").as("sum_lcs"),
+            expr("1000000 * sum(lcs) div count(1)").as("mean_lcs_ppm"),
+            sum(expr("IF(lcs >= 8, 1L, 0L)")).as("n_sim_pairs"))
+          .orderBy("source")
+      },
+      Some(s"""WITH dd AS (
+                SELECT source, doc_id,
+                  substring(regexp_replace($duckNorm,
+                    '[^\\x00-\\x7f]', '', 'g'), 1, 32) AS a
+                FROM documents),
+              pr AS (
+                SELECT source, doc_id, a,
+                  lead(a) OVER (PARTITION BY source ORDER BY doc_id) AS b
+                FROM dd),
+              pp AS (SELECT source, doc_id, a, b FROM pr
+                     WHERE b IS NOT NULL AND len(a) > 0 AND len(b) > 0),
+              sa AS (
+                SELECT DISTINCT source, doc_id,
+                  substring(a, CAST(i AS INT), CAST(L AS INT)) AS sl,
+                  L
+                FROM pp, UNNEST(range(1, len(a) + 1)) u(i),
+                  UNNEST(range(1, len(a) + 1)) w(L)
+                WHERE i + L - 1 <= len(a)),
+              sb AS (
+                SELECT DISTINCT source, doc_id,
+                  substring(b, CAST(i AS INT), CAST(L AS INT)) AS sl
+                FROM pp, UNNEST(range(1, len(b) + 1)) u(i),
+                  UNNEST(range(1, len(b) + 1)) w(L)
+                WHERE i + L - 1 <= len(b)),
+              j AS (
+                SELECT sa.source, sa.doc_id, CAST(max(sa.L) AS BIGINT)
+                  AS lcs
+                FROM sa JOIN sb ON sa.source = sb.source
+                  AND sa.doc_id = sb.doc_id AND sa.sl = sb.sl
+                GROUP BY 1, 2),
+              lc AS (
+                SELECT pp.source, COALESCE(j.lcs, 0) AS lcs
+                FROM pp LEFT JOIN j ON j.source = pp.source
+                  AND j.doc_id = pp.doc_id)
+              SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(max(lcs) AS BIGINT) AS max_lcs,
+                CAST(sum(lcs) AS BIGINT) AS sum_lcs,
+                CAST(1000000 * sum(lcs) // count(*) AS BIGINT)
+                  AS mean_lcs_ppm,
+                CAST(sum(CASE WHEN lcs >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_sim_pairs
+              FROM lc GROUP BY source ORDER BY source"""))
   )
 
   /** Needle vocabulary for `x_multi_replace` — the array index IS the
@@ -4692,6 +4991,67 @@ object TextCatalog {
           CAST(sum(len(rew)) AS BIGINT) AS sum_new_len,
           CAST(sum(${nib("md5(rew)")}) AS BIGINT) AS rew_fp
         FROM c GROUP BY source ORDER BY source"""
+  }
+
+  /** DuckDB twin of `x_count_min`: the identical relational 4x256
+    * sketch (md5-nibble cells, the x_rendezvous_shards hex-to-BIGINT
+    * recipe), generated from the same row/width constants. */
+  private def duckCountMinSql: String = {
+    val nib = (e: String) => (1 to 12).map(i =>
+      s"(strpos('0123456789abcdef', substring($e, $i, 1)) - 1) * ${1L << (4 * (12 - i))}")
+      .mkString("CAST(", " + ", " AS BIGINT)")
+    def cell(r: Int) = s"${nib(s"md5('$r:' || tok)")} % 256"
+    val cellBlocks = (0 until 4).map(r =>
+      s"SELECT $r AS r, ${cell(r)} AS cl, c FROM tc").mkString(" UNION ALL ")
+    val probeBlocks = (0 until 4).map(r =>
+      s"SELECT tok, c_exact, $r AS r, ${cell(r)} AS cl FROM top")
+      .mkString(" UNION ALL ")
+    s"""WITH toks AS (SELECT unnest(string_split($duckNorm, ' ')) AS tok
+                      FROM documents),
+        tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks
+               WHERE len(tok) > 0 GROUP BY 1),
+        cells AS (SELECT r, cl, CAST(sum(c) AS BIGINT) AS cc
+                  FROM ($cellBlocks) GROUP BY r, cl),
+        top AS (SELECT tok, c AS c_exact FROM tc
+                ORDER BY c DESC, tok LIMIT 20),
+        probes AS ($probeBlocks)
+        SELECT p.tok, p.c_exact, CAST(min(cc) AS BIGINT) AS c_est,
+          CAST(min(cc) - p.c_exact AS BIGINT) AS overcount
+        FROM probes p JOIN cells USING (r, cl)
+        GROUP BY p.tok, p.c_exact
+        ORDER BY c_exact DESC, tok"""
+  }
+
+  /** DuckDB twin of `x_ams_f2`: 16 md5-parity sign estimators, squares
+    * and sums in HUGEINT, lower-median of the 4 group means. */
+  private def duckAmsF2Sql: String = {
+    def sgn(j: Int) =
+      s"(1 - 2 * ((strpos('0123456789abcdef'," +
+        s" substring(md5('$j:' || tok), 1, 1)) - 1) % 2))"
+    val estBlocks = (0 until 16).map(j =>
+      s"SELECT $j AS j, CAST(${sgn(j)} * c AS BIGINT) AS sc FROM tc")
+      .mkString(" UNION ALL ")
+    s"""WITH toks AS (SELECT unnest(string_split($duckNorm, ' ')) AS tok
+                      FROM documents),
+        tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks
+               WHERE len(tok) > 0 GROUP BY 1),
+        sj AS (SELECT j, CAST(sum(sc) AS BIGINT) AS sj
+               FROM ($estBlocks) GROUP BY j),
+        gm AS (SELECT j // 4 AS grp,
+                 CAST(sum(CAST(sj AS HUGEINT) * sj) // 4 AS HUGEINT)
+                   AS gmean
+               FROM sj GROUP BY 1),
+        med AS (SELECT (list_sort(list(gmean)))[2] AS f2_est FROM gm),
+        ex AS (SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT)
+                 AS f2_exact,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_vocab FROM tc)
+        SELECT n_tokens, n_vocab,
+          CAST(f2_exact // 1000 AS BIGINT) AS f2_exact_k,
+          CAST(f2_est // 1000 AS BIGINT) AS f2_est_k,
+          CAST((1000000 * abs(f2_est - f2_exact)) // f2_exact AS BIGINT)
+            AS err_ppm
+        FROM ex, med"""
   }
 
   /** Needle vocabulary for `x_aho_corasick` — overlap structure chosen

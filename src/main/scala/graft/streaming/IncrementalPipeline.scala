@@ -34,6 +34,11 @@ final case class SieveOut(seq: Long, best_j: Long, objective: Long,
   * holds an exact power-of-two `size`; the per-key state is the bucket
   * list newest-first — O(k log W) entries total, independent of stream
   * length or window width in events. */
+final case class EsEvent(key: String, seq: Long, ts: Long, v: Long)
+final case class EsState(lastSeq: Long, perBit: Map[Int, List[EhBucket]])
+final case class EsOut(key: String, seq: Long, ts: Long, est: Long,
+    n_buckets: Int)
+
 final case class EhEvent(key: String, seq: Long, ts: Long)
 final case class EhBucket(ts: Long, size: Long)
 final case class EhState(lastSeq: Long, buckets: List[EhBucket])
@@ -532,6 +537,29 @@ object IncrementalPipeline {
         })
   }
 
+  /** DGIM bucket cascade, shared by [[ehStep]] (unit bits) and
+    * [[esStep]] (binary-decomposed values): buckets newest-first with
+    * non-decreasing power-of-two sizes; merging the two oldest of an
+    * over-full size can over-fill the next size, so walk sizes upward
+    * until every size holds <= k buckets. */
+  private def ehCascade(k: Int, bs0: List[EhBucket]): List[EhBucket] = {
+    var done = List.empty[EhBucket]
+    var cur = bs0
+    var size = if (bs0.isEmpty) 1L else bs0.head.size
+    var more = cur.nonEmpty
+    while (more) {
+      val (same, rest) = cur.span(_.size == size)
+      if (same.length > k) {
+        val merged = EhBucket(same(same.length - 2).ts, size * 2)
+        done = done ++ same.dropRight(2)
+        cur = merged :: rest
+        size *= 2
+      } else if (rest.isEmpty) { done = done ++ same; more = false }
+      else { done = done ++ same; cur = rest; size = rest.head.size }
+    }
+    done
+  }
+
   /** One batch of the DGIM fold as a PURE function (state in, state +
     * emissions out) — package-visible so the spec can prove batching
     * invariance and the error bound by driving it directly. */
@@ -540,33 +568,76 @@ object IncrementalPipeline {
     require(windowW > 0 && k >= 2, s"ehSlidingCount: need W > 0, k >= 2")
     var st = st0
     val out = Seq.newBuilder[EhOut]
-    // cascade: buckets newest-first with non-decreasing sizes; merging
-    // the two oldest of an over-full size can over-fill the next size,
-    // so walk sizes upward until every size holds <= k buckets
-    def cascade(bs0: List[EhBucket]): List[EhBucket] = {
-      var done = List.empty[EhBucket]
-      var cur = bs0
-      var size = 1L
-      var more = true
-      while (more) {
-        val (same, rest) = cur.span(_.size == size)
-        if (same.length > k) {
-          val merged = EhBucket(same(same.length - 2).ts, size * 2)
-          done = done ++ same.dropRight(2)
-          cur = merged :: rest
-          size *= 2
-        } else if (rest.isEmpty) { done = done ++ same; more = false }
-        else { done = done ++ same; cur = rest; size = rest.head.size }
-      }
-      done
-    }
     rows.filter(_.seq > st.lastSeq).sortBy(_.seq).foreach { e =>
-      val inserted = cascade(EhBucket(e.ts, 1L) :: st.buckets)
+      val inserted = ehCascade(k, EhBucket(e.ts, 1L) :: st.buckets)
       val live = inserted.filter(_.ts > e.ts - windowW)
       val total = live.map(_.size).sum
       val est = if (live.isEmpty) 0L else total - live.last.size / 2
       out += EhOut(key, e.seq, e.ts, est, live.length)
       st = EhState(e.seq, live)
+    }
+    (st, out.result())
+  }
+
+  /** Sliding-window SUM by exponential histograms (fifteenth-proposal
+    * #6) — DGIM (Datar-Gionis-Indyk-Motwani 2002) generalized from
+    * bits to bounded nonnegative integer VALUES by the paper's own
+    * reduction (§ sums of bounded integers): ONE INDEPENDENT
+    * BIT-STREAM HISTOGRAM PER BIT POSITION — an arrival of value v
+    * inserts a unit bucket into the histogram of every set bit of v,
+    * each histogram running the identical [[ehSlidingCount]] cascade.
+    * (A single mixed histogram cannot work: a high bit would prepend
+    * a large bucket ahead of older small ones and break the
+    * non-decreasing size invariant the merge rule depends on.) The
+    * windowed sum estimate is sum over bits of 2^b times that bit's
+    * DGIM estimate, so per-bit errors weight to <= half of each bit's
+    * straddling bucket: relative error ~1/(2(k-1)) once the window
+    * fills, plus an absolute v_max/2 floor from the per-bit halves.
+    * State O(k log W) buckets per SET bit per key. Events process in
+    * `seq` order, forward-only; the spec audits the bound against an
+    * exact windowed recount and pins batching invariance. */
+  def ehSlidingSum(events: DataFrame, windowW: Long, k: Int): Dataset[EsOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("key", "seq", "ts", "v").as[EsEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[EsEvent], state: GroupState[EsState]) => {
+          val st0 = state.getOption.getOrElse(EsState(Long.MinValue, Map.empty))
+          val (st, out) = esStep(windowW, k)(key, st0, rows.toSeq)
+          state.update(st)
+          out.iterator
+        })
+  }
+
+  /** One batch of the value-weighted DGIM fold as a PURE function —
+    * package-visible for the spec's invariance and error audits. */
+  private[graft] def esStep(windowW: Long, k: Int)(key: String,
+      st0: EsState, rows: Seq[EsEvent]): (EsState, Seq[EsOut]) = {
+    require(windowW > 0 && k >= 2, s"ehSlidingSum: need W > 0, k >= 2")
+    var st = st0
+    val out = Seq.newBuilder[EsOut]
+    rows.filter(_.seq > st.lastSeq).sortBy(_.seq).foreach { e =>
+      require(e.v >= 0, s"ehSlidingSum: negative value ${e.v}")
+      var perBit = st.perBit
+      var bit = 0
+      while (bit < 63) {
+        if ((e.v & (1L << bit)) != 0L) {
+          val bs = EhBucket(e.ts, 1L) :: perBit.getOrElse(bit, Nil)
+          perBit = perBit.updated(bit, ehCascade(k, bs))
+        }
+        bit += 1
+      }
+      // expire per bit against this arrival's clock; drop dead streams
+      perBit = perBit.map { case (b, bs) =>
+        (b, bs.filter(_.ts > e.ts - windowW))
+      }.filter(_._2.nonEmpty)
+      val est = perBit.toSeq.map { case (b, bs) =>
+        val total = bs.map(_.size).sum
+        (1L << b) * (total - bs.last.size / 2)
+      }.sum
+      out += EsOut(key, e.seq, e.ts, est, perBit.valuesIterator.map(_.length).sum)
+      st = EsState(e.seq, perBit)
     }
     (st, out.result())
   }
