@@ -4948,7 +4948,198 @@ object TextCatalog {
                   AS mean_lcs_ppm,
                 CAST(sum(CASE WHEN lcs >= 8 THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_sim_pairs
-              FROM lc GROUP BY source ORDER BY source"""))
+              FROM lc GROUP BY source ORDER BY source""")),
+
+    Q("x_doc_containment",
+      // Doc-level ASYMMETRIC containment (sixteenth-proposal #2) —
+      // the dedup-DIRECTION signal symmetric Jaccard cannot give:
+      // per adjacent doc pair (the x_common_spans blocking, linear
+      // pair count), |A∩B|/|A| and |A∩B|/|B| over distinct-trigram
+      // sets — a near-1 one-sided ratio says THIS document is quoted
+      // inside the other (the decontamination family measures this at
+      // SOURCE level; curation needs the per-document verdict to pick
+      // which copy to keep). Exact integer set arithmetic in ppm; the
+      // intersection is one (pair, trigram)-keyed join, never a
+      // cross product.
+      (s, d) => {
+        val docs = spread(t(s, d, "documents"))
+          .select(col("source"), col("doc_id"),
+            split(expr(sparkNorm), " ").as("toks"))
+          .filter(size(col("toks")) > 2)
+        val sh = docs.select(col("doc_id"), explode(expr(
+            "array_distinct(transform(sequence(0, size(toks) - 3), " +
+              "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"))
+            .as("sg"))
+          .cutLineage() // reused three times (A side, B side, counts)
+        val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("nsg"))
+        val pairs = docs.select(col("source"), col("doc_id").as("aid"))
+          .withColumn("bid", lead("aid", 1).over(
+            Window.partitionBy("source").orderBy("aid")))
+          .filter(col("bid").isNotNull)
+        val inter = pairs
+          .join(sh.select(col("doc_id").as("aid"), col("sg")), Seq("aid"))
+          .join(sh.select(col("doc_id").as("bid"), col("sg")),
+            Seq("bid", "sg"))
+          .groupBy("aid").agg(count(lit(1)).as("ni"))
+        pairs
+          .join(cnt.select(col("doc_id").as("aid"), col("nsg").as("na")),
+            Seq("aid"))
+          .join(cnt.select(col("doc_id").as("bid"), col("nsg").as("nb")),
+            Seq("bid"))
+          .join(inter, Seq("aid"), "left")
+          .withColumn("ni", coalesce(col("ni"), lit(0L)))
+          .withColumn("ca", expr("1000000 * ni div na"))
+          .withColumn("cb", expr("1000000 * ni div nb"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_pairs"),
+            max("ca").as("max_cont_a_ppm"),
+            max("cb").as("max_cont_b_ppm"),
+            expr("sum(ca) div count(1)").as("mean_cont_a_ppm"),
+            sum(expr("IF(greatest(ca, cb) >= 500000, 1L, 0L)"))
+              .as("n_onesided"))
+          .orderBy("source")
+      },
+      Some(s"""WITH docs AS (
+                SELECT source, doc_id, string_split($duckNorm, ' ') AS toks
+                FROM documents),
+              d2 AS (SELECT source, doc_id, toks FROM docs
+                     WHERE len(toks) > 2),
+              sh AS (
+                SELECT DISTINCT doc_id, sg FROM (
+                  SELECT doc_id,
+                    unnest(list_transform(range(1, len(toks) - 1),
+                      i -> toks[i] || ' ' || toks[i + 1] || ' '
+                        || toks[i + 2])) AS sg
+                  FROM d2)),
+              cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsg
+                      FROM sh GROUP BY 1),
+              pairs AS (
+                SELECT source, aid, bid FROM (
+                  SELECT source, doc_id AS aid,
+                    lead(doc_id) OVER (PARTITION BY source
+                      ORDER BY doc_id) AS bid
+                  FROM d2)
+                WHERE bid IS NOT NULL),
+              inter AS (
+                SELECT p.aid, CAST(count(*) AS BIGINT) AS ni
+                FROM pairs p
+                JOIN sh a ON a.doc_id = p.aid
+                JOIN sh b ON b.doc_id = p.bid AND b.sg = a.sg
+                GROUP BY 1),
+              rr AS (
+                SELECT p.source,
+                  1000000 * COALESCE(i.ni, 0) // ca.nsg AS ca,
+                  1000000 * COALESCE(i.ni, 0) // cb.nsg AS cb
+                FROM pairs p
+                JOIN cnt ca ON ca.doc_id = p.aid
+                JOIN cnt cb ON cb.doc_id = p.bid
+                LEFT JOIN inter i ON i.aid = p.aid)
+              SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(max(ca) AS BIGINT) AS max_cont_a_ppm,
+                CAST(max(cb) AS BIGINT) AS max_cont_b_ppm,
+                CAST(sum(ca) // count(*) AS BIGINT) AS mean_cont_a_ppm,
+                CAST(sum(CASE WHEN greatest(ca, cb) >= 500000
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_onesided
+              FROM rr GROUP BY source ORDER BY source""")),
+
+    Q("x_weighted_jaccard",
+      // Exact weighted (multiset) Jaccard (sixteenth-proposal #3):
+      // sum-min over sum-max of the two documents' token COUNT
+      // vectors per adjacent pair — the similarity the unweighted
+      // trigram Jaccard under-reads on repetitive text (a doc that
+      // repeats its twin's vocabulary 5x is unweighted-identical but
+      // weighted-distant). The ICWS sketch form stays declared-
+      // infeasible (log/exp draws, no integer substitution); this is
+      // the exact bounded form: one full-outer (pair, token)-keyed
+      // join of the two count vectors, min/max with absent = 0,
+      // ppm-exact per pair, source rollup.
+      (s, d) => {
+        val docs = spread(t(s, d, "documents"))
+          .select(col("source"), col("doc_id"),
+            split(expr(sparkNorm), " ").as("toks"))
+          .filter(size(col("toks")) > 0)
+        val tcnt = docs
+          .select(col("doc_id"), explode(col("toks")).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          .cutLineage()
+        val pairs = docs.select(col("source"), col("doc_id").as("aid"))
+          .withColumn("bid", lead("aid", 1).over(
+            Window.partitionBy("source").orderBy("aid")))
+          .filter(col("bid").isNotNull)
+        // union of the two count vectors per pair, absent = 0: an
+        // A-anchored branch (left join pulls B's count when shared)
+        // plus a B-only branch (anti join on the A side) — a single
+        // full-outer on (pair, tok) would null the pair key on B-only
+        // rows and silently drop their max-side mass
+        val aSide = pairs
+          .join(tcnt.select(col("doc_id").as("aid"), col("tok"),
+            col("c").as("ca")), Seq("aid"))
+          .join(tcnt.select(col("doc_id").as("bid"), col("tok"),
+            col("c").as("cb")), Seq("bid", "tok"), "left")
+          .select(col("source"), col("aid"), col("ca"),
+            coalesce(col("cb"), lit(0L)).as("cb"))
+        val bOnly = pairs
+          .join(tcnt.select(col("doc_id").as("bid"), col("tok"),
+            col("c").as("cb")), Seq("bid"))
+          .join(tcnt.select(col("doc_id").as("aid"), col("tok")),
+            Seq("aid", "tok"), "left_anti")
+          .select(col("source"), col("aid"), lit(0L).as("ca"), col("cb"))
+        val perPair = aSide.unionByName(bOnly)
+          .groupBy("source", "aid")
+          .agg(sum(expr("least(ca, cb)")).as("smin"),
+            sum(expr("greatest(ca, cb)")).as("smax"))
+          .withColumn("wj_ppm", expr(
+            "IF(smax IS NULL OR smax = 0, 0L, 1000000 * smin div smax)"))
+        perPair.groupBy("source")
+          .agg(count(lit(1)).as("n_pairs"),
+            max("wj_ppm").as("max_wj_ppm"),
+            expr("sum(wj_ppm) div count(1)").as("mean_wj_ppm"),
+            sum(expr("IF(wj_ppm >= 500000, 1L, 0L)")).as("n_close"))
+          .orderBy("source")
+      },
+      Some(s"""WITH docs AS (
+                SELECT source, doc_id, string_split($duckNorm, ' ') AS toks
+                FROM documents),
+              d2 AS (SELECT source, doc_id FROM docs WHERE len(toks) > 0),
+              tcnt AS (
+                SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM docs)
+                WHERE len(tok) > 0 GROUP BY 1, 2),
+              pairs AS (
+                SELECT source, aid, bid FROM (
+                  SELECT source, doc_id AS aid,
+                    lead(doc_id) OVER (PARTITION BY source
+                      ORDER BY doc_id) AS bid
+                  FROM d2)
+                WHERE bid IS NOT NULL),
+              uni AS (
+                SELECT p.source, p.aid,
+                  COALESCE(a.c, 0) AS ca, COALESCE(b.c, 0) AS cb
+                FROM pairs p
+                JOIN tcnt a ON a.doc_id = p.aid
+                LEFT JOIN tcnt b ON b.doc_id = p.bid AND b.tok = a.tok
+                UNION ALL
+                SELECT p.source, p.aid, 0, b.c
+                FROM pairs p
+                JOIN tcnt b ON b.doc_id = p.bid
+                WHERE NOT EXISTS (SELECT 1 FROM tcnt a
+                  WHERE a.doc_id = p.aid AND a.tok = b.tok)),
+              pp AS (
+                SELECT source, aid,
+                  sum(least(ca, cb)) AS smin,
+                  sum(greatest(ca, cb)) AS smax
+                FROM uni GROUP BY 1, 2),
+              rr AS (
+                SELECT source, CASE WHEN smax = 0 THEN 0
+                  ELSE 1000000 * smin // smax END AS wj_ppm
+                FROM pp)
+              SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(max(wj_ppm) AS BIGINT) AS max_wj_ppm,
+                CAST(sum(wj_ppm) // count(*) AS BIGINT) AS mean_wj_ppm,
+                CAST(sum(CASE WHEN wj_ppm >= 500000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_close
+              FROM rr GROUP BY source ORDER BY source"""))
   )
 
   /** Needle vocabulary for `x_multi_replace` — the array index IS the
