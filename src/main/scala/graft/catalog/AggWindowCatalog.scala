@@ -4751,6 +4751,123 @@ object AggWindowCatalog {
                   AS a_shifted
               FROM st""")),
 
+    Q("a_spearman_rho",
+      // Spearman rank correlation, exact with midranks (Spearman 1904;
+      // sixteenth-proposal #1) — Pearson on midranks, the
+      // monotone-association sibling of a_kendall_tau over the same
+      // (quantity, price-cents) pair. Midranks are halves, so all rank
+      // arithmetic runs in DOUBLED units (R2 = 2·#less + cnt + 1,
+      // integer; correlation is affine-invariant so the doubling
+      // cancels). The quantity side cumulates on its <= 50-value
+      // vocabulary frame; the price side avoids the unpartitioned-
+      // window funnel with the a_mann_whitney two-phase bucketing
+      // (64-row cross-bucket cumulative + within-bucket prefix windows
+      // PARTITIONED by bucket). Moments are DECIMAL(38,0) cell sums;
+      // the published A, B, C are n^2-normalized staged floors (the
+      // a_leverage discipline — A_n2 = abs(n·Sxy − Sx·Sy) div n^2,
+      // abs BEFORE the floor because Spark div truncates toward zero
+      // while DuckDB // floors and they only agree on nonnegative
+      // operands), rho^2 in exact floored e6 from the normalized
+      // values plus the sign. Margins stated: the normalized A/B/C
+      // are ~4n^2 (int64 through ~sf25), the e6 numerator ~1.6e34 at
+      // sf30 inside DECIMAL(38,0). In-row invariant: Sx = n(n+1)
+      // exactly (midranks preserve the rank total), published as
+      // sx_ok. The oracle states the flat midrank formulation with
+      // plain windows — green proves the two-phase rank decomposition
+      // against the definition.
+      (s, d) => {
+        val cells = t(s, d, "lineitem")
+          .select(expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("x"),
+            expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+              .as("y"))
+          .groupBy("x", "y").agg(count(lit(1)).as("cnt"))
+          .cutLineage()
+        val xr = cells.groupBy("x").agg(sum("cnt").as("cx"))
+          .withColumn("clt", expr( // <= 50-row frame, bounded window
+            "sum(cx) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) - cx"))
+          .select(col("x"), expr("2 * clt + cx + 1").as("r2x"))
+        val yv = cells.groupBy("y").agg(sum("cnt").as("cy"))
+        val bounds = broadcast(yv.agg(min("y").as("lo"), max("y").as("hi")))
+        val by = yv.crossJoin(bounds)
+          .withColumn("b", expr("least(63, ((y - lo) * 64) div (hi - lo + 1))"))
+        val byBucket = by.groupBy("b").agg(sum("cy").as("bc"))
+          .withColumn("cum_below", expr(
+            "sum(bc) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) - bc"))
+        val wIn = Window.partitionBy("b").orderBy("y")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val yr = by.join(broadcast(byBucket), Seq("b"))
+          .withColumn("clt", col("cum_below") + sum("cy").over(wIn) - col("cy"))
+          .select(col("y"), expr("2 * clt + cy + 1").as("r2y"))
+        cells.join(broadcast(xr), Seq("x")).join(yr, Seq("y"))
+          .agg(sum("cnt").as("n"), count(lit(1)).as("n_cells"),
+            sum(expr("CAST(cnt AS DECIMAL(38,0)) * r2x")).as("sx"),
+            sum(expr("CAST(cnt AS DECIMAL(38,0)) * r2y")).as("sy"),
+            sum(expr("CAST(cnt AS DECIMAL(38,0)) * r2x * r2x")).as("sxx"),
+            sum(expr("CAST(cnt AS DECIMAL(38,0)) * r2y * r2y")).as("syy"),
+            sum(expr("CAST(cnt AS DECIMAL(38,0)) * r2x * r2y")).as("sxy"))
+          .withColumn("a_n2", expr(
+            "abs(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy)" +
+              " div (CAST(n AS DECIMAL(38,0)) * n)"))
+          .withColumn("b_n2", expr(
+            "(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx)" +
+              " div (CAST(n AS DECIMAL(38,0)) * n)"))
+          .withColumn("c_n2", expr(
+            "(CAST(n AS DECIMAL(38,0)) * syy - sy * sy)" +
+              " div (CAST(n AS DECIMAL(38,0)) * n)"))
+          .select(col("n"), col("n_cells"),
+            col("a_n2"), col("b_n2"), col("c_n2"),
+            expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * a_n2 * a_n2)" +
+              " div (CAST(b_n2 AS DECIMAL(38,0)) * c_n2) AS BIGINT)")
+              .as("rho2_e6"),
+            expr("CAST(sign(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy)" +
+              " AS BIGINT)").as("rho_sign"),
+            expr("CAST(IF(sx = CAST(n AS DECIMAL(38,0)) * (n + 1), 1, 0)" +
+              " AS INT)").as("sx_ok"))
+      },
+      Some("""WITH cells AS (
+                SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+                  CAST(count(*) AS BIGINT) AS cnt
+                FROM lineitem GROUP BY 1, 2),
+              xr AS (
+                SELECT x, 2 * (sum(cx) OVER (ORDER BY x
+                    ROWS UNBOUNDED PRECEDING) - cx) + cx + 1 AS r2x
+                FROM (SELECT x, sum(cnt) AS cx FROM cells GROUP BY x)),
+              yr AS (
+                SELECT y, 2 * (sum(cy) OVER (ORDER BY y
+                    ROWS UNBOUNDED PRECEDING) - cy) + cy + 1 AS r2y
+                FROM (SELECT y, sum(cnt) AS cy FROM cells GROUP BY y)),
+              mm AS (
+                SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                  CAST(count(*) AS BIGINT) AS n_cells,
+                  CAST(sum(CAST(cnt AS HUGEINT) * r2x) AS HUGEINT) AS sx,
+                  CAST(sum(CAST(cnt AS HUGEINT) * r2y) AS HUGEINT) AS sy,
+                  CAST(sum(CAST(cnt AS HUGEINT) * r2x * r2x) AS HUGEINT)
+                    AS sxx,
+                  CAST(sum(CAST(cnt AS HUGEINT) * r2y * r2y) AS HUGEINT)
+                    AS syy,
+                  CAST(sum(CAST(cnt AS HUGEINT) * r2x * r2y) AS HUGEINT)
+                    AS sxy
+                FROM cells JOIN xr USING (x) JOIN yr USING (y)),
+              fin AS (
+                SELECT n, n_cells,
+                  abs(n * sxy - sx * sy) // (CAST(n AS HUGEINT) * n)
+                    AS a_n2,
+                  (n * sxx - sx * sx) // (CAST(n AS HUGEINT) * n) AS b_n2,
+                  (n * syy - sy * sy) // (CAST(n AS HUGEINT) * n) AS c_n2,
+                  CAST(sign(n * sxy - sx * sy) AS BIGINT) AS rho_sign,
+                  CASE WHEN sx = CAST(n AS HUGEINT) * (n + 1)
+                    THEN 1 ELSE 0 END AS sx_ok
+                FROM mm)
+              SELECT n, n_cells,
+                CAST(a_n2 AS BIGINT) AS a_n2,
+                CAST(b_n2 AS BIGINT) AS b_n2,
+                CAST(c_n2 AS BIGINT) AS c_n2,
+                CAST((CAST(1000000 AS HUGEINT) * a_n2 * a_n2)
+                  // (CAST(b_n2 AS HUGEINT) * c_n2) AS BIGINT) AS rho2_e6,
+                rho_sign, CAST(sx_ok AS INT) AS sx_ok
+              FROM fin""")),
+
     Q("w31_lis",
       // Longest strictly-increasing (and strictly-decreasing)
       // subsequence of each event type's daily count series — the
