@@ -34,6 +34,16 @@ final case class SieveOut(seq: Long, best_j: Long, objective: Long,
   * holds an exact power-of-two `size`; the per-key state is the bucket
   * list newest-first — O(k log W) entries total, independent of stream
   * length or window width in events. */
+/** Typed records for the exact sliding-extrema stream. State per key
+  * is the two monotonic deques (decreasing for max, increasing for
+  * min) — O(distinct prefix extrema) entries, worst case O(W). */
+final case class SxEvent(key: String, seq: Long, ts: Long, v: Long)
+final case class SxEntry(ts: Long, v: Long)
+final case class SxState(lastSeq: Long, maxDq: List[SxEntry],
+    minDq: List[SxEntry])
+final case class SxOut(key: String, seq: Long, ts: Long, win_max: Long,
+    win_min: Long, n_state: Int)
+
 final case class EsEvent(key: String, seq: Long, ts: Long, v: Long)
 final case class EsState(lastSeq: Long, perBit: Map[Int, List[EhBucket]])
 final case class EsOut(key: String, seq: Long, ts: Long, est: Long,
@@ -575,6 +585,59 @@ object IncrementalPipeline {
       val est = if (live.isEmpty) 0L else total - live.last.size / 2
       out += EhOut(key, e.seq, e.ts, est, live.length)
       st = EhState(e.seq, live)
+    }
+    (st, out.result())
+  }
+
+  /** EXACT sliding-window max/min by monotonic deques (the ascending-
+    * minima algorithm, Richter's folklore / van Herk 1992 in the
+    * morphology literature; sixteenth-proposal #6) — the sharp
+    * contrast to the DGIM family: extrema need no approximation,
+    * because a value dominated by a NEWER >= value can never be a
+    * future window max, so the deque of not-yet-dominated values is a
+    * complete summary. Per arrival: pop the max-deque's tail while
+    * tail.v <= v (strictly newer wins ties — equal values keep ONE
+    * entry, the newest), append, expire heads past the window, read
+    * both extrema off the heads. Amortized O(1) per event; state is
+    * the number of prefix extrema still alive — worst case O(W) on a
+    * monotone stream (stated: the worst case is the data being
+    * already sorted, not an adversary). Events process in `seq`
+    * order, forward-only; the spec pins batching invariance and
+    * equality with brute-force window recomputes at every arrival. */
+  def slidingExtrema(events: DataFrame, windowW: Long): Dataset[SxOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("key", "seq", "ts", "v").as[SxEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[SxEvent], state: GroupState[SxState]) => {
+          val st0 = state.getOption.getOrElse(SxState(Long.MinValue, Nil, Nil))
+          val (st, out) = sxStep(windowW)(key, st0, rows.toSeq)
+          state.update(st)
+          out.iterator
+        })
+  }
+
+  /** One batch of the monotonic-deque fold as a PURE function —
+    * package-visible for the spec's invariance and exactness audits.
+    * Deques are stored newest-first (prepend side = arrival side). */
+  private[graft] def sxStep(windowW: Long)(key: String,
+      st0: SxState, rows: Seq[SxEvent]): (SxState, Seq[SxOut]) = {
+    require(windowW > 0, "slidingExtrema: need W > 0")
+    var st = st0
+    val out = Seq.newBuilder[SxOut]
+    rows.filter(_.seq > st.lastSeq).sortBy(_.seq).foreach { e =>
+      def push(dq: List[SxEntry], keep: (Long, Long) => Boolean) = {
+        // drop newest entries the arrival dominates, then prepend;
+        // expire entries at or before the window's trailing edge
+        val kept = dq.dropWhile(x => !keep(x.v, e.v))
+        (SxEntry(e.ts, e.v) :: kept).filter(_.ts > e.ts - windowW)
+      }
+      val maxDq = push(st.maxDq, (old, nv) => old > nv)
+      val minDq = push(st.minDq, (old, nv) => old < nv)
+      out += SxOut(key, e.seq, e.ts, maxDq.last.v, minDq.last.v,
+        maxDq.length + minDq.length)
+      st = SxState(e.seq, maxDq, minDq)
     }
     (st, out.result())
   }
