@@ -4950,6 +4950,61 @@ object TextCatalog {
                   AS n_sim_pairs
               FROM lc GROUP BY source ORDER BY source""")),
 
+    Q("x_palindromes",
+      // Longest palindromic substring per document (sixteenth-
+      // proposal #4) — the symmetric-structure probe of the string
+      // family (periodicity reads repetition, BWT reads clustering,
+      // this reads mirror structure — natural text almost never
+      // exceeds short incidental palindromes, so a long one flags
+      // generated/templated content). Stated definition-direct on the
+      // 64-char ASCII horizon: every (start, length) slice tested by
+      // reverse-equality, O(n^2) row-local (the x_periodicity
+      // feasibility discipline — Manacher's O(n) is the declared
+      // longer-horizon path, not attempted: a fourth native
+      // Expression doesn't carry its weight at a 64-char bound).
+      // Published per source: docs, the longest palindrome found,
+      // mean length in ppm, and docs with a >= 5-char palindrome.
+      (s, d) => {
+        spread(t(s, d, "documents"))
+          .withColumn("a", expr("substring(regexp_replace(" +
+            s"$sparkNorm, '[^\\\\x00-\\\\x7f]', ''), 1, 64)"))
+          .withColumn("n", expr("CAST(length(a) AS INT)"))
+          .filter(col("n") >= 1)
+          .withColumn("lps", expr(
+            "CAST(array_max(flatten(transform(sequence(1, n), i ->" +
+              " filter(sequence(1, n - i + 1), L ->" +
+              " substring(a, i, L) = reverse(substring(a, i, L))))))" +
+              " AS BIGINT)"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            max("lps").as("max_lps"),
+            expr("1000000 * sum(lps) div count(1)").as("mean_lps_ppm"),
+            sum(expr("IF(lps >= 5, 1L, 0L)")).as("n_mirrored"))
+          .orderBy("source")
+      },
+      Some(s"""WITH dd AS (
+                SELECT source, substring(regexp_replace($duckNorm,
+                  '[^\\x00-\\x7f]', '', 'g'), 1, 64) AS a
+                FROM documents),
+              d2 AS (SELECT source, a, CAST(len(a) AS BIGINT) AS n
+                     FROM dd WHERE len(a) >= 1),
+              pp AS (
+                SELECT source,
+                  CAST(list_max(flatten(
+                    [list_filter(range(1, n - i + 2), L ->
+                       substring(a, CAST(i AS INT), CAST(L AS INT))
+                         = reverse(substring(a, CAST(i AS INT),
+                             CAST(L AS INT))))
+                     FOR i IN range(1, n + 1)])) AS BIGINT) AS lps
+                FROM d2)
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(max(lps) AS BIGINT) AS max_lps,
+                CAST(1000000 * sum(lps) // count(*) AS BIGINT)
+                  AS mean_lps_ppm,
+                CAST(sum(CASE WHEN lps >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_mirrored
+              FROM pp GROUP BY source ORDER BY source""")),
+
     Q("x_doc_containment",
       // Doc-level ASYMMETRIC containment (sixteenth-proposal #2) —
       // the dedup-DIRECTION signal symmetric Jaccard cannot give:
