@@ -68,12 +68,18 @@ case class GkQuantileAgg(
 
   import GkQuantileAgg._
 
-  private lazy val epsDenom: Int = epsDenomExpr match {
-    case Literal(v, IntegerType) => v.asInstanceOf[Int]
-    case Literal(v, LongType)    => v.asInstanceOf[Long].toInt
-    case other => throw new IllegalArgumentException(
-      s"gk_quantile(x, eps_denom): eps_denom must be an integer literal, got $other")
-  }
+  // Evaluate the FOLDABLE expression rather than pattern-matching Literal
+  // (round-14 ADVICE: checkInputDataTypes accepts any foldable integer —
+  // `8 + 8`, a CAST — which Catalyst may or may not have constant-folded
+  // into a Literal by execution time, so a Literal-only match threw at
+  // runtime for expressions that passed analysis).
+  private lazy val epsDenom: Int =
+    epsDenomExpr.eval(InternalRow.empty) match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"gk_quantile(x, eps_denom): eps_denom must be a non-null integer, got $other")
+    }
 
   override def createAggregationBuffer(): Buf = {
     require(epsDenom >= 2, s"gk_quantile: eps_denom must be >= 2, got $epsDenom")

@@ -52,6 +52,8 @@ case class MultiReplace(child: Expression, repl: String, needles: Seq[String])
 
   @transient private lazy val trie = MultiReplace.compile(needles)
   @transient private lazy val replBytes = repl.getBytes("UTF-8")
+  @transient private lazy val minNeedleLen =
+    needles.map(_.getBytes("UTF-8").length).min
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType)
@@ -69,7 +71,7 @@ case class MultiReplace(child: Expression, repl: String, needles: Seq[String])
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
     val out = new Array[Byte](
-      bytes.length * math.max(1, replBytes.length) + replBytes.length)
+      MultiReplace.outBound(bytes.length, minNeedleLen, replBytes.length))
     val counts = new Array[Long](needles.length)
     var w = 0
     var i = 0
@@ -117,10 +119,19 @@ case class MultiReplace(child: Expression, repl: String, needles: Seq[String])
       val lastN = ctx.freshName("lastN")
       val lastEnd = ctx.freshName("lastEnd")
       val fields = ctx.freshName("fields")
+      val bound = ctx.freshName("bound")
       s"""
          |final byte[] $bytes = $c.getBytes();
-         |final byte[] $out = new byte[$bytes.length
-         |  * Math.max(1, $replRef.length) + $replRef.length];
+         |final long $bound = (long) $bytes.length
+         |  + ((long) $bytes.length / ${minNeedleLen}L)
+         |    * ${math.max(0, replBytes.length - minNeedleLen)}L
+         |  + ${replBytes.length}L;
+         |if ($bound > Integer.MAX_VALUE - 16) {
+         |  throw new IllegalArgumentException(
+         |    "multi_replace: worst-case output " + $bound
+         |    + " bytes exceeds the JVM array limit");
+         |}
+         |final byte[] $out = new byte[(int) $bound];
          |final long[] $counts = new long[${needles.length}];
          |int $w = 0;
          |int $i = 0;
@@ -164,6 +175,25 @@ object MultiReplace {
     * needle id ending exactly at state s, -1 otherwise (needle strings
     * are distinct, so at most one needle ends at any trie node). */
   final class Trie(val step: Array[Int], val accept: Array[Int])
+
+  /** Worst-case rewritten size, computed in Long (round-14 ADVICE: the old
+    * `n * replLen + replLen` bound was 32-bit and overflowed to a negative
+    * array size for ~100 MB inputs with multi-byte replacements). The tight
+    * bound: every disjoint match consumes at least `minNeedleLen` input
+    * bytes and emits `replLen`, so growth is capped at
+    * `(n / minNeedleLen) * max(0, replLen - minNeedleLen)`. Inputs whose
+    * worst case exceeds the JVM array limit fail with a clear message
+    * instead of a NegativeArraySizeException. */
+  def outBound(n: Int, minNeedleLen: Int, replLen: Int): Int = {
+    val grow = math.max(0, replLen - minNeedleLen).toLong
+    val bound = n.toLong + (n.toLong / minNeedleLen) * grow + replLen.toLong
+    if (bound > Int.MaxValue - 16)
+      throw new IllegalArgumentException(
+        s"multi_replace: worst-case output $bound bytes exceeds the JVM " +
+        s"array limit (input $n bytes, replacement $replLen bytes, " +
+        s"shortest needle $minNeedleLen bytes)")
+    bound.toInt
+  }
 
   def compile(needles: Seq[String]): Trie = {
     val byteSeqs = needles.map(_.getBytes("UTF-8")).toArray

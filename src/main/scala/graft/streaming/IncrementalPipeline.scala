@@ -620,26 +620,40 @@ object IncrementalPipeline {
 
   /** One batch of the monotonic-deque fold as a PURE function —
     * package-visible for the spec's invariance and exactness audits.
-    * Deques are stored newest-first (prepend side = arrival side). */
+    * The persisted [[SxState]] lists are newest-first; inside the batch
+    * they materialize ONCE into mutable deques (oldest at the head) so
+    * every per-event operation is a true O(1) deque op — dominance pops
+    * at the new end, expiry pops at the old end, extrema reads at the
+    * head (round-14 ADVICE: the previous List-backed fold re-filtered
+    * the whole deque per arrival, making every event O(|deque|)). The
+    * one O(|deque|) list<->deque conversion per batch is the same cost
+    * the state serializer already pays per batch. */
   private[graft] def sxStep(windowW: Long)(key: String,
       st0: SxState, rows: Seq[SxEvent]): (SxState, Seq[SxOut]) = {
     require(windowW > 0, "slidingExtrema: need W > 0")
-    var st = st0
+    val maxDq = scala.collection.mutable.ArrayDeque.from(st0.maxDq.reverse)
+    val minDq = scala.collection.mutable.ArrayDeque.from(st0.minDq.reverse)
+    var lastSeq = st0.lastSeq
     val out = Seq.newBuilder[SxOut]
-    rows.filter(_.seq > st.lastSeq).sortBy(_.seq).foreach { e =>
-      def push(dq: List[SxEntry], keep: (Long, Long) => Boolean) = {
-        // drop newest entries the arrival dominates, then prepend;
-        // expire entries at or before the window's trailing edge
-        val kept = dq.dropWhile(x => !keep(x.v, e.v))
-        (SxEntry(e.ts, e.v) :: kept).filter(_.ts > e.ts - windowW)
+    rows.filter(_.seq > lastSeq).sortBy(_.seq).foreach { e =>
+      def push(dq: scala.collection.mutable.ArrayDeque[SxEntry],
+          dominated: Long => Boolean): Unit = {
+        // pop newest entries the arrival dominates, then append;
+        // expire old-end entries at or before the window's trailing
+        // edge (entries are ts-ordered, so expired rows are a prefix —
+        // the just-appended entry guarantees the loop stops non-empty)
+        while (dq.nonEmpty && dominated(dq.last.v)) dq.removeLast()
+        dq.append(SxEntry(e.ts, e.v))
+        while (dq.head.ts <= e.ts - windowW) dq.removeHead()
       }
-      val maxDq = push(st.maxDq, (old, nv) => old > nv)
-      val minDq = push(st.minDq, (old, nv) => old < nv)
-      out += SxOut(key, e.seq, e.ts, maxDq.last.v, minDq.last.v,
+      push(maxDq, old => old <= e.v)
+      push(minDq, old => old >= e.v)
+      out += SxOut(key, e.seq, e.ts, maxDq.head.v, minDq.head.v,
         maxDq.length + minDq.length)
-      st = SxState(e.seq, maxDq, minDq)
+      lastSeq = e.seq
     }
-    (st, out.result())
+    (SxState(lastSeq, maxDq.toList.reverse, minDq.toList.reverse),
+      out.result())
   }
 
   /** Sliding-window SUM by exponential histograms (fifteenth-proposal
