@@ -704,6 +704,120 @@ object RelationalCatalog {
                CAST(sum(z) AS BIGINT) AS sum_z
              FROM coded GROUP BY 1 ORDER BY bucket""")),
 
+    Q("x_hilbert_code",
+      // Hilbert-curve clustering audit (sixteenth-proposal #5): exact
+      // integer xy2d Hilbert codes on the 2^6 grid (orderdate-day bucket x
+      // totalprice bucket), published NEXT TO the Morton codes of the same
+      // occupied cells with the locality claim that justifies curve choice,
+      // MEASURED the way it is cashed in at scan time: for 2-D predicate
+      // boxes (one whole-grid box + 12 unaligned 13x11 boxes; the 64x64 grid keeps occupancy near-full at verify SFs — at 2^8 the ~20% sf0.01 occupancy let gap-noise swamp the curve signal, measured before choosing the grid), the number
+      // of CONTIGUOUS code runs covering the box's occupied cells — each
+      // run is one contiguous file/row-group range a pruned scan must
+      // touch, and fewer runs per box is the Hilbert clustering theorem
+      // (Moon-Jagadish-Faloutsos-Saltz 2001). Per-axis mean |code delta|
+      // does NOT separate the curves cleanly (Morton is better along x,
+      // Hilbert along y — measured before choosing this metric); run
+      // counts on unaligned boxes do, ~1.8x fewer for Hilbert at full
+      // occupancy, ~1.5x at the ~96% occupancy sf0.01 gives this grid. Codes are pinned per (curve, box) by exact integer
+      // moments (n_cells, min, max, sum): any bit placed anywhere else
+      // breaks the hash. Scale shape: one partial-agg shuffle onto the
+      // bounded 2^12-cell grid, a broadcast box join, and windows keyed
+      // (curve, box) over <= 2^16 cells each — grid size is a layout
+      // constant, so every stage is scale-free in the row count. The
+      // Spark side runs the convert-and-rotate loop inside one aggregate
+      // HOF (Layout.hilbertCode, unit-step bijection proven exhaustively
+      // in LayoutSpec); the oracle carries (x, y, d) through an 8-level
+      // recursive CTE — same arithmetic, independently stated.
+      (s, d) => {
+        import s.implicits._
+        val cells = t(s, d, "orders").select(
+            expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') % 64 AS BIGINT)").as("xb"),
+            expr("(CAST(floor(o_totalprice) AS BIGINT) div 2500) % 64").as("yb"))
+          .groupBy("xb", "yb").agg(count(lit(1)).as("n_rows"))
+          .withColumn("h", graft.operators.Layout.hilbertCode("xb", "yb", 6))
+          .withColumn("z", graft.operators.Layout.mortonCode(col("xb"), col("yb"), 6))
+        val boxDf = broadcast(Seq(
+            (0, 0, 0, 64, 64), (1, 5, 3, 13, 11), (2, 22, 41, 13, 11),
+            (3, 39, 15, 13, 11), (4, 13, 27, 13, 11), (5, 45, 33, 13, 11),
+            (6, 29, 49, 13, 11), (7, 50, 7, 13, 11), (8, 9, 50, 13, 11),
+            (9, 37, 37, 13, 11), (10, 18, 11, 13, 11), (11, 44, 20, 13, 11),
+            (12, 26, 30, 13, 11))
+          .toDF("box_id", "x0", "y0", "bw", "bh")
+          .select(col("box_id").cast("long").as("box_id"),
+            col("x0").cast("long").as("x0"), col("y0").cast("long").as("y0"),
+            col("bw").cast("long").as("bw"), col("bh").cast("long").as("bh")))
+        val un = cells.join(boxDf,
+            col("xb") >= col("x0") && col("xb") < col("x0") + col("bw") &&
+            col("yb") >= col("y0") && col("yb") < col("y0") + col("bh"))
+          .select(explode(array(
+            struct(lit("hilbert").as("curve"), col("h").as("c"),
+              col("box_id"), col("n_rows")),
+            struct(lit("morton").as("curve"), col("z").as("c"),
+              col("box_id"), col("n_rows")))).as("r"))
+          .select(col("r.*"))
+        val w = Window.partitionBy("curve", "box_id").orderBy("c")
+        un.withColumn("brk",
+            when(lag("c", 1).over(w).isNull ||
+              col("c") - lag("c", 1).over(w) > 1, 1L).otherwise(0L))
+          .groupBy("curve", "box_id")
+          .agg(count(lit(1)).as("n_cells"), sum("n_rows").as("n_rows"),
+            sum("brk").as("n_runs"), min("c").as("min_c"),
+            max("c").as("max_c"), sum("c").as("sum_c"))
+          .orderBy("curve", "box_id")
+      },
+      Some("""WITH RECURSIVE pts AS (
+               SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 64 AS BIGINT) AS xb,
+                 CAST((CAST(floor(o_totalprice) AS BIGINT) // 2500) % 64 AS BIGINT) AS yb
+               FROM orders),
+             cells AS (
+               SELECT xb, yb, CAST(count(*) AS BIGINT) AS n_rows
+               FROM pts GROUP BY 1, 2),
+             hil AS (
+               SELECT xb, yb, n_rows, xb AS x, yb AS y, CAST(0 AS BIGINT) AS d, 5 AS i FROM cells
+               UNION ALL
+               SELECT xb, yb, n_rows,
+                 CASE WHEN ((y >> i) & 1) = 1 THEN x
+                      WHEN ((x >> i) & 1) = 1 THEN 63 - y ELSE y END,
+                 CASE WHEN ((y >> i) & 1) = 1 THEN y
+                      WHEN ((x >> i) & 1) = 1 THEN 63 - x ELSE x END,
+                 d + (CAST(1 AS BIGINT) << (2 * i))
+                   * CAST(xor(3 * ((x >> i) & 1), (y >> i) & 1) AS BIGINT),
+                 i - 1
+               FROM hil WHERE i >= 0),
+             coded AS (
+               SELECT xb, yb, n_rows, d AS h,
+                 CAST(list_sum(list_transform(range(0, 6), j ->
+                     ((xb >> j) & 1) * (1::BIGINT << CAST(2 * j AS INT))
+                   + ((yb >> j) & 1) * (1::BIGINT << CAST(2 * j + 1 AS INT))))
+                   AS BIGINT) AS z
+               FROM hil WHERE i = -1),
+             boxes(box_id, x0, y0, bw, bh) AS (VALUES
+               (0, 0, 0, 64, 64), (1, 5, 3, 13, 11), (2, 22, 41, 13, 11),
+               (3, 39, 15, 13, 11), (4, 13, 27, 13, 11), (5, 45, 33, 13, 11),
+               (6, 29, 49, 13, 11), (7, 50, 7, 13, 11), (8, 9, 50, 13, 11),
+               (9, 37, 37, 13, 11), (10, 18, 11, 13, 11), (11, 44, 20, 13, 11),
+               (12, 26, 30, 13, 11)),
+             un AS (
+               SELECT u.curve, u.c, CAST(b.box_id AS BIGINT) AS box_id, u.n_rows
+               FROM (SELECT xb, yb, n_rows, 'hilbert' AS curve, h AS c FROM coded
+                     UNION ALL
+                     SELECT xb, yb, n_rows, 'morton' AS curve, z AS c FROM coded) u
+               JOIN boxes b ON u.xb >= b.x0 AND u.xb < b.x0 + b.bw
+                           AND u.yb >= b.y0 AND u.yb < b.y0 + b.bh),
+             lag1 AS (
+               SELECT curve, box_id, c, n_rows,
+                 CASE WHEN lag(c) OVER (PARTITION BY curve, box_id ORDER BY c) IS NULL
+                        OR c - lag(c) OVER (PARTITION BY curve, box_id ORDER BY c) > 1
+                      THEN 1 ELSE 0 END AS brk
+               FROM un)
+             SELECT curve, box_id,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(n_rows) AS BIGINT) AS n_rows,
+               CAST(sum(brk) AS BIGINT) AS n_runs,
+               CAST(min(c) AS BIGINT) AS min_c, CAST(max(c) AS BIGINT) AS max_c,
+               CAST(sum(c) AS BIGINT) AS sum_c
+             FROM lag1 GROUP BY 1, 2 ORDER BY curve, box_id""")),
+
     Q("j13_interval_overlap",
       // Interval-overlap join WITHOUT an equi-key, made scale-shaped by
       // the binning decomposition (operators/IntervalJoin.overlapJoin):

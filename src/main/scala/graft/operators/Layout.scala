@@ -31,6 +31,43 @@ object Layout {
     }.reduce(_ + _)
   }
 
+  /** Hilbert-curve index of a cell on the 2^bits x 2^bits grid — the
+    * locality-tighter alternative to [[mortonCode]]: consecutive codes are
+    * always GRID-ADJACENT cells (unit steps, no Morton "seams" where the
+    * curve jumps across the grid), so range-partitioning files by this key
+    * keeps both columns' per-file min/max even tighter than a z-order
+    * write. Classic iterative xy2d (Hilbert 1891; the bit-level form is
+    * the standard convert-and-rotate loop): at each bit level i from high
+    * to low, the quadrant pair (rx, ry) contributes
+    * `4^i * ((3*rx) XOR ry)` to the code, then the coordinate frame is
+    * rotated/reflected — reflection is by the FULL grid size 2^bits - 1
+    * (not the level size; verified bijective with unit-step adjacency over
+    * the whole 256x256 grid in HilbertSpec). Loop-carried (x, y, d) state
+    * rules out the unrolled-Column form (the AST doubles per level), so
+    * the loop runs INSIDE one `aggregate` HOF over the bit levels — a
+    * single codegen'd expression, state in one struct, identical integer
+    * arithmetic on any engine. Inputs must already be in [0, 2^bits). */
+  def hilbertCode(xCol: String, yCol: String, bits: Int = 8): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val nMinus1 = (1L << bits) - 1
+    expr(s"""
+      aggregate(
+        sequence(${bits - 1}, 0, -1),
+        struct(CAST($xCol AS BIGINT) AS x, CAST($yCol AS BIGINT) AS y,
+               CAST(0 AS BIGINT) AS d),
+        (acc, i) -> struct(
+          CASE WHEN (shiftright(acc.y, i) & 1) = 1 THEN acc.x
+               WHEN (shiftright(acc.x, i) & 1) = 1 THEN ${nMinus1}L - acc.y
+               ELSE acc.y END AS x,
+          CASE WHEN (shiftright(acc.y, i) & 1) = 1 THEN acc.y
+               WHEN (shiftright(acc.x, i) & 1) = 1 THEN ${nMinus1}L - acc.x
+               ELSE acc.x END AS y,
+          acc.d + shiftleft(CAST(1 AS BIGINT), 2 * i) *
+            CAST(((shiftright(acc.x, i) & 1) * 3) ^ (shiftright(acc.y, i) & 1)
+                 AS BIGINT) AS d),
+        acc -> acc.d)""")
+  }
+
   /** Write `df` z-ordered on two integer-like columns: rows get the
     * Morton code of (xCol % 2^bits, yCol % 2^bits), are range-
     * partitioned into `nFiles` splits of the code space, sorted within

@@ -88,4 +88,44 @@ class LayoutSpec extends AnyFunSuite {
         s"$pred: z-ordered scan read $zScan of $fScan rows — layout not pruning")
     }
   }
+
+  /** Classic iterative xy2d (reflection by the full grid size n-1). */
+  private def hilbertRef(bits: Int, x0: Long, y0: Long): Long = {
+    var (x, y, d) = (x0, y0, 0L)
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = (1L << bits) - 1 - x; y = (1L << bits) - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  test("hilbertCode matches xy2d and is a unit-step bijection (full 2^8 grid)") {
+    val n = 256
+    val got = spark.range(0, n.toLong * n).selectExpr(
+        s"id div $n AS x", s"id % $n AS y")
+      .withColumn("h", Layout.hilbertCode("x", "y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == n * n)
+    // exact agreement with the independent Scala xy2d on every cell
+    for ((x, y, h) <- got)
+      assert(h == hilbertRef(8, x, y), s"hilbert($x, $y)")
+    // bijection onto [0, n^2) ...
+    val byCode = got.map { case (x, y, h) => h -> (x, y) }.toMap
+    assert(byCode.size == n * n)
+    assert(byCode(0L) == (0L, 0L))
+    // ... where consecutive codes are always GRID-ADJACENT cells — the
+    // unit-step locality property Morton lacks (x_hilbert_code's claim)
+    for (c <- 0L until (n.toLong * n - 1)) {
+      val (x1, y1) = byCode(c); val (x2, y2) = byCode(c + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"codes $c -> ${c + 1} jump from ($x1,$y1) to ($x2,$y2)")
+    }
+  }
 }
