@@ -4868,6 +4868,137 @@ object AggWindowCatalog {
                 rho_sign, CAST(sx_ok AS INT) AS sx_ok
               FROM fin""")),
 
+    Q("a_kruskal_wallis",
+      // Kruskal-Wallis H (1952), exact with midranks (seventeenth-
+      // proposal #1): the k-group generalization closing the rank-test
+      // lineage a_mann_whitney -> a_spearman_rho — do the THREE
+      // returnflag groups share one extended-price distribution.
+      // Doubled-unit midranks (r2 = 2*cnt_lt + cnt + 1 per distinct
+      // cent value, so midrank halves stay integral; H is computed
+      // from doubled rank sums S2_g with the 1/4 folded into the
+      // constant: H = 3/(N(N+1)) * sum_g S2_g^2/n_g - 3(N+1)). The
+      // pooled cumulative reuses the a_mann_whitney two-phase trick —
+      // 64-row cross-bucket cumulative + a within-bucket prefix window
+      // PARTITIONED by bucket (at 100x recurse to 64^2 buckets, never
+      // widen a window). Tie correction is the full
+      // C = 1 - sum(t^3-t)/(N^3-N), applied as h_corr = h*(N^3-N)/
+      // (N^3-N-TT). Staged floors (the a_leverage discipline, monotone
+      // truncation documented): each group's term divides by its FULL
+      // denominator n_g*N*(N+1) in one floor-div — the numerator
+      // 3e6*S2_g^2 peaks ~1.7e33 at sf1 (DECIMAL(38,0) margin to
+      // ~sf15) while the QUOTIENT stays ~e6*H, inside BIGINT (Spark's
+      // `div` returns BIGINT, so a per-group div by n_g alone would
+      // overflow long at ~8.6e20); the three floors cost <= 3 e-6
+      // units, and the near-cancelling `- 3e6*(N+1)` is clamped at 0
+      // (H >= 0 exactly; the floors can dip <= 3 ulp below zero, and
+      // Spark div / DuckDB // only agree on nonnegative operands).
+      // The oracle deliberately ranks on the FLAT midrank window (no
+      // bucketing) so green proves the two-phase identity, not the
+      // code. Verdict: h_corr_e6 vs the chi-square(2) 95% critical
+      // value 5.991465 as an exact integer comparison — sqrt/libm-free.
+      (s, d) => {
+        val vals = t(s, d, "lineitem")
+          .select(col("l_returnflag").as("g"),
+            expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("v"))
+          .groupBy("v").agg(
+            sum(when(col("g") === "A", 1L).otherwise(0L)).as("ca"),
+            sum(when(col("g") === "N", 1L).otherwise(0L)).as("cn"),
+            sum(when(col("g") === "R", 1L).otherwise(0L)).as("cr"))
+          .withColumn("cnt", expr("ca + cn + cr"))
+          .cutLineage()
+        val bounds = broadcast(vals.agg(min("v").as("lo"), max("v").as("hi")))
+        val bucketed = vals.crossJoin(bounds)
+          .withColumn("b", expr("least(63, ((v - lo) * 64) div (hi - lo + 1))"))
+        val byBucket = bucketed.groupBy("b").agg(sum("cnt").as("bc"))
+          .withColumn("cum_below", expr(
+            "sum(bc) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) - bc"))
+        val wIn = Window.partitionBy("b").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cums = bucketed.join(broadcast(byBucket), Seq("b"))
+          .withColumn("cnt_lt",
+            col("cum_below") + sum("cnt").over(wIn) - col("cnt"))
+          .withColumn("r2", expr("2 * cnt_lt + cnt + 1"))
+        cums.agg(
+            sum("ca").as("n_a"), sum("cn").as("n_n"), sum("cr").as("n_r"),
+            sum(expr("ca * r2")).as("s2_a"),
+            sum(expr("cn * r2")).as("s2_n"),
+            sum(expr("cr * r2")).as("s2_r"),
+            sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_tie_groups"),
+            sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt")).as("tt"))
+          .withColumn("n", expr("n_a + n_n + n_r"))
+          .withColumn("h_e6", expr(
+            "greatest(CAST(0 AS BIGINT)," +
+              " (CAST(3000000 AS DECIMAL(38,0)) * s2_a * s2_a)" +
+              "   div (CAST(n_a AS DECIMAL(38,0)) * n * (n + 1))" +
+              " + (CAST(3000000 AS DECIMAL(38,0)) * s2_n * s2_n)" +
+              "   div (CAST(n_n AS DECIMAL(38,0)) * n * (n + 1))" +
+              " + (CAST(3000000 AS DECIMAL(38,0)) * s2_r * s2_r)" +
+              "   div (CAST(n_r AS DECIMAL(38,0)) * n * (n + 1))" +
+              " - 3000000 * (n + 1))"))
+          .withColumn("h_corr_e6", expr(
+            "CAST((CAST(h_e6 AS DECIMAL(38,0))" +
+              " * (CAST(n AS DECIMAL(38,0)) * n * n - n))" +
+              " div (CAST(n AS DECIMAL(38,0)) * n * n - n - tt) AS BIGINT)"))
+          .select(col("n"), col("n_a"), col("n_n"), col("n_r"),
+            col("s2_a"), col("s2_n"), col("s2_r"), col("n_tie_groups"),
+            col("h_e6"), col("h_corr_e6"),
+            expr("CAST(CASE WHEN h_corr_e6 > 5991465 THEN 1 ELSE 0 END" +
+              " AS BIGINT)").as("significant"))
+      },
+      Some("""WITH vals AS (
+                SELECT l_returnflag AS g,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+                FROM lineitem),
+              grp AS (
+                SELECT v,
+                  CAST(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                  CAST(sum(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cn,
+                  CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cr
+                FROM vals GROUP BY 1),
+              ranked AS (
+                SELECT v, ca, cn, cr, ca + cn + cr AS cnt,
+                  sum(ca + cn + cr) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                    - (ca + cn + cr) AS cnt_lt
+                FROM grp),
+              st AS (
+                SELECT
+                  CAST(sum(ca) AS BIGINT) AS n_a,
+                  CAST(sum(cn) AS BIGINT) AS n_n,
+                  CAST(sum(cr) AS BIGINT) AS n_r,
+                  CAST(sum(ca * (2 * cnt_lt + cnt + 1)) AS BIGINT) AS s2_a,
+                  CAST(sum(cn * (2 * cnt_lt + cnt + 1)) AS BIGINT) AS s2_n,
+                  CAST(sum(cr * (2 * cnt_lt + cnt + 1)) AS BIGINT) AS s2_r,
+                  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_tie_groups,
+                  CAST(sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS HUGEINT)
+                    AS tt
+                FROM (SELECT ca, cn, cr, cnt, cnt_lt FROM ranked)),
+              fin AS (
+                SELECT *, n_a + n_n + n_r AS n FROM st),
+              fin3 AS (
+                SELECT *,
+                  CAST(greatest(CAST(0 AS HUGEINT),
+                    (CAST(3000000 AS HUGEINT) * s2_a * s2_a)
+                      // (CAST(n_a AS HUGEINT) * n * (n + 1))
+                    + (CAST(3000000 AS HUGEINT) * s2_n * s2_n)
+                      // (CAST(n_n AS HUGEINT) * n * (n + 1))
+                    + (CAST(3000000 AS HUGEINT) * s2_r * s2_r)
+                      // (CAST(n_r AS HUGEINT) * n * (n + 1))
+                    - CAST(3000000 AS HUGEINT) * (n + 1)) AS BIGINT) AS h_e6
+                FROM fin),
+              fin4 AS (
+                SELECT *,
+                  CAST((CAST(h_e6 AS HUGEINT)
+                      * (CAST(n AS HUGEINT) * n * n - n))
+                    // (CAST(n AS HUGEINT) * n * n - n - tt) AS BIGINT)
+                    AS h_corr_e6
+                FROM fin3)
+              SELECT n, n_a, n_n, n_r, s2_a, s2_n, s2_r, n_tie_groups,
+                h_e6, h_corr_e6,
+                CAST(CASE WHEN h_corr_e6 > 5991465 THEN 1 ELSE 0 END AS BIGINT)
+                  AS significant
+              FROM fin4""")),
+
     Q("w31_lis",
       // Longest strictly-increasing (and strictly-decreasing)
       // subsequence of each event type's daily count series — the

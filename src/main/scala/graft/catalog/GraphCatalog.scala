@@ -334,6 +334,87 @@ object GraphCatalog {
                     SELECT b FROM tri UNION ALL SELECT c FROM tri)
               GROUP BY node ORDER BY node""")),
 
+    // Bipartite butterfly (4-cycle) counting (seventeenth-proposal #2)
+    // — the bipartite sibling of g_triangles_copart and the motif
+    // behind bipartite clustering coefficients (Wang-Lin-Qin-Zhang
+    // 2019 vertex-priority counting; Sanei-Mehri-Sariyuce-Tirthapura
+    // 2018): on the customer-part purchase graph (BUILDING segment),
+    // butterflies = sum over part pairs of C(codeg, 2), with wedges
+    // generated on the CUSTOMER side — the side whose sum C(deg, 2)
+    // is ~8x smaller here (customer degree is bounded by basket size
+    // x orders per customer, part degree is not); that side choice IS
+    // the vertex-priority rule and the 100x story, with the segment
+    // restriction stated (the full-graph count at 100 TB would add
+    // per-vertex degree ordering exactly as the triangle operator
+    // does). Wedge pairs expand row-locally from per-customer sorted
+    // distinct-part arrays (no self-join; the copartPairs trick), and
+    // every output is exact integer combinatorics: closure_e6 =
+    // 2B/W — sum codeg(codeg-1) over sum codeg — is the average
+    // number of OTHER co-purchasing customers a wedge's pair already
+    // has, the bipartite closed-wedge ratio. Oracle states the naive
+    // self-join form so green proves the expansion identity.
+    Q("g_butterflies",
+      (s, d) => {
+        val e = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+          .join(broadcast(t(s, d, "orders").select("o_orderkey", "o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer")
+              .filter(col("c_mktsegment") === "BUILDING")
+              .select("c_custkey")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey").as("c"), col("l_partkey").as("p"))
+        val byCust = e.groupBy("c")
+          .agg(sort_array(collect_set("p")).as("ps")).cutLineage()
+        val pairs = byCust
+          .select(explode(expr(
+            "flatten(transform(ps, (x, i) -> " +
+              "transform(slice(ps, i + 2, size(ps)), " +
+              "y -> struct(x AS p1, y AS p2))))")).as("w"))
+          .groupBy("w.p1", "w.p2").agg(count(lit(1)).as("codeg"))
+        val wedgeStats = byCust.agg(
+          sum(expr("CAST(size(ps) AS BIGINT)")).as("n_edges"),
+          count(lit(1)).as("n_custs"),
+          sum(expr("CAST(size(ps) AS BIGINT) * (size(ps) - 1) div 2"))
+            .as("wedges"))
+        val nParts = e.select("p").distinct()
+          .agg(count(lit(1)).as("n_parts"))
+        val bStats = pairs.agg(
+          count(lit(1)).as("n_pairs"),
+          sum(expr("codeg * (codeg - 1) div 2")).as("butterflies"),
+          max("codeg").as("max_codeg"))
+        wedgeStats.crossJoin(broadcast(nParts)).crossJoin(broadcast(bStats))
+          .withColumn("closure_e6",
+            expr("(CAST(2000000 AS DECIMAL(38,0)) * butterflies) div wedges"))
+          .select("n_edges", "n_custs", "n_parts", "wedges", "n_pairs",
+            "butterflies", "max_codeg", "closure_e6")
+      },
+      Some("""WITH e AS MATERIALIZED (
+                SELECT DISTINCT c_custkey AS c, l_partkey AS p
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                WHERE c_mktsegment = 'BUILDING'),
+              deg AS (SELECT c, CAST(count(*) AS BIGINT) AS dc FROM e GROUP BY 1),
+              pairs AS (
+                SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS codeg
+                FROM e a JOIN e b ON a.c = b.c AND a.p < b.p
+                GROUP BY 1, 2),
+              ws AS (
+                SELECT CAST(sum(dc) AS BIGINT) AS n_edges,
+                  CAST(count(*) AS BIGINT) AS n_custs,
+                  CAST(sum(dc * (dc - 1) // 2) AS BIGINT) AS wedges
+                FROM deg),
+              np AS (SELECT CAST(count(DISTINCT p) AS BIGINT) AS n_parts FROM e),
+              bs AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                  CAST(sum(codeg * (codeg - 1) // 2) AS BIGINT) AS butterflies,
+                  CAST(max(codeg) AS BIGINT) AS max_codeg
+                FROM pairs)
+              SELECT n_edges, n_custs, n_parts, wedges, n_pairs, butterflies,
+                max_codeg,
+                CAST((CAST(2000000 AS HUGEINT) * butterflies) // wedges
+                  AS BIGINT) AS closure_e6
+              FROM ws, np, bs""")),
+
     // Local clustering coefficient — the per-node cohesion ratio
     // c(v) = 2*tri(v) / (deg(v) * (deg(v)-1)) that separates hub
     // nodes bridging many communities (low c) from nodes inside dense

@@ -2015,6 +2015,66 @@ object TextCatalog {
                       GROUP BY tok))
               WHERE rank <= 20 ORDER BY rank""")),
 
+    Q("x_burstiness",
+      // Token burstiness / dispersion (seventeenth-proposal #3; Church-
+      // Gale 1995, "Poisson mixtures"): content words are BURSTY — a
+      // doc that mentions one tends to mention it again — while
+      // function words spread Poisson-like. Three exact signals per
+      // token over the per-doc count frame, for the top-20 tokens by
+      // collection frequency: the variance-to-mean ratio of per-doc
+      // counts INCLUDING zero docs (Poisson => ~1; bursty >> 1),
+      // computed as one exact rational (ssq*D - cf^2)/(cf*D) — the
+      // numerator is Cauchy-Schwarz-nonnegative so the single floor-e6
+      // div agrees across engines; the per-containing-doc rate cf/df;
+      // and Church's adaptation P(>=2 | >=1) = df2/df. All integer
+      // moments (cf, df, df2, sum of squared counts) off ONE
+      // partial-aggregated (doc, token) groupBy; top-20 is
+      // TakeOrderedAndProject, never a full sort. 100x: the (doc,tok)
+      // frame is the same shape every tokenizer-training pass already
+      // shuffles; moments fold map-side.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+        val perDoc = docs
+          .select(col("doc_id"), explode(expr(s"split($sparkNorm, ' ')")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+        perDoc.groupBy("tok").agg(
+            sum("cnt").as("cf"),
+            count(lit(1)).as("df"),
+            sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("df2"),
+            sum(expr("cnt * cnt")).as("ssq"))
+          .crossJoin(nDocs)
+          .orderBy(col("cf").desc, col("tok")).limit(20)
+          .withColumn("vmr_e6", expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * (CAST(ssq AS DECIMAL(38,0)) * n_docs - CAST(cf AS DECIMAL(38,0)) * cf))" +
+              " div (CAST(cf AS DECIMAL(38,0)) * n_docs) AS BIGINT)"))
+          .withColumn("rate_e6", expr("CAST((1000000 * cf) div df AS BIGINT)"))
+          .withColumn("adapt_e6", expr("CAST((1000000 * df2) div df AS BIGINT)"))
+          .select("tok", "cf", "df", "df2", "vmr_e6", "rate_e6", "adapt_e6")
+          .orderBy(col("cf").desc, col("tok"))
+      },
+      Some(s"""WITH perdoc AS (
+                SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+                FROM (SELECT doc_id, unnest(string_split($duckNorm, ' ')) AS tok
+                      FROM documents)
+                GROUP BY 1, 2),
+              nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+              stats AS (
+                SELECT tok, CAST(sum(cnt) AS BIGINT) AS cf,
+                  CAST(count(*) AS BIGINT) AS df,
+                  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+                  CAST(sum(cnt * cnt) AS BIGINT) AS ssq
+                FROM perdoc GROUP BY 1),
+              top AS (
+                SELECT * FROM stats, nd ORDER BY cf DESC, tok LIMIT 20)
+              SELECT tok, cf, df, df2,
+                CAST((CAST(1000000 AS HUGEINT)
+                    * (CAST(ssq AS HUGEINT) * n_docs - CAST(cf AS HUGEINT) * cf))
+                  // (CAST(cf AS HUGEINT) * n_docs) AS BIGINT) AS vmr_e6,
+                CAST((1000000 * cf) // df AS BIGINT) AS rate_e6,
+                CAST((1000000 * df2) // df AS BIGINT) AS adapt_e6
+              FROM top ORDER BY cf DESC, tok""")),
+
     Q("x_contamination",
       // Train/eval decontamination check (the n-gram-overlap method every
       // published LLM data pipeline runs before heldout evaluation):
