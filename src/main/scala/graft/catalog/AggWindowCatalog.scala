@@ -4999,6 +4999,201 @@ object AggWindowCatalog {
                   AS significant
               FROM fin4""")),
 
+    Q("a_trimmed_mean",
+      // Exact trimmed & winsorized means (seventeenth-proposal #4):
+      // the robust-location triple per returnflag group — plain mean,
+      // 10%-trimmed mean (DROP each tail's k = n div 10 values), and
+      // 10%-winsorized mean (CLAMP each tail to the cut values) —
+      // every one an exact rational on cents, floor-e6 published. No
+      // per-row rank is ever materialized: the value-count frame's
+      // interval (cum_lt, cum_lt + cnt] intersects the kept rank band
+      // (k, n - k] arithmetically (take = clamped overlap), the cut
+      // values are the first intervals crossing ranks k+1 and n-k, and
+      // the winsorized sum is tsum + k*(lo_cut + hi_cut). The pooled
+      // cumulative is the a_mann_whitney two-phase trick, PARTITIONED
+      // by group on both phases (64-row per-group cross-bucket
+      // cumulative + within-(group,bucket) prefix windows; at 100x
+      // recurse to 64^2 buckets). All divisions are single floor-e6
+      // on nonnegative operands (Spark div / DuckDB // parity); the
+      // 1e6*sum products run in DECIMAL(38,0)/HUGEINT (3e20 at sf1
+      // exceeds BIGINT before the divide). Oracle ranks on the flat
+      // per-group window so green proves the two-phase + interval-
+      // overlap identity.
+      (s, d) => {
+        val vals = t(s, d, "lineitem")
+          .select(col("l_returnflag").as("g"),
+            expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("v"))
+          .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+          .cutLineage()
+        val bounds = broadcast(vals.agg(min("v").as("lo"), max("v").as("hi")))
+        val bucketed = vals.crossJoin(bounds)
+          .withColumn("b", expr("least(63, ((v - lo) * 64) div (hi - lo + 1))"))
+        val wBkt = Window.partitionBy("g").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val byBucket = bucketed.groupBy("g", "b").agg(sum("cnt").as("bc"))
+          .withColumn("cum_below", sum("bc").over(wBkt) - col("bc"))
+        val wIn = Window.partitionBy("g", "b").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cums = bucketed.join(broadcast(byBucket), Seq("g", "b"))
+          .withColumn("cum_lt",
+            col("cum_below") + sum("cnt").over(wIn) - col("cnt"))
+        val tot = vals.groupBy("g").agg(
+            sum("cnt").as("n"), sum(expr("v * cnt")).as("s"))
+          .withColumn("k", expr("n div 10"))
+        val cuts = cums.join(broadcast(tot), Seq("g"))
+          .groupBy("g").agg(
+            min(when(expr("cum_lt + cnt >= k + 1"), col("v"))).as("lo_cut"),
+            min(when(expr("cum_lt + cnt >= n - k"), col("v"))).as("hi_cut"),
+            sum(expr("v * greatest(CAST(0 AS BIGINT)," +
+              " least(cum_lt + cnt, n - k) - greatest(cum_lt, k))")).as("tsum"))
+        tot.join(cuts, Seq("g"))
+          .select(col("g"), col("n"), col("k").as("k_trim"),
+            col("lo_cut"), col("hi_cut"),
+            expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * s) div n AS BIGINT)")
+              .as("mean_e6"),
+            expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * tsum)" +
+              " div (n - 2 * k) AS BIGINT)").as("trimmed_mean_e6"),
+            expr("CAST((CAST(1000000 AS DECIMAL(38,0))" +
+              " * (tsum + k * lo_cut + k * hi_cut)) div n AS BIGINT)")
+              .as("winsor_mean_e6"))
+          .orderBy("g")
+      },
+      Some("""WITH vals AS (
+                SELECT l_returnflag AS g,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+                  CAST(count(*) AS BIGINT) AS cnt
+                FROM lineitem GROUP BY 1, 2),
+              ranked AS (
+                SELECT g, v, cnt,
+                  sum(cnt) OVER (PARTITION BY g ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) - cnt AS cum_lt
+                FROM vals),
+              tot AS (
+                SELECT g, CAST(sum(cnt) AS BIGINT) AS n,
+                  CAST(sum(v * cnt) AS BIGINT) AS s
+                FROM vals GROUP BY 1),
+              tot2 AS (SELECT *, n // 10 AS k FROM tot),
+              cuts AS (
+                SELECT r.g,
+                  min(CASE WHEN r.cum_lt + r.cnt >= t.k + 1 THEN r.v END)
+                    AS lo_cut,
+                  min(CASE WHEN r.cum_lt + r.cnt >= t.n - t.k THEN r.v END)
+                    AS hi_cut,
+                  CAST(sum(r.v * greatest(0,
+                    least(r.cum_lt + r.cnt, t.n - t.k)
+                      - greatest(r.cum_lt, t.k))) AS BIGINT) AS tsum
+                FROM ranked r JOIN tot2 t ON r.g = t.g
+                GROUP BY 1)
+              SELECT t.g, t.n, t.k AS k_trim, c.lo_cut, c.hi_cut,
+                CAST((CAST(1000000 AS HUGEINT) * t.s) // t.n AS BIGINT)
+                  AS mean_e6,
+                CAST((CAST(1000000 AS HUGEINT) * c.tsum) // (t.n - 2 * t.k)
+                  AS BIGINT) AS trimmed_mean_e6,
+                CAST((CAST(1000000 AS HUGEINT)
+                    * (c.tsum + t.k * c.lo_cut + t.k * c.hi_cut)) // t.n
+                  AS BIGINT) AS winsor_mean_e6
+              FROM tot2 t JOIN cuts c ON t.g = c.g
+              ORDER BY t.g""")),
+
+    Q("w30_drawdown",
+      // Running-peak drawdown profile (seventeenth-proposal #6) — the
+      // classic peak-to-trough risk summary, on each nation's DAILY
+      // revenue series: how far below its historical peak did the
+      // series fall (max drawdown, exact cents), when (first trough
+      // day), from what peak, how many distinct underwater spells, and
+      // the longest spell (in present-day rows; the series is sparse
+      // and the row-sequence convention is stated). Pure PARTITIONED
+      // windows — running max per nation, a per-nation max, and the
+      // gaps-and-islands row_number difference on the underwater flag
+      // (the w12_gap_islands trick) — no global window, no iteration;
+      // 100x adds nations-bounded parallel work only. The trough pins
+      // deterministically as min(day, rev) among max-drawdown rows
+      // (days are unique per nation after the daily rollup), and
+      // peak_cents = max_dd + rev(trough) recovers the peak without a
+      // second join.
+      (s, d) => {
+        val daily = t(s, d, "orders")
+          .join(broadcast(t(s, d, "customer")
+            .select("c_custkey", "c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nk"),
+            expr("CAST(o_orderdate AS DATE)").as("day"))
+          .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+            .as("rev"))
+          .cutLineage()
+        val wCum = Window.partitionBy("nk").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val dd = daily
+          .withColumn("peak", max("rev").over(wCum))
+          .withColumn("ddv", col("peak") - col("rev"))
+          .withColumn("maxdd", max(col("peak") - col("rev"))
+            .over(Window.partitionBy("nk")))
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("nk").orderBy("day")))
+        val islands = dd.filter(col("ddv") > 0)
+          .withColumn("island", col("rn") - row_number().over(
+            Window.partitionBy("nk").orderBy("day")))
+          .groupBy("nk", "island").agg(count(lit(1)).as("len"))
+          .groupBy("nk").agg(count(lit(1)).as("n_drawdowns"),
+            max("len").as("longest_underwater"))
+        dd.groupBy("nk").agg(
+            count(lit(1)).as("n_days"),
+            max("ddv").as("max_dd_cents"),
+            min(when(col("ddv") === col("maxdd"),
+              struct(col("day"), col("rev")))).as("tr"))
+          .join(islands, Seq("nk"), "left")
+          .select(col("nk").as("nationkey"), col("n_days"),
+            col("max_dd_cents"),
+            date_format(col("tr.day"), "yyyy-MM-dd").as("trough_day"),
+            expr("max_dd_cents + tr.rev").as("peak_cents"),
+            coalesce(col("n_drawdowns"), lit(0L)).as("n_drawdowns"),
+            coalesce(col("longest_underwater"), lit(0L))
+              .as("longest_underwater"))
+          .orderBy("nationkey")
+      },
+      Some("""WITH daily AS (
+                SELECT c_nationkey AS nk, CAST(o_orderdate AS DATE) AS day,
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1, 2),
+              dd AS (
+                SELECT nk, day, rev,
+                  max(rev) OVER (PARTITION BY nk ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS peak,
+                  row_number() OVER (PARTITION BY nk ORDER BY day) AS rn
+                FROM daily),
+              dd2 AS (
+                SELECT *, peak - rev AS ddv,
+                  max(peak - rev) OVER (PARTITION BY nk) AS maxdd
+                FROM dd),
+              isl AS (
+                SELECT nk, island, CAST(count(*) AS BIGINT) AS len
+                FROM (SELECT nk,
+                        rn - row_number() OVER (PARTITION BY nk ORDER BY day)
+                          AS island
+                      FROM dd2 WHERE ddv > 0)
+                GROUP BY 1, 2),
+              islands AS (
+                SELECT nk, CAST(count(*) AS BIGINT) AS n_drawdowns,
+                  CAST(max(len) AS BIGINT) AS longest_underwater
+                FROM isl GROUP BY 1),
+              stats AS (
+                SELECT nk, CAST(count(*) AS BIGINT) AS n_days,
+                  CAST(max(ddv) AS BIGINT) AS max_dd_cents,
+                  min(CASE WHEN ddv = maxdd THEN day END) AS trough_d,
+                  CAST(min_by(rev, day) FILTER (WHERE ddv = maxdd) AS BIGINT)
+                    AS trough_rev
+                FROM dd2 GROUP BY 1)
+              SELECT s.nk AS nationkey, s.n_days, s.max_dd_cents,
+                strftime(s.trough_d, '%Y-%m-%d') AS trough_day,
+                CAST(s.max_dd_cents + s.trough_rev AS BIGINT) AS peak_cents,
+                CAST(coalesce(i.n_drawdowns, 0) AS BIGINT) AS n_drawdowns,
+                CAST(coalesce(i.longest_underwater, 0) AS BIGINT)
+                  AS longest_underwater
+              FROM stats s LEFT JOIN islands i ON s.nk = i.nk
+              ORDER BY nationkey""")),
+
     Q("w31_lis",
       // Longest strictly-increasing (and strictly-decreasing)
       // subsequence of each event type's daily count series — the

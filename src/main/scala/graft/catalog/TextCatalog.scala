@@ -2075,6 +2075,116 @@ object TextCatalog {
                 CAST((1000000 * df2) // df AS BIGINT) AS adapt_e6
               FROM top ORDER BY cf DESC, tok""")),
 
+    Q("x_heaps_law",
+      // Heaps-law vocabulary growth (seventeenth-proposal #5; Heaps
+      // 1978): exact TYPE count at seven DOUBLING document-prefix
+      // checkpoints (D/64 .. D), the measured curve behind vocab
+      // sizing. The type unit is the token-TRIGRAM shingle (the
+      // x_contamination unit): the synthetic corpus draws from a
+      // ~31-word pool, so unigram types saturate inside the first
+      // checkpoint (measured before choosing the unit) while shingle
+      // types keep growing — the Heaps regime — no log fit, only exact counts and their consecutive-
+      // checkpoint ratios in floor-e6 (sublinear v_growth vs ~2x
+      // t_growth IS the Heaps claim, shown rather than fitted (1.84x
+      // falling to 1.55x across the last doublings at sf0.01)). The
+      // document order is a deterministic md5 permutation (corpus
+      // order would confound growth with source layout); the prefix
+      // position comes from the mann_whitney-style TWO-PHASE rank —
+      // 256 md5-prefix buckets, cross-bucket cumulative + within-
+      // bucket row_number — never a global window (the hex-prefix
+      // bucket order equals the full-string order because hex digits
+      // are ascii-ordered). Each shingle type then needs only
+      // min(first position): one groupBy, no iteration; checkpoints join as a
+      // broadcast 7-row frame. Oracle ranks on a FLAT row_number so
+      // green proves the two-phase identity.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), expr(s"split($sparkNorm, ' ')").as("toks"))
+          .withColumn("h", md5(col("doc_id").cast("string")))
+          .withColumn("hb", expr("conv(substring(h, 1, 2), 16, 10)").cast("long"))
+        val byB = docs.groupBy("hb").agg(count(lit(1)).as("bc"))
+          .withColumn("cum_below", expr(
+            "sum(bc) OVER (ORDER BY hb ROWS UNBOUNDED PRECEDING) - bc"))
+        val pos = docs.join(broadcast(byB), Seq("hb"))
+          .withColumn("p", col("cum_below") +
+            row_number().over(Window.partitionBy("hb").orderBy("h")))
+          .select(col("p"), col("toks"))
+          .cutLineage()
+        val cks = broadcast(pos.agg(count(lit(1)).as("nd"))
+          .select(explode(expr(
+            "transform(sequence(0, 6), j -> struct(CAST(j AS BIGINT) AS ck_id," +
+              " greatest(CAST(1 AS BIGINT)," +
+              " nd div shiftleft(CAST(1 AS BIGINT), 6 - j)) AS n_ck))"))
+            .as("c"))
+          .select(col("c.*")))
+        val vck = pos.filter(expr("size(toks) > 2"))
+          .select(col("p"), explode(expr(
+            """transform(sequence(1, size(toks) - 2),
+               i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+                 element_at(toks, i + 2)))""")).as("sg"))
+          .groupBy("sg").agg(min("p").as("fp"))
+          .crossJoin(cks).filter(col("fp") <= col("n_ck"))
+          .groupBy("ck_id", "n_ck").agg(count(lit(1)).as("n_types"))
+        val tck = pos.select(col("p"),
+            expr("CAST(size(toks) AS BIGINT)").as("ntok"))
+          .crossJoin(cks).filter(col("p") <= col("n_ck"))
+          .groupBy(col("ck_id").as("t_ck")).agg(sum("ntok").as("n_tokens"))
+        val cur = vck.join(tck, col("ck_id") === col("t_ck"))
+          .select(col("ck_id"), col("n_ck").as("n_docs_ck"),
+            col("n_tokens"), col("n_types"))
+        cur.join(
+            cur.select(col("ck_id").as("prev_id"),
+              col("n_types").as("v_prev"), col("n_tokens").as("t_prev")),
+            col("prev_id") === col("ck_id") - 1, "left")
+          .select(col("ck_id"), col("n_docs_ck"), col("n_tokens"), col("n_types"),
+            expr("CAST(CASE WHEN ck_id = 0 THEN 0" +
+              " ELSE (1000000 * n_types) div v_prev END AS BIGINT)")
+              .as("v_growth_e6"),
+            expr("CAST(CASE WHEN ck_id = 0 THEN 0" +
+              " ELSE (1000000 * n_tokens) div t_prev END AS BIGINT)")
+              .as("t_growth_e6"))
+          .orderBy("ck_id")
+      },
+      Some(s"""WITH docs AS (
+                SELECT doc_id, string_split($duckNorm, ' ') AS toks,
+                  md5(CAST(doc_id AS VARCHAR)) AS h
+                FROM documents),
+              pos AS (
+                SELECT toks, CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS p
+                FROM docs),
+              tot AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM pos),
+              cks AS (
+                SELECT CAST(j AS BIGINT) AS ck_id,
+                  greatest(1, (SELECT nd FROM tot) // (1 << CAST(6 - j AS INT)))
+                    AS n_ck
+                FROM range(0, 7) t(j)),
+              fp AS (
+                SELECT sg, CAST(min(p) AS BIGINT) AS fp
+                FROM (SELECT p,
+                        unnest(list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1] || ' '
+                            || toks[i + 2])) AS sg
+                      FROM pos WHERE len(toks) > 2)
+                GROUP BY 1),
+              vck AS (
+                SELECT c.ck_id, CAST(c.n_ck AS BIGINT) AS n_ck,
+                  CAST(count(*) AS BIGINT) AS n_types
+                FROM fp, cks c WHERE fp.fp <= c.n_ck GROUP BY 1, 2),
+              tck AS (
+                SELECT c.ck_id, CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+                FROM pos, cks c WHERE pos.p <= c.n_ck GROUP BY 1)
+              SELECT v.ck_id, v.n_ck AS n_docs_ck, t.n_tokens, v.n_types,
+                CAST(CASE WHEN v.ck_id = 0 THEN 0
+                  ELSE (1000000 * v.n_types) // pv.n_types END AS BIGINT)
+                  AS v_growth_e6,
+                CAST(CASE WHEN v.ck_id = 0 THEN 0
+                  ELSE (1000000 * t.n_tokens) // pt.n_tokens END AS BIGINT)
+                  AS t_growth_e6
+              FROM vck v JOIN tck t ON v.ck_id = t.ck_id
+              LEFT JOIN vck pv ON pv.ck_id = v.ck_id - 1
+              LEFT JOIN tck pt ON pt.ck_id = t.ck_id - 1
+              ORDER BY v.ck_id""")),
+
     Q("x_contamination",
       // Train/eval decontamination check (the n-gram-overlap method every
       // published LLM data pipeline runs before heldout evaluation):
