@@ -27,23 +27,46 @@ def kind(s: pd.Series) -> str:
 
 
 def dtype_mismatches(g: pd.DataFrame, w: pd.DataFrame):
-    """Replicate the driver's dtype-sensitive hash for the dangerous class:
+    """Replicate the driver's dtype-sensitive hash for the dangerous classes:
     an integer column on one side vs float64/object on the other (DuckDB
     renders HUGEINT as float64 and DECIMAL as object through the pandas
-    bridge — the round-13 a_gini_split/a_jenks_breaks escape). Date/object
-    vs datetime differences are tolerated (the driver passes those today).
+    bridge — the round-13 a_gini_split/a_jenks_breaks escape), and — round-15,
+    the r14 verdict's suggested extension — a datetime column on ONE side only
+    (a string-rendered ts vs a raw ts compares equal under pandas coercion
+    here while the driver's dtype-sensitive hash diverges; the Q-scaladoc rule
+    is string-rendered timestamps on BOTH sides).
     """
+    def obj_is_datelike(s: pd.Series) -> bool:
+        nn = s.dropna()
+        if nn.empty:
+            return False
+        import datetime
+        return isinstance(nn.iloc[0], (datetime.date, datetime.datetime, pd.Timestamp))
+
     bad = []
     for c in g.columns:
         kg, kw = kind(g[c]), kind(w[c])
         if kg == kw:
             continue
         numeric = {"int", "float"}
+        # ts vs object-of-date is the pandas DATE bridge, not a rendering
+        # divergence — only ts vs STRING (or numeric) is the driver-hash trap.
+        one_sided_ts = ("ts" in (kg, kw)) and not (
+            (kg == "obj" and obj_is_datelike(g[c])) or
+            (kw == "obj" and obj_is_datelike(w[c])))
         if (kg == "int" and kw in {"float", "obj"}) or \
            (kw == "int" and kg in {"float", "obj"}) or \
-           (kg in numeric) != (kw in numeric) and "ts" not in (kg, kw):
+           ((kg in numeric) != (kw in numeric) and "ts" not in (kg, kw)) or \
+           one_sided_ts:
             bad.append((c, str(g[c].dtype), str(w[c].dtype)))
     return bad
+
+
+def ts_rule_warnings(g: pd.DataFrame, w: pd.DataFrame):
+    """Columns that are raw datetimes on BOTH sides: the driver passes these
+    today, so they stay green, but the Q-scaladoc rule says render timestamps
+    as strings — surface them so new queries don't copy the pattern."""
+    return [c for c in g.columns if kind(g[c]) == "ts" and kind(w[c]) == "ts"]
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -95,6 +118,10 @@ def main():
             print(f"FAIL  {name}: dtype parity: {det}")
             n_fail += 1
             continue
+        tsw = ts_rule_warnings(raw_g, raw_w)
+        if tsw:
+            print(f"WARN  {name}: raw timestamp columns {tsw} "
+                  "(Q rule: render ts as strings on both sides)")
         if len(g) != len(w):
             print(f"FAIL  {name}: rows {len(g)} != {len(w)}")
             n_fail += 1

@@ -1261,6 +1261,11 @@ object GraphCatalog {
             datediff(to_date(col("sd2")), to_date(lit("1992-01-01")))
               .cast("long").as("t"))
           .distinct()
+          // cut BEFORE deriving sources: without it the `sources` plan
+          // recomputes the whole lineitem self-join + distinct a second
+          // time (round-15 bench-tail finding — ~2-3 s of the 8 s was
+          // this silent duplicate derivation)
+          .cutLineage()
         val sources = edges.filter(col("u") % 200 === 0)
           .select(col("u").as("node")).distinct()
         graft.operators.TemporalGraph.earliestArrival(edges, sources)

@@ -222,13 +222,19 @@ object GraphAlgos {
     * between infeasible and routine on power-law graphs, where the
     * naive self-join explodes on hub nodes.
     *
-    * Shape: two shuffles for degrees + orientation, one self-join on
-    * the wedge pivot — and then, crucially, the wedge set (the one
-    * intermediate that is quadratically bigger than the input) is
-    * probed against a BROADCAST of the edge set when the edge set fits
+    * Shape: two shuffles for degrees + orientation, then the wedges
+    * expand ROW-LOCALLY from each pivot's sorted out-neighbor array
+    * (one groupBy on the pivot; round-15 bench-tail change — the
+    * previous e1-join-e2 self-join built and broadcast a second copy
+    * of the oriented edge set to produce the same stream) — and then,
+    * crucially, the wedge set (the one intermediate that is
+    * quadratically bigger than the input) is probed against a
+    * BROADCAST of the edge set when the edge set fits
     * (`broadcastEdgeLimit` rows): the 10-100x-larger wedge stream never
     * crosses an exchange, it is filtered where it was produced. Above
-    * the gate it falls back to a shuffle join keyed on (b, c).
+    * the gate it falls back to a shuffle join keyed on (b, c). The
+    * pivot arrays are degree-orientation-bounded (out-degree is
+    * O(sqrt m)), so no group collects a hub's full neighborhood.
     *
     * @param edges undirected edges (u, v); self-loops and duplicate /
     *              reversed duplicates are removed here
@@ -263,16 +269,17 @@ object GraphAlgos {
           col("u")).otherwise(col("v")).as("lo"),
         when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
           col("v")).otherwise(col("u")).as("hi"))
-      .cutLineage()
-    // Wedges a->(b,c) from the low-degree pivot, ordered so each
-    // unordered pair is generated once; closed iff (b,c) is an edge.
-    val e1 = oriented.select(col("lo").as("a"), col("hi").as("b"))
-    val e2 = oriented.select(col("lo").as("a"), col("hi").as("c"))
-    // Under the gate the wedge self-join broadcasts its build side too:
-    // the quadratic wedge stream is then produced AND filtered without
-    // ever crossing an exchange.
-    val wedges = e1.join(if (fitsBroadcast) broadcast(e2) else e2, Seq("a"))
-      .filter(col("b") < col("c"))
+    // Wedges a->(b,c) from the low-degree pivot, each unordered pair
+    // generated once (b < c via the sorted array); closed iff (b,c) is
+    // an edge. Row-local expansion: one exchange for the pivot groupBy,
+    // and the quadratic wedge stream is produced in place.
+    val wedges = oriented
+      .groupBy("lo").agg(sort_array(collect_list("hi")).as("hs"))
+      .select(col("lo").as("a"), explode(expr(
+        "flatten(transform(hs, (x, i) -> " +
+          "transform(slice(hs, i + 2, size(hs)), " +
+          "y -> struct(x AS b, y AS c))))")).as("w"))
+      .select(col("a"), col("w.b").as("b"), col("w.c").as("c"))
     // closing edges are just `und` under wedge-output names: (u, v) is
     // already the (min, max) normal form the wedge filter emits
     val closing0 = und.select(col("u").as("b"), col("v").as("c"))

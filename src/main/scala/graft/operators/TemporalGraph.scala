@@ -40,8 +40,18 @@ object TemporalGraph {
     var r = 0
     var stable = false
     while (r < maxRounds && !stable) {
+      // Relax from the FRONTIER only (nodes whose arrival changed last
+      // round), not from every reached node: relaxation is monotone, so
+      // a node with an unchanged arrival re-emits exactly the candidates
+      // it already emitted the round it moved — pure re-work. Round-15
+      // (r14 verdict #4, bench-tail): at sf0.1 the reached set grows to
+      // ~all parts by round 4 of 15, so full-set relaxation made the
+      // last 11 rounds each as expensive as the widest one; results are
+      // bit-identical (a re-lowered node re-enters the frontier via its
+      // `moved` flag).
       val upd = e
-        .join(arr.select(col("node").as("u"), col("arr").as("au")),
+        .join(arr.filter(col("moved"))
+            .select(col("node").as("u"), col("arr").as("au")),
           Seq("u"))
         .filter(col("t") >= col("au"))
         .groupBy(col("v").as("node")).agg(min("t").as("cand"))
