@@ -1070,6 +1070,115 @@ object AggWindowCatalog {
                  AS bal_e2
              FROM u GROUP BY _version ORDER BY _version""")),
 
+    Q("t22_partition_evolution",
+      // Partition-spec evolution (eighteenth-proposal #5; the Iceberg
+      // capability the t1x family lacked): a table whose OLDER files
+      // were written under a BY-MONTH partition spec and newer files
+      // under BY-DAY, queried with one date range that straddles the
+      // spec boundary. Planning must prune AT EACH TUPLE'S OWN
+      // GRANULARITY — a month tuple partially overlapping the range
+      // cannot be pruned and over-reads its out-of-range days (the
+      // residual filter trims them; day tuples prune exactly, zero
+      // over-read) — and the audit PUBLISHES that asymmetry:
+      // per spec, partition counts (total/scanned/pruned), rows read
+      // at tuple granularity, rows matched after the residual, cents
+      // matched. ISO date-prefix strings make tuple overlap a plain
+      // string range both engines agree on. The writes repartition by
+      // the partition value so file layout is one file per tuple —
+      // deterministic counts; pruning happens IN-PLAN (Catalyst
+      // partition pruning on the directory column), no driver file
+      // listing. Oracle recomputes every count straight from the base
+      // table; day-spec read == matched is itself the published claim.
+      (s, d) => {
+        val root = Q.scratch(s, d, "t22")
+        val o = t(s, d, "orders").select(col("o_orderdate").as("od"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            .as("cents"))
+        o.filter(col("od") < lit("1998-07-01"))
+          .withColumn("p", date_format(col("od"), "yyyy-MM"))
+          .repartition(col("p"))
+          .write.mode("overwrite").partitionBy("p")
+          .parquet(s"$root/spec=month")
+        o.filter(col("od") >= lit("1998-07-01"))
+          .withColumn("p", date_format(col("od"), "yyyy-MM-dd"))
+          .repartition(col("p"))
+          .write.mode("overwrite").partitionBy("p")
+          .parquet(s"$root/spec=day")
+        val (lo, hi) = ("1998-05-15", "1998-09-15")
+        def audit(spec: String, plo: String, phi: String) = {
+          val all = s.read.parquet(s"$root/spec=$spec")
+            .withColumn("p", col("p").cast("string"))
+          val scanned = all.filter(col("p") >= plo && col("p") <= phi)
+          val parts = all.select("p").distinct()
+            .agg(count(lit(1)).as("n_partitions"))
+          val reads = scanned.agg(
+            countDistinct("p").as("n_scanned"),
+            count(lit(1)).as("n_rows_read"))
+          val matched = scanned
+            .filter(col("od") >= lit(lo) && col("od") <= lit(hi))
+            .agg(count(lit(1)).as("n_rows_matched"),
+              sum("cents").as("cents_matched"))
+          parts.crossJoin(reads).crossJoin(matched)
+            .select(lit(spec).as("spec"), col("n_partitions"),
+              col("n_scanned"),
+              (col("n_partitions") - col("n_scanned")).as("n_pruned"),
+              col("n_rows_read"), col("n_rows_matched"),
+              col("cents_matched"))
+        }
+        audit("month", "1998-05", "1998-09")
+          .unionByName(audit("day", lo, hi))
+          .orderBy("spec")
+      },
+      Some("""WITH o AS (
+                SELECT o_orderdate AS od,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+                FROM orders),
+              m AS (
+                SELECT strftime(CAST(od AS DATE), '%Y-%m') AS p, od, cents
+                FROM o WHERE od < TIMESTAMP '1998-07-01'),
+              dy AS (
+                SELECT strftime(CAST(od AS DATE), '%Y-%m-%d') AS p, od, cents
+                FROM o WHERE od >= TIMESTAMP '1998-07-01'),
+              ms AS (
+                SELECT CAST(count(DISTINCT p) AS BIGINT) AS n_partitions,
+                  CAST(count(DISTINCT CASE WHEN p >= '1998-05'
+                    AND p <= '1998-09' THEN p END) AS BIGINT) AS n_scanned,
+                  CAST(count(CASE WHEN p >= '1998-05' AND p <= '1998-09'
+                    THEN 1 END) AS BIGINT) AS n_rows_read,
+                  CAST(count(CASE WHEN od >= TIMESTAMP '1998-05-15'
+                    AND od <= TIMESTAMP '1998-09-15' THEN 1 END) AS BIGINT)
+                    AS n_rows_matched,
+                  CAST(sum(CASE WHEN od >= TIMESTAMP '1998-05-15'
+                    AND od <= TIMESTAMP '1998-09-15' THEN cents END)
+                    AS BIGINT) AS cents_matched
+                FROM m),
+              ds AS (
+                SELECT CAST(count(DISTINCT p) AS BIGINT) AS n_partitions,
+                  CAST(count(DISTINCT CASE WHEN p >= '1998-07-01'
+                    AND p <= '1998-09-15' THEN p END) AS BIGINT) AS n_scanned,
+                  CAST(count(CASE WHEN p >= '1998-07-01'
+                    AND p <= '1998-09-15' THEN 1 END) AS BIGINT)
+                    AS n_rows_read,
+                  CAST(count(CASE WHEN od >= TIMESTAMP '1998-05-15'
+                    AND od <= TIMESTAMP '1998-09-15'
+                    AND p >= '1998-07-01' AND p <= '1998-09-15' THEN 1 END)
+                    AS BIGINT) AS n_rows_matched,
+                  CAST(sum(CASE WHEN od >= TIMESTAMP '1998-05-15'
+                    AND od <= TIMESTAMP '1998-09-15'
+                    AND p >= '1998-07-01' AND p <= '1998-09-15' THEN cents
+                    END) AS BIGINT) AS cents_matched
+                FROM dy)
+              SELECT 'day' AS spec, n_partitions, n_scanned,
+                CAST(n_partitions - n_scanned AS BIGINT) AS n_pruned,
+                n_rows_read, n_rows_matched, cents_matched
+              FROM ds
+              UNION ALL
+              SELECT 'month', n_partitions, n_scanned,
+                CAST(n_partitions - n_scanned AS BIGINT),
+                n_rows_read, n_rows_matched, cents_matched
+              FROM ms
+              ORDER BY spec""")),
+
     Q("t16_deletion_vectors",
       // Merge-on-read deletes (graft.temporal.DeletionVectors — Delta
       // deletion vectors / Iceberg positional deletes as a sidecar):
@@ -4999,6 +5108,130 @@ object AggWindowCatalog {
                   AS significant
               FROM fin4""")),
 
+    Q("a_wilcoxon_signed_rank",
+      // Wilcoxon signed-rank (1945), exact with midranks (eighteenth-
+      // proposal #1): the PAIRED member completing the nonparametric
+      // lineage (two-sample a_mann_whitney, k-sample a_kruskal_wallis,
+      // correlation a_spearman_rho) — did per-customer total spend
+      // SHIFT between the first and second half of the order history.
+      // Pairs are integer cents totals per half (totals, not means: a
+      // mean is a rational and exact |d| ranking would need cross-
+      // multiplied comparisons; the paired-total statistic is equally
+      // standard and keeps every diff a BIGINT). Zero diffs drop by
+      // the standard Wilcoxon convention (count published). |d| ranks
+      // by doubled-unit midranks on the two-phase bucketed frame
+      // (64-bucket cross-bucket cumulative + within-bucket prefix
+      // windows; at 100x recurse to 64^2 buckets). The tie-corrected
+      // variance folds into ONE floor-e6 division with nonnegative
+      // operands: z^2 = 12e6 * dev2^2 div (2n(n+1)(2n+1) - TT), dev2 =
+      // W2+ - n(n+1)/2 (n(n+1) always even, so dev2 is exact), TT =
+      // sum(t^3 - t); the denominator is >= 3n^3 + 6n^2 + 3n even
+      // fully tied. Identity carried as data: w2_plus + w2_minus =
+      // n(n+1). Verdict vs chi-square(1) 95% = 3.841459 exactly.
+      // Oracle: flat midrank window.
+      (s, d) => {
+        val diffs = t(s, d, "orders")
+          .select(col("o_custkey").as("c"),
+            col("o_orderdate").as("od"),
+            expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+              .as("cents"))
+          .groupBy("c").agg(
+            sum(when(col("od") < lit("1998-07-01"), col("cents"))).as("s1"),
+            sum(when(col("od") >= lit("1998-07-01"), col("cents"))).as("s2"))
+          .filter(col("s1").isNotNull && col("s2").isNotNull)
+          .select((col("s2") - col("s1")).as("dd"))
+          .cutLineage()
+        val zeros = broadcast(diffs.filter(col("dd") === 0)
+          .agg(count(lit(1)).as("n_zero")))
+        val vals = diffs.filter(col("dd") =!= 0)
+          .groupBy(abs(col("dd")).as("v")).agg(
+            count(lit(1)).as("cnt"),
+            sum(when(col("dd") > 0, 1L).otherwise(0L)).as("pos"))
+        val bounds = broadcast(vals.agg(min("v").as("lo"), max("v").as("hi")))
+        val bucketed = vals.crossJoin(bounds)
+          .withColumn("b", expr("least(63, ((v - lo) * 64) div (hi - lo + 1))"))
+        val byBucket = bucketed.groupBy("b").agg(sum("cnt").as("bc"))
+          .withColumn("cum_below", expr(
+            "sum(bc) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) - bc"))
+        val wIn = Window.partitionBy("b").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cums = bucketed.join(broadcast(byBucket), Seq("b"))
+          .withColumn("cnt_lt",
+            col("cum_below") + sum("cnt").over(wIn) - col("cnt"))
+          .withColumn("r2", expr("2 * cnt_lt + cnt + 1"))
+        cums.agg(
+            sum("cnt").as("n_pairs"),
+            sum(expr("pos * r2")).as("w2_plus"),
+            sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_tie_groups"),
+            sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt")).as("tt"))
+          .crossJoin(zeros)
+          .withColumn("w2_minus", expr("n_pairs * (n_pairs + 1) - w2_plus"))
+          .withColumn("dev2",
+            expr("w2_plus - (n_pairs * (n_pairs + 1)) div 2"))
+          .withColumn("z2_e6", expr(
+            "CAST((CAST(12000000 AS DECIMAL(38,0)) * dev2 * dev2)" +
+              " div (CAST(2 AS DECIMAL(38,0)) * n_pairs * (n_pairs + 1)" +
+              " * (2 * n_pairs + 1) - tt) AS BIGINT)"))
+          .select(col("n_pairs"), col("n_zero"), col("w2_plus"),
+            col("w2_minus"), col("n_tie_groups"), col("z2_e6"),
+            expr("CAST(sign(dev2) AS BIGINT)").as("shifted"),
+            expr("CAST(CASE WHEN z2_e6 > 3841459 THEN 1 ELSE 0 END" +
+              " AS BIGINT)").as("significant"))
+      },
+      Some("""WITH cents AS (
+                SELECT o_custkey AS c, o_orderdate AS od,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+                FROM orders),
+              diffs AS (
+                SELECT
+                  CAST(sum(CASE WHEN od < TIMESTAMP '1998-07-01'
+                    THEN cents END) AS BIGINT) AS s1,
+                  CAST(sum(CASE WHEN od >= TIMESTAMP '1998-07-01'
+                    THEN cents END) AS BIGINT) AS s2
+                FROM cents GROUP BY c
+                HAVING s1 IS NOT NULL AND s2 IS NOT NULL),
+              dd AS (SELECT s2 - s1 AS dd FROM diffs),
+              nzero AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_zero FROM dd
+                WHERE dd = 0),
+              grp AS (
+                SELECT abs(dd) AS v, CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS pos
+                FROM dd WHERE dd <> 0 GROUP BY 1),
+              ranked AS (
+                SELECT v, cnt, pos,
+                  sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - cnt
+                    AS cnt_lt
+                FROM grp),
+              st AS (
+                SELECT CAST(sum(cnt) AS BIGINT) AS n_pairs,
+                  CAST(sum(pos * (2 * cnt_lt + cnt + 1)) AS BIGINT)
+                    AS w2_plus,
+                  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_tie_groups,
+                  CAST(sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt)
+                    AS HUGEINT) AS tt
+                FROM ranked),
+              fin AS (
+                SELECT *, (SELECT n_zero FROM nzero) AS n_zero,
+                  w2_plus - (n_pairs * (n_pairs + 1)) // 2 AS dev2
+                FROM st),
+              fin2 AS (
+                SELECT *,
+                  CAST((CAST(12000000 AS HUGEINT) * dev2 * dev2)
+                    // (CAST(2 AS HUGEINT) * n_pairs * (n_pairs + 1)
+                      * (2 * n_pairs + 1) - tt) AS BIGINT) AS z2_e6
+                FROM fin)
+              SELECT n_pairs, n_zero, w2_plus,
+                CAST(n_pairs * (n_pairs + 1) - w2_plus AS BIGINT)
+                  AS w2_minus,
+                n_tie_groups, z2_e6,
+                CAST(sign(dev2) AS BIGINT) AS shifted,
+                CAST(CASE WHEN z2_e6 > 3841459 THEN 1 ELSE 0 END AS BIGINT)
+                  AS significant
+              FROM fin2""")),
+
     Q("a_trimmed_mean",
       // Exact trimmed & winsorized means (seventeenth-proposal #4):
       // the robust-location triple per returnflag group — plain mean,
@@ -5192,6 +5425,151 @@ object AggWindowCatalog {
                 CAST(coalesce(i.longest_underwater, 0) AS BIGINT)
                   AS longest_underwater
               FROM stats s LEFT JOIN islands i ON s.nk = i.nk
+              ORDER BY nationkey""")),
+
+    Q("w32_peak_prominence",
+      // Peak detection with exact topographic prominence (eighteenth-
+      // proposal #4; the scipy peak_prominences definition, stated
+      // exactly): on each nation's daily-revenue series, a peak is a
+      // strict local maximum, and its prominence is height minus the
+      // HIGHER of the two side bases, where each side's base is the
+      // minimum between the peak and the nearest strictly-higher
+      // point (or the series boundary when no higher point exists —
+      // the global max thus measures against the series minimum on
+      // its open side). Computation is ROW-LOCAL per nation: the
+      // series collects once into a day-sorted array (calendar-
+      // bounded, ~2400 entries — stated; at 100x the array length is
+      // unchanged because the calendar is), and peaks, nearest-higher
+      // indices (one aggregate-HOF fold each side) and slice minima
+      // are pure array arithmetic inside one projection — no
+      // quadratic join, no iteration. Prominent-peak gate: prom >=
+      // (range div 4), exact cents. The top peak per nation breaks
+      // ties deterministically (max prom, then earliest day); empty-
+      // peak nations publish the (-1, '') sentinel identically on
+      // both engines. The oracle computes the SAME definition
+      // RELATIONALLY (windows + bounded inequality self-joins +
+      // correlated minima), so green proves the array-fold identity
+      // against the definition, not the code.
+      (s, d) => {
+        val daily = t(s, d, "orders")
+          .join(broadcast(t(s, d, "customer")
+            .select("c_custkey", "c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nk"),
+            expr("CAST(o_orderdate AS DATE)").as("day"))
+          .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+            .as("rev"))
+        val promExpr =
+          """transform(peaks, p ->
+             element_at(transform(array(struct(
+                 aggregate(sequence(1, p - 1), 0, (acc, j) ->
+                   IF(element_at(r, j) > element_at(r, p), j, acc)) AS lj,
+                 aggregate(sequence(p + 1, n), 0, (acc2, j2) ->
+                   IF(acc2 = 0 AND element_at(r, j2) > element_at(r, p),
+                     j2, acc2)) AS rj)),
+               b -> struct(p AS p,
+                 element_at(r, p) - greatest(
+                   array_min(slice(r, b.lj + 1, p - b.lj - 1)),
+                   array_min(slice(r, p + 1,
+                     IF(b.rj = 0, n, b.rj - 1) - p))) AS prom)), 1))"""
+        val topExpr =
+          """element_at(transform(array(
+               IF(size(proms) = 0,
+                 named_struct('p', -1, 'prom', CAST(-1 AS BIGINT)),
+                 element_at(array_sort(proms, (l, rr) -> CASE
+                   WHEN l.prom > rr.prom THEN -1
+                   WHEN l.prom < rr.prom THEN 1
+                   WHEN l.p < rr.p THEN -1
+                   WHEN l.p > rr.p THEN 1 ELSE 0 END), 1))),
+             tp -> struct(
+               IF(tp.p = -1, '', element_at(ds, tp.p)) AS top_day,
+               IF(tp.p = -1, CAST(-1 AS BIGINT), element_at(r, tp.p))
+                 AS top_height,
+               tp.prom AS top_prom)), 1)"""
+        daily.groupBy("nk").agg(
+            sort_array(collect_list(struct(col("day"), col("rev"))))
+              .as("sarr"))
+          .select(col("nk"),
+            expr("transform(sarr, x -> x.rev)").as("r"),
+            expr("transform(sarr, x -> CAST(x.day AS STRING))").as("ds"),
+            expr("CAST(size(sarr) AS INT)").as("n"))
+          .withColumn("peaks", expr(
+            "IF(n < 3, array(), filter(sequence(2, n - 1), p -> " +
+              "element_at(r, p) > element_at(r, p - 1) AND " +
+              "element_at(r, p) > element_at(r, p + 1)))"))
+          .withColumn("proms", expr(promExpr))
+          .withColumn("gate", expr("(array_max(r) - array_min(r)) div 4"))
+          .withColumn("t", expr(topExpr))
+          .select(col("nk").as("nationkey"),
+            col("n").cast("long").as("n_days"),
+            expr("CAST(size(peaks) AS BIGINT)").as("n_peaks"),
+            expr("CAST(size(filter(proms, x -> x.prom >= gate)) AS BIGINT)")
+              .as("n_prominent"),
+            col("t.top_day").as("top_day"),
+            col("t.top_height").as("top_height"),
+            col("t.top_prom").as("top_prom"))
+          .orderBy("nationkey")
+      },
+      Some("""WITH daily AS (
+                SELECT c_nationkey AS nk, CAST(o_orderdate AS DATE) AS day,
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1, 2),
+              seq AS (
+                SELECT nk, day, rev,
+                  CAST(row_number() OVER (PARTITION BY nk ORDER BY day)
+                    AS BIGINT) AS rn
+                FROM daily),
+              tot AS (
+                SELECT nk, CAST(count(*) AS BIGINT) AS n_days,
+                  CAST(max(rev) AS BIGINT) AS mx, CAST(min(rev) AS BIGINT) AS mn
+                FROM seq GROUP BY 1),
+              pk AS (
+                SELECT nk, rn AS p, rev AS h, day FROM (
+                  SELECT *, lag(rev) OVER w AS pv, lead(rev) OVER w AS nx
+                  FROM seq WINDOW w AS (PARTITION BY nk ORDER BY rn))
+                WHERE pv IS NOT NULL AND nx IS NOT NULL
+                  AND rev > pv AND rev > nx),
+              ljr AS (
+                SELECT pk.nk, pk.p, pk.h, pk.day,
+                  coalesce((SELECT max(s.rn) FROM seq s
+                    WHERE s.nk = pk.nk AND s.rn < pk.p AND s.rev > pk.h), 0)
+                    AS lj,
+                  (SELECT min(s.rn) FROM seq s
+                    WHERE s.nk = pk.nk AND s.rn > pk.p AND s.rev > pk.h)
+                    AS rj
+                FROM pk),
+              prom AS (
+                SELECT l.nk, l.p, l.h, l.day,
+                  l.h - greatest(
+                    (SELECT min(s.rev) FROM seq s WHERE s.nk = l.nk
+                      AND s.rn > l.lj AND s.rn < l.p),
+                    (SELECT min(s.rev) FROM seq s WHERE s.nk = l.nk
+                      AND s.rn > l.p
+                      AND s.rn < coalesce(l.rj, t.n_days + 1)))
+                    AS prom
+                FROM ljr l JOIN tot t ON l.nk = t.nk),
+              tops AS (
+                SELECT nk, p, h, day, prom,
+                  row_number() OVER (PARTITION BY nk
+                    ORDER BY prom DESC, p) AS rk
+                FROM prom)
+              SELECT t.nk AS nationkey, t.n_days,
+                CAST(coalesce(pc.n_peaks, 0) AS BIGINT) AS n_peaks,
+                CAST(coalesce(pc.n_prominent, 0) AS BIGINT) AS n_prominent,
+                coalesce(CAST(tp.day AS VARCHAR), '') AS top_day,
+                CAST(coalesce(tp.h, -1) AS BIGINT) AS top_height,
+                CAST(coalesce(tp.prom, -1) AS BIGINT) AS top_prom
+              FROM tot t
+              LEFT JOIN (
+                SELECT pr.nk, CAST(count(*) AS BIGINT) AS n_peaks,
+                  CAST(sum(CASE WHEN pr.prom >= (t2.mx - t2.mn) // 4
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_prominent
+                FROM prom pr JOIN tot t2 ON pr.nk = t2.nk
+                GROUP BY 1) pc ON t.nk = pc.nk
+              LEFT JOIN (SELECT * FROM tops WHERE rk = 1) tp
+                ON t.nk = tp.nk
               ORDER BY nationkey""")),
 
     Q("w31_lis",

@@ -2185,6 +2185,165 @@ object TextCatalog {
               LEFT JOIN tck pt ON pt.ck_id = t.ck_id - 1
               ORDER BY v.ck_id""")),
 
+    Q("x_lexical_richness",
+      // Lexical-richness spectrum (eighteenth-proposal #2; Yule 1944,
+      // Simpson 1949): per source, Yule's characteristic K and
+      // Simpson's repeat concentration D straight off the frequency
+      // spectrum, plus hapax/dis-legomena counts and the type-token
+      // ratio — every statistic an exact integer rational, no logs
+      // (Herdan's C and Honore's H are declared out: both need libm).
+      // Both K and D share one exact numerator, the repeat count
+      // rep2 = sum f(f-1) = S2 - N: K = 1e4 * rep2/N^2 (published in
+      // millionths of K's own 1e4 convention) and D = rep2/(N(N-1))
+      // (published e9) — so a single spectrum aggregate feeds every
+      // column. The type unit is the token-trigram shingle (the
+      // x_heaps_law rationale: the synthetic corpus's ~31-word unigram
+      // vocabulary makes unigram hapaxes vanish). Scale shape: one
+      // (source, shingle) partial-agg groupBy — the same frame every
+      // tokenizer pass shuffles — then a sources-bounded rollup.
+      (s, d) => {
+        val freq = spread(t(s, d, "documents"))
+          .withColumn("toks", expr(s"split($sparkNorm, ' ')"))
+          .filter(expr("size(toks) > 2"))
+          .select(col("source"), explode(expr(
+            """transform(sequence(1, size(toks) - 2),
+               i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+                 element_at(toks, i + 2)))""")).as("sg"))
+          .groupBy("source", "sg").agg(count(lit(1)).as("f"))
+        freq.groupBy("source").agg(
+            sum("f").as("n"),
+            count(lit(1)).as("v"),
+            sum(when(col("f") === 1, 1L).otherwise(0L)).as("v1"),
+            sum(when(col("f") === 2, 1L).otherwise(0L)).as("v2"),
+            sum(expr("f * (f - 1)")).as("rep2"))
+          .select(col("source"), col("n"), col("v"), col("v1"), col("v2"),
+            expr("CAST((CAST(10000000000 AS DECIMAL(38,0)) * rep2)" +
+              " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)")
+              .as("yule_k_e6"),
+            expr("CAST((CAST(1000000000 AS DECIMAL(38,0)) * rep2)" +
+              " div (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)")
+              .as("simpson_e9"),
+            expr("CAST((1000000 * v) div n AS BIGINT)").as("ttr_e6"))
+          .orderBy("source")
+      },
+      Some(s"""WITH freq AS (
+                SELECT source, sg, CAST(count(*) AS BIGINT) AS f
+                FROM (SELECT source,
+                        unnest(list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1] || ' '
+                            || toks[i + 2])) AS sg
+                      FROM (SELECT source, string_split($duckNorm, ' ') AS toks
+                            FROM documents)
+                      WHERE len(toks) > 2)
+                GROUP BY 1, 2)
+              SELECT source, CAST(sum(f) AS BIGINT) AS n,
+                CAST(count(*) AS BIGINT) AS v,
+                CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+                CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+                CAST((CAST(10000000000 AS HUGEINT) * sum(f * (f - 1)))
+                  // (CAST(sum(f) AS HUGEINT) * sum(f)) AS BIGINT)
+                  AS yule_k_e6,
+                CAST((CAST(1000000000 AS HUGEINT) * sum(f * (f - 1)))
+                  // (CAST(sum(f) AS HUGEINT) * (sum(f) - 1)) AS BIGINT)
+                  AS simpson_e9,
+                CAST((1000000 * count(*)) // sum(f) AS BIGINT) AS ttr_e6
+              FROM freq GROUP BY source ORDER BY source""")),
+
+    Q("x_keyness_chi2",
+      // Keyword extraction by exact chi-square keyness (eighteenth-
+      // proposal #3; the corpus-linguistics keyness family — Dunning's
+      // 1993 log-likelihood is declared out as libm, the 2x2
+      // chi-square is its exact-rational member): per source, the
+      // top-10 OVERREPRESENTED trigram shingles vs the rest of the
+      // corpus. The 2x2 table per (source, shingle) is
+      // (a = in-source count, b = elsewhere, c/d = complements);
+      // chi2 = N(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) published floor-e6
+      // in TWO stages sized for DECIMAL(38,0): q1 = (ad-bc)^2 div
+      // ((a+b)(c+d)) first, then 1e6*N*q1 div ((a+c)(b+d)) — the
+      // single-division form peaks at 4.6e37 at sf1 (no margin);
+      // staged, the peaks are 1.7e24 and 1.6e24 (margin to ~sf100).
+      // Overrepresentation gate a*N > (a+b)(a+c) in exact BIGINTs.
+      // Scale shape: one (source, shingle) groupBy; the per-shingle
+      // corpus totals broadcast (types are vocabulary-bounded);
+      // top-10 per source via a source-partitioned rank window.
+      (s, d) => {
+        val sh = spread(t(s, d, "documents"))
+          .withColumn("toks", expr(s"split($sparkNorm, ' ')"))
+          .filter(expr("size(toks) > 2"))
+          .select(col("source"), explode(expr(
+            """transform(sequence(1, size(toks) - 2),
+               i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+                 element_at(toks, i + 2)))""")).as("sg"))
+        val bySrcTok = sh.groupBy("source", "sg").agg(count(lit(1)).as("a"))
+          .cutLineage()
+        val byTok = bySrcTok.groupBy("sg").agg(sum("a").as("ft"))
+        val bySrc = bySrcTok.groupBy("source").agg(sum("a").as("ns"))
+        val tot = broadcast(bySrcTok.agg(sum("a").as("nn")))
+        val scored = bySrcTok
+          .join(broadcast(byTok), Seq("sg"))
+          .join(broadcast(bySrc), Seq("source"))
+          .crossJoin(tot)
+          .filter(expr("a * nn > ft * ns"))
+          .withColumn("advbc", expr(
+            "a * (nn - ft - ns + a) - (ft - a) * (ns - a)"))
+          .withColumn("q1", expr(
+            "(CAST(advbc AS DECIMAL(38,0)) * advbc)" +
+              " div (CAST(ft AS DECIMAL(38,0)) * (nn - ft))"))
+          .withColumn("chi2_e6", expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * nn * q1)" +
+              " div (CAST(ns AS DECIMAL(38,0)) * (nn - ns)) AS BIGINT)"))
+          .withColumn("exp_e6", expr("(1000000 * ft * ns) div nn"))
+        scored
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("source")
+              .orderBy(col("chi2_e6").desc, col("sg"))))
+          .filter(col("rank") <= 10)
+          .select(col("source"), col("rank").cast("long").as("rank"),
+            col("sg"), col("a"), col("exp_e6"), col("chi2_e6"))
+          .orderBy("source", "rank")
+      },
+      Some(s"""WITH sh AS (
+                SELECT source,
+                  unnest(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+                    AS sg
+                FROM (SELECT source, string_split($duckNorm, ' ') AS toks
+                      FROM documents)
+                WHERE len(toks) > 2),
+              bst AS (
+                SELECT source, sg, CAST(count(*) AS BIGINT) AS a
+                FROM sh GROUP BY 1, 2),
+              bt AS (SELECT sg, CAST(sum(a) AS BIGINT) AS ft FROM bst
+                     GROUP BY 1),
+              bs AS (SELECT source, CAST(sum(a) AS BIGINT) AS ns FROM bst
+                     GROUP BY 1),
+              tot AS (SELECT CAST(sum(a) AS BIGINT) AS nn FROM bst),
+              scored AS (
+                SELECT b.source, b.sg, b.a, bt.ft, bs.ns, t.nn,
+                  b.a * (t.nn - bt.ft - bs.ns + b.a)
+                    - (bt.ft - b.a) * (bs.ns - b.a) AS advbc
+                FROM bst b JOIN bt ON b.sg = bt.sg
+                JOIN bs ON b.source = bs.source
+                CROSS JOIN tot t
+                WHERE b.a * t.nn > bt.ft * bs.ns),
+              chi AS (
+                SELECT source, sg, a,
+                  CAST((1000000 * ft * ns) // nn AS BIGINT) AS exp_e6,
+                  CAST((CAST(1000000 AS HUGEINT) * nn *
+                      ((CAST(advbc AS HUGEINT) * advbc)
+                        // (CAST(ft AS HUGEINT) * (nn - ft))))
+                    // (CAST(ns AS HUGEINT) * (nn - ns)) AS BIGINT)
+                    AS chi2_e6
+                FROM scored),
+              ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY source
+                    ORDER BY chi2_e6 DESC, sg) AS rank
+                FROM chi)
+              SELECT source, CAST(rank AS BIGINT) AS rank, sg, a, exp_e6,
+                chi2_e6
+              FROM ranked WHERE rank <= 10
+              ORDER BY source, rank""")),
+
     Q("x_contamination",
       // Train/eval decontamination check (the n-gram-overlap method every
       // published LLM data pipeline runs before heldout evaluation):
