@@ -55,6 +55,16 @@ final case class EhState(lastSeq: Long, buckets: List[EhBucket])
 final case class EhOut(key: String, seq: Long, ts: Long, est: Long,
     n_buckets: Int)
 
+/** Typed records for the exact sliding-window DISTINCT counter. State
+  * per key is the last-occurrence map rendered as a ts-ascending list
+  * (one entry per distinct value still alive in the window) — the
+  * information-theoretic floor for an exact answer. */
+final case class SdEvent(key: String, seq: Long, ts: Long, v: Long)
+final case class SdEntry(v: Long, ts: Long)
+final case class SdState(lastSeq: Long, entries: List[SdEntry])
+final case class SdOut(key: String, seq: Long, ts: Long,
+    win_distinct: Long, n_state: Int)
+
 /** Typed records for the Greenwald-Khanna streaming quantile summary.
   * A tuple covers a run of values ending at `v`: `g` is how many ranks
   * it absorbs, `delta` its rank uncertainty — the invariant
@@ -717,6 +727,70 @@ object IncrementalPipeline {
       st = EsState(e.seq, perBit)
     }
     (st, out.result())
+  }
+
+  /** EXACT sliding-window DISTINCT count (eighteenth-proposal #6) —
+    * the honest boundary of the DGIM family: sums and counts admit
+    * sublinear sliding summaries because buckets are mergeable and
+    * half-expirable, but DISTINCTNESS is multiplicity-blind — whether
+    * a value is alive depends only on its NEWEST occurrence, so no
+    * summary smaller than the set of alive values can answer exactly
+    * (dropping any value is indistinguishable from it never arriving;
+    * a re-arrival resurrects it for a full window). State is therefore
+    * exactly that floor: one (value, newest-ts) entry per distinct
+    * value alive in the window. Per arrival: upsert the value's newest
+    * ts into a hash map and append a (ts, v) marker to a ts-ordered
+    * expiry queue; expiry pops the queue's old end while expired,
+    * removing a value from the map only when the popped marker IS its
+    * newest occurrence (lazy deletion — stale markers for re-arrived
+    * values pop as no-ops). Every marker is appended once and popped
+    * at most once: amortized O(1) per event. The answer is the map's
+    * size — exact, no error parameter. At batch close the persisted
+    * list is rebuilt from the map alone (ts-ascending, one O(D log D)
+    * sort per batch where D = distinct alive), so in-batch stale
+    * markers never reach the store. Events process in `seq` order,
+    * forward-only; the spec pins brute-force equality at every
+    * arrival, batching invariance, and the state floor. */
+  def slidingDistinct(events: DataFrame, windowW: Long): Dataset[SdOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("key", "seq", "ts", "v").as[SdEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[SdEvent], state: GroupState[SdState]) => {
+          val st0 = state.getOption.getOrElse(SdState(Long.MinValue, Nil))
+          val (st, out) = sdStep(windowW)(key, st0, rows.toSeq)
+          state.update(st)
+          out.iterator
+        })
+  }
+
+  /** One batch of the last-occurrence fold as a PURE function —
+    * package-visible for the spec's invariance and exactness audits.
+    * The persisted entry list is ts-ascending, so it seeds both the
+    * map and the expiry queue with no sort on the way in. */
+  private[graft] def sdStep(windowW: Long)(key: String,
+      st0: SdState, rows: Seq[SdEvent]): (SdState, Seq[SdOut]) = {
+    require(windowW > 0, "slidingDistinct: need W > 0")
+    val newest = scala.collection.mutable.HashMap.empty[Long, Long]
+    val queue = scala.collection.mutable.ArrayDeque.empty[SdEntry]
+    st0.entries.foreach { en => newest(en.v) = en.ts; queue.append(en) }
+    var lastSeq = st0.lastSeq
+    val out = Seq.newBuilder[SdOut]
+    rows.filter(_.seq > lastSeq).sortBy(_.seq).foreach { e =>
+      newest(e.v) = e.ts
+      queue.append(SdEntry(e.v, e.ts))
+      while (queue.nonEmpty && queue.head.ts <= e.ts - windowW) {
+        val m = queue.removeHead()
+        if (newest.get(m.v).contains(m.ts)) newest.remove(m.v)
+      }
+      out += SdOut(key, e.seq, e.ts, newest.size.toLong, newest.size)
+      lastSeq = e.seq
+    }
+    (SdState(lastSeq,
+      newest.iterator.map { case (v, ts) => SdEntry(v, ts) }
+        .toList.sortBy(en => (en.ts, en.v))),
+      out.result())
   }
 
   /** Deterministic epsilon-approximate streaming quantiles — Greenwald-

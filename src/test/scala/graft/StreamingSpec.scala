@@ -852,6 +852,28 @@ class StreamingSpec extends AnyFunSuite {
       ("a", 4L, 3L), ("a", 5L, 1L), ("b", 1L, 1L)), s"got $got")
   }
 
+  test("exact sliding distinct: end-to-end through the state store, keys independent") {
+    import graft.streaming.SdEvent
+    implicit val sql = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SdEvent]
+    val q = IncrementalPipeline.slidingDistinct(input.toDF(), windowW = 10L)
+      .writeStream.outputMode("append").format("memory").queryName("sd").start()
+    input.addData(SdEvent("a", 1, 1, 7), SdEvent("a", 2, 2, 8), SdEvent("b", 1, 1, 7))
+    q.processAllAvailable()
+    // state crossed the trigger: a re-arrival of 7 must not double-count,
+    // and the far-future event expires everything alive before it
+    input.addData(SdEvent("a", 3, 3, 7), SdEvent("a", 4, 4, 9))
+    q.processAllAvailable()
+    input.addData(SdEvent("a", 5, 100, 7))
+    q.processAllAvailable()
+    val got = spark.table("sd").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    q.stop()
+    assert(got == Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 2L),
+      ("a", 4L, 3L), ("a", 5L, 1L), ("b", 1L, 1L)), s"got $got")
+  }
+
   test("KMV streaming sample: batching-invariant, equals the batch selection, bounded") {
     import graft.streaming.{IncrementalPipeline => IP, KmvEvent, KmvState}
     val k = 8
