@@ -5247,6 +5247,115 @@ object AggWindowCatalog {
                   AS significant
               FROM fin2""")),
 
+    Q("a_friedman_test",
+      // Friedman test (1937), exact with midranks (nineteenth-proposal
+      // #1): the BLOCKED member completing the nonparametric lineage —
+      // paired two-sample a_wilcoxon_signed_rank, independent k-sample
+      // a_kruskal_wallis, correlation a_spearman_rho — do the k = 5
+      // order-priority classes draw the same spend distribution once
+      // customer-to-customer level differences are BLOCKED OUT. Blocks
+      // are customers holding orders in all five priorities; the
+      // response is total order cents per (customer, priority). Ranks
+      // live WITHIN a block of exactly k = 5 cells, so no two-phase
+      // bucketing is needed — a per-block window midrank is already
+      // bounded (the partition is 5 rows; contrast a_kruskal_wallis
+      // where the pooled frame forces the bucketed cumulative).
+      // Doubled-unit midranks keep everything integral: r2 = 2*rank +
+      // ties - 1 (= twice the textbook midrank). In doubled units the
+      // tie-corrected statistic is Q = (k-1) * S2 / (A2 - C2) with
+      // R2_j the doubled rank sum of priority j, S2 = sum_j (R2_j -
+      // n(k+1))^2, A2 = sum r2^2, C2 = n k (k+1)^2 — the /2 and /4 of
+      // the classical form fold away exactly (untied check: A2-C2 =
+      // 40n and Q = S2/(10n) = the textbook 12S/(nk(k+1))). One staged
+      // floor publishes q_e6 = floor(4e6 * S2 / D) as qq*4e6 +
+      // (rem*4e6) div D with S2 = qq*D + rem — S2 peaks ~8e13 at sf1,
+      // so the single-stage 4e6*S2 would still fit BIGINT only
+      // barely; the staging keeps every intermediate under ~3e14.
+      // D >= 1 via greatest (D = 0 only if EVERY block is 5-way tied,
+      // where S2 = 0 — and DuckDB's // raises on zero where Spark
+      // yields NULL, so the guard also keeps engines aligned).
+      // Verdict: q_e6 vs the chi-square(4) 95% critical value
+      // 9.487729, an exact integer comparison. Oracle: the same
+      // per-block flat window midranks — green proves the doubled-unit
+      // algebra on both engines.
+      (s, d) => {
+        val perCell = t(s, d, "orders")
+          .groupBy(col("o_custkey").as("c"),
+            col("o_orderpriority").as("pri"))
+          .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+            .as("cents"))
+        val blocks = perCell
+          .withColumn("npri", count(lit(1)).over(Window.partitionBy("c")))
+          .filter(col("npri") === 5)
+        val ranked = blocks
+          .withColumn("rk", rank().over(
+            Window.partitionBy("c").orderBy("cents")))
+          .withColumn("ties", count(lit(1)).over(
+            Window.partitionBy("c", "cents")))
+          .withColumn("r2", expr("2 * rk + ties - 1"))
+          .cutLineage()
+        val stats = ranked.groupBy("pri")
+          .agg(sum("r2").as("r2_sum"),
+            sum(expr("r2 * r2")).as("a2_part"),
+            count(lit(1)).as("n_blocks"))
+        val tot = stats.agg(
+            sum("a2_part").as("a2"),
+            max("n_blocks").as("n"),
+            sum(expr("(r2_sum - n_blocks * 6) * (r2_sum - n_blocks * 6)"))
+              .as("s2"))
+          .withColumn("d", expr("greatest(a2 - 180 * n, CAST(1 AS BIGINT))"))
+          .withColumn("q_e6", expr(
+            "(s2 div d) * 4000000 + ((s2 % d) * 4000000) div d"))
+        stats.crossJoin(broadcast(tot))
+          .select(col("pri"), col("r2_sum"), col("n").as("n_blocks"),
+            col("a2"), col("s2"), col("q_e6"),
+            expr("CAST(CASE WHEN q_e6 > 9487729 THEN 1 ELSE 0 END" +
+              " AS BIGINT)").as("significant"))
+          .orderBy("pri")
+      },
+      Some("""WITH cells AS (
+                SELECT o_custkey AS c, o_orderpriority AS pri,
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+                FROM orders GROUP BY 1, 2),
+              blocks AS (
+                SELECT * FROM (
+                  SELECT c, pri, cents,
+                    count(*) OVER (PARTITION BY c) AS npri
+                  FROM cells) WHERE npri = 5),
+              ranked AS (
+                SELECT c, pri,
+                  CAST(2 * rank() OVER (PARTITION BY c ORDER BY cents)
+                    + count(*) OVER (PARTITION BY c, cents) - 1
+                    AS BIGINT) AS r2
+                FROM blocks),
+              st AS (
+                SELECT pri, CAST(sum(r2) AS BIGINT) AS r2_sum,
+                  CAST(sum(r2 * r2) AS BIGINT) AS a2_part,
+                  CAST(count(*) AS BIGINT) AS n_blocks
+                FROM ranked GROUP BY 1),
+              tot AS (
+                SELECT CAST(sum(a2_part) AS BIGINT) AS a2,
+                  CAST(max(n_blocks) AS BIGINT) AS n,
+                  CAST(sum((r2_sum - n_blocks * 6) * (r2_sum - n_blocks * 6))
+                    AS BIGINT) AS s2
+                FROM st),
+              tot2 AS (
+                SELECT a2, n, s2,
+                  greatest(a2 - 180 * n, CAST(1 AS BIGINT)) AS d
+                FROM tot),
+              tot3 AS (
+                SELECT a2, n, s2,
+                  CAST((s2 // d) * 4000000 + ((s2 % d) * 4000000) // d
+                    AS BIGINT) AS q_e6
+                FROM tot2)
+              SELECT st.pri, st.r2_sum, tot3.n AS n_blocks,
+                tot3.a2, tot3.s2, tot3.q_e6,
+                CAST(CASE WHEN tot3.q_e6 > 9487729 THEN 1 ELSE 0 END
+                  AS BIGINT) AS significant
+              FROM st CROSS JOIN tot3
+              ORDER BY st.pri""")),
+
     Q("a_trimmed_mean",
       // Exact trimmed & winsorized means (seventeenth-proposal #4):
       // the robust-location triple per returnflag group — plain mean,
@@ -5586,6 +5695,141 @@ object AggWindowCatalog {
               LEFT JOIN (SELECT * FROM tops WHERE rk = 1) tp
                 ON t.nk = tp.nk
               ORDER BY nationkey""")),
+
+    Q("w33_log_rank",
+      // Two-group log-rank test (Mantel 1966; nineteenth-proposal #2)
+      // — the survival COMPARISON w26_kaplan_meier lacks: does the
+      // BUILDING market segment churn on a different clock than the
+      // rest. Identical churn framing to w26 (event = last order more
+      // than 365 days before the corpus horizon, else censored at the
+      // horizon; observed time in whole months, exact epoch-day
+      // integers). At each event time t the hypergeometric
+      // contribution: expected group-1 events e_t = d_t * n1_t / n_t
+      // and variance v_t = d_t * n1_t * (n_t - n1_t) * (n_t - d_t) /
+      // (n_t^2 * (n_t - 1)) — each floored to e6 PER STEP (the
+      // w20_theilsen per-pair quantization precedent: the quantized
+      // statistic is DEFINED identically on both engines; no
+      // cross-step rational compounding, the trap that made
+      // Holt-Winters infeasible-exact and forced w26 into ppm
+      // truncation). Numerators run in DECIMAL(38,0): d*n1*(n-n1)*
+      // (n-d)*1e6 peaks ~5e34 at sf100 — stated headroom; quotients
+      // are e6-scaled BIGINTs. The z^2 = (o_e6 - e_e6)^2 / v_e6
+      // square peaks ~2e22 at sf1, so it too stages through
+      // DECIMAL(38,0) before the BIGINT quotient. n_t = 1 makes the
+      // textbook variance 0/0; the numerator's (n_t - d_t) factor is
+      // 0 whenever every remaining subject dies, so greatest(n_t-1,1)
+      // resolves it to the correct 0 — and greatest(v,1) keeps the
+      // final division defined where the whole curve is degenerate
+      // (DuckDB // raises on zero, Spark div yields NULL; the guard
+      // aligns engines). At-risk counts are suffix sums over the
+      // <= span/30-row step frame — ONE corpus pass (the per-user
+      // aggregate + one customer join), then bounded-frame arithmetic.
+      // Verdict: z2_e6 vs the chi-square(1) 95% critical value
+      // 3.841459 as an exact integer comparison.
+      (s, d) => {
+        val users = t(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg(expr("min(unix_micros(CAST(o_orderdate AS TIMESTAMP))" +
+              " div 86400000000)").as("fd"),
+            expr("max(unix_micros(CAST(o_orderdate AS TIMESTAMP))" +
+              " div 86400000000)").as("ld"))
+        val seg = t(s, d, "customer").select(col("c_custkey"),
+          (col("c_mktsegment") === "BUILDING").cast("long").as("g1"))
+        val u2 = users.join(seg, col("o_custkey") === col("c_custkey"))
+        val hz = broadcast(u2.agg(max("ld").as("hz")))
+        val obs = u2.crossJoin(hz)
+          .withColumn("churn", (col("ld") < col("hz") - 365).cast("long"))
+          .withColumn("t", expr(
+            "CASE WHEN ld < hz - 365 THEN (ld - fd) div 30" +
+              " ELSE (hz - fd) div 30 END"))
+        val steps = obs.groupBy("t")
+          .agg(count(lit(1)).as("ending"), sum("churn").as("dd"),
+            sum("g1").as("ending1"),
+            sum(expr("churn * g1")).as("d1"))
+          .withColumn("n", sum("ending").over(Window.orderBy(col("t").desc)
+            .rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("n1", sum("ending1").over(Window.orderBy(col("t").desc)
+            .rowsBetween(Window.unboundedPreceding, 0)))
+          .filter(col("dd") > 0)
+          .withColumn("e_e6", expr(
+            "CAST((CAST(dd AS DECIMAL(38,0)) * n1 * 1000000) div n" +
+              " AS BIGINT)"))
+          .withColumn("v_e6", expr(
+            "CAST((CAST(dd AS DECIMAL(38,0)) * n1 * (n - n1) * (n - dd)" +
+              " * 1000000) div (CAST(n AS DECIMAL(38,0)) * n" +
+              " * greatest(n - 1, 1)) AS BIGINT)"))
+        steps.agg(
+            max(expr("n")).as("n_total"),
+            max(expr("n1")).as("n_building"),
+            sum("dd").as("d_total"),
+            sum("d1").as("o_building"),
+            sum("e_e6").as("e_e6"),
+            sum("v_e6").as("v_e6"))
+          .withColumn("z2_e6", expr(
+            "CAST((CAST(o_building * 1000000 - e_e6 AS DECIMAL(38,0))" +
+              " * (o_building * 1000000 - e_e6))" +
+              " div greatest(v_e6, 1) AS BIGINT)"))
+          .select(col("n_total"), col("n_building"), col("d_total"),
+            col("o_building"), col("e_e6"), col("v_e6"), col("z2_e6"),
+            expr("CAST(CASE WHEN z2_e6 > 3841459 THEN 1 ELSE 0 END" +
+              " AS BIGINT)").as("significant"))
+      },
+      Some("""WITH users AS (
+               SELECT o_custkey,
+                 min(epoch_us(o_orderdate) // 86400000000) AS fd,
+                 max(epoch_us(o_orderdate) // 86400000000) AS ld
+               FROM orders GROUP BY o_custkey),
+             seg AS (
+               SELECT c_custkey,
+                 CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g1
+               FROM customer),
+             u2 AS (
+               SELECT u.*, s.g1 FROM users u
+               JOIN seg s ON u.o_custkey = s.c_custkey),
+             hz AS (SELECT max(ld) AS hz FROM u2),
+             obs AS (
+               SELECT CASE WHEN ld < hz - 365 THEN (ld - fd) // 30
+                        ELSE (hz - fd) // 30 END AS t,
+                 CASE WHEN ld < hz - 365 THEN 1 ELSE 0 END AS churn, g1
+               FROM u2, hz),
+             grp AS (
+               SELECT t, CAST(count(*) AS BIGINT) AS ending,
+                 CAST(sum(churn) AS BIGINT) AS dd,
+                 CAST(sum(g1) AS BIGINT) AS ending1,
+                 CAST(sum(churn * g1) AS BIGINT) AS d1
+               FROM obs GROUP BY t),
+             steps AS (
+               SELECT t, dd, d1,
+                 CAST(sum(ending) OVER (ORDER BY t DESC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n,
+                 CAST(sum(ending1) OVER (ORDER BY t DESC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n1
+               FROM grp),
+             ev AS (
+               SELECT t, dd, d1, n, n1,
+                 CAST((CAST(dd AS HUGEINT) * n1 * 1000000) // n
+                   AS BIGINT) AS e_e6,
+                 CAST((CAST(dd AS HUGEINT) * n1 * (n - n1) * (n - dd)
+                   * 1000000) // (CAST(n AS HUGEINT) * n
+                   * greatest(n - 1, 1)) AS BIGINT) AS v_e6
+               FROM steps WHERE dd > 0),
+             tot AS (
+               SELECT CAST(max(n) AS BIGINT) AS n_total,
+                 CAST(max(n1) AS BIGINT) AS n_building,
+                 CAST(sum(dd) AS BIGINT) AS d_total,
+                 CAST(sum(d1) AS BIGINT) AS o_building,
+                 CAST(sum(e_e6) AS BIGINT) AS e_e6,
+                 CAST(sum(v_e6) AS BIGINT) AS v_e6
+               FROM ev)
+             SELECT n_total, n_building, d_total, o_building, e_e6, v_e6,
+               CAST((CAST(o_building * 1000000 - e_e6 AS HUGEINT)
+                 * (o_building * 1000000 - e_e6))
+                 // greatest(v_e6, 1) AS BIGINT) AS z2_e6,
+               CAST(CASE WHEN (CAST(o_building * 1000000 - e_e6 AS HUGEINT)
+                 * (o_building * 1000000 - e_e6))
+                 // greatest(v_e6, 1) > 3841459 THEN 1 ELSE 0 END
+                 AS BIGINT) AS significant
+             FROM tot""")),
 
     Q("w31_lis",
       // Longest strictly-increasing (and strictly-decreasing)
