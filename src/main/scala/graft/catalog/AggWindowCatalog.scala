@@ -1194,6 +1194,86 @@ object AggWindowCatalog {
               FROM ys
               ORDER BY spec""")),
 
+    Q("t23_snapshot_retention",
+      // Snapshot-retention vacuum audit (nineteenth-proposal #4) —
+      // the EXPIRY half of the table-format family (t13 compaction,
+      // t16 merge-on-read deletes, t22 spec evolution): Iceberg's
+      // expire_snapshots + remove_orphan_files as pure relational
+      // arithmetic over a manifest-shaped reference table. Every
+      // order hashes to one of 24 data files; a file's lifecycle is
+      // derived deterministically from its index (added at snapshot
+      // fid % 6 + 1, superseded 2 + fid % 3 commits later), giving a
+      // snapshot->file reference relation with genuine overlap:
+      // early-only files, spanning files, late adds. Expiring
+      // snapshots 1..5 (the retention horizon keeps 6..8) partitions
+      // the files three ways — still referenced by a surviving
+      // snapshot (kept), referenced ONLY by expired snapshots (the
+      // vacuum set, reclaimable), or added after the horizon —
+      // and the audit publishes the exact file counts, row counts,
+      // and reclaimable cents. Iceberg semantics, not FS mechanics:
+      // the reference relation IS the metadata (a real manifest is a
+      // table too), so the audit is one corpus pass (orders -> 24-row
+      // file frame) + bounded-frame arithmetic — the same shape at
+      // 100 TB, where the manifest stays metadata-sized while the
+      // data it indexes does not.
+      (s, d) => {
+        val files = t(s, d, "orders")
+          .select(expr("o_orderkey % 24").as("fid"),
+            expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+              .as("cents"))
+          .groupBy("fid").agg(count(lit(1)).as("n_rows"),
+            sum("cents").as("f_cents"))
+          .withColumn("added", expr("fid % 6 + 1"))
+          .withColumn("last_ref", expr("least(added + 1 + fid % 3, 8)"))
+        val judged = files
+          .withColumn("kept", expr("last_ref >= 6"))
+          .withColumn("vacuum", expr("last_ref < 6"))
+        judged.agg(
+            count(lit(1)).as("n_files"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_files_kept"),
+            sum(when(col("vacuum"), 1L).otherwise(0L))
+              .as("n_files_vacuum"),
+            sum("n_rows").as("rows_total"),
+            sum(when(col("kept"), col("n_rows")).otherwise(0L))
+              .as("rows_kept"),
+            sum(when(col("vacuum"), col("n_rows")).otherwise(0L))
+              .as("rows_reclaim"),
+            sum(when(col("vacuum"), col("f_cents")).otherwise(0L))
+              .as("cents_reclaim"))
+          .select(lit(8L).as("n_snapshots"), lit(5L).as("n_expired"),
+            col("n_files"), col("n_files_kept"), col("n_files_vacuum"),
+            col("rows_total"), col("rows_kept"), col("rows_reclaim"),
+            col("cents_reclaim"))
+      },
+      Some("""WITH files AS (
+                SELECT o_orderkey % 24 AS fid,
+                  CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS f_cents
+                FROM orders GROUP BY 1),
+              lc AS (
+                SELECT fid, n_rows, f_cents, fid % 6 + 1 AS added,
+                  least(fid % 6 + 1 + 1 + fid % 3, 8) AS last_ref
+                FROM files),
+              judged AS (
+                SELECT *, last_ref >= 6 AS kept, last_ref < 6 AS vacuum
+                FROM lc)
+              SELECT CAST(8 AS BIGINT) AS n_snapshots,
+                CAST(5 AS BIGINT) AS n_expired,
+                CAST(count(*) AS BIGINT) AS n_files,
+                CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_files_kept,
+                CAST(sum(CASE WHEN vacuum THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_files_vacuum,
+                CAST(sum(n_rows) AS BIGINT) AS rows_total,
+                CAST(sum(CASE WHEN kept THEN n_rows ELSE 0 END) AS BIGINT)
+                  AS rows_kept,
+                CAST(sum(CASE WHEN vacuum THEN n_rows ELSE 0 END) AS BIGINT)
+                  AS rows_reclaim,
+                CAST(sum(CASE WHEN vacuum THEN f_cents ELSE 0 END)
+                  AS BIGINT) AS cents_reclaim
+              FROM judged""")),
+
     Q("t16_deletion_vectors",
       // Merge-on-read deletes (graft.temporal.DeletionVectors — Delta
       // deletion vectors / Iceberg positional deletes as a sidecar):
@@ -4874,6 +4954,144 @@ object AggWindowCatalog {
                 CAST(sign(mid2_a - n_a * (n_a + 1) - n_a * n_r) AS BIGINT)
                   AS a_shifted
               FROM st""")),
+
+    Q("a_ansari_bradley",
+      // Ansari-Bradley scale test (1960; nineteenth-proposal #5) —
+      // the DISPERSION counterpart of a_mann_whitney's location test:
+      // do returnflag A's and R's extended prices spread differently
+      // around a common center. Pooled ranks fold end-inward, so
+      // central observations score high: the catalog computes the
+      // MIDRANK-FOLD variant — per distinct value, the doubled
+      // midrank mid2 = 2*cnt_lt + c + 1 folds to s2 = min(mid2,
+      // 2(N+1) - mid2) — which agrees with the textbook
+      // average-the-folded-scores tie handling except for a tie group
+      // STRADDLING the fold point (at most one group, where averaging
+      // would shave the fold's kink); the variant is stated because it
+      // keeps every score an INTEGER in doubled units on both engines
+      // (averaging folded scores yields denominators that vary per
+      // tie group). Same two-phase bucketed cumulative as
+      // a_mann_whitney for cnt_lt — never an unpartitioned window
+      // over the distinct-value frame. Moments from the realized
+      // score frame (exact under H0 conditional on ties): E2_A =
+      // n_a*S_tot2/N floored to integer doubled units, Var from
+      // W = N*sum(c*s2^2) - S_tot2^2 in DECIMAL(38,0) (peaks ~8e25
+      // at sf1, fits to ~sf100); z2_e6 stages as q1 = (1e6*diff^2*
+      // (N-1)) div W (numerator <= ~6e37 at sf1 — the stated
+      // DECIMAL(38,0) ceiling, margin ~1.6x documented rather than
+      // assumed) then (q1*N^2) div (n_a*n_r), truncation <= ~4e-6
+      // (the second stage amplifies the first floor by N^2/(n_a n_r)
+      // ~= 4). Verdict vs chi-square(1) 95% = 3.841459;
+      // a_less_dispersed = sign(diff) (a HIGH fold score is a CENTRAL
+      // rank, so positive deviation means A concentrates).
+      (s, d) => {
+        val vals = t(s, d, "lineitem")
+          .filter(col("l_returnflag").isin("A", "R"))
+          .select(col("l_returnflag").as("g"),
+            expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("v"))
+          .groupBy("v").agg(
+            sum(when(col("g") === "A", 1L).otherwise(0L)).as("ca"),
+            sum(when(col("g") === "R", 1L).otherwise(0L)).as("cr"))
+          .cutLineage()
+        val bounds = broadcast(vals.agg(min("v").as("lo"), max("v").as("hi"),
+          sum("ca").as("n_a"), sum("cr").as("n_r")))
+        val bucketed = vals.crossJoin(bounds)
+          .withColumn("b", expr("least(63, ((v - lo) * 64) div (hi - lo + 1))"))
+        val byBucket = bucketed.groupBy("b")
+          .agg(sum(expr("ca + cr")).as("bc"))
+          .withColumn("cum_below", expr(
+            "sum(bc) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) - bc"))
+        val wIn = Window.partitionBy("b").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val scored = bucketed.join(broadcast(byBucket), Seq("b"))
+          .withColumn("cnt", expr("ca + cr"))
+          .withColumn("cnt_lt",
+            col("cum_below") + sum("cnt").over(wIn) - col("cnt"))
+          .withColumn("nn", expr("n_a + n_r"))
+          .withColumn("mid2", expr("2 * cnt_lt + cnt + 1"))
+          .withColumn("s2", expr("least(mid2, 2 * (nn + 1) - mid2)"))
+        scored.agg(
+            max("n_a").as("n_a"), max("n_r").as("n_r"),
+            sum(expr("ca * s2")).as("ab2_a"),
+            sum(expr("cnt * s2")).as("s_tot2"),
+            sum(expr("CAST(cnt AS DECIMAL(38,0)) * s2 * s2")).as("q"),
+            sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_tie_groups"))
+          .withColumn("n", expr("n_a + n_r"))
+          .withColumn("e2", expr(
+            "CAST((CAST(n_a AS DECIMAL(38,0)) * s_tot2) div n AS BIGINT)"))
+          .withColumn("diff", expr("ab2_a - e2"))
+          .withColumn("w", expr(
+            "greatest(CAST(n AS DECIMAL(38,0)) * q" +
+              " - CAST(s_tot2 AS DECIMAL(38,0)) * s_tot2," +
+              " CAST(1 AS DECIMAL(38,0)))"))
+          .withColumn("q1", expr(
+            "(CAST(1000000 AS DECIMAL(38,0)) * diff * diff * (n - 1))" +
+              " div w"))
+          .withColumn("z2_e6", expr(
+            "CAST((q1 * n * n) div (CAST(n_a AS DECIMAL(38,0)) * n_r)" +
+              " AS BIGINT)"))
+          .select(col("n_a"), col("n_r"), col("ab2_a"), col("s_tot2"),
+            col("n_tie_groups"), col("z2_e6"),
+            expr("CAST(sign(diff) AS BIGINT)").as("a_less_dispersed"),
+            expr("CAST(CASE WHEN z2_e6 > 3841459 THEN 1 ELSE 0 END" +
+              " AS BIGINT)").as("significant"))
+      },
+      Some("""WITH vals AS (
+                SELECT l_returnflag AS g,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+                FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+              grp AS (
+                SELECT v,
+                  CAST(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+                    AS ca,
+                  CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+                    AS cr
+                FROM vals GROUP BY 1),
+              tots AS (
+                SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                  CAST(sum(cr) AS BIGINT) AS n_r
+                FROM grp),
+              ranked AS (
+                SELECT v, ca, cr, ca + cr AS cnt,
+                  sum(ca + cr) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                    - (ca + cr) AS cnt_lt
+                FROM grp),
+              scored AS (
+                SELECT r.*, t.n_a, t.n_r, t.n_a + t.n_r AS nn,
+                  least(2 * cnt_lt + cnt + 1,
+                    2 * (t.n_a + t.n_r + 1) - (2 * cnt_lt + cnt + 1)) AS s2
+                FROM ranked r CROSS JOIN tots t),
+              st AS (
+                SELECT max(n_a) AS n_a, max(n_r) AS n_r,
+                  CAST(sum(ca * s2) AS BIGINT) AS ab2_a,
+                  CAST(sum(cnt * s2) AS BIGINT) AS s_tot2,
+                  CAST(sum(CAST(cnt AS HUGEINT) * s2 * s2) AS HUGEINT) AS q,
+                  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_tie_groups
+                FROM scored),
+              st2 AS (
+                SELECT *, n_a + n_r AS n,
+                  CAST((CAST(n_a AS HUGEINT) * s_tot2) // (n_a + n_r)
+                    AS BIGINT) AS e2
+                FROM st),
+              st3 AS (
+                SELECT *, ab2_a - e2 AS diff,
+                  greatest(CAST(n AS HUGEINT) * q
+                    - CAST(s_tot2 AS HUGEINT) * s_tot2,
+                    CAST(1 AS HUGEINT)) AS w
+                FROM st2),
+              st4 AS (
+                SELECT *,
+                  (CAST(1000000 AS HUGEINT) * diff * diff * (n - 1)) // w
+                    AS q1
+                FROM st3)
+              SELECT n_a, n_r, ab2_a, s_tot2, n_tie_groups,
+                CAST((q1 * n * n) // (CAST(n_a AS HUGEINT) * n_r)
+                  AS BIGINT) AS z2_e6,
+                CAST(sign(diff) AS BIGINT) AS a_less_dispersed,
+                CAST(CASE WHEN (q1 * n * n)
+                  // (CAST(n_a AS HUGEINT) * n_r) > 3841459
+                  THEN 1 ELSE 0 END AS BIGINT) AS significant
+              FROM st4""")),
 
     Q("a_spearman_rho",
       // Spearman rank correlation, exact with midranks (Spearman 1904;

@@ -2344,6 +2344,117 @@ object TextCatalog {
               FROM ranked WHERE rank <= 10
               ORDER BY source, rank""")),
 
+    Q("x_bigram_accuracy",
+      // Bigram next-token accuracy (nineteenth-proposal #3) — the
+      // LM-ish evaluation loop with NO logarithm anywhere: per
+      // source, train an argmax bigram table on the md5-even half of
+      // docs (the h48 split discipline — membership a pure function
+      // of doc identity, so retries and repartitioning can never move
+      // a document across the split) and score top-1 next-token
+      // accuracy on the held-out half. Prediction for a context is
+      // the most frequent successor with a DETERMINISTIC tie-break
+      // (highest count, then lexicographically smallest token — a
+      // total order both engines sort identically). Distinct from
+      // x_unigram_train/x_unigram_encode (tokenizer LEARNING — what
+      // to segment) and x_perplexity-free by construction: accuracy
+      // is pure counting, the honest surrogate when libm is out of
+      // bounds. Published per source: train bigram tokens, model
+      // contexts, eval bigram tokens, hits, misses, out-of-vocabulary
+      // contexts (no prediction exists), and floor-e6 accuracy.
+      // Scale shape: both halves aggregate to (source, prev, next)
+      // count frames BEFORE any join (the corpus is touched exactly
+      // twice, both partial-agg shuffles); the model is
+      // vocabulary-bounded and BROADCAST into the eval frame — at
+      // 100 TB the eval side never wide-shuffles, only the
+      // vocab^2-bounded model moves.
+      (s, d) => {
+        val bigrams = spread(t(s, d, "documents"))
+          .withColumn("is_train", expr(s"($sparkDocH48) % 2 = 0"))
+          .withColumn("toks", expr(s"split($sparkNorm, ' ')"))
+          .filter(expr("size(toks) > 1"))
+          .select(col("source"), col("is_train"), explode(expr(
+            """transform(sequence(1, size(toks) - 1),
+               i -> struct(element_at(toks, i) AS prev,
+                 element_at(toks, i + 1) AS nxt))""")).as("bg"))
+          .select(col("source"), col("is_train"),
+            col("bg.prev").as("prev"), col("bg.nxt").as("nxt"))
+        val trainCnt = bigrams.filter(col("is_train"))
+          .groupBy("source", "prev", "nxt").agg(count(lit(1)).as("cnt"))
+        val model = trainCnt
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("source", "prev")
+              .orderBy(col("cnt").desc, col("nxt"))))
+          .filter(col("rk") === 1)
+          .select(col("source"), col("prev"), col("nxt").as("pred"))
+        val trainTot = trainCnt.groupBy("source").agg(
+          sum("cnt").as("n_train"),
+          countDistinct("prev").as("n_contexts"))
+        val evalCnt = bigrams.filter(!col("is_train"))
+          .groupBy("source", "prev", "nxt").agg(count(lit(1)).as("ec"))
+        evalCnt.join(broadcast(model), Seq("source", "prev"), "left")
+          .groupBy("source").agg(
+            sum("ec").as("n_eval"),
+            sum(when(col("nxt") === col("pred"), col("ec"))
+              .otherwise(0L)).as("hits"),
+            sum(when(col("pred").isNull, col("ec")).otherwise(0L))
+              .as("oov"))
+          .join(broadcast(trainTot), Seq("source"), "left")
+          .select(col("source"),
+            coalesce(col("n_train"), lit(0L)).as("n_train"),
+            coalesce(col("n_contexts"), lit(0L)).as("n_contexts"),
+            col("n_eval"), col("hits"),
+            (col("n_eval") - col("hits") - col("oov")).as("misses"),
+            col("oov"),
+            expr("CAST((hits * 1000000) div greatest(n_eval, 1)" +
+              " AS BIGINT)").as("acc_e6"))
+          .orderBy("source")
+      },
+      Some(s"""WITH toks AS (
+                SELECT source, ($duckDocH48) % 2 = 0 AS is_train,
+                  string_split($duckNorm, ' ') AS tk
+                FROM documents),
+              bg AS (
+                SELECT source, is_train, tk[i] AS prev, tk[i + 1] AS nxt
+                FROM toks, LATERAL (
+                  SELECT unnest(range(1, len(tk))) AS i)
+                WHERE len(tk) > 1),
+              train_cnt AS (
+                SELECT source, prev, nxt, CAST(count(*) AS BIGINT) AS cnt
+                FROM bg WHERE is_train GROUP BY 1, 2, 3),
+              model AS (
+                SELECT source, prev, nxt AS pred FROM (
+                  SELECT source, prev, nxt,
+                    row_number() OVER (PARTITION BY source, prev
+                      ORDER BY cnt DESC, nxt) AS rk
+                  FROM train_cnt) WHERE rk = 1),
+              train_tot AS (
+                SELECT source, CAST(sum(cnt) AS BIGINT) AS n_train,
+                  CAST(count(DISTINCT prev) AS BIGINT) AS n_contexts
+                FROM train_cnt GROUP BY 1),
+              eval_cnt AS (
+                SELECT source, prev, nxt, CAST(count(*) AS BIGINT) AS ec
+                FROM bg WHERE NOT is_train GROUP BY 1, 2, 3),
+              scored AS (
+                SELECT e.source, CAST(sum(ec) AS BIGINT) AS n_eval,
+                  CAST(sum(CASE WHEN e.nxt = m.pred THEN ec ELSE 0 END)
+                    AS BIGINT) AS hits,
+                  CAST(sum(CASE WHEN m.pred IS NULL THEN ec ELSE 0 END)
+                    AS BIGINT) AS oov
+                FROM eval_cnt e
+                LEFT JOIN model m
+                  ON e.source = m.source AND e.prev = m.prev
+                GROUP BY 1)
+              SELECT s.source,
+                CAST(coalesce(t.n_train, 0) AS BIGINT) AS n_train,
+                CAST(coalesce(t.n_contexts, 0) AS BIGINT) AS n_contexts,
+                s.n_eval, s.hits,
+                CAST(s.n_eval - s.hits - s.oov AS BIGINT) AS misses,
+                s.oov,
+                CAST((s.hits * 1000000) // greatest(s.n_eval, 1)
+                  AS BIGINT) AS acc_e6
+              FROM scored s LEFT JOIN train_tot t ON s.source = t.source
+              ORDER BY s.source""")),
+
     Q("x_contamination",
       // Train/eval decontamination check (the n-gram-overlap method every
       // published LLM data pipeline runs before heldout evaluation):

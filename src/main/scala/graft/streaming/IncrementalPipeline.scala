@@ -65,6 +65,17 @@ final case class SdState(lastSeq: Long, entries: List[SdEntry])
 final case class SdOut(key: String, seq: Long, ts: Long,
     win_distinct: Long, n_state: Int)
 
+/** Typed records for the exact sliding-window MEDIAN. State per key is
+  * the window multiset as a ts-ascending (ts, v) list — the floor for
+  * exact order statistics (any dropped occurrence could be the median
+  * after adversarial expiry). The median publishes DOUBLED (med2) so
+  * even windows stay integral. */
+final case class SmEvent(key: String, seq: Long, ts: Long, v: Long)
+final case class SmEntry(ts: Long, v: Long)
+final case class SmState(lastSeq: Long, entries: List[SmEntry])
+final case class SmOut(key: String, seq: Long, ts: Long, med2: Long,
+    n_window: Int)
+
 /** Typed records for the Greenwald-Khanna streaming quantile summary.
   * A tuple covers a run of values ending at `v`: `g` is how many ranks
   * it absorbs, `delta` its rank uncertainty — the invariant
@@ -791,6 +802,115 @@ object IncrementalPipeline {
       newest.iterator.map { case (v, ts) => SdEntry(v, ts) }
         .toList.sortBy(en => (en.ts, en.v))),
       out.result())
+  }
+
+  /** EXACT sliding-window MEDIAN (nineteenth-proposal #6), completing
+    * the sliding trio — extrema exact in O(prefix-extrema) state,
+    * distinct exact at the alive floor, and now the general order
+    * statistic: two heaps (lower max-heap / upper min-heap, invariant
+    * max(lower) <= min(upper), |lower| = |upper| or |upper| + 1) with
+    * LAZY DELETION for expiry — a heap cannot remove an interior
+    * element, so an expired value is only COUNTED out (per-heap
+    * delayed-count maps, sizes tracked live) and physically discarded
+    * when it surfaces at a top. The heap choice at delete time is
+    * always physically consistent: x < max(lower) forces x into lower
+    * by the cross-heap invariant, and x == max(lower) means lower's
+    * own top is a copy. Expiry itself needs no laziness — the window
+    * MULTISET is the state (every occurrence is its own element), so
+    * the ts-ordered queue pops exactly the expired occurrences.
+    * Amortized O(log W) per event (each element is pushed, popped,
+    * and rebalance-moved O(1) times, each a heap op). State is the
+    * window multiset — stated honestly as the floor for exact order
+    * statistics (unlike extrema, ANY alive occurrence can become the
+    * median after the right expiries, so nothing is droppable). The
+    * median publishes DOUBLED (med2 = 2*mid for odd windows, the two
+    * middle values' sum for even) so both parities stay integral.
+    * Events process in `seq` order, forward-only; the spec pins
+    * brute-force equality at every arrival, batching invariance,
+    * parity handling, and the multiset state floor. */
+  def slidingMedian(events: DataFrame, windowW: Long): Dataset[SmOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("key", "seq", "ts", "v").as[SmEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[SmEvent], state: GroupState[SmState]) => {
+          val st0 = state.getOption.getOrElse(SmState(Long.MinValue, Nil))
+          val (st, out) = smStep(windowW)(key, st0, rows.toSeq)
+          state.update(st)
+          out.iterator
+        })
+  }
+
+  /** One batch of the two-heap fold as a PURE function —
+    * package-visible for the spec's invariance and exactness audits. */
+  private[graft] def smStep(windowW: Long)(key: String,
+      st0: SmState, rows: Seq[SmEvent]): (SmState, Seq[SmOut]) = {
+    require(windowW > 0, "slidingMedian: need W > 0")
+    import scala.collection.mutable
+    val lower = mutable.PriorityQueue.empty[Long] // max-heap
+    val upper = mutable.PriorityQueue.empty[Long](Ordering[Long].reverse)
+    val delLo = mutable.HashMap.empty[Long, Int]
+    val delUp = mutable.HashMap.empty[Long, Int]
+    var nLo = 0
+    var nUp = 0
+    val queue = mutable.ArrayDeque.empty[SmEntry]
+
+    def pruneLo(): Unit =
+      while (lower.nonEmpty && delLo.getOrElse(lower.head, 0) > 0) {
+        val v = lower.dequeue()
+        if (delLo(v) == 1) delLo.remove(v) else delLo(v) -= 1
+      }
+    def pruneUp(): Unit =
+      while (upper.nonEmpty && delUp.getOrElse(upper.head, 0) > 0) {
+        val v = upper.dequeue()
+        if (delUp(v) == 1) delUp.remove(v) else delUp(v) -= 1
+      }
+    def insert(v: Long): Unit = {
+      pruneLo()
+      if (nLo == 0 || v <= lower.head) { lower.enqueue(v); nLo += 1 }
+      else { upper.enqueue(v); nUp += 1 }
+      rebalance()
+    }
+    def remove(v: Long): Unit = {
+      pruneLo()
+      if (nLo > 0 && v <= lower.head) {
+        delLo(v) = delLo.getOrElse(v, 0) + 1; nLo -= 1
+      } else {
+        delUp(v) = delUp.getOrElse(v, 0) + 1; nUp -= 1
+      }
+      rebalance()
+    }
+    def rebalance(): Unit = {
+      while (nLo > nUp + 1) {
+        pruneLo(); val v = lower.dequeue(); nLo -= 1
+        upper.enqueue(v); nUp += 1
+      }
+      while (nUp > nLo) {
+        pruneUp(); val v = upper.dequeue(); nUp -= 1
+        lower.enqueue(v); nLo += 1
+      }
+    }
+    def med2(): Long = {
+      pruneLo()
+      if ((nLo + nUp) % 2 == 1) 2L * lower.head
+      else { pruneUp(); lower.head + upper.head }
+    }
+
+    st0.entries.foreach { en => queue.append(en); insert(en.v) }
+    var lastSeq = st0.lastSeq
+    val out = Seq.newBuilder[SmOut]
+    rows.filter(_.seq > lastSeq).sortBy(_.seq).foreach { e =>
+      queue.append(SmEntry(e.ts, e.v))
+      insert(e.v)
+      while (queue.nonEmpty && queue.head.ts <= e.ts - windowW) {
+        val m = queue.removeHead()
+        remove(m.v)
+      }
+      out += SmOut(key, e.seq, e.ts, med2(), nLo + nUp)
+      lastSeq = e.seq
+    }
+    (SmState(lastSeq, queue.toList), out.result())
   }
 
   /** Deterministic epsilon-approximate streaming quantiles — Greenwald-

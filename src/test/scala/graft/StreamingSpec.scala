@@ -874,6 +874,28 @@ class StreamingSpec extends AnyFunSuite {
       ("a", 4L, 3L), ("a", 5L, 1L), ("b", 1L, 1L)), s"got $got")
   }
 
+  test("exact sliding median: end-to-end through the state store, both parities") {
+    import graft.streaming.SmEvent
+    implicit val sql = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SmEvent]
+    val q = IncrementalPipeline.slidingMedian(input.toDF(), windowW = 10L)
+      .writeStream.outputMode("append").format("memory").queryName("sm").start()
+    input.addData(SmEvent("a", 1, 1, 10), SmEvent("a", 2, 2, 2))
+    q.processAllAvailable()
+    // heaps crossed the trigger; then a far-future event expires everything
+    input.addData(SmEvent("a", 3, 3, 6))
+    q.processAllAvailable()
+    input.addData(SmEvent("a", 4, 100, 4))
+    q.processAllAvailable()
+    val got = spark.table("sm").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    q.stop()
+    // med2: {10} -> 20; {2,10} -> 12; {2,6,10} -> 12; after expiry {4} -> 8
+    assert(got == Seq(("a", 1L, 20L), ("a", 2L, 12L), ("a", 3L, 12L),
+      ("a", 4L, 8L)), s"got $got")
+  }
+
   test("KMV streaming sample: batching-invariant, equals the batch selection, bounded") {
     import graft.streaming.{IncrementalPipeline => IP, KmvEvent, KmvState}
     val k = 8
