@@ -5574,6 +5574,93 @@ object AggWindowCatalog {
               FROM st CROSS JOIN tot3
               ORDER BY st.pri""")),
 
+    Q("a_cochran_q",
+      // Cochran's Q (1950; twentieth-proposal #1) — the BINARY member
+      // of the blocked-design pair with a_friedman_test: same blocks
+      // (customers holding orders in all five priorities), but the
+      // response is the 0/1 "does the cell hold at least one finished
+      // (o_orderstatus = 'F') order" — do the priority classes differ
+      // in finish propensity once customers are blocked out. The
+      // lineage's cheapest member: no ranks anywhere, every quantity
+      // an integer off one grouped aggregate. Integrality: k^2 *
+      // sum_j (C_j - S/k)^2 = sum_j (k*C_j - S)^2 folds the rational
+      // mean away, so Q = (k-1) * sum_j (k C_j - S)^2 / (k * (k S -
+      // sum_i R_i^2)) is a ratio of integers (C_j = priority totals,
+      // R_i = block totals, S = grand total); blocks with all-equal
+      // responses contribute zero to both sides, the standard
+      // degeneracy. q_e6 publishes via the a_friedman_test two-stage
+      // floor (T = qq*den + rem; qq*4e6 + rem*4e6 div den — the
+      // single-stage 4e6*T grazes the BIGINT ceiling at sf1);
+      // den >= 1 via greatest (den = 0 iff every block is all-0 or
+      // all-1, where T = 0 too; DuckDB's // raises on zero).
+      // Verdict vs chi-square(4) 95% = 9.487729.
+      (s, d) => {
+        val cells = t(s, d, "orders")
+          .groupBy(col("o_custkey").as("c"),
+            col("o_orderpriority").as("pri"))
+          .agg(max(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .as("x"))
+        val blocks = cells
+          .withColumn("npri", count(lit(1)).over(Window.partitionBy("c")))
+          .filter(col("npri") === 5)
+          .cutLineage()
+        val rows = blocks.groupBy("c").agg(sum("x").as("r"))
+          .agg(sum("r").as("s"), sum(expr("r * r")).as("sum_r2"),
+            count(lit(1)).as("n_blocks"))
+        val cols = blocks.groupBy("pri").agg(sum("x").as("c_j"))
+        val tot = cols.crossJoin(broadcast(rows))
+          .agg(max("s").as("s"), max("sum_r2").as("sum_r2"),
+            max("n_blocks").as("n_blocks"),
+            sum(expr("(5 * c_j - s) * (5 * c_j - s)")).as("tt"))
+          .withColumn("den", expr(
+            "greatest(5 * (5 * s - sum_r2), CAST(1 AS BIGINT))"))
+          .withColumn("q_e6", expr(
+            "(tt div den) * 4000000 + ((tt % den) * 4000000) div den"))
+        cols.crossJoin(broadcast(tot))
+          .select(col("pri"), col("c_j"), col("n_blocks"), col("s"),
+            col("sum_r2"), col("q_e6"),
+            expr("CAST(CASE WHEN q_e6 > 9487729 THEN 1 ELSE 0 END" +
+              " AS BIGINT)").as("significant"))
+          .orderBy("pri")
+      },
+      Some("""WITH cells AS (
+                SELECT o_custkey AS c, o_orderpriority AS pri,
+                  CAST(max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x
+                FROM orders GROUP BY 1, 2),
+              blocks AS (
+                SELECT * FROM (
+                  SELECT c, pri, x, count(*) OVER (PARTITION BY c) AS npri
+                  FROM cells) WHERE npri = 5),
+              rws AS (
+                SELECT CAST(sum(r) AS BIGINT) AS s,
+                  CAST(sum(r * r) AS BIGINT) AS sum_r2,
+                  CAST(count(*) AS BIGINT) AS n_blocks
+                FROM (SELECT c, CAST(sum(x) AS BIGINT) AS r
+                      FROM blocks GROUP BY 1)),
+              cls AS (
+                SELECT pri, CAST(sum(x) AS BIGINT) AS c_j
+                FROM blocks GROUP BY 1),
+              tot AS (
+                SELECT max(s) AS s, max(sum_r2) AS sum_r2,
+                  max(n_blocks) AS n_blocks,
+                  CAST(sum((5 * c_j - s) * (5 * c_j - s)) AS BIGINT) AS tt
+                FROM cls CROSS JOIN rws),
+              tot2 AS (
+                SELECT *, greatest(5 * (5 * s - sum_r2),
+                  CAST(1 AS BIGINT)) AS den
+                FROM tot),
+              tot3 AS (
+                SELECT s, sum_r2, n_blocks,
+                  CAST((tt // den) * 4000000 + ((tt % den) * 4000000) // den
+                    AS BIGINT) AS q_e6
+                FROM tot2)
+              SELECT c.pri, c.c_j, t.n_blocks, t.s, t.sum_r2, t.q_e6,
+                CAST(CASE WHEN t.q_e6 > 9487729 THEN 1 ELSE 0 END
+                  AS BIGINT) AS significant
+              FROM cls c CROSS JOIN tot3 t
+              ORDER BY c.pri""")),
+
     Q("a_trimmed_mean",
       // Exact trimmed & winsorized means (seventeenth-proposal #4):
       // the robust-location triple per returnflag group — plain mean,
@@ -6048,6 +6135,94 @@ object AggWindowCatalog {
                  // greatest(v_e6, 1) > 3841459 THEN 1 ELSE 0 END
                  AS BIGINT) AS significant
              FROM tot""")),
+
+    Q("w34_turning_points",
+      // Turning-point randomness test (Kendall's classic; twentieth-
+      // proposal #2) — per nation, is the daily-revenue sequence
+      // serially random: count strict local extrema T of the series;
+      // under randomness E[T] = 2(n-2)/3 and Var[T] = (16n-29)/90 are
+      // EXACT RATIONALS, so the 2-sigma verdict needs no sqrt — one
+      // integer cross-multiplication (T - E)^2 > 4 Var <=>
+      // (3T - 2n + 4)^2 * 10 > 64n - 116, the w29_runs_test
+      // discipline's second member (runs tests SIGN changes, turning
+      // points test EXTREMA — different nulls, same machinery).
+      // Plateaus collapse first (consecutive equal revenues compress
+      // to one point — the stated convention making "strict extremum"
+      // well-defined; n is the COMPRESSED length and is published
+      // beside the raw day count). Scale shape: one corpus pass to
+      // the per-nation daily frame, then nation-partitioned
+      // lag/lead windows on the calendar-bounded series.
+      (s, d) => {
+        val daily = t(s, d, "orders")
+          .join(broadcast(t(s, d, "customer")
+            .select("c_custkey", "c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nk"),
+            expr("CAST(o_orderdate AS DATE)").as("day"))
+          .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+            .as("rev"))
+          .cutLineage()
+        val wOrd = Window.partitionBy("nk").orderBy("day")
+        val comp = daily
+          .withColumn("pv", lag("rev", 1).over(wOrd))
+          .filter(col("pv").isNull || col("rev") =!= col("pv"))
+          .withColumn("prev", lag("rev", 1).over(wOrd))
+          .withColumn("nxt", lead("rev", 1).over(wOrd))
+          .withColumn("tp", when(col("prev").isNotNull
+            && col("nxt").isNotNull
+            && ((col("rev") > col("prev") && col("rev") > col("nxt"))
+              || (col("rev") < col("prev") && col("rev") < col("nxt"))),
+            1L).otherwise(0L))
+        val raw = daily.groupBy("nk").agg(count(lit(1)).as("n_days"))
+        comp.groupBy("nk").agg(count(lit(1)).as("n"),
+            sum("tp").as("t_points"))
+          .join(raw, Seq("nk"))
+          .select(col("nk").as("nationkey"), col("n_days"), col("n"),
+            col("t_points"),
+            expr("(2 * (n - 2) * 1000000) div 3").as("e_ppm"),
+            expr("((16 * n - 29) * 1000000) div 90").as("var_e6"),
+            expr("CAST(CASE WHEN (3 * t_points - 2 * n + 4)" +
+              " * (3 * t_points - 2 * n + 4) * 10 > 64 * n - 116" +
+              " THEN 1 ELSE 0 END AS BIGINT)").as("nonrandom"))
+          .orderBy("nationkey")
+      },
+      Some("""WITH daily AS (
+                SELECT c_nationkey AS nk, CAST(o_orderdate AS DATE) AS day,
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1, 2),
+              d2 AS (
+                SELECT nk, day, rev,
+                  lag(rev) OVER (PARTITION BY nk ORDER BY day) AS pv
+                FROM daily),
+              comp AS (
+                SELECT nk, day, rev FROM d2
+                WHERE pv IS NULL OR rev <> pv),
+              c2 AS (
+                SELECT nk, rev,
+                  lag(rev) OVER (PARTITION BY nk ORDER BY day) AS prev,
+                  lead(rev) OVER (PARTITION BY nk ORDER BY day) AS nxt
+                FROM comp),
+              st AS (
+                SELECT nk, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN prev IS NOT NULL AND nxt IS NOT NULL
+                    AND ((rev > prev AND rev > nxt)
+                      OR (rev < prev AND rev < nxt))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS t_points
+                FROM c2 GROUP BY 1),
+              raw AS (
+                SELECT nk, CAST(count(*) AS BIGINT) AS n_days
+                FROM daily GROUP BY 1)
+              SELECT st.nk AS nationkey, raw.n_days, st.n, st.t_points,
+                (2 * (st.n - 2) * 1000000) // 3 AS e_ppm,
+                ((16 * st.n - 29) * 1000000) // 90 AS var_e6,
+                CAST(CASE WHEN (3 * st.t_points - 2 * st.n + 4)
+                  * (3 * st.t_points - 2 * st.n + 4) * 10
+                  > 64 * st.n - 116 THEN 1 ELSE 0 END AS BIGINT)
+                  AS nonrandom
+              FROM st JOIN raw ON st.nk = raw.nk
+              ORDER BY nationkey""")),
 
     Q("w31_lis",
       // Longest strictly-increasing (and strictly-decreasing)

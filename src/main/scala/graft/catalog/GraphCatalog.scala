@@ -490,6 +490,78 @@ object GraphCatalog {
     // w9_anomaly_hours trick), so the single final sqrt/division sees
     // bit-identical operands on both engines and the 4dp round
     // matches.
+    Q("g_rich_club",
+      // Rich-club coefficient curve (Zhou & Mondragon 2004;
+      // twentieth-proposal #4) — for each degree threshold k in a
+      // fixed doubling ladder, the exact rational density of the
+      // subgraph induced by nodes of degree > k: phi(k) = 2 E_k /
+      // (N_k (N_k - 1)) in ppm — do the high-degree parts of the
+      // co-order graph interconnect more than the graph at large,
+      // the elite-cohesion readout next to g_assortativity's global
+      // mixing coefficient (assortativity can be near zero while a
+      // rich club still exists; the CURVE shows where). Exact
+      // integers only: node and edge counts per threshold off the
+      // vocabulary-bounded degree frame (parts, never corpus rows),
+      // the 7-threshold fan-out an explode on that bounded frame;
+      // thresholds with N_k < 2 publish phi = 0 (stated convention —
+      // density of an empty/singleton club is undefined; the count
+      // columns still show the emptiness). Normalized rich-club
+      // (divide by the degree-preserving random expectation) is
+      // declared out: it needs edge rewiring draws, not derivable
+      // deterministically on either engine.
+      (s, d) => {
+        val pr = copartPairs(t(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey")).distinct()
+          .cutLineage()
+        val deg = pr.select(col("u").as("node"))
+          .union(pr.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("dg"))
+        val ks = expr("explode(array(1L, 2L, 4L, 8L, 16L, 32L, 64L))")
+        val nk = deg.select(col("dg"), ks.as("k"))
+          .filter(col("dg") > col("k"))
+          .groupBy("k").agg(count(lit(1)).as("n_k"))
+        val ek = pr
+          .join(deg.withColumnRenamed("node", "u")
+            .withColumnRenamed("dg", "du"), Seq("u"))
+          .join(deg.withColumnRenamed("node", "v")
+            .withColumnRenamed("dg", "dv"), Seq("v"))
+          .select(col("du"), col("dv"), ks.as("k"))
+          .filter(col("du") > col("k") && col("dv") > col("k"))
+          .groupBy("k").agg(count(lit(1)).as("e_k"))
+        nk.join(ek, Seq("k"), "left")
+          .select(col("k"), col("n_k"),
+            coalesce(col("e_k"), lit(0L)).as("e_k"),
+            expr("CAST(CASE WHEN n_k >= 2 THEN" +
+              " (2 * coalesce(e_k, 0L) * 1000000) div (n_k * (n_k - 1))" +
+              " ELSE 0 END AS BIGINT)").as("phi_ppm"))
+          .orderBy("k")
+      },
+      Some("""WITH pr AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+              sym AS (SELECT u AS node FROM pr
+                      UNION ALL SELECT v FROM pr),
+              deg AS (SELECT node, CAST(count(*) AS BIGINT) AS dg
+                      FROM sym GROUP BY node),
+              ks AS (SELECT CAST(unnest([1, 2, 4, 8, 16, 32, 64])
+                       AS BIGINT) AS k),
+              nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_k
+                     FROM deg CROSS JOIN ks WHERE dg > k GROUP BY k),
+              ek AS (SELECT k, CAST(count(*) AS BIGINT) AS e_k
+                     FROM pr
+                       JOIN deg a ON pr.u = a.node
+                       JOIN deg b ON pr.v = b.node
+                       CROSS JOIN ks
+                     WHERE a.dg > k AND b.dg > k GROUP BY k)
+              SELECT nk.k, nk.n_k,
+                CAST(coalesce(ek.e_k, 0) AS BIGINT) AS e_k,
+                CAST(CASE WHEN nk.n_k >= 2 THEN
+                  (2 * coalesce(ek.e_k, 0) * 1000000)
+                    // (nk.n_k * (nk.n_k - 1))
+                  ELSE 0 END AS BIGINT) AS phi_ppm
+              FROM nk LEFT JOIN ek ON nk.k = ek.k
+              ORDER BY nk.k""")),
+
     Q("g_assortativity",
       (s, d) => GraphAlgos.degreeAssortativity(
           copartPairs(t(s, d, "lineitem")

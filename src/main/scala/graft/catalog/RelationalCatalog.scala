@@ -1021,6 +1021,99 @@ object RelationalCatalog {
                CAST(count(*) AS BIGINT) AS n_pairs
              FROM pr GROUP BY 1 ORDER BY rel""")),
 
+    Q("j20_stab_points",
+    // Minimum interval piercing + clique number (twentieth-proposal
+    // #3): per customer, (a) the MINIMUM number of points stabbing
+    // every order interval — greedy place-at-first-unstabbed-end,
+    // optimal by the exchange argument; on interval graphs this
+    // equals the maximum set of pairwise-disjoint intervals, i.e.
+    // j17's n_selected, and the fold IS that recurrence (the
+    // identity is structural, stated rather than re-published) —
+    // and (b) the maximum OVERLAP DEPTH (the interval-graph clique
+    // number, per-customer where j18's sweep was corpus-global):
+    // boundary events (+1 at begin, -1 at end+1) folded in (day,
+    // delta) order carrying (running, max). Published as the
+    // (n_orders, n_points, max_depth) customer distribution — the
+    // capacity row "how many service points, how deep the worst
+    // pile-up". Both folds are aggregate() HOFs over per-customer
+    // arrays bounded by orders-per-customer; one corpus pass builds
+    // the interval frame (lineitem max-shipdate join, the j17
+    // construction). Oracle: the piercing walk as a bounded
+    // recursive CTE (the j17 idiom), the depth as a boundary-event
+    // running-sum window.
+    (s, d) => {
+      val iv = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(expr("max(unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000)").as("e"))
+        .join(t(s, d, "orders").select(col("o_orderkey").as("ok"),
+          col("o_custkey"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("b")),
+          Seq("ok"))
+      iv.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          expr("""aggregate(
+              array_sort(collect_list(named_struct('e', e, 'b', b, 'ok', ok))),
+              named_struct('cnt', CAST(0 AS BIGINT), 'lp', CAST(-1 AS BIGINT)),
+              (acc, x) -> IF(x.b > acc.lp,
+                named_struct('cnt', acc.cnt + 1, 'lp', x.e), acc),
+              acc -> acc.cnt)""").as("n_points"),
+          expr("""aggregate(
+              array_sort(flatten(collect_list(array(
+                named_struct('day', b, 'delta', CAST(1 AS BIGINT)),
+                named_struct('day', e + 1, 'delta', CAST(-1 AS BIGINT)))))),
+              named_struct('cur', CAST(0 AS BIGINT), 'mx', CAST(0 AS BIGINT)),
+              (acc, x) -> named_struct('cur', acc.cur + x.delta,
+                'mx', greatest(acc.mx, acc.cur + x.delta)),
+              acc -> acc.mx)""").as("max_depth"))
+        .groupBy("n_orders", "n_points", "max_depth")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("n_orders", "n_points", "max_depth")
+    },
+    Some("""WITH RECURSIVE iv AS (
+             SELECT o_custkey,
+               epoch_us(o_orderdate) // 86400000000 AS b, e,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY e, epoch_us(o_orderdate) // 86400000000,
+                   o_orderkey) AS r
+             FROM orders JOIN (
+               SELECT l_orderkey,
+                 max(epoch_us(l_shipdate) // 86400000000) AS e
+               FROM lineitem GROUP BY 1) li ON o_orderkey = l_orderkey),
+           walk AS (
+             SELECT o_custkey, 0 AS r, CAST(0 AS BIGINT) AS cnt,
+               CAST(-1 AS BIGINT) AS last_p
+             FROM (SELECT DISTINCT o_custkey FROM iv)
+             UNION ALL
+             SELECT w.o_custkey, w.r + 1,
+               CASE WHEN i.b > w.last_p THEN w.cnt + 1 ELSE w.cnt END,
+               CASE WHEN i.b > w.last_p THEN i.e ELSE w.last_p END
+             FROM walk w JOIN iv i ON i.o_custkey = w.o_custkey
+               AND i.r = w.r + 1),
+           pts AS (
+             SELECT o_custkey, CAST(max(r) AS BIGINT) AS n_orders,
+               max_by(cnt, r) AS n_points
+             FROM walk GROUP BY o_custkey),
+           ev AS (
+             SELECT o_custkey, b AS day, CAST(1 AS BIGINT) AS delta
+             FROM iv
+             UNION ALL
+             SELECT o_custkey, e + 1, CAST(-1 AS BIGINT) FROM iv),
+           dep AS (
+             SELECT o_custkey, CAST(max(run) AS BIGINT) AS max_depth
+             FROM (
+               SELECT o_custkey,
+                 sum(delta) OVER (PARTITION BY o_custkey
+                   ORDER BY day, delta
+                   ROWS UNBOUNDED PRECEDING) AS run
+               FROM ev) GROUP BY o_custkey),
+           fin AS (
+             SELECT p.n_orders, p.n_points, d.max_depth
+             FROM pts p JOIN dep d ON p.o_custkey = d.o_custkey)
+           SELECT n_orders, n_points, max_depth,
+             CAST(count(*) AS BIGINT) AS n_customers
+           FROM fin GROUP BY 1, 2, 3
+           ORDER BY n_orders, n_points, max_depth""")),
+
     Q("j17_interval_schedule",
     // Activity selection (eleventh-proposal #4): per customer, the
     // provably-MAXIMUM set of pairwise non-overlapping order intervals

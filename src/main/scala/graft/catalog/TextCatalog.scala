@@ -2455,6 +2455,66 @@ object TextCatalog {
               FROM scored s LEFT JOIN train_tot t ON s.source = t.source
               ORDER BY s.source""")),
 
+    Q("x_token_gini",
+      // Token-frequency Gini concentration (twentieth-proposal #5) —
+      // per source, the Lorenz/Gini coefficient of the unigram
+      // frequency distribution: how unequally the token mass is
+      // spread, the ORDERING complement of x_lexical_richness (which
+      // reads the spectrum shape) and x_zipf_slope (which fits the
+      // rank law). With frequencies f_(1) <= ... <= f_(V) ranked
+      // ascending, G = (2 * sum_i i*f_(i) - (V+1)*N) / (V*N) — every
+      // term an integer cross-product, one floor to e6. Rank ties
+      // (equal f) cannot move sum_i i*f_(i) (a run of equal values
+      // contributes f * sum of its ranks regardless of order within
+      // the run), so the row_number tie-break on token is pure
+      // determinism, not a convention choice. Published with V, N and
+      // the top-1 token share ppm. Scale shape: one (source, token)
+      // partial-agg corpus pass; the ranking window partitions by
+      // source over the VOCABULARY-bounded frequency frame, never
+      // corpus rows.
+      (s, d) => {
+        val freq = spread(t(s, d, "documents"))
+          .select(col("source"),
+            explode(expr(s"split($sparkNorm, ' ')")).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("f"))
+        freq
+          .withColumn("i", row_number().over(
+            Window.partitionBy("source").orderBy(col("f"), col("tok"))))
+          .groupBy("source").agg(
+            count(lit(1)).as("v"),
+            sum("f").as("n"),
+            sum(expr("i * f")).as("sif"),
+            max("f").as("fmax"))
+          .select(col("source"), col("v"), col("n"),
+            expr("CAST(((2 * sif - (v + 1) * n) * 1000000)" +
+              " div (v * n) AS BIGINT)").as("gini_e6"),
+            expr("CAST((fmax * 1000000) div n AS BIGINT)")
+              .as("top1_ppm"))
+          .orderBy("source")
+      },
+      Some(s"""WITH freq AS (
+                SELECT source, tok, CAST(count(*) AS BIGINT) AS f
+                FROM (
+                  SELECT source, unnest(string_split($duckNorm, ' ')) AS tok
+                  FROM documents)
+                GROUP BY 1, 2),
+              ranked AS (
+                SELECT source, f,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY f, tok) AS i
+                FROM freq),
+              st AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS v,
+                  CAST(sum(f) AS BIGINT) AS n,
+                  CAST(sum(i * f) AS BIGINT) AS sif,
+                  CAST(max(f) AS BIGINT) AS fmax
+                FROM ranked GROUP BY 1)
+              SELECT source, v, n,
+                CAST(((2 * sif - (v + 1) * n) * 1000000) // (v * n)
+                  AS BIGINT) AS gini_e6,
+                CAST((fmax * 1000000) // n AS BIGINT) AS top1_ppm
+              FROM st ORDER BY source""")),
+
     Q("x_contamination",
       // Train/eval decontamination check (the n-gram-overlap method every
       // published LLM data pipeline runs before heldout evaluation):

@@ -76,6 +76,15 @@ final case class SmState(lastSeq: Long, entries: List[SmEntry])
 final case class SmOut(key: String, seq: Long, ts: Long, med2: Long,
     n_window: Int)
 
+/** Typed records for the exact sliding-window MODE. State per key is
+  * the window multiset as a ts-ascending (ts, v) list — counts matter,
+  * so (unlike slidingDistinct) every occurrence must persist. */
+final case class MoEvent(key: String, seq: Long, ts: Long, v: Long)
+final case class MoEntry(ts: Long, v: Long)
+final case class MoState(lastSeq: Long, entries: List[MoEntry])
+final case class MoOut(key: String, seq: Long, ts: Long, mode: Long,
+    mode_count: Long, n_window: Int)
+
 /** Typed records for the Greenwald-Khanna streaming quantile summary.
   * A tuple covers a run of values ending at `v`: `g` is how many ranks
   * it absorbs, `delta` its rank uncertainty — the invariant
@@ -911,6 +920,79 @@ object IncrementalPipeline {
       lastSeq = e.seq
     }
     (SmState(lastSeq, queue.toList), out.result())
+  }
+
+  /** EXACT sliding-window MODE (twentieth-proposal #6), the frequency
+    * statistic completing the sliding quartet (extrema / distinct /
+    * median / mode): a value->count map plus a count->sorted-values
+    * bucket index (TreeSet per live count) make increment, decrement,
+    * and the deterministic mode read (HIGHEST count, then SMALLEST
+    * value) each O(log D) in the number of distinct alive values; the
+    * max live count moves by +-1 per update, so tracking it is O(1)
+    * amortized (an increment can only raise it by one; a decrement
+    * lowers it exactly when its bucket empties). Expiry pops the
+    * ts-ordered occurrence queue — the window MULTISET is the state
+    * (counts matter, so unlike slidingDistinct nothing compacts away;
+    * stated honestly as the floor: dropping any occurrence miscounts
+    * a candidate mode after the right expiries). Events process in
+    * `seq` order, forward-only; the spec pins brute-force equality at
+    * every arrival, batching invariance, the tie-break, and the
+    * multiset state floor. */
+  def slidingMode(events: DataFrame, windowW: Long): Dataset[MoOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("key", "seq", "ts", "v").as[MoEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[MoEvent], state: GroupState[MoState]) => {
+          val st0 = state.getOption.getOrElse(MoState(Long.MinValue, Nil))
+          val (st, out) = moStep(windowW)(key, st0, rows.toSeq)
+          state.update(st)
+          out.iterator
+        })
+  }
+
+  /** One batch of the count-bucket fold as a PURE function —
+    * package-visible for the spec's invariance and exactness audits. */
+  private[graft] def moStep(windowW: Long)(key: String,
+      st0: MoState, rows: Seq[MoEvent]): (MoState, Seq[MoOut]) = {
+    require(windowW > 0, "slidingMode: need W > 0")
+    import scala.collection.mutable
+    val cnt = mutable.HashMap.empty[Long, Long]
+    val buckets = mutable.HashMap.empty[Long, mutable.TreeSet[Long]]
+    var maxCnt = 0L
+    val queue = mutable.ArrayDeque.empty[MoEntry]
+    def moveTo(v: Long, from: Long, to: Long): Unit = {
+      if (from > 0) {
+        val b = buckets(from)
+        b.remove(v)
+        if (b.isEmpty) buckets.remove(from)
+      }
+      if (to > 0) {
+        buckets.getOrElseUpdate(to, mutable.TreeSet.empty[Long]).add(v)
+        cnt(v) = to
+      } else cnt.remove(v)
+      if (to > maxCnt) maxCnt = to
+      else if (from == maxCnt && !buckets.contains(from)) maxCnt = from - 1
+    }
+    def add(v: Long): Unit = { val c = cnt.getOrElse(v, 0L); moveTo(v, c, c + 1) }
+    def del(v: Long): Unit = { val c = cnt(v); moveTo(v, c, c - 1) }
+
+    st0.entries.foreach { en => queue.append(en); add(en.v) }
+    var lastSeq = st0.lastSeq
+    val out = Seq.newBuilder[MoOut]
+    rows.filter(_.seq > lastSeq).sortBy(_.seq).foreach { e =>
+      queue.append(MoEntry(e.ts, e.v))
+      add(e.v)
+      while (queue.nonEmpty && queue.head.ts <= e.ts - windowW) {
+        val m = queue.removeHead()
+        del(m.v)
+      }
+      out += MoOut(key, e.seq, e.ts, buckets(maxCnt).head, maxCnt,
+        queue.length)
+      lastSeq = e.seq
+    }
+    (MoState(lastSeq, queue.toList), out.result())
   }
 
   /** Deterministic epsilon-approximate streaming quantiles — Greenwald-

@@ -896,6 +896,28 @@ class StreamingSpec extends AnyFunSuite {
       ("a", 4L, 8L)), s"got $got")
   }
 
+  test("exact sliding mode: end-to-end through the state store, tie-break held") {
+    import graft.streaming.MoEvent
+    implicit val sql = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[MoEvent]
+    val q = IncrementalPipeline.slidingMode(input.toDF(), windowW = 10L)
+      .writeStream.outputMode("append").format("memory").queryName("mo").start()
+    input.addData(MoEvent("a", 1, 1, 9), MoEvent("a", 2, 2, 3))
+    q.processAllAvailable()
+    // counts crossed the trigger; 9 doubles up, then expiry leaves {5}
+    input.addData(MoEvent("a", 3, 3, 9))
+    q.processAllAvailable()
+    input.addData(MoEvent("a", 4, 100, 5))
+    q.processAllAvailable()
+    val got = spark.table("mo").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    q.stop()
+    // (9,1); tie {9,3} -> smallest value (3,1); (9,2); after expiry (5,1)
+    assert(got == Seq(("a", 1L, 9L, 1L), ("a", 2L, 3L, 1L),
+      ("a", 3L, 9L, 2L), ("a", 4L, 5L, 1L)), s"got $got")
+  }
+
   test("KMV streaming sample: batching-invariant, equals the batch selection, bounded") {
     import graft.streaming.{IncrementalPipeline => IP, KmvEvent, KmvState}
     val k = 8
